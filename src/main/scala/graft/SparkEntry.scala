@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is declared as a
+  * [[graft.core.QueryDef]] in one of the operator modules below; this
+  * object just assembles the maps the driver consumes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def modules: Seq[QueryModule] = Seq(
+    AggOps,
+    JoinOps,
+    FilterOps,
+    WindowOps,
+    EtlOps,
+    EventOps,
+    TextOps,
+    DedupOps,
+    SimilarityOps)
+
+  lazy val all: Seq[QueryDef] = {
+    val ds = modules.flatMap(_.defs)
+    require(ds.map(_.name).distinct.size == ds.size, "duplicate query names")
+    ds
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q3 shape: the dominant dashboard pattern (scan → broadcast dim
+    * join → date filter → grouped sum → top-N), SURVEY §3.1. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cust = T(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val orders = T(spark, dir, "orders")
+    val line = T(spark, dir, "lineitem")
+    line
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", to_date($"o_orderdate").as("order_date"))
+      .agg(H.dbl(sum(H.dec2($"l_extendedprice") * H.oneMinus($"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(d => d.name -> d.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(d => d.oracle.map(sql => d.name -> sql.trim)).toMap
 }

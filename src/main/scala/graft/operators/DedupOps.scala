@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication suite over the `documents` table — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (BASELINE.json north-star operators).
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup groups on a 16-byte md5 fingerprint, never the text;
+  *  - MinHash/LSH shuffles (band-hash → doc) pairs, i.e. O(docs × bands)
+  *    small rows, and only brute-forces within a bucket — the standard
+  *    shingle→minhash→band→bucket-join pipeline, fully distributed;
+  *  - all hashing is `xxhash64`/`hash` (codegen'd Catalyst expressions,
+  *    deterministic across runs/executors) — no UDFs, no RNG at runtime.
+  */
+object DedupOps extends QueryModule {
+
+  /** Word 3-gram shingles of normalized text, as an array column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(regexp_replace(text, "\\s+", " "))), " ")
+    // sliding n-grams via transform over index range; empty when < n tokens
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      x => x.isNotNull)
+  }
+
+  /** MinHash signature: for each of `k` permutations, min over shingles of
+    * xxhash64(shingle, seed). Returns array<long> of length k. */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
+
+  /** Banded LSH keys from a minhash signature: `bands` hashes of `rows`
+    * consecutive signature entries each. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows))), b).as("bucket")))
+
+  /** 64-bit SimHash: sign-aggregate of per-token hash bits weighted ±1.
+    * Pure column expressions: for each bit position, count tokens whose
+    * xxhash64 has that bit set vs total; bit = 1 if majority. Bits are
+    * folded MSB-first (`acc*2 + bit`), wrapping into the sign bit —
+    * requires ANSI off (our sessions pin it, matching Athena's permissive
+    * semantics per SURVEY §7.4). */
+  def simhash64(tokens: Column): Column = {
+    val hs = transform(tokens, t => xxhash64(t))
+    val nTok = size(hs)
+    val bits = transform(
+      sequence(lit(63), lit(0), lit(-1)),
+      b =>
+        when(
+          aggregate(
+            hs,
+            lit(0),
+            (acc, h) => acc + call_function("shiftright", h, b).bitwiseAND(lit(1L)).cast(IntegerType)) * 2 > nTok,
+          lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, x) => acc * 2 + x)
+  }
+
+  /** Exact dedup: group by content fingerprint, keep min doc_id.
+    * Ref pattern: `dropDuplicates` `bronze_ingest_streamate_mock.py:44-45`,
+    * here keyed on a hash so the shuffle never carries document bodies. */
+  private val ddExact = QueryDef(
+    "dd_exact_dedup",
+    Some("""
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keeper_id"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .groupBy(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fingerprint"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keeper_id")
+    })
+
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index —
+    * distributed: explode shingles, self-join on shingle, count
+    * intersections, Jaccard = |∩| / (|A|+|B|-|∩|). Threshold 0.6. */
+  private val ddJaccard = QueryDef(
+    "dd_ngram_jaccard",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+        FROM toks WHERE len(ws) >= 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b,
+        i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+        .select($"doc_id", array_distinct(shingles($"text")).as("sh"))
+        .filter(size($"sh") >= 1)
+      val exploded = docs.select($"doc_id", explode($"sh").as("shingle"))
+      val sizes = docs.select($"doc_id", size($"sh").cast(LongType).as("n_sh"))
+      val a = exploded.as("a")
+      val b = exploded.as("b")
+      val inter = a
+        .join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val sa = sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_sh_a"))
+      val sb = sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_sh_b"))
+      inter
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+          $"doc_a", $"doc_b",
+          ($"n_inter" / ($"n_sh_a" + $"n_sh_b" - $"n_inter")).as("jaccard"))
+        .filter($"jaccard" >= 0.6)
+        .orderBy($"doc_a", $"doc_b")
+    })
+
+  /** MinHash + banded LSH candidate pairs, verified by true Jaccard.
+    * Not SQL-expressible → rows-only driver check; ScalaTest asserts the
+    * candidate set catches the corpus's planted near-dup prefixes. */
+  private val ddMinhash = QueryDef(
+    "dd_minhash_lsh",
+    None,
+    (s, dir) => minhashNearDups(s, T(s, dir, "documents")))
+
+  /** SimHash buckets: docs sharing a 64-bit simhash are near-dup cands. */
+  private val ddSimhash = QueryDef(
+    "dd_simhash",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select(
+          $"doc_id",
+          simhash64(split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ")).as("simhash"))
+        .orderBy($"doc_id")
+    })
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → 32-perm signature →
+    * 8 bands × 4 rows → bucket equi-join for candidates → exact-Jaccard
+    * verify (≥ threshold) computed over the inverted index restricted to
+    * candidate pairs.
+    *
+    * Shaped for scale: the signature is ONE hash-aggregate over the
+    * exploded (doc, shingle) table (32 codegen'd min() columns — no
+    * nested higher-order functions in the hot path), candidates come from
+    * a bucket equi-join (never a cross product), and the verify step only
+    * touches candidate pairs. The exploded shingle table is cached since
+    * signature + verify both consume it. */
+  def minhashNearDups(s: SparkSession, documents: DataFrame,
+      threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+    import s.implicits._
+    val rowsPerBand = numPerms / bands
+    val sh = documents
+      .select($"doc_id", explode(array_distinct(shingles($"text"))).as("shingle"))
+      .cache()
+    val sig = sh.groupBy($"doc_id").agg(
+      min(xxhash64($"shingle", lit(0))).as("h0"),
+      (1 until numPerms).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      val rowsCols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64(concat_ws("_", rowsCols: _*), lit(b)).as(s"b$b")
+    }
+    val banded = sig
+      .select($"doc_id" +: bandCols: _*)
+      .select(
+        $"doc_id",
+        posexplode(array((0 until bands).map(b => col(s"b$b")): _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+      .select(
+        $"doc_a", $"doc_b",
+        ($"n_inter" / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  override val defs: Seq[QueryDef] =
+    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash)
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time operators over the `events` table — tumbling/sliding window
+  * aggregation and calendar bucketing (SURVEY.md §2.10: the reference has
+  * no streaming, so these are the beyond-parity batch equivalents of the
+  * Structured Streaming pipeline in `graft.streaming`; same `window()`
+  * semantics both places).
+  */
+object EventOps extends QueryModule {
+
+  /** events loader — the testdata stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects. Read it as raw nanos
+    * (legacy conf) and rebuild a TimestampType column; the values are
+    * µs-granular so `ns div 1000` is lossless. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** F4: ISO day-of-week (Mon=1..Sun=7). Presto's `day_of_week` vs Spark's
+    * Sun-first `dayofweek` — SURVEY §7.4 item 1. `weekday()+1` closes it. */
+  private val f4 = QueryDef(
+    "f4_iso_day_of_week",
+    Some("""
+      SELECT isodow(ts) AS iso_dow, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY iso_dow"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy((weekday($"ts") + 1).cast(LongType).as("iso_dow"))
+        .agg(count(lit(1)).as("n"), H.dbl(sum(H.dec2($"value"))).as("total_value"))
+        .orderBy($"iso_dow")
+    })
+
+  /** F5: prior-period comparison via date/interval shift from a fixed
+    * anchor. Ref: `DATE_ADD(unit, -n, date)` `needle.py:113-118`. */
+  private val f5 = QueryDef(
+    "f5_period_shift",
+    Some("""
+      SELECT
+        CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY THEN 'current'
+             ELSE 'previous' END AS period,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 14 DAY
+        AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+      ORDER BY period"""),
+    (s, dir) => {
+      import s.implicits._
+      val anchor = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      events(s, dir)
+        .filter($"ts" >= anchor - expr("INTERVAL 14 DAYS") && $"ts" < anchor)
+        .groupBy(
+          when($"ts" >= anchor - expr("INTERVAL 7 DAYS"), "current")
+            .otherwise("previous").as("period"))
+        .agg(count(lit(1)).as("n"), H.dbl(sum(H.dec2($"value"))).as("total_value"))
+        .orderBy($"period")
+    })
+
+  /** Tumbling event-time window aggregation (`window(ts, 1 hour)`), the
+    * batch twin of the streaming pipeline. Beyond-parity (SURVEY §2.10). */
+  private val evTumble = QueryDef(
+    "ev_tumbling_window",
+    Some("""
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), H.dbl(sum(H.dec2($"value"))).as("total_value"))
+        .select(
+          $"window.start".as("window_start"), $"event_type", $"n", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    })
+
+  /** Sliding event-time window (1 h window, 30 min slide): each event lands
+    * in 2 windows. Oracle models the slide as a UNION of two shifted
+    * tumbling bucketings. */
+  private val evSlide = QueryDef(
+    "ev_sliding_window",
+    Some("""
+      WITH assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS window_start, value
+        FROM events)
+      SELECT window_start, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM assigned
+      GROUP BY 1
+      ORDER BY window_start"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), H.dbl(sum(H.dec2($"value"))).as("total_value"))
+        .select($"window.start".as("window_start"), $"n", $"total_value")
+        .orderBy($"window_start")
+    })
+
+  /** Sessionization with a 30-minute inactivity gap — gaps-and-islands.
+    * Spark: `session_window`; oracle: lag + cumulative boundary count. */
+  private val evSession = QueryDef(
+    "ev_session_window",
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    >= INTERVAL 30 MINUTE THEN 1
+               WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+               ELSE 0 END AS is_start
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+          SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), H.dbl(sum(H.dec2($"value"))).as("total_value"))
+        .select(
+          $"user_id", $"session_window.start".as("session_start"),
+          $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start")
+    })
+
+  /** F14: pivot (wide per-category columns from long rows).
+    * Ref: per-platform date alignment `earnings.py:162-213`. Explicit pivot
+    * value list keeps the plan single-pass (no distinct-scan job). */
+  private val f14 = QueryDef(
+    "f14_pivot_event_types",
+    Some("""
+      SELECT CAST(ts AS DATE) AS event_date,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS "view"
+      FROM events
+      GROUP BY 1
+      ORDER BY event_date"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(to_date($"ts").as("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(H.dbl(sum(H.dec2($"value"))))
+        .orderBy($"event_date")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(f4, f5, evTumble, evSlide, evSession, f14)
+}

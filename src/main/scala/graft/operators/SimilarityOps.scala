@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * BASELINE.json north-star: brute-force cosine top-k baseline plus an
+  * LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Numeric policy: embeddings are float32; both engines widen float→double
+  * (exact) and the dot/norm folds run left-to-right, so cosine values are
+  * bit-identical to the DuckDB oracle (`list_reduce` fold).
+  *
+  * Scale design: brute force is O(Q×N) with the query side broadcast —
+  * right for reranking/small Q. The LSH path buckets vectors by
+  * random-hyperplane sign bits (seeded, deterministic) so candidate
+  * generation is a bucket equi-join: O(N) shuffle, no cross product.
+  */
+object SimilarityOps extends QueryModule {
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Left-to-right dot product fold of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: queries = vec_id < 10 (broadcast), ranked
+    * per query with deterministic tie-break. */
+  private val simTopK = QueryDef(
+    "sim_cosine_topk",
+    Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      pairs AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+          list_reduce(list_transform(list_zip(q.qv, CAST(e.embedding AS DOUBLE[])),
+                                     p -> p[1] * p[2]), (acc, x) -> acc + x)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]),
+                                (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])),
+                                                 p -> p[1] * p[2]), (acc, x) -> acc + x)))
+            AS cosine_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cosine_sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, neighbor_id, cosine_sim
+      FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank"""),
+    (s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
+      val e = emb.select($"vec_id".as("neighbor_id"), asDouble($"embedding").as("ev"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+      broadcast(q)
+        .crossJoin(e)
+        .filter($"neighbor_id" =!= $"q_id")
+        .select($"q_id", $"neighbor_id", cosine($"qv", $"ev").as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
+        .orderBy($"q_id", $"rank")
+    })
+
+  /** Centroid distance per label — the IVF building block (coarse quantizer
+    * assignment): mean vector per label, then each vector's cosine to its
+    * own label centroid. */
+  private val simCentroid = QueryDef(
+    "sim_label_centroid",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      val dims = 64
+      // distributed per-dimension mean: explode (dim, value), aggregate
+      val centroids = emb
+        .select($"label", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim")
+        .agg(avg($"x").as("cx"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cs"))
+        .select($"label", transform($"cs", c => c("cx")).as("centroid"))
+      emb.join(broadcast(centroids), "label")
+        .select($"vec_id", $"label", cosine($"v", $"centroid").as("cos_to_centroid"))
+        .orderBy($"vec_id")
+    })
+
+  /** LSH-bucketed ANN (scale path): 16 seeded random hyperplanes → 16-bit
+    * sign bucket; neighbor candidates share a bucket; exact cosine rerank
+    * within bucket. Deterministic (seeded projection planes). */
+  def lshAnn(s: SparkSession, embeddings: DataFrame, planes: Int = 16,
+      dims: Int = 64, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val rnd = new java.util.Random(seed)
+    val planeVecs: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian()))
+    val planesCol = typedLit(planeVecs)
+    val emb = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val bucketed = emb.select(
+      $"vec_id", $"v",
+      aggregate(
+        planesCol,
+        lit(0L),
+        (acc, p) => acc * 2 + when(dot(p, $"v") >= 0, lit(1L)).otherwise(lit(0L))).as("bucket"))
+    val a = bucketed.select($"bucket", $"vec_id".as("id_a"), $"v".as("v_a"))
+    val b = bucketed.select($"bucket", $"vec_id".as("id_b"), $"v".as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", cosine($"v_a", $"v_b").as("cosine_sim"))
+      .filter($"cosine_sim" >= 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val simLsh = QueryDef(
+    "sim_lsh_ann",
+    None,
+    (s, dir) => lshAnn(s, T(s, dir, "embeddings")))
+
+  override val defs: Seq[QueryDef] = Seq(simTopK, simCentroid, simLsh)
+}

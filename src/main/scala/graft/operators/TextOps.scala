@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (token counting, quality scoring, language ID
+  * heuristic, document fingerprinting). Beyond the reference's own
+  * operators (BASELINE.json north star); all computations are pure
+  * codegen-friendly `functions._` column expressions — no UDFs — so they
+  * stay inside whole-stage codegen at 100 TB.
+  */
+object TextOps extends QueryModule {
+
+  /** Whitespace token count of a text column. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast(LongType)
+
+  /** Non-overlapping occurrence count of `needle` (replace-based; identical
+    * algorithm in DuckDB's replace, so oracle-exact). */
+  def occurrences(text: Column, needle: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+
+  private val taTokens = QueryDef(
+    "ta_token_count",
+    Some("""
+      SELECT doc_id, lang,
+        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        length(text) AS n_chars_measured
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select(
+          $"doc_id", $"lang",
+          tokenCount($"text").as("n_tokens"),
+          length($"text").cast(LongType).as("n_chars_measured"))
+        .orderBy($"doc_id")
+    })
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length — the standard pre-training corpus filters. */
+  private val taQuality = QueryDef(
+    "ta_quality_score",
+    Some("""
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text) AS punct_ratio,
+        ((length(text) - length(replace(text, ' the ', ''))) / 5) / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+        length(replace(text, ' ', '')) / len(string_split_regex(trim(text), '\s+')) AS mean_token_len
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val nChars = length($"text")
+      val nTokens = tokenCount($"text")
+      val nPunct = length(regexp_replace($"text", "[a-zA-Z0-9 ]", ""))
+      T(s, dir, "documents")
+        .select(
+          $"doc_id",
+          nChars.cast(LongType).as("n_chars"),
+          nTokens.as("n_tokens"),
+          nPunct.cast(LongType).as("n_punct"),
+          (nPunct / nChars).as("punct_ratio"),
+          (occurrences($"text", " the ") / nTokens).as("stopword_ratio"),
+          (length(regexp_replace($"text", " ", "")) / nTokens).as("mean_token_len"))
+        .orderBy($"doc_id")
+    })
+
+  /** Language-ID n-gram/marker heuristic: score candidate languages by
+    * marker-token hits, argmax with a deterministic tie-break. (A corpus
+    * heuristic, not a model — the synthetic `documents.text` is English
+    * word-soup, so this exercises the operator mechanics, not accuracy.) */
+  private val taLangId = QueryDef(
+    "ta_lang_id",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          (length(text) - length(replace(text, ' the ', ''))) / 5
+            + (length(text) - length(replace(text, ' a ', ''))) / 3 AS s_en,
+          (length(text) - length(replace(text, ' der ', ''))) / 5
+            + (length(text) - length(replace(text, ' und ', ''))) / 5 AS s_de,
+          (length(text) - length(replace(text, ' el ', ''))) / 4
+            + (length(text) - length(replace(text, ' y ', ''))) / 3 AS s_es
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es' END AS predicted_lang
+      FROM scored
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val sEn = occurrences($"text", " the ") + occurrences($"text", " a ")
+      val sDe = occurrences($"text", " der ") + occurrences($"text", " und ")
+      val sEs = occurrences($"text", " el ") + occurrences($"text", " y ")
+      T(s, dir, "documents")
+        .select(
+          $"doc_id", $"lang",
+          when(sEn >= sDe && sEn >= sEs, "en")
+            .when(sDe >= sEs, "de")
+            .otherwise("es").as("predicted_lang"))
+        .orderBy($"doc_id")
+    })
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * the exact-dedup key for a 100 TB corpus (group by fingerprint, not by
+    * the full text, so the shuffle carries 32 bytes per row). */
+  private val taFingerprint = QueryDef(
+    "ta_fingerprint",
+    Some("""
+      SELECT doc_id,
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select(
+          $"doc_id",
+          md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fingerprint"))
+        .orderBy($"doc_id")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(taTokens, taQuality, taLangId, taFingerprint)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docB = "the quick brown fox jumps over the lazy dog again and again tonight" // near-dup of A
+  private val docC = "completely different content about spark shuffles and partitions here now"
+
+  test("shingles builds sliding word trigrams") {
+    val out = Seq("a b c d").toDF("text")
+      .select(DedupOps.shingles($"text").as("sh"))
+      .head().getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("shingles of short text is empty") {
+    val out = Seq("a b").toDF("text")
+      .select(DedupOps.shingles($"text").as("sh"))
+      .head().getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and only it") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(spark, docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH finds near-dups in the synthetic corpus") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    val n = DedupOps.minhashNearDups(spark, docs).count()
+    assert(n > 0, "corpus has planted near-dups (shared prefixes); none found")
+  }
+
+  test("simhash is identical for identical text, close for near-dups") {
+    def sh(t: String): Long =
+      Seq(t).toDF("text")
+        .select(DedupOps.simhash64(split($"text", " ")).as("h"))
+        .head().getLong(0)
+    assert(sh(docA) == sh(docA))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(docA), sh(docB)) < hamming(sh(docA), sh(docC)),
+      "near-dup must be closer in hamming distance than unrelated text")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.core.QueryDef
+
+/** Every declared operator runs at sf0.001 and yields a sane result.
+  * (Value-level correctness is the driver's DuckDB oracle gate at sf0.01,
+  * mirrored locally by tools/selfcheck.py; this spec guards against
+  * runtime regressions — analysis errors, bad casts, empty results.) */
+class OperatorSmokeSpec extends SparkSpec {
+
+  // Queries whose legitimate result can be empty at tiny scale.
+  private val mayBeEmpty = Set(
+    "dd_minhash_lsh", "dd_ngram_jaccard", "sim_lsh_ann",
+    "j10_anti_join_not_exists", "p3_date_eq_filter", "p5_calendar_bucket_filter",
+    "a12_merge_audit")
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("query names are unique and every oracle key has a query") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  SparkEntry.all.foreach { case QueryDef(name, _, build) =>
+    test(s"$name runs at sf0.001") {
+      val df = build(spark, sf0001)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
