@@ -22,7 +22,8 @@ object SparkEntry {
     EventOps,
     TextOps,
     DedupOps,
-    SimilarityOps)
+    SimilarityOps,
+    MultimodalOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

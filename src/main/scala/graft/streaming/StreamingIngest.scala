@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.etl.MergeService
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface — SURVEY §2.10.
+  *
+  * The reference has no continuous streaming: ingestion is scheduled Glue
+  * batches with job bookmarks (E7) plus per-record Lambda upserts (A12).
+  * Both collapse onto Structured Streaming idioms:
+  *  - bookmarks → file-source + checkpoint, `Trigger.AvailableNow` (each
+  *    run processes exactly the new files, then stops — a Glue run),
+  *  - per-record upsert → `foreachBatch` + MERGE (micro-batch and
+  *    single-record share the code path).
+  *
+  * Scale: state is keyed by (window/session, key) and bounded by the
+  * watermark; shuffle partitions carry the state stores, so the same
+  * partitioning discipline as batch applies.
+  */
+object StreamingIngest {
+
+  /** E7: incremental bronze ingestion — processes only files not yet in
+    * the checkpoint, then terminates (`Trigger.AvailableNow`). */
+  def ingestAvailableNow(spark: SparkSession, srcDir: String,
+      schema: StructType, outDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state; late rows beyond the watermark are dropped. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** A12 streaming: each micro-batch MERGEs into the keyed silver table.
+    * Without Delta on the classpath the merge is read-merge-swap on a
+    * parquet dir — same MergeService plan a Delta MERGE degenerates to. */
+  def mergeStream(spark: SparkSession, updates: DataFrame, basePath: String,
+      keys: Seq[String], checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeIntoParquet(spark, batch, basePath, keys)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Read-merge-swap MERGE into a parquet dir (micro-batch or one record). */
+  def mergeIntoParquet(spark: SparkSession, batch: DataFrame,
+      basePath: String, keys: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val merged =
+      if (fs.exists(base))
+        MergeService.upsert(spark.read.parquet(basePath),
+          batch.dropDuplicates(keys), keys).drop("merge_action")
+      else batch.dropDuplicates(keys)
+    val tmp = new org.apache.hadoop.fs.Path(basePath + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.rename(tmp, base)
+  }
+}
