@@ -18,16 +18,51 @@ import org.apache.spark.sql.types._
   */
 object DedupOps extends QueryModule {
 
-  /** Word 3-gram shingles of normalized text, as an array column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(trim(regexp_replace(text, "\\s+", " "))), " ")
-    // sliding n-grams via transform over index range; empty when < n tokens
+  /** Normalized word tokens of a text column. */
+  def tokens(text: Column): Column =
+    split(lower(trim(regexp_replace(text, "\\s+", " "))), " ")
+
+  /** Sliding word n-grams from an ALREADY-MATERIALIZED tokens column.
+    *
+    * The tokens argument must be a plain column reference, not an inline
+    * `split(...)` expression: higher-order-function lambdas re-evaluate
+    * captured non-attribute expressions per element, which turns shingle
+    * generation quadratic (measured 28s → 0.6s at sf0.1 for 5k docs).
+    * Use [[shingles]] only for ad-hoc/small frames. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     filter(
       transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        i => when(size(toks) >= n,
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))),
       x => x.isNotNull)
-  }
+
+  /** Convenience composition for literals / tiny frames — see the
+    * performance caveat on [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Distinct (doc_id, shingle) rows — the corpus-scale entry point.
+    *
+    * Deliberately NOT `explode(shingles(text))`: Catalyst collapses the
+    * shingle projection into the Generate and re-inlines `split(text)`
+    * into the per-element lambda, making extraction quadratic in tokens
+    * (measured 13s vs 1s at sf0.1). Instead the INDEX range is exploded
+    * and each shingle is assembled after the explode from the
+    * materialized `toks` attribute — O(1) per output row, and the
+    * distinct() is the same keyed shuffle a 100 TB corpus pass needs
+    * anyway. */
+  def shingleRows(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          (0 until n).map(k => element_at(col("toks"), col("i") + k + 1)): _*)
+          .as("shingle"))
+      .distinct()
 
   /** MinHash signature: for each of `k` permutations, min over shingles of
     * xxhash64(shingle, seed). Returns array<long> of length k. */
@@ -111,11 +146,8 @@ object DedupOps extends QueryModule {
       ORDER BY doc_a, doc_b"""),
     (s, dir) => {
       import s.implicits._
-      val docs = T(s, dir, "documents")
-        .select($"doc_id", array_distinct(shingles($"text")).as("sh"))
-        .filter(size($"sh") >= 1)
-      val exploded = docs.select($"doc_id", explode($"sh").as("shingle"))
-      val sizes = docs.select($"doc_id", size($"sh").cast(LongType).as("n_sh"))
+      val exploded = shingleRows(T(s, dir, "documents"))
+      val sizes = exploded.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = exploded.as("a")
       val b = exploded.as("b")
       val inter = a
@@ -142,17 +174,33 @@ object DedupOps extends QueryModule {
     None,
     (s, dir) => minhashNearDups(s, T(s, dir, "documents")))
 
+  /** SimHash over a whole corpus, shaped for scale: explode tokens, hash
+    * each ONCE, then one hash-aggregate computing all 64 bit-majorities —
+    * the array-HOF variant ([[simhash64]]) inlines the token hashing into
+    * every bit expression (64× recompute), fine for ad-hoc columns but not
+    * for a corpus pass. */
+  def simhashCorpus(documents: DataFrame): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"),
+      explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("tok"))
+    val hashed = toks.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = hashed.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tok"),
+      (0 until 64).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")): _*)
+    val sim = (63 to 0 by -1).foldLeft(lit(0L)) { (acc, b) =>
+      acc * 2 + when(col(s"s$b") * 2 > col("n_tok"), 1L).otherwise(0L)
+    }
+    bitSums.select(col("doc_id"), sim.as("simhash"))
+  }
+
   /** SimHash buckets: docs sharing a 64-bit simhash are near-dup cands. */
   private val ddSimhash = QueryDef(
     "dd_simhash",
     None,
     (s, dir) => {
       import s.implicits._
-      T(s, dir, "documents")
-        .select(
-          $"doc_id",
-          simhash64(split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ")).as("simhash"))
-        .orderBy($"doc_id")
+      simhashCorpus(T(s, dir, "documents")).orderBy($"doc_id")
     })
 
   /** Full MinHash-LSH near-dup pipeline: shingle → 32-perm signature →
@@ -170,9 +218,7 @@ object DedupOps extends QueryModule {
       threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     import s.implicits._
     val rowsPerBand = numPerms / bands
-    val sh = documents
-      .select($"doc_id", explode(array_distinct(shingles($"text"))).as("shingle"))
-      .cache()
+    val sh = shingleRows(documents)
     val sig = sh.groupBy($"doc_id").agg(
       min(xxhash64($"shingle", lit(0))).as("h0"),
       (1 until numPerms).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)

@@ -37,6 +37,17 @@ class DedupSpec extends SparkSpec {
     assert(n > 0, "corpus has planted near-dups (shared prefixes); none found")
   }
 
+  test("simhashCorpus (scale path) agrees with the column variant") {
+    val docs = graft.core.T(spark, sf0001, "documents").limit(50)
+    val viaCorpus = DedupOps.simhashCorpus(docs)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaColumn = docs.select(
+        $"doc_id",
+        DedupOps.simhash64(split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ")).as("h"))
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCorpus == viaColumn)
+  }
+
   test("simhash is identical for identical text, close for near-dups") {
     def sh(t: String): Long =
       Seq(t).toDF("text")
