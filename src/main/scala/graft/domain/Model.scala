@@ -42,7 +42,27 @@ final case class EarningsRequest(
     platform: Option[Platform] = None,
     sortDescending: Boolean = true,
     page: Int = 1,
-    limit: Int = 10)
+    limit: Int = 10) {
+
+  /** F11: request validation the lambdas perform before templating SQL
+    * (ref `earnings.py:42-49`, `detailedRanking.py:55-73`): ISO dates,
+    * start ≤ end, positive paging. Returns the error messages; empty =
+    * valid. */
+  def validate: Seq[String] = {
+    def parse(s: String, name: String): Either[String, java.time.LocalDate] =
+      try Right(java.time.LocalDate.parse(s))
+      catch { case _: java.time.format.DateTimeParseException =>
+        Left(s"Invalid $name format. Use YYYY-MM-DD.") }
+    val dates = (parse(startDate, "start_date"), parse(endDate, "end_date")) match {
+      case (Right(a), Right(b)) if a.isAfter(b) =>
+        Seq("start_date cannot be after end_date.")
+      case (a, b) => a.left.toSeq ++ b.left.toSeq
+    }
+    dates ++
+      (if (page < 1) Seq("page must be >= 1") else Nil) ++
+      (if (limit < 1) Seq("limit must be >= 1") else Nil)
+  }
+}
 
 /** The lake's table handles; any source works (parquet zones, views, test
   * fixtures) — the query layer only sees DataFrames. */

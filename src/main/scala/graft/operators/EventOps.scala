@@ -171,6 +171,47 @@ object EventOps extends QueryModule {
         .orderBy($"event_date")
     })
 
+  /** F15: JSON (de)serialization — extract a typed field from the `props`
+    * JSON column (ref `json.loads`/`dumps` `ingestStreamateModelPerformance.py:119,127`). */
+  private val f15 = QueryDef(
+    "f15_json_extract",
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY k"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(get_json_object($"props", "$.k").cast(LongType).as("k"))
+        .agg(count(lit(1)).as("n"), H.dbl(sum(H.dec2($"value"))).as("total_value"))
+        .orderBy($"k")
+    })
+
+  /** F6: ROUND(x, n) on exact decimals (HALF_UP both engines; doubles are
+    * never rounded at the comparison boundary — see H policy).
+    * Ref: `ROUND(x, 2)` `earnings_by_day_of_week.sql:10,16`. */
+  private val f6 = QueryDef(
+    "f6_round_decimal",
+    Some("""
+      SELECT event_type,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 1) AS DOUBLE) AS rounded_total,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DOUBLE) AS rounded_whole
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          H.dbl(round(sum(H.dec2($"value")), 1)).as("rounded_total"),
+          H.dbl(round(sum(H.dec2($"value")), 0)).as("rounded_whole"))
+        .orderBy($"event_type")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(f4, f5, evTumble, evSlide, evSession, f14)
+    Seq(f4, f5, f6, f15, evTumble, evSlide, evSession, f14)
 }

@@ -153,6 +153,14 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("request validation (F11): dates, order, paging") {
+    assert(req.validate.isEmpty)
+    assert(EarningsRequest("2024-13-99", "2024-09-30").validate.nonEmpty)
+    assert(EarningsRequest("2024-09-30", "2024-09-01").validate ==
+      Seq("start_date cannot be after end_date."))
+    assert(EarningsRequest("2024-09-01", "2024-09-30", page = 0).validate.nonEmpty)
+  }
+
   test("OR-join matches streamate-only and jasmin-only users, drops unmatched") {
     SqlSurface.registerViews(spark, t)
     val matched = spark.sql("""
