@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core._
+import graft.functions.CosineSimilarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,7 +69,8 @@ object SimilarityOps extends QueryModule {
       broadcast(q)
         .crossJoin(e)
         .filter($"neighbor_id" =!= $"q_id")
-        .select($"q_id", $"neighbor_id", cosine($"qv", $"ev").as("cosine_sim"))
+        .select($"q_id", $"neighbor_id",
+          CosineSimilarity.cosineNative(s, $"qv", $"ev").as("cosine_sim"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
         .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
@@ -95,7 +97,8 @@ object SimilarityOps extends QueryModule {
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cs"))
         .select($"label", transform($"cs", c => c("cx")).as("centroid"))
       emb.join(broadcast(centroids), "label")
-        .select($"vec_id", $"label", cosine($"v", $"centroid").as("cos_to_centroid"))
+        .select($"vec_id", $"label",
+          CosineSimilarity.cosineNative(s, $"v", $"centroid").as("cos_to_centroid"))
         .orderBy($"vec_id")
     })
 
@@ -120,7 +123,8 @@ object SimilarityOps extends QueryModule {
     val b = bucketed.select($"bucket", $"vec_id".as("id_b"), $"v".as("v_b"))
     a.join(b, Seq("bucket"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", cosine($"v_a", $"v_b").as("cosine_sim"))
+      .select($"id_a", $"id_b",
+        CosineSimilarity.cosineNative(s, $"v_a", $"v_b").as("cosine_sim"))
       .filter($"cosine_sim" >= 0.8)
       .orderBy($"id_a", $"id_b")
   }

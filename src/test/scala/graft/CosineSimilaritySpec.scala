@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.core.T(spark, sf0001, "embeddings")
+    .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("v"))
+
+  test("native expression is bit-identical to the composed HOF form") {
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id").limit(2000)
+      .select(
+        SimilarityOps.cosine($"a.v", $"b.v").as("hof"),
+        CosineSimilarity.cosineNative(spark, $"a.v", $"b.v").as("native"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
+  test("registered SQL function works via spark.sql") {
+    CosineSimilarity.register(spark)
+    emb.createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT cosine_sim(v, v) AS c FROM emb_t LIMIT 5").collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("type check rejects non-array<double> inputs") {
+    val err = intercept[Exception] {
+      Seq(("a", "b")).toDF("x", "y")
+        .select(CosineSimilarity.cosineNative(spark, $"x", $"y")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+}
