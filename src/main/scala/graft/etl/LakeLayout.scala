@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Physical layout of the lake zones — the part of 100 TB design that no
+  * query rewrite can recover if the write side gets it wrong
+  * (SURVEY §1.1, §4: the reference partitions bronze by processing date,
+  * `bronze_ingest_streamate_mock.py:51-52`, and relies on Athena partition
+  * pruning).
+  *
+  *  - Date-partitioned facts: every dashboard query carries a date
+  *    predicate, so directory partitioning by a date-derived column turns
+  *    them into partition-pruned scans.
+  *  - Bucketed tables: facts co-bucketed on their join key make the
+  *    fact-fact join shuffle-free (both sides already hash-distributed) —
+  *    at 100 TB the shuffle IS the cost, so this is the difference
+  *    between reading 100 TB once and moving it twice.
+  */
+object LakeLayout {
+
+  /** Write a fact partitioned by a derived calendar column. */
+  def writeDatePartitioned(df: DataFrame, dateCol: String, path: String): Unit =
+    df.withColumn("part_year", year(col(dateCol)))
+      .write.mode("overwrite").partitionBy("part_year").parquet(path)
+
+  /** Bucketed + sorted table for co-located, shuffle-free equi-joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Number of directory partitions the scan actually selected — proof of
+    * pruning (equivalent of checking `PartitionFilters` in explain). */
+  def selectedPartitions(df: DataFrame): Seq[Int] =
+    stripAqe(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+
+  /** Count of shuffle exchanges in the final plan — 0 for a co-located
+    * bucketed join. */
+  def shuffleCount(df: DataFrame): Int =
+    stripAqe(df.queryExecution.executedPlan).collect {
+      case _: ShuffleExchangeExec => 1
+    }.sum
+
+  private def stripAqe(plan: org.apache.spark.sql.execution.SparkPlan) =
+    plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+}

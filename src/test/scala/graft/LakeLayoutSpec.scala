@@ -1,0 +1,59 @@
+package graft
+
+import graft.core.T
+import graft.etl.LakeLayout
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LakeLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date-partitioned write enables partition pruning") {
+    val dir = Files.createTempDirectory("lake").toString + "/lineitem"
+    LakeLayout.writeDatePartitioned(
+      T(spark, sf0001, "lineitem"), "l_shipdate", dir)
+    val all = spark.read.parquet(dir)
+    val years = all.select($"part_year").distinct().count()
+    assert(years > 1)
+    val pruned = all.filter($"part_year" === 1996)
+    pruned.write.format("noop").mode("overwrite").save()
+    val full = all.filter($"l_quantity" > 0)
+    full.write.format("noop").mode("overwrite").save()
+    assert(LakeLayout.selectedPartitions(pruned).head == 1,
+      "year filter must prune to a single directory partition")
+    assert(LakeLayout.selectedPartitions(full).head == years,
+      "non-partition filter reads all partitions")
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      LakeLayout.writeBucketed(
+        T(spark, sf0001, "orders"), "b_orders", "o_orderkey", 4)
+      LakeLayout.writeBucketed(
+        T(spark, sf0001, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        "o_orderkey", 4)
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), Seq("o_orderkey"))
+        .groupBy($"o_orderstatus")
+        .agg(sum($"l_quantity").as("q"))
+      joined.write.format("noop").mode("overwrite").save()
+      assert(LakeLayout.shuffleCount(joined) <= 1,
+        "bucketed join must not shuffle either fact side (only the small post-join agg may)")
+      // contrast: the same join over plain parquet shuffles both sides
+      val unbucketed = T(spark, sf0001, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(T(spark, sf0001, "orders"), Seq("o_orderkey"))
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity").as("q"))
+      unbucketed.write.format("noop").mode("overwrite").save()
+      assert(LakeLayout.shuffleCount(unbucketed) > LakeLayout.shuffleCount(joined))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.domain.DomainFunctions
+import graft.operators.{DedupOps, MultimodalOps}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based checks (SURVEY §5.4) — pure-function laws plus a few
+  * bounded Spark round-trips. */
+object GraftProperties extends Properties("graft") {
+
+  // F12 — the reference's threshold table, re-derived independently from
+  // needle.py:7-23 and compared over the whole relevant range.
+  property("deduceTimeUnit thresholds") =
+    forAll(Gen.choose(0, 500)) { delta =>
+      val start = java.time.LocalDate.of(2024, 1, 1)
+      val end = start.plusDays(delta)
+      val expected =
+        if (delta == 0) "day"
+        else if (delta <= 7) "week"
+        else if (delta <= 15) "biweek"
+        else if (delta <= 30) "month"
+        else if (delta <= 90) "quarter"
+        else "year"
+      DomainFunctions.deduceTimeUnit(start.toString, end.toString) == expected
+    }
+
+  property("decodeStub is deterministic and dimension-exact") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      Gen.choose(1, 64)) { (bytes, dims) =>
+      val a = MultimodalOps.decodeStub(bytes.toArray, dims)
+      val b = MultimodalOps.decodeStub(bytes.toArray, dims)
+      a.length == dims && a.sameElements(b)
+    }
+
+  private lazy val spark = SparkSpec.session
+  private val word = Gen.oneOf("the", "fast", "key", "order", "sort",
+    "table", "scan", "merge", "part", "window")
+
+  // E1/dedup invariant: n tokens → max(0, n-2) trigrams (before distinct)
+  property("shingle count = max(0, tokens - 2)") = {
+    import spark.implicits._
+    forAll(Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))) { words =>
+      val text = words.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(DedupOps.shingles($"text").as("sh"))
+        .head().getSeq[String](0).length
+      val toks = if (text.trim.isEmpty) 1 else text.trim.split("\\s+").length
+      got == math.max(0, toks - 2)
+    }
+  }
+
+  // A12: applying the same update batch twice is a no-op
+  property("merge upsert is idempotent") = {
+    import spark.implicits._
+    val kv = Gen.mapOf(Gen.zip(Gen.choose(1, 20), Gen.choose(0.0, 100.0)))
+    forAll(kv, kv) { (base, updates) =>
+      (base.nonEmpty && updates.nonEmpty) ==> Prop {
+        val b = base.toSeq.toDF("k", "v")
+        val u = updates.toSeq.toDF("k", "v")
+        val once = graft.etl.MergeService.upsert(b, u, Seq("k")).drop("merge_action")
+        val twice = graft.etl.MergeService.upsert(once, u, Seq("k")).drop("merge_action")
+        once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty
+      }
+    }
+  }
+}
