@@ -14,6 +14,7 @@ object Verify {
       // Athena-permissive semantics (SURVEY §7.4): bad casts → null, no
       // overflow errors — required for oracle parity with crawled strings.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

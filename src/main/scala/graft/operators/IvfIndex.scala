@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the 100 TB scale path beyond [[SimilarityOps]]' brute force.
+  *
+  * Classic IVF: a k-means coarse quantizer partitions vectors into k
+  * lists; a query probes only its `nprobe` nearest lists and reranks
+  * exactly within them, cutting the scanned fraction to ~nprobe/k.
+  *
+  * Everything is DataFrame-native and deterministic:
+  *  - init: first k vectors by vec_id (stable, seedless);
+  *  - Lloyd iterations: assignment is a broadcast join against k
+  *    centroids (k is small — the fact side never shuffles), centroid
+  *    recompute is posexplode + per-(cluster, dim) mean — both fully
+  *    distributed, no collect of the vector set;
+  *  - the index is just (cluster_id, vec_id, v) — at scale you'd write
+  *    it partitioned BY cluster_id so a probe prunes to nprobe
+  *    directories ([[graft.etl.LakeLayout]] pattern).
+  */
+object IvfIndex {
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    c.cast(ArrayType(DoubleType))
+
+  /** Train the coarse quantizer: k centroids after `iters` Lloyd rounds.
+    * Returns (label-free) centroids as (cluster_id, centroid). */
+  def trainCentroids(s: SparkSession, embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    var centroids = vecs.orderBy($"vec_id").limit(k)
+      .select($"vec_id".cast(IntegerType).as("cluster_id"), $"v".as("centroid"))
+      .withColumn("cluster_id",
+        row_number().over(Window.orderBy($"cluster_id")) - 1)
+    for (_ <- 1 to iters) {
+      val assigned = assign(s, vecs, centroids)
+      centroids = assigned
+        .select($"cluster_id", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cluster_id", $"dim")
+        .agg(avg($"x").as("cx"))
+        .groupBy($"cluster_id")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cs"))
+        .select($"cluster_id", transform($"cs", c => c("cx")).as("centroid"))
+      centroids = centroids.localCheckpoint(eager = true) // cut lineage per round
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (broadcast join, no fact shuffle). */
+  def assign(s: SparkSession, vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster_id".asc)
+    vecs.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"cluster_id",
+        CosineSimilarity.cosineNative(s, $"v", $"centroid").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cluster_id")
+  }
+
+  /** Build the inverted index: every vector tagged with its list. */
+  def buildIndex(s: SparkSession, embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): (DataFrame, DataFrame) = {
+    val centroids = trainCentroids(s, embeddings, k, iters)
+    import s.implicits._
+    val vecs = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    (assign(s, vecs, centroids), centroids)
+  }
+
+  /** ANN search: probe the `nprobe` nearest lists per query, exact
+    * cosine rerank inside them, top-`topK` per query. */
+  def search(s: SparkSession, index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val q = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cluster_id".asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select($"q_id", $"qv", $"cluster_id",
+        CosineSimilarity.cosineNative(s, $"qv", $"centroid").as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"q_id", $"qv", $"cluster_id")
+    val wRank = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+    probes
+      .join(index.select($"cluster_id", $"vec_id".as("neighbor_id"), $"v"), Seq("cluster_id"))
+      .filter($"neighbor_id" =!= $"q_id")
+      .select($"q_id", $"neighbor_id",
+        CosineSimilarity.cosineNative(s, $"qv", $"v").as("cosine_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
+      .orderBy($"q_id", $"rank")
+  }
+}

@@ -134,5 +134,19 @@ object SimilarityOps extends QueryModule {
     None,
     (s, dir) => lshAnn(s, T(s, dir, "embeddings")))
 
-  override val defs: Seq[QueryDef] = Seq(simTopK, simCentroid, simLsh)
+  /** IVF ANN over the embeddings table: k-means index + nprobe search
+    * (see [[IvfIndex]]). Rows-only check; recall vs the oracle-checked
+    * brute force is asserted in IvfIndexSpec. */
+  private val simIvf = QueryDef(
+    "sim_ivf_ann",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val (index, centroids) = IvfIndex.buildIndex(s, emb, k = 8, iters = 2)
+      IvfIndex.search(s, index, centroids, emb.filter($"vec_id" < 10),
+        topK = 5, nprobe = 2)
+    })
+
+  override val defs: Seq[QueryDef] = Seq(simTopK, simCentroid, simLsh, simIvf)
 }

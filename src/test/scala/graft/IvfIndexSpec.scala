@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.T
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = T(spark, sf0001, "embeddings")
+
+  test("k-means trains k centroids of the right dimensionality") {
+    val centroids = IvfIndex.trainCentroids(spark, emb, k = 8, iters = 2)
+    val rows = centroids.collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getSeq[Double](1).length == 64))
+  }
+
+  test("index covers every vector exactly once") {
+    val (index, _) = IvfIndex.buildIndex(spark, emb, k = 8, iters = 2)
+    assert(index.count() == emb.count())
+    assert(index.select($"vec_id").distinct().count() == emb.count())
+    val clusters = index.groupBy($"cluster_id").count().collect()
+    assert(clusters.length > 1, "k-means must produce multiple non-empty lists")
+  }
+
+  test("IVF search recall vs brute force is high on clustered embeddings") {
+    val (index, centroids) = IvfIndex.buildIndex(spark, emb, k = 8, iters = 3)
+    val queries = emb.filter($"vec_id" < 20)
+    val approx = IvfIndex.search(spark, index, centroids, queries,
+      topK = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // brute force ground truth through the oracle-checked query machinery
+    val bf = SparkEntry.queries("sim_cosine_topk")(spark, sf0001)
+      .filter($"q_id" < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (approx & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low for label-clustered data")
+  }
+
+  test("search is deterministic") {
+    val (index, centroids) = IvfIndex.buildIndex(spark, emb, k = 4, iters = 1)
+    val q = emb.filter($"vec_id" < 5)
+    val a = IvfIndex.search(spark, index, centroids, q).collect().toSeq
+    val b = IvfIndex.search(spark, index, centroids, q).collect().toSeq
+    assert(a == b)
+  }
+}
