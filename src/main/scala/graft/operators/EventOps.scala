@@ -212,6 +212,44 @@ object EventOps extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Funnel conversion (beyond reference): users whose first purchase
+    * follows their first signup within 7 days — the event-sequence
+    * pattern every product-analytics workload needs. */
+  private val evFunnel = QueryDef(
+    "ev_funnel_conversion",
+    Some("""
+      WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s.signup_ts AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+        GROUP BY e.user_id)
+      SELECT COUNT(*) AS n_signup,
+        COUNT(p.user_id) AS n_converted,
+        CAST(COUNT(p.user_id) AS DOUBLE) * 100.0 / COUNT(*) AS conversion_pct
+      FROM s LEFT JOIN p ON s.user_id = p.user_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val signup = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+      val purchase = ev.filter($"event_type" === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter($"ts" >= $"signup_ts" &&
+          $"ts" <= $"signup_ts" + expr("INTERVAL 7 DAYS"))
+        .groupBy($"user_id").agg(min($"ts").as("first_purchase"))
+      signup.join(purchase.select($"user_id".as("p_user")),
+          $"user_id" === $"p_user", "left")
+        .agg(
+          count(lit(1)).as("n_signup"),
+          count($"p_user").as("n_converted"),
+          (count($"p_user").cast(DoubleType) * lit(100.0) / count(lit(1)))
+            .as("conversion_pct"))
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(f4, f5, f6, f15, evTumble, evSlide, evSession, f14)
+    Seq(f4, f5, f6, f15, evTumble, evSlide, evSession, evFunnel, f14)
 }
