@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting — for the hot-key shapes AQE's skew
+  * join can't fix (e.g. a single group key holding 10% of a 100 TB
+  * fact, or a skewed key joining a dimension too big to broadcast).
+  *
+  * Both transforms are algebraic rewrites with identical results:
+  *  - salted aggregation = two-phase: partial aggregate on
+  *    (keys, salt) spreads the hot key over `buckets` reducers, then a
+  *    cheap final aggregate over the partials;
+  *  - salted join = salt column on the fact side (deterministic hash,
+  *    no RNG) × `buckets`-fold replication of the dimension side, so
+  *    one hot key's rows land on `buckets` different tasks.
+  */
+object Salting {
+
+  /** Deterministic salt in [0, buckets) derived from a row expression. */
+  def salt(of: Column, buckets: Int): Column =
+    pmod(xxhash64(of), lit(buckets.toLong)).cast("int")
+
+  /** Two-phase SUM over possibly-skewed group keys. `saltBy` must be a
+    * column that varies WITHIN a group (any high-cardinality column). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBy: String, buckets: Int = 16): DataFrame = {
+    val partial = df
+      .groupBy((keys.map(col) :+ salt(col(saltBy), buckets).as("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Skew-safe inner equi-join: fact side gets a deterministic salt,
+    * dimension side is replicated `buckets` times, join key becomes
+    * (key, salt). Result equals the plain join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBy: String, buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(col(saltBy), buckets))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact
+      .join(replicatedDim, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}
