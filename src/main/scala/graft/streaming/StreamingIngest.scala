@@ -61,6 +61,30 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Custom keyed state via flatMapGroupsWithState: streaming exact
+    * dedup — emit each key's FIRST record only, remembering seen keys in
+    * the state store (bounded by a processing-time timeout at scale).
+    * This is the stateful primitive the reference's per-record Lambda
+    * dedup check approximates with an Athena point query
+    * (`ingestStreamateModelPerformance.py:78-87`). */
+  def dedupStream[K: org.apache.spark.sql.Encoder, V: org.apache.spark.sql.Encoder](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V])(
+      implicit pair: org.apache.spark.sql.Encoder[(K, V)]
+  ): org.apache.spark.sql.Dataset[(K, V)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    grouped.flatMapGroupsWithState[Boolean, (K, V)](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: K, values: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else if (values.hasNext) {
+          state.update(true)
+          Iterator.single((key, values.next()))
+        } else Iterator.empty
+    }
+  }
+
   /** Read-merge-swap MERGE into a parquet dir (micro-batch or one record). */
   def mergeIntoParquet(spark: SparkSession, batch: DataFrame,
       basePath: String, keys: Seq[String]): Unit = {

@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 15)
   }
 
+  test("flatMapGroupsWithState dedup emits first record per key across batches") {
+    val src = Files.createTempDirectory("dedup_src").toString + "/data"
+    val cp = Files.createTempDirectory("dedup_cp").toString
+    val out = Files.createTempDirectory("dedup_out").toString + "/data"
+    Seq(("k1", 1), ("k1", 2), ("k2", 10)).toDF("id", "v").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .as[(String, Int)]
+      val q = StreamingIngest.dedupStream(stream.groupByKey(_._1))
+        .toDF("id", "rec")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(out).collect()
+    assert(first.map(_.getString(0)).sorted.toSeq == Seq("k1", "k2"),
+      "one record per key in batch 1")
+    // batch 2: replay k1 (must stay suppressed by state), add k3
+    Seq(("k1", 99), ("k3", 30)).toDF("id", "v").write.mode("append").parquet(src)
+    run()
+    val all = spark.read.parquet(out).collect()
+    assert(all.map(_.getString(0)).sorted.toSeq == Seq("k1", "k2", "k3"),
+      "k1 deduped across micro-batches via the state store")
+  }
+
   test("foreachBatch merge stream upserts into the keyed silver table") {
     val base = Files.createTempDirectory("merge").toString + "/silver"
     // seed: two records
