@@ -100,10 +100,12 @@ object CosineSimilarity {
   * `.withExtensions(new GraftExtensions)`) to expose the engine's custom
   * functions to plain SQL sessions. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier(CosineSimilarity.FUNC_NAME),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, CosineSimilarity.FUNC_NAME),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.DimBroadcastRule)
+  }
 }
