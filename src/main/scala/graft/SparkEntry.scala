@@ -25,8 +25,10 @@ object SparkEntry {
     SimilarityOps,
     MultimodalOps)
 
+  private def extraDefs: Seq[QueryDef] = CorpusPipeline.defs
+
   lazy val all: Seq[QueryDef] = {
-    val ds = modules.flatMap(_.defs)
+    val ds = modules.flatMap(_.defs) ++ extraDefs
     require(ds.map(_.name).distinct.size == ds.size, "duplicate query names")
     ds
   }
