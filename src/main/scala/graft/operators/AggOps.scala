@@ -249,6 +249,46 @@ object AggOps extends QueryModule {
         .orderBy($"o_year".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
     })
 
+  /** Beyond-parity: exact interpolated percentiles (Presto has
+    * approx_percentile; DuckDB's quantile_cont uses the same linear
+    * interpolation as Spark's exact `percentile`). */
+  private val a14 = QueryDef(
+    "a14_percentiles",
+    Some("""
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    })
+
+  /** Beyond-parity: HLL approximate distinct — the sketch the exact A6
+    * trades against at 100 TB (no oracle: different sketch impls; the
+    * spec asserts a relative-error bound vs exact). */
+  private val a15 = QueryDef(
+    "a15_approx_count_distinct",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+          countDistinct($"l_orderkey").as("exact_orders"))
+        .orderBy($"l_returnflag")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13)
+    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15)
 }

@@ -271,6 +271,38 @@ object FilterOps extends QueryModule {
         .orderBy($"bucket")
     })
 
+  /** F-family string functions (upper/substring/concat/split_part/
+    * replace/lpad) — 1-based substring semantics in both engines. */
+  private val f16 = QueryDef(
+    "f16_string_funcs",
+    Some("""
+      SELECT c_custkey,
+        upper(c_mktsegment) AS seg_upper,
+        substring(c_name, 1, 9) AS name_prefix,
+        split_part(c_name, '#', 2) AS name_num,
+        concat(c_mktsegment, '|', c_name) AS tagged,
+        replace(c_name, 'Customer', 'C') AS short_name,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        length(c_name) AS name_len
+      FROM customer
+      WHERE c_custkey <= 200
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "customer")
+        .filter($"c_custkey" <= 200)
+        .select(
+          $"c_custkey",
+          upper($"c_mktsegment").as("seg_upper"),
+          substring($"c_name", 1, 9).as("name_prefix"),
+          split_part($"c_name", lit("#"), lit(2)).as("name_num"),
+          concat($"c_mktsegment", lit("|"), $"c_name").as("tagged"),
+          regexp_replace($"c_name", "Customer", "C").as("short_name"),
+          lpad($"c_custkey".cast("string"), 8, "0").as("padded_key"),
+          length($"c_name").cast("long").as("name_len"))
+        .orderBy($"c_custkey")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(p1, p3, p4, p5, p6, p7, p8, o2, o4, o5, o6, f8)
+    Seq(p1, p3, p4, p5, p6, p7, p8, o2, o4, o5, o6, f8, f16)
 }
