@@ -63,14 +63,21 @@ object SilverFlatten {
         "left_outer")
       .drop("streamateuser")
 
-  /** Full silver job: both outputs from one shared exploded scan. */
+  /** Full silver job: both outputs from one shared exploded scan.
+    * `format="json"` reproduces the reference's silver zone byte-format
+    * (S7, `write_dynamic_frame ... format="json"`
+    * `silver_ingest_streamate_mock.py:99-111`); parquet (default) is the
+    * scale-correct choice (SURVEY §1.3: columnar everywhere, JSON only
+    * as an ingest/egress format). */
   def run(spark: SparkSession, feed: DataFrame, users: DataFrame,
-      outDir: String): Unit = {
+      outDir: String, format: String = "parquet"): Unit = {
     val cached = feed.cache()
     studioEarnings(cached)
-      .write.mode("overwrite").parquet(s"$outDir/silver_studios_earnings")
+      .write.mode("overwrite").format(format)
+      .save(s"$outDir/silver_studios_earnings")
     performerEarningsWithUser(cached, users)
-      .write.mode("overwrite").parquet(s"$outDir/silver_earnings_by_performer")
+      .write.mode("overwrite").format(format)
+      .save(s"$outDir/silver_earnings_by_performer")
     cached.unpersist()
   }
 }

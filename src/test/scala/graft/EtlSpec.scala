@@ -80,4 +80,12 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/silver_studios_earnings").count() == S * E)
     assert(spark.read.parquet(s"$dir/silver_earnings_by_performer").count() == S * P * E)
   }
+
+  test("silver job can emit the reference's JSON byte-format (S7)") {
+    val dir = Files.createTempDirectory("silver_json").toString
+    SilverFlatten.run(spark, feedDf, Fixtures.users(spark), dir, format = "json")
+    val back = spark.read.json(s"$dir/silver_earnings_by_performer")
+    assert(back.count() == S * P * E)
+    assert(back.columns.contains("payableAmount"))
+  }
 }
