@@ -25,7 +25,7 @@ object SparkEntry {
     SimilarityOps,
     MultimodalOps)
 
-  private def extraDefs: Seq[QueryDef] = CorpusPipeline.defs
+  private def extraDefs: Seq[QueryDef] = CorpusPipeline.defs :+ AsOfJoin.evAsOf
 
   lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs) ++ extraDefs
