@@ -25,7 +25,7 @@ object SparkEntry {
     SimilarityOps,
     MultimodalOps)
 
-  private def extraDefs: Seq[QueryDef] = CorpusPipeline.defs :+ AsOfJoin.evAsOf
+  private def extraDefs: Seq[QueryDef] = CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange)
 
   lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs) ++ extraDefs
