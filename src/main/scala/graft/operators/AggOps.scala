@@ -289,6 +289,26 @@ object AggOps extends QueryModule {
         .orderBy($"l_returnflag")
     })
 
+  /** A13 sibling: CUBE over two dimensions (all grouping-set combos). */
+  private val a16 = QueryDef(
+    "a16_cube",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          H.dbl(sum(H.dec2($"o_totalprice", 14))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15)
+    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15, a16)
 }

@@ -250,6 +250,34 @@ object EventOps extends QueryModule {
             .as("conversion_pct"))
     })
 
+  /** F14 inverse: unpivot (wide per-type columns back to long rows) —
+    * melt the pivoted event matrix. */
+  private val f17 = QueryDef(
+    "f17_unpivot",
+    Some("""
+      WITH wide AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase
+        FROM events GROUP BY 1)
+      SELECT event_date, event_type, amount
+      FROM wide
+      UNPIVOT INCLUDE NULLS (amount FOR event_type IN (click, purchase))
+      ORDER BY event_date, event_type"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(to_date($"ts").as("event_date"))
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(H.dbl(sum(H.dec2($"value"))))
+        .unpivot(
+          ids = Array($"event_date"),
+          values = Array($"click", $"purchase"),
+          variableColumnName = "event_type",
+          valueColumnName = "amount")
+        .orderBy($"event_date", $"event_type")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(f4, f5, f6, f15, evTumble, evSlide, evSession, evFunnel, f14)
+    Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14)
 }
