@@ -4,6 +4,7 @@ import graft.core._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication suite over the `documents` table — exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard (BASELINE.json north-star operators).
@@ -146,7 +147,10 @@ object DedupOps extends QueryModule {
       ORDER BY doc_a, doc_b"""),
     (s, dir) => {
       import s.implicits._
+      // persisted: consumed by `sizes` and BOTH self-join sides — without
+      // it shingle extraction re-runs ~4× (at 100 TB: 4 corpus re-reads)
       val exploded = shingleRows(T(s, dir, "documents"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = exploded.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = exploded.as("a")
       val b = exploded.as("b")
