@@ -102,37 +102,67 @@ object SimilarityOps extends QueryModule {
         .orderBy($"vec_id")
     })
 
-  /** LSH-bucketed ANN (scale path): 16 seeded random hyperplanes → 16-bit
-    * sign bucket; neighbor candidates share a bucket; exact cosine rerank
-    * within bucket. Deterministic (seeded projection planes). */
-  def lshAnn(s: SparkSession, embeddings: DataFrame, planes: Int = 16,
+  /** Multi-table LSH ANN (scale path): `tables` independent hash tables of
+    * `planesPerTable` seeded random hyperplanes each; a corpus vector is a
+    * neighbor CANDIDATE for a query when they share a bucket in ANY table
+    * (the same any-band OR that [[DedupOps.minhashNearDups]] uses);
+    * candidates are reranked by exact cosine and the top-k kept.
+    *
+    * Why multi-table: a single w-plane table has collision probability
+    * (1-θ/π)^w per pair — with one 16-plane table over a small corpus that
+    * is ~zero for everything (the round-1/2 defect: 0 candidates, 0 rows).
+    * T tables of few planes each give 1-(1-p)^T recall per pair, tunable
+    * independently of bucket selectivity.
+    *
+    * Scale design: bucketing is a narrow projection (vec_id, table,
+    * bucket) — the shuffle never carries vectors; the query side is tiny
+    * and broadcast, so candidate generation is a broadcast equi-join on
+    * (table, bucket); only candidate pairs are reranked. Deterministic
+    * (seeded planes, total tie-break order). */
+  def lshAnn(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
+      topK: Int = 5, tables: Int = 16, planesPerTable: Int = 4,
       dims: Int = 64, seed: Long = 42L): DataFrame = {
     import s.implicits._
     val rnd = new java.util.Random(seed)
-    val planeVecs: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian()))
-    val planesCol = typedLit(planeVecs)
-    val emb = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
-    val bucketed = emb.select(
-      $"vec_id", $"v",
-      aggregate(
-        planesCol,
-        lit(0L),
-        (acc, p) => acc * 2 + when(dot(p, $"v") >= 0, lit(1L)).otherwise(lit(0L))).as("bucket"))
-    val a = bucketed.select($"bucket", $"vec_id".as("id_a"), $"v".as("v_a"))
-    val b = bucketed.select($"bucket", $"vec_id".as("id_b"), $"v".as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b",
-        CosineSimilarity.cosineNative(s, $"v_a", $"v_b").as("cosine_sim"))
-      .filter($"cosine_sim" >= 0.8)
-      .orderBy($"id_a", $"id_b")
+    val tablePlanes: Seq[Seq[Seq[Double]]] =
+      Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dims)(rnd.nextGaussian())))
+    // per-table sign-bit bucket of vector column v, exploded to one row
+    // per (vector, table) — rows are (id, tbl, bucket): no vector payload
+    def buckets(df: DataFrame, idCol: String): DataFrame =
+      df.select(
+        col(idCol),
+        posexplode(array(tablePlanes.map { planes =>
+          aggregate(typedLit(planes), lit(0L),
+            (acc, p) => acc * 2 + when(dot(p, $"v") >= 0, lit(1L)).otherwise(lit(0L)))
+        }: _*)).as(Seq("tbl", "bucket")))
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val q = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
+    val corpusBuckets = buckets(corpus, "vec_id")
+    val queryBuckets = buckets(q.withColumnRenamed("qv", "v"), "q_id")
+    val cands = corpusBuckets
+      .join(broadcast(queryBuckets), Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+    cands
+      .join(broadcast(q), "q_id")
+      .join(corpus.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+      .select($"q_id", $"neighbor_id",
+        CosineSimilarity.cosineNative(s, $"qv", $"v").as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
+      .orderBy($"q_id", $"rank")
   }
 
   private val simLsh = QueryDef(
     "sim_lsh_ann",
     None,
-    (s, dir) => lshAnn(s, T(s, dir, "embeddings")))
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      lshAnn(s, emb, emb.filter(col("vec_id") < 10))
+    })
 
   /** IVF ANN over the embeddings table: k-means index + nprobe search
     * (see [[IvfIndex]]). Rows-only check; recall vs the oracle-checked

@@ -36,10 +36,34 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
-  test("lshAnn returns deterministic buckets (seeded planes)") {
+  test("lshAnn recovers >=80% of brute-force top-5 pairs (and is deterministic)") {
+    import graft.functions.CosineSimilarity
+    import org.apache.spark.sql.expressions.Window
     val emb = graft.core.T(spark, sf0001, "embeddings")
-    val a = SimilarityOps.lshAnn(spark, emb).collect().toSeq
-    val b = SimilarityOps.lshAnn(spark, emb).collect().toSeq
-    assert(a == b)
+    val queries = emb.filter($"vec_id" < 10)
+    // ground truth: exact top-5 per query (same ranking as sim_cosine_topk)
+    val q = queries.select($"vec_id".as("q_id"),
+      $"embedding".cast("array<double>").as("qv"))
+    val e = emb.select($"vec_id".as("neighbor_id"),
+      $"embedding".cast("array<double>").as("ev"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+    val truth = broadcast(q).crossJoin(e)
+      .filter($"neighbor_id" =!= $"q_id")
+      .select($"q_id", $"neighbor_id",
+        CosineSimilarity.cosineNative(spark, $"qv", $"ev").as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.lshAnn(spark, emb, queries)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann2 = SimilarityOps.lshAnn(spark, emb, queries)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == ann2, "seeded planes must make the result deterministic")
+    assert(ann.nonEmpty)
+    val recall = (ann intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"LSH ANN recall $recall < 0.8 (got ${ann.size} pairs)")
   }
 }
