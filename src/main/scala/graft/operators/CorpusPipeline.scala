@@ -53,17 +53,43 @@ object CorpusPipeline {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  /** Full pipeline; returns (curated corpus, attrition report). */
+  /** Full pipeline; returns (curated corpus, attrition report).
+    *
+    * Two actions total, not one per stage: stages 1–2 are per-row flags
+    * (keeper-of-fingerprint via one window, quality predicates), so their
+    * attrition counts come from ONE conditional aggregate over a single
+    * corpus pass; the surviving corpus (small after filtering) is
+    * persisted before the MinHash stage, which consumes it three times.
+    * The persisted stage-2 frame is unpersisted before returning — the
+    * returned curated frame stays valid (it recomputes if acted on; the
+    * report rows are already materialized literals). */
   def curate(s: SparkSession, docs: DataFrame,
       t: Thresholds = Thresholds()): (DataFrame, DataFrame) = {
     import s.implicits._
-    val s0 = docs.count()
-    val d1 = exactDedup(docs)
-    val s1 = d1.count()
-    val d2 = qualityFilter(d1, t)
-    val s2 = d2.count()
+    import org.apache.spark.sql.expressions.Window
+    val keeper = row_number().over(
+      Window.partitionBy(col("__fp")).orderBy(col("doc_id"))) === 1
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val qualityOk = col("__n_tokens") >= t.minTokens &&
+      (col("__n_punct") / length(col("text"))) <= t.maxPunctRatio
+    val flagged = docs
+      .withColumn("__fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("__n_tokens", nTokens)
+      .withColumn("__n_punct", nPunct)
+      .withColumn("__keeper", keeper)
+      .withColumn("__q_ok", qualityOk)
+    val row = flagged.agg(
+      count(lit(1)).as("s0"),
+      sum(when(col("__keeper"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)).as("s2")).head()
+    val (s0, s1, s2) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val d2 = flagged.filter(col("__keeper") && col("__q_ok"))
+      .select(docs.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d3 = nearDupFilter(s, d2, t)
     val s3 = d3.count()
+    d2.unpersist(blocking = false)
     val report = Seq(
       ("input", s0), ("exact_dedup", s1),
       ("quality_filter", s2), ("near_dup", s3))

@@ -4,7 +4,6 @@ import graft.core._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication suite over the `documents` table — exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard (BASELINE.json north-star operators).
@@ -147,10 +146,16 @@ object DedupOps extends QueryModule {
       ORDER BY doc_a, doc_b"""),
     (s, dir) => {
       import s.implicits._
-      // persisted: consumed by `sizes` and BOTH self-join sides — without
-      // it shingle extraction re-runs ~4× (at 100 TB: 4 corpus re-reads)
+      // `exploded` is consumed three times (sizes + both self-join sides).
+      // NOT persisted: a round-2 persist of the exploded shingle rows made
+      // the query 3x slower (cache write + lost pipelining cost more than
+      // the recompute) and squatted on executor memory. Instead the
+      // distinct()'s shuffle inside shingleRows is a single exchange that
+      // ReuseExchange shares across all three consumers, so the corpus is
+      // scanned and shingled ONCE; only the compact post-shuffle rows are
+      // re-aggregated per consumer. The per-doc `sizes` aggregate (one row
+      // per doc) is broadcast into the final joins.
       val exploded = shingleRows(T(s, dir, "documents"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = exploded.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = exploded.as("a")
       val b = exploded.as("b")
@@ -161,8 +166,8 @@ object DedupOps extends QueryModule {
       val sa = sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_sh_a"))
       val sb = sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_sh_b"))
       inter
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(broadcast(sa), "doc_a")
+        .join(broadcast(sb), "doc_b")
         .select(
           $"doc_a", $"doc_b",
           ($"n_inter" / ($"n_sh_a" + $"n_sh_b" - $"n_inter")).as("jaccard"))
@@ -216,16 +221,21 @@ object DedupOps extends QueryModule {
     * exploded (doc, shingle) table (32 codegen'd min() columns — no
     * nested higher-order functions in the hot path), candidates come from
     * a bucket equi-join (never a cross product), and the verify step only
-    * touches candidate pairs. The exploded shingle table is cached since
-    * signature + verify both consume it. */
+    * touches candidate pairs. `sh` feeds the signature and both verify
+    * sides, but shingle EXTRACTION still runs once: the distinct()'s
+    * shuffle inside [[shingleRows]] is one exchange that ReuseExchange
+    * shares across all consumers (deliberately no persist — measured
+    * slower than the exchange-level reuse on this workload, see
+    * dd_ngram_jaccard). Per-doc sizes ride along in the signature
+    * aggregate instead of a second pass. */
   def minhashNearDups(s: SparkSession, documents: DataFrame,
       threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     import s.implicits._
     val rowsPerBand = numPerms / bands
     val sh = shingleRows(documents)
     val sig = sh.groupBy($"doc_id").agg(
-      min(xxhash64($"shingle", lit(0))).as("h0"),
-      (1 until numPerms).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)
+      count(lit(1)).as("n_sh"),
+      (0 until numPerms).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)
     val bandCols = (0 until bands).map { b =>
       val rowsCols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       xxhash64(concat_ws("_", rowsCols: _*), lit(b)).as(s"b$b")
@@ -241,15 +251,15 @@ object DedupOps extends QueryModule {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = sig.select($"doc_id", $"n_sh")
     val inter = cands
       .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+      .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b"))), "doc_b")
       .select(
         $"doc_a", $"doc_b",
         ($"n_inter" / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))

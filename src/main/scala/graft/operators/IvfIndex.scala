@@ -40,14 +40,21 @@ object IvfIndex {
         row_number().over(Window.orderBy($"cluster_id")) - 1)
     for (_ <- 1 to iters) {
       val assigned = assign(s, vecs, centroids)
-      centroids = assigned
+      val next = assigned
         .select($"cluster_id", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cluster_id", $"dim")
         .agg(avg($"x").as("cx"))
         .groupBy($"cluster_id")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cs"))
         .select($"cluster_id", transform($"cs", c => c("cx")).as("centroid"))
-      centroids = centroids.localCheckpoint(eager = true) // cut lineage per round
+      // Lineage cut per round WITHOUT persistence: centroids are
+      // broadcast-small by construction (assign() ships them to every
+      // task), so collect + rebuild as a literal relation. The previous
+      // localCheckpoint here leaked its persisted blocks for the rest of
+      // the session (one per Lloyd round).
+      val rows = next.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      centroids = rows.toDF("cluster_id", "centroid")
     }
     centroids
   }

@@ -29,6 +29,10 @@ class OperatorSmokeSpec extends SparkSpec {
       val df = build(spark, sf0001)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      // a query must not squat on executor memory after its action — the
+      // round-2 dd_ngram_jaccard persist leaked into ~50 later queries
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$name left persisted RDDs behind")
     }
   }
 }
