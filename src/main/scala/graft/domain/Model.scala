@@ -64,6 +64,13 @@ final case class EarningsRequest(
   }
 }
 
+/** One ranking page plus the response metadata the reference wraps around
+  * it (`detailedRanking.py:229-236`: `total_results`, `hasMore`). */
+final case class RankingPage(
+    rows: DataFrame,
+    totalResults: Long,
+    hasMore: Boolean)
+
 /** The lake's table handles; any source works (parquet zones, views, test
   * fixtures) — the query layer only sees DataFrames. */
 final case class DomainTables(

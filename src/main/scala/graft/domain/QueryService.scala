@@ -106,7 +106,26 @@ final class QueryService(t: DomainTables) {
   /** `detailedRanking.py` — per-model full-outer join of per-platform
     * aggregates, zero-coalesced, with platform share percentages and the
     * post-agg "any sales" filter + pagination (O5) in-engine. */
-  def detailedRanking(r: EarningsRequest): DataFrame = {
+  def detailedRanking(r: EarningsRequest): DataFrame =
+    detailedRankingUnpaged(r)
+      .offset((r.page - 1) * r.limit)
+      .limit(r.limit)
+
+  /** `detailedRanking.py:229-236` — the page slice plus the response
+    * metadata the reference computes around it: `total_results` (count
+    * over the full filtered ranking) and `hasMore` (pages left after this
+    * one). Two actions by design, same as the reference's
+    * len(all)+slice. */
+  def detailedRankingPaged(r: EarningsRequest): RankingPage = {
+    val full = detailedRankingUnpaged(r)
+    val total = full.count()
+    RankingPage(
+      rows = full.offset((r.page - 1) * r.limit).limit(r.limit),
+      totalResults = total,
+      hasMore = r.page.toLong * r.limit < total)
+  }
+
+  private def detailedRankingUnpaged(r: EarningsRequest): DataFrame = {
     def side(perf: DataFrame) = {
       val base = perf
         .join(usersSel, perf("_id") === col("us_id"))
@@ -147,8 +166,6 @@ final class QueryService(t: DomainTables) {
       // post-agg row filter, ref `detailedRanking.py:220-221`
       .filter(col("jasmin_sales") > 0 || col("streamate_sales") > 0)
       .orderBy(col("total_sales").desc, col("artisticname").asc)
-      .offset((r.page - 1) * r.limit)
-      .limit(r.limit)
   }
 
   /** `earningsByDayOfWeek.py` — avg per ISO weekday with Spanish labels,
@@ -287,7 +304,17 @@ final class QueryService(t: DomainTables) {
   }
 
   /** `totalProfitReport.py` — category spine (Toy/Privada/Total) with one
-    * LEFT JOIN per platform (both → J8 chained left joins); DECIMAL money. */
+    * LEFT JOIN per platform (both → J8 chained left joins); DECIMAL money.
+    *
+    * DOCUMENTED DEVIATION (reference bug, same policy as SURVEY §7.4.5):
+    * in the reference's both-platforms branch the streamate CTE is joined
+    * but never read — the projection sums only
+    * `earnings_jasmin.payableamount` (`totalProfitReport.py:148`), so the
+    * streamate money silently vanishes from the "both" total. Here the
+    * both branch adds the streamate sum (`payableamount2` below), which
+    * is what every sibling lambda (earnings.py, profitAvg.py) does and
+    * plainly what the query intends. To reproduce the reference's buggy
+    * output bit-for-bit, pass `Platform.Jasmin` instead of None. */
   def totalProfitReport(r: EarningsRequest): DataFrame = {
     import t.users.sparkSession.implicits._
     val base = Seq("Toy", "Privada", "Total").toDF("transmissionType")

@@ -19,7 +19,8 @@ object SqlSurface {
 
   /** `queries/earnings_by_day.sql` (verbatim semantics, Spark dialect). */
   def earningsByDay(spark: SparkSession, startDate: String, endDate: String,
-      city: String, office: String, artisticName: String): DataFrame =
+      city: String, office: String, artisticName: String): DataFrame = {
+    validDate(startDate); validDate(endDate)
     spark.sql(s"""
       SELECT eap.date,
              SUM(CAST(eap.payableamount AS DOUBLE)) AS totalAmount
@@ -32,11 +33,13 @@ object SqlSurface {
         AND us.artisticname = '${sq(artisticName)}'
       GROUP BY eap.date
       ORDER BY eap.date""")
+  }
 
   /** `queries/earnings_by_day_of_week.sql` — Monday-first ASC order;
     * `day_of_week` translated per SURVEY §7.4.1. */
   def earningsByDayOfWeek(spark: SparkSession, startDate: String,
-      endDate: String): DataFrame =
+      endDate: String): DataFrame = {
+    validDate(startDate); validDate(endDate)
     spark.sql(s"""
       SELECT CASE
                WHEN weekday(CAST(eap.date AS DATE)) + 1 = 1 THEN 'Lun'
@@ -61,6 +64,7 @@ object SqlSurface {
       WHERE CAST(eap.date AS DATE) BETWEEN DATE'$startDate' AND DATE'$endDate'
       GROUP BY weekday(CAST(eap.date AS DATE)) + 1
       ORDER BY weekday(CAST(eap.date AS DATE)) + 1 ASC""")
+  }
 
   /** `src/Athena/weekly_earnings.sql` — Presto WEEK = ISO week =
     * Spark weekofyear (F3). */
@@ -76,4 +80,11 @@ object SqlSurface {
   /** Single-quote escape, mirroring `earnings.py:56-63` — defense-in-depth
     * for the SQL path (the DataFrame path needs none by construction). */
   private def sq(s: String): String = s.replace("'", "''")
+
+  /** Date params go inside a `DATE'...'` literal where `sq` can't help —
+    * reject anything that isn't a bare ISO date before interpolating. */
+  private def validDate(d: String): Unit =
+    require(d.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"not an ISO date: '$d' (date parameters are interpolated into a " +
+        "DATE literal and must match yyyy-MM-dd exactly)")
 }

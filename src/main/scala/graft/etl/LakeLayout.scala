@@ -27,6 +27,26 @@ object LakeLayout {
     df.withColumn("part_year", year(col(dateCol)))
       .write.mode("overwrite").partitionBy("part_year").parquet(path)
 
+  /** S6: the reference's bronze-users layout — one bare `{yyyy}{MM}/`
+    * prefix per calendar month (`BronzeIngestUsers.py:34,48`), NOT
+    * hive-style `key=value` dirs. One distributed partitioned write,
+    * then the partition dirs are renamed to the bare prefix (a
+    * constant-time metadata op per month). Month dirs are read back
+    * individually (`path/202409`), exactly how the reference's crawler
+    * addresses them. */
+  def writeYearMonthPrefixed(df: DataFrame, dateCol: String, path: String): Unit = {
+    df.withColumn("__ym", date_format(col(dateCol), "yyyyMM"))
+      .write.mode("overwrite").partitionBy("__ym").parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("__ym="))
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(root, name.stripPrefix("__ym=")))
+    }
+  }
+
   /** Bucketed + sorted table for co-located, shuffle-free equi-joins. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =

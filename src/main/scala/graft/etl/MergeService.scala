@@ -24,10 +24,22 @@ object MergeService {
 
   /** MERGE: WHEN MATCHED UPDATE all non-key columns, WHEN NOT MATCHED
     * INSERT. Adds `merge_action` ∈ {updated, inserted, unchanged}.
-    * `base` and `updates` must share a schema. */
-  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    * `base` and `updates` must share a schema.
+    *
+    * `stamp = Some((col, clock))` stamps the MATCHED-update rows' `col`
+    * with `clock` — the reference rewrites records with a fresh
+    * `updated_at` on the update path only
+    * (`ingestStreamateModelPerformance.py:121-123`); inserted rows keep
+    * the incoming value, untouched rows keep the stored one. The clock is
+    * a Column so callers inject a deterministic literal in tests
+    * (`current_timestamp()` in production). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      stamp: Option[(String, Column)] = None): DataFrame = {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    stamp.foreach { case (c, _) =>
+      require(base.columns.contains(c), s"stamp column $c not in schema")
+    }
     val b = base.alias("b")
     val u = updates.alias("u")
     val cond = keys.map(k => col(s"b.$k") <=> col(s"u.$k")).reduce(_ && _)
@@ -36,8 +48,14 @@ object MergeService {
     val merged = b.join(u, cond, "full_outer")
     val outCols =
       keys.map(k => coalesce(col(s"b.$k"), col(s"u.$k")).as(k)) ++
-        base.columns.filterNot(keys.contains).toSeq.map(c =>
-          when(uKey.isNotNull, col(s"u.$c")).otherwise(col(s"b.$c")).as(c))
+        base.columns.filterNot(keys.contains).toSeq.map { c =>
+          val carried = when(uKey.isNotNull, col(s"u.$c")).otherwise(col(s"b.$c"))
+          stamp match {
+            case Some((sc, clock)) if sc == c =>
+              when(bKey.isNotNull && uKey.isNotNull, clock).otherwise(carried).as(c)
+            case _ => carried.as(c)
+          }
+        }
     merged.select(
       outCols :+
         when(bKey.isNull, "inserted")

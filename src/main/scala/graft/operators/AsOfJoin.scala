@@ -28,6 +28,11 @@ object AsOfJoin {
   def joinAsOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String): DataFrame = {
     val payloadCols = right.columns.filterNot(Seq(keyCol, timeCol).contains).toSeq
+    val clash = payloadCols.intersect(left.columns.toSeq)
+    require(clash.isEmpty,
+      s"right payload column(s) ${clash.mkString(", ")} collide with left " +
+        "columns; rename before joining (the output would carry two " +
+        "same-named columns)")
     val leftCols = left.columns.toSeq
     val taggedLeft = payloadCols
       .foldLeft(left.withColumn("__is_left", lit(1)))(

@@ -176,9 +176,12 @@ object EventOps extends QueryModule {
     *
     * Schema'd `from_json` (single Jackson parse per row into a typed
     * struct) instead of `get_json_object` (a JsonPath evaluation per
-    * extraction) — same null-on-corrupt semantics, >6× faster on the
-    * bench, and the right shape when several fields are pulled from the
-    * same payload. */
+    * extraction) — >6× faster on the bench, and the right shape when
+    * several fields are pulled from the same payload. Null semantics are
+    * NOT identical in every corner: a non-integral or quoted numeric
+    * (`k:1.5`, `k:"12"`) coerced to a value by get_json_object+CAST under
+    * ANSI-off becomes null under from_json's LongType — acceptable here
+    * because props.k is always an unquoted integer in this corpus. */
   private val f15 = QueryDef(
     "f15_json_extract",
     Some("""

@@ -18,17 +18,21 @@ object JoinOps extends QueryModule {
   import org.apache.spark.sql.DataFrame
 
   /** Scale-path rewrite of an OR-disjunction equi-join (J2): UNION of the
-    * two equi-joins, deduplicated on the left row id — each branch is a
-    * shuffled hash/sort-merge join, so it works when the dim side is too
-    * big to broadcast (where BroadcastNestedLoopJoin would OOM or go
-    * quadratic). Semantics match `l JOIN r ON l[k]=r[a] OR l[k]=r[b]`
-    * when each left row matches at most one right row per branch.
-    */
+    * two equi-joins, deduplicated on the (left row, right row) PAIR — each
+    * branch is a shuffled hash/sort-merge join, so it works when the dim
+    * side is too big to broadcast (where BroadcastNestedLoopJoin would OOM
+    * or go quadratic). Semantics match `l JOIN r ON l[k]=r[a] OR
+    * l[k]=r[b]` exactly: a pair satisfying BOTH branches appears once; a
+    * left row matching two DIFFERENT right rows keeps both matches
+    * (the earlier dedup-on-left-id collapsed those into one
+    * nondeterministic survivor). `leftId`/`rightId` must each identify
+    * rows of their side. */
   def orJoinDecomposed(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKeyA: String, rightKeyB: String, leftId: Seq[String]): DataFrame = {
+      rightKeyA: String, rightKeyB: String, leftId: Seq[String],
+      rightId: Seq[String]): DataFrame = {
     val a = left.join(right, left(leftKey) === right(rightKeyA))
     val b = left.join(right, left(leftKey) === right(rightKeyB))
-    a.unionByName(b).dropDuplicates(leftId)
+    a.unionByName(b).dropDuplicates(leftId ++ rightId)
   }
 
   /** J1: inner equi-join fact↔dim, dim broadcast.

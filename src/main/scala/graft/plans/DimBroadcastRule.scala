@@ -28,11 +28,14 @@ object DimBroadcastRule extends Rule[LogicalPlan] {
   def clearDims(): Unit = synchronized { dims = Set.empty }
   def registeredDims: Set[String] = dims
 
+  /** A relation is a dim only when the scan's root LEAF matches a
+    * registered name (`.../nation` or `.../nation.parquet`). Matching
+    * anywhere in the path (`contains("/nation/")`) would force-broadcast
+    * a FACT that merely lives under a dim-named parent directory. */
   private def isDimRelation(r: LogicalRelation): Boolean = r.relation match {
     case fs: HadoopFsRelation =>
-      val paths = fs.location.rootPaths.map(_.toString.toLowerCase)
-      dims.exists(d => paths.exists(p =>
-        p.endsWith(s"/$d.parquet") || p.endsWith(s"/$d") || p.contains(s"/$d/")))
+      val leaves = fs.location.rootPaths.map(_.getName.toLowerCase)
+      dims.exists(d => leaves.exists(l => l == d || l == s"$d.parquet"))
     case _ => false
   }
 

@@ -85,20 +85,32 @@ object StreamingIngest {
     }
   }
 
-  /** Read-merge-swap MERGE into a parquet dir (micro-batch or one record). */
+  /** Read-merge-swap MERGE into a parquet dir (micro-batch or one record).
+    *
+    * The filesystem is resolved from `basePath`'s own scheme (a
+    * `FileSystem.get(conf)` here would silently hit the DEFAULT
+    * filesystem — wrong whenever the table lives on s3a/abfs and the
+    * default is hdfs/file). The swap is rename-aside, not
+    * delete-then-rename: the new data is renamed in only after the old
+    * dir has been moved aside, so a crash at any step leaves either the
+    * old table or both dirs on disk — never NO table (the previous
+    * delete-before-rename had a window with zero copies). */
   def mergeIntoParquet(spark: SparkSession, batch: DataFrame,
       basePath: String, keys: Seq[String]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(base))
         MergeService.upsert(spark.read.parquet(basePath),
           batch.dropDuplicates(keys), keys).drop("merge_action")
       else batch.dropDuplicates(keys)
     val tmp = new org.apache.hadoop.fs.Path(basePath + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(basePath + "_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(base)) fs.delete(base, true)
+    if (fs.exists(old)) fs.delete(old, true) // stale crash leftover
+    val hadBase = fs.exists(base)
+    if (hadBase) fs.rename(base, old)
     fs.rename(tmp, base)
+    if (hadBase) fs.delete(old, true)
   }
 }

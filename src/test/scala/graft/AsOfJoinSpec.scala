@@ -27,6 +27,16 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, Some(200.0)), (5L, None)))
   }
 
+  test("as-of rejects right payload columns that collide with left columns") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), 5.0))
+      .toDF("id", "k", "t", "v")
+    val right = Seq(("u1", ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left, right, "k", "t")
+    }
+    assert(e.getMessage.contains("v"))
+  }
+
   test("as-of preserves all left rows and columns") {
     val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), "extra"))
       .toDF("id", "k", "t", "tag")

@@ -60,6 +60,24 @@ class DimBroadcastRuleSpec extends SparkSpec {
     }
   }
 
+  test("fact under a dim-named parent directory is NOT broadcast") {
+    withRule {
+      // a big fact stored at .../nation/facts — the old contains("/nation/")
+      // path match would have force-broadcast it
+      val dir = java.nio.file.Files.createTempDirectory("dimname").toString +
+        "/nation/facts"
+      T(spark, sf0001, "lineitem").write.mode("overwrite").parquet(dir)
+      val joined = spark.read.parquet(dir)
+        .join(T(spark, sf0001, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = finalPlan(joined)
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"fact under /nation/ parent must not be broadcast:\n$plan")
+      assert(plan.collect { case s: SortMergeJoinExec => s }.nonEmpty)
+    }
+  }
+
   test("dim registry is extensible") {
     withRule {
       DimBroadcastRule.registerDim("part")

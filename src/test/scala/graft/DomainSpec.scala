@@ -23,6 +23,18 @@ class DomainSpec extends SparkSpec {
     assert(api == sql)
   }
 
+  test("SqlSurface rejects non-ISO date parameters (DATE-literal injection)") {
+    SqlSurface.registerViews(spark, t)
+    val e = intercept[IllegalArgumentException] {
+      SqlSurface.earningsByDay(spark,
+        "2024-09-01' OR '1'='1", "2024-09-30", "c", "o", "n")
+    }
+    assert(e.getMessage.contains("ISO date"))
+    intercept[IllegalArgumentException] {
+      SqlSurface.earningsByDayOfWeek(spark, "2024-09-01", "not-a-date")
+    }
+  }
+
   test("earningsByDayOfWeekSql: matches SQL surface; Monday-first; pct sums to ~100") {
     SqlSurface.registerViews(spark, t)
     val api = qs.earningsByDayOfWeekSql("2024-09-01", "2024-09-30").collect()
@@ -78,6 +90,18 @@ class DomainSpec extends SparkSpec {
     val page2 = qs.detailedRanking(req.copy(page = 2, limit = 3)).collect()
     assert(page2.map(_.getString(0)).toSeq ==
       all.slice(3, 6).map(_.getString(0)).toSeq)
+  }
+
+  test("detailedRankingPaged: total_results and hasMore match the reference contract") {
+    val total = qs.detailedRanking(req.copy(limit = 100000)).count()
+    assert(total > 3, "fixture must have enough ranked models to paginate")
+    val p1 = qs.detailedRankingPaged(req.copy(page = 1, limit = 3))
+    assert(p1.totalResults == total)
+    assert(p1.rows.count() == 3 && p1.hasMore, "page 1 of >3 results has more")
+    val lastPage = ((total + 2) / 3).toInt
+    val pLast = qs.detailedRankingPaged(req.copy(page = lastPage, limit = 3))
+    assert(!pLast.hasMore && pLast.rows.count() > 0, "last page has no more")
+    assert(pLast.totalResults == total)
   }
 
   test("detailedRanking: streamate-only user gets 0 jasmin share without NaN") {

@@ -25,6 +25,22 @@ class LakeLayoutSpec extends SparkSpec {
       "non-partition filter reads all partitions")
   }
 
+  test("year-month prefixed write produces bare {yyyy}{MM}/ dirs (S6 layout)") {
+    val dir = Files.createTempDirectory("ym").toString + "/users"
+    LakeLayout.writeYearMonthPrefixed(
+      T(spark, sf0001, "orders"), "o_orderdate", dir)
+    val months = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(months.nonEmpty && months.forall(_.matches("\\d{6}")),
+      s"expected bare yyyyMM dirs, got ${months.mkString(",")}")
+    // round-trip one month: its rows are exactly that month's rows
+    val m = months.head
+    val got = spark.read.parquet(s"$dir/$m").count()
+    val expected = T(spark, sf0001, "orders")
+      .filter(date_format($"o_orderdate", "yyyyMM") === m).count()
+    assert(got == expected && got > 0)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

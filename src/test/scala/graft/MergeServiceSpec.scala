@@ -37,6 +37,26 @@ class MergeServiceSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("upsert stamps updated_at on the matched-update path only") {
+    import org.apache.spark.sql.functions.lit
+    val baseS = base.withColumn("updated_at", lit("2024-01-01T00:00:00"))
+    val updS = updates.withColumn("updated_at", lit("2024-06-01T00:00:00"))
+    val clock = lit("2024-09-15T12:00:00") // injectable, deterministic
+    val out = MergeService.upsert(baseS, updS, Seq("_id", "date"),
+        stamp = Some(("updated_at", clock)))
+      .collect()
+      .map(r => (r.getString(0) + "/" + r.getString(1)) ->
+        ((r.getString(4), r.getString(3))))
+      .toMap
+    assert(out("u1/2024-01-01") == ("updated", "2024-09-15T12:00:00"),
+      "updated rows get the clock")
+    assert(out("u2/2024-01-01") == ("updated", "2024-09-15T12:00:00"))
+    assert(out("u1/2024-01-02") == ("unchanged", "2024-01-01T00:00:00"),
+      "untouched rows keep the stored stamp")
+    assert(out("u3/2024-01-01") == ("inserted", "2024-06-01T00:00:00"),
+      "inserted rows keep the incoming value, not the clock")
+  }
+
   test("audit emits only numeric decreases") {
     val trace = MergeService.audit(base, updates, Seq("_id", "date"),
       oldValue = "total_earnings", newValue = "total_earnings")

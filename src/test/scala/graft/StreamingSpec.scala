@@ -78,6 +78,25 @@ class StreamingSpec extends SparkSpec {
       "k1 deduped across micro-batches via the state store")
   }
 
+  test("mergeIntoParquet swap is rename-aside: survives stale leftovers, leaves none") {
+    val root = Files.createTempDirectory("swap").toString
+    val base = root + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingIngest.mergeIntoParquet(spark,
+      Seq(("k1", 1.0)).toDF("id", "v"), base, Seq("id"))
+    // simulate a crash between the two renames: an _old dir left on disk
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base + "_old"))
+    StreamingIngest.mergeIntoParquet(spark,
+      Seq(("k1", 2.0), ("k2", 3.0)).toDF("id", "v"), base, Seq("id"))
+    val out = spark.read.parquet(base).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out == Map("k1" -> 2.0, "k2" -> 3.0))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "_tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(base + "_old")),
+      "swap must clean up its working dirs")
+  }
+
   test("foreachBatch merge stream upserts into the keyed silver table") {
     val base = Files.createTempDirectory("merge").toString + "/silver"
     // seed: two records
