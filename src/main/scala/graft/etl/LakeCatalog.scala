@@ -1,0 +1,70 @@
+package graft.etl
+
+import graft.core.GraftSession
+import org.apache.spark.sql.SparkSession
+
+/** S3 full parity — persistent catalog tables over the lake zones.
+  *
+  * The reference's Glue database + crawler-registered tables
+  * (`data-lake-stack.yml:16-22,218-276`) are a metastore any session can
+  * query by name. The Spark-native analog is `CREATE TABLE ... USING
+  * parquet LOCATION` (external — registration never moves data):
+  *
+  *  - within one deployment, the definitions live in the metastore
+  *    ([[persistentBuilder]] wires the bundled Hive/derby one), so a
+  *    brand-new session runs `spark.table("lake.bronze_users")` — no
+  *    per-session view re-registration, exactly the Glue behavior;
+  *  - the table names double as the SQL surface's relation names:
+  *    `setCurrentDatabase(db)` and every [[graft.domain.SqlSurface]]
+  *    query runs unchanged against the catalog.
+  *
+  * At 100 TB the catalog is the contract that makes partition pruning
+  * and bucketed layouts ([[LakeLayout]]) reusable across jobs — the
+  * scan metadata lives with the table, not in each query's code.
+  */
+object LakeCatalog {
+
+  val defaultDb = "lake"
+
+  /** The reference's four lake relations (SURVEY §2.1) keyed by the name
+    * the SQL surface queries them under. */
+  val lakeTableNames: Seq[String] = Seq(
+    "bronze_users",
+    "silver_jasmin_model_performance",
+    "silver_streamate_model_performance",
+    "silver_earnings_by_performer")
+
+  /** Session builder whose catalog SURVIVES the session: Hive metastore
+    * on embedded derby at `metastoreDir` (the jars ship with Spark).
+    * Two sequential sessions on the same dirs see the same tables. */
+  def persistentBuilder(master: String, shufflePartitions: Int,
+      warehouseDir: String, metastoreDir: String): SparkSession.Builder =
+    GraftSession.builder(master, shufflePartitions)
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastoreDir;create=true")
+      .enableHiveSupport()
+
+  /** Register one external parquet table; idempotent, no data movement. */
+  def registerExternalTable(spark: SparkSession, db: String, table: String,
+      location: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(db)}")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${q(db)}.${q(table)}
+          USING parquet LOCATION '${location.replace("'", "''")}'""")
+  }
+
+  /** Register the four lake zones under `db` and make it current, so the
+    * SQL surface's bare relation names resolve through the catalog. */
+  def registerLakeTables(spark: SparkSession, db: String,
+      locations: Map[String, String]): Unit = {
+    lakeTableNames.foreach { t =>
+      registerExternalTable(spark, db, t,
+        locations.getOrElse(t,
+          sys.error(s"no location for lake table $t")))
+    }
+    spark.catalog.setCurrentDatabase(db)
+  }
+
+  private def q(id: String) = "`" + id.replace("`", "``") + "`"
+}

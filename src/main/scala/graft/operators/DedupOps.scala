@@ -183,33 +183,64 @@ object DedupOps extends QueryModule {
     None,
     (s, dir) => minhashNearDups(s, T(s, dir, "documents")))
 
+  /** Portable 32-bit token hash both engines compute bit-identically:
+    * the low 8 hex chars of md5, parsed base-16. xxhash64 is faster but
+    * Spark-only — use this variant when a DuckDB oracle must replay the
+    * pipeline value-for-value. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 25, 8), 16, 10).cast(LongType)
+
   /** SimHash over a whole corpus, shaped for scale: explode tokens, hash
-    * each ONCE, then one hash-aggregate computing all 64 bit-majorities —
+    * each ONCE, then one hash-aggregate computing all bit-majorities —
     * the array-HOF variant ([[simhash64]]) inlines the token hashing into
     * every bit expression (64× recompute), fine for ad-hoc columns but not
-    * for a corpus pass. */
-  def simhashCorpus(documents: DataFrame): DataFrame = {
+    * for a corpus pass. Defaults to 64-bit xxhash64; pass
+    * `bits = 32, hashFn = md5Hash32` for the oracle-portable variant. */
+  def simhashCorpus(documents: DataFrame, bits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val toks = documents.select(
       col("doc_id"),
       explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("tok"))
-    val hashed = toks.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val hashed = toks.select(col("doc_id"), hashFn(col("tok")).as("h"))
     val bitSums = hashed.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_tok"),
-      (0 until 64).map(b =>
+      (0 until bits).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")): _*)
-    val sim = (63 to 0 by -1).foldLeft(lit(0L)) { (acc, b) =>
+    val sim = (bits - 1 to 0 by -1).foldLeft(lit(0L)) { (acc, b) =>
       acc * 2 + when(col(s"s$b") * 2 > col("n_tok"), 1L).otherwise(0L)
     }
     bitSums.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash buckets: docs sharing a 64-bit simhash are near-dup cands. */
+  /** SimHash buckets: docs sharing a simhash are near-dup candidates.
+    * Declared with the 32-bit md5 hash so DuckDB can replay it
+    * value-for-value (hash-match oracle); the algorithm under test —
+    * explode, hash once, bit-majority aggregate, MSB-first fold — is
+    * identical to the 64-bit xxhash64 production default. */
   private val ddSimhash = QueryDef(
     "dd_simhash",
-    None,
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        FROM documents),
+      hs AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 25, 8))::UBIGINT::BIGINT AS h
+        FROM toks),
+      bitrows AS (
+        SELECT doc_id, b, SUM((h >> b) & 1) AS ones, COUNT(*) AS n
+        FROM hs CROSS JOIN range(32) t(b)
+        GROUP BY doc_id, b)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN ones * 2 > n THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM bitrows
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
     (s, dir) => {
       import s.implicits._
-      simhashCorpus(T(s, dir, "documents")).orderBy($"doc_id")
+      simhashCorpus(T(s, dir, "documents"), bits = 32, hashFn = md5Hash32)
+        .orderBy($"doc_id")
     })
 
   /** Full MinHash-LSH near-dup pipeline: shingle → 32-perm signature →

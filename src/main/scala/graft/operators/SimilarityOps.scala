@@ -79,20 +79,52 @@ object SimilarityOps extends QueryModule {
 
   /** Centroid distance per label — the IVF building block (coarse quantizer
     * assignment): mean vector per label, then each vector's cosine to its
-    * own label centroid. */
+    * own label centroid.
+    *
+    * The per-dim mean is a DETERMINISTIC fold (collect per-(label,dim)
+    * values sorted by vec_id, sum left-to-right, divide by count) rather
+    * than `avg()`: partition-order-dependent double summation differs in
+    * the last ulp between runs/engines, and the driver's oracle compare
+    * hashes exact values. Same policy as the cosine folds. */
   private val simCentroid = QueryDef(
     "sim_label_centroid",
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      ex AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+                    unnest(v) AS x
+             FROM e),
+      cd AS (SELECT label, dim,
+               list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+                 / COUNT(*) AS cx
+             FROM ex GROUP BY label, dim),
+      cent AS (SELECT label, list(cx ORDER BY dim) AS centroid
+               FROM cd GROUP BY label)
+      SELECT e.vec_id, e.label,
+        list_reduce(list_transform(list_zip(e.v, cent.centroid),
+                                   p -> p[1] * p[2]), (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v),
+                                             p -> p[1] * p[2]),
+                              (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(list_zip(cent.centroid,
+                                                        cent.centroid),
+                                               p -> p[1] * p[2]),
+                                (acc, x) -> acc + x)))
+          AS cos_to_centroid
+      FROM e JOIN cent USING (label)
+      ORDER BY e.vec_id"""),
     (s, dir) => {
       import s.implicits._
       val emb = T(s, dir, "embeddings")
         .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-      val dims = 64
-      // distributed per-dimension mean: explode (dim, value), aggregate
       val centroids = emb
-        .select($"label", posexplode($"v").as(Seq("dim", "x")))
+        .select($"label", $"vec_id", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"label", $"dim")
-        .agg(avg($"x").as("cx"))
+        .agg(
+          array_sort(collect_list(struct($"vec_id", $"x"))).as("xs"),
+          count(lit(1)).as("n"))
+        .select($"label", $"dim",
+          (aggregate($"xs", lit(0.0), (acc, e) => acc + e("x")) / $"n").as("cx"))
         .groupBy($"label")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cs"))
         .select($"label", transform($"cs", c => c("cx")).as("centroid"))
