@@ -175,13 +175,82 @@ object DedupOps extends QueryModule {
         .orderBy($"doc_a", $"doc_b")
     })
 
+  /** Seeded portable hash for cross-engine minhash replay: md5 of
+    * "<seed>_<value>", low 32 bits. */
+  val portableSeededHash: (Column, Int) => Column =
+    (c, seed) => md5Hash32(concat_ws("_", lit(seed), c))
+
+  /** DuckDB replay of the ENTIRE MinHash-LSH pipeline (shingles → 32-perm
+    * signature → 8 banded buckets → candidate bucket-join → exact-Jaccard
+    * verify) using the portable seeded hash — generated, since the
+    * signature/band columns are mechanical. */
+  private def minhashOracle(threshold: Double, numPerms: Int, bands: Int): String = {
+    val r = numPerms / bands
+    val p = minhashPrime
+    def h32(arg: String) =
+      s"('0x' || substr(md5($arg), 25, 8))::UBIGINT::BIGINT"
+    val sigCols = (0 until numPerms)
+      .map(i => s"MIN((h1 + $i * h2) % $p) AS h$i")
+      .mkString(",\n            ")
+    val bucketCols = (0 until bands).map { b =>
+      val hs = (0 until r).map(i => s"h${b * r + i}").mkString(", ")
+      s"${h32(s"'${b}_' || concat_ws('_', $hs)")} AS b$b"
+    }.mkString(",\n            ")
+    val bandedUnion = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS bucket FROM buckets")
+      .mkString("\n          UNION ALL ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+        FROM toks WHERE len(ws) >= 3),
+      shh AS (
+        SELECT doc_id, shingle,
+          ${h32("'0_' || shingle")} % $p AS h1,
+          ${h32("'1_' || shingle")} % $p AS h2
+        FROM sh),
+      sig AS (SELECT doc_id, COUNT(*) AS n_sh,
+            $sigCols
+          FROM shh GROUP BY doc_id),
+      buckets AS (SELECT doc_id,
+            $bucketCols
+          FROM sig),
+      banded AS (
+          $bandedUnion),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT i.doc_a, i.doc_b,
+        i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sig sa ON i.doc_a = sa.doc_id
+      JOIN sig sb ON i.doc_b = sb.doc_id
+      WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= $threshold
+      ORDER BY doc_a, doc_b"""
+  }
+
   /** MinHash + banded LSH candidate pairs, verified by true Jaccard.
-    * Not SQL-expressible → rows-only driver check; ScalaTest asserts the
-    * candidate set catches the corpus's planted near-dup prefixes. */
+    * Declared with the portable md5 hash so the WHOLE pipeline —
+    * signatures, banding, candidate generation, verify — hash-matches a
+    * DuckDB oracle; the xxhash64 default remains for production callers
+    * (CorpusPipeline). ScalaTest additionally asserts the candidate set
+    * catches the corpus's planted near-dup prefixes. */
   private val ddMinhash = QueryDef(
     "dd_minhash_lsh",
-    None,
-    (s, dir) => minhashNearDups(s, T(s, dir, "documents")))
+    Some(minhashOracle(threshold = 0.5, numPerms = 32, bands = 8)),
+    (s, dir) => minhashNearDups(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash))
 
   /** Portable 32-bit token hash both engines compute bit-identically:
     * the low 8 hex chars of md5, parsed base-16. xxhash64 is faster but
@@ -259,17 +328,33 @@ object DedupOps extends QueryModule {
     * slower than the exchange-level reuse on this workload, see
     * dd_ngram_jaccard). Per-doc sizes ride along in the signature
     * aggregate instead of a second pass. */
+  /** Modulus for derived minhash permutations: largest prime < 2^32, so
+    * `h1 + i*h2` (h1, h2 < 2^32, i < 64) never overflows a signed 64-bit
+    * integer — exact and identical in Spark AND DuckDB (whose BIGINT
+    * errors on overflow instead of wrapping). */
+  val minhashPrime: Long = 4294967291L
+
   def minhashNearDups(s: SparkSession, documents: DataFrame,
-      threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+      threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
     import s.implicits._
     val rowsPerBand = numPerms / bands
     val sh = shingleRows(documents)
-    val sig = sh.groupBy($"doc_id").agg(
+    // Broder double-hashing: each shingle is hashed TWICE (not once per
+    // permutation); permutation i = (h1 + i*h2) mod P, derived
+    // arithmetically inside the aggregate. h1/h2 are materialized as
+    // attributes first so Catalyst computes them once per row, not once
+    // per permutation column (the HOF-inlining trap, agg flavor).
+    val shH = sh.select($"doc_id",
+      pmod(hashFn($"shingle", 0), lit(minhashPrime)).as("h1"),
+      pmod(hashFn($"shingle", 1), lit(minhashPrime)).as("h2"))
+    val sig = shH.groupBy($"doc_id").agg(
       count(lit(1)).as("n_sh"),
-      (0 until numPerms).map(i => min(xxhash64($"shingle", lit(i))).as(s"h$i")): _*)
+      (0 until numPerms).map(i =>
+        min(($"h1" + lit(i.toLong) * $"h2") % minhashPrime).as(s"h$i")): _*)
     val bandCols = (0 until bands).map { b =>
       val rowsCols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      xxhash64(concat_ws("_", rowsCols: _*), lit(b)).as(s"b$b")
+      hashFn(concat_ws("_", rowsCols: _*), b).as(s"b$b")
     }
     val banded = sig
       .select($"doc_id" +: bandCols: _*)

@@ -17,6 +17,16 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(curated.count() == counts("near_dup"))
   }
 
+  test("one-pass flag counts agree with the composable stage functions") {
+    val docs = T(spark, sf0001, "documents")
+    val (_, report) = CorpusPipeline.curate(spark, docs)
+    val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d1 = CorpusPipeline.exactDedup(docs)
+    assert(counts("exact_dedup") == d1.count())
+    assert(counts("quality_filter") ==
+      CorpusPipeline.qualityFilter(d1, CorpusPipeline.Thresholds()).count())
+  }
+
   test("curation is idempotent: curating the curated corpus is a no-op on near-dups") {
     val (curated, _) = CorpusPipeline.curate(spark, T(spark, sf0001, "documents"))
     val (again, report2) = CorpusPipeline.curate(spark, curated)
