@@ -63,10 +63,21 @@ object StreamingIngest {
 
   /** Custom keyed state via flatMapGroupsWithState: streaming exact
     * dedup — emit each key's FIRST record only, remembering seen keys in
-    * the state store (bounded by a processing-time timeout at scale).
-    * This is the stateful primitive the reference's per-record Lambda
-    * dedup check approximates with an Athena point query
-    * (`ingestStreamateModelPerformance.py:78-87`). */
+    * the state store. This is the stateful primitive the reference's
+    * per-record Lambda dedup check approximates with an Athena point
+    * query (`ingestStreamateModelPerformance.py:78-87`).
+    *
+    * State here is UNBOUNDED — one boolean per key forever, which is
+    * right only for bounded key domains (this lake's user/date keys). A
+    * 100 TB deployment with open-ended keys must evict: switch the
+    * timeout conf to `ProcessingTimeTimeout` and age keys out with
+    * `state.setTimeoutDuration` (accepting that a duplicate arriving
+    * after the TTL passes through), or dedup within event-time windows
+    * under a watermark like [[windowedAgg]]. Not wired here: with
+    * processing-time timers registered, no-data micro-batches re-trigger
+    * continuously, which breaks AvailableNow/`processAllAvailable`-style
+    * bounded runs — the TTL belongs in an always-on deployment, not this
+    * batch-shaped surface. */
   def dedupStream[K: org.apache.spark.sql.Encoder, V: org.apache.spark.sql.Encoder](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V])(
       implicit pair: org.apache.spark.sql.Encoder[(K, V)]

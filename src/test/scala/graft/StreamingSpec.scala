@@ -78,6 +78,7 @@ class StreamingSpec extends SparkSpec {
       "k1 deduped across micro-batches via the state store")
   }
 
+
   test("mergeIntoParquet swap is rename-aside: survives stale leftovers, leaves none") {
     val root = Files.createTempDirectory("swap").toString
     val base = root + "/tbl"
