@@ -383,6 +383,58 @@ object DedupOps extends QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Embedding-cosine near-dup pairs — the semantic sibling of the
+    * lexical modes above (catches paraphrases shingles miss). Exact and
+    * oracle-checked: every i<j pair with cosine ≥ τ, computed with the
+    * fused codegen cosine ([[graft.functions.CosineSimilarity]], same
+    * left-to-right fold DuckDB replays bit-exactly). One side broadcast
+    * ⇒ BroadcastNestedLoopJoin, no shuffle.
+    *
+    * Scale note: the exact all-pairs verify is O(N²) and is the right
+    * tool only below ~10⁵ vectors (here: ≤2k). A 100 TB corpus runs
+    * candidate generation FIRST — [[SimilarityOps.lshAnn]]'s multi-table
+    * buckets or [[IvfIndex]] lists, both already shipped — and applies
+    * exactly this cosine threshold to candidates only; the operator
+    * and its oracle pin the verify semantics those paths share. */
+  private val ddEmbedding = QueryDef(
+    "dd_embedding_neardup",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                    (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v),
+                                             p -> p[1] * p[2]),
+                              (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
+                                               p -> p[1] * p[2]),
+                                (acc, x) -> acc + x)))
+          AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                        (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v),
+                                             p -> p[1] * p[2]),
+                              (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
+                                               p -> p[1] * p[2]),
+                                (acc, x) -> acc + x))) >= 0.4
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.CosineSimilarity
+      val emb = T(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("v"))
+      val a = emb.select($"vec_id".as("id_a"), $"v".as("v_a"))
+      val b = emb.select($"vec_id".as("id_b"), $"v".as("v_b"))
+      a.join(broadcast(b), $"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          CosineSimilarity.cosineNative(s, $"v_a", $"v_b").as("cosine_sim"))
+        .filter($"cosine_sim" >= 0.4)
+        .orderBy($"id_a", $"id_b")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash)
+    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding)
 }
