@@ -50,6 +50,31 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // J2 scale rewrite: the union-of-equi-joins decomposition must equal
+  // the OR-predicate join on ARBITRARY key collisions — left rows
+  // matching several right rows, pairs matching via both keys at once
+  // (ADVICE r2: the old left-id dedup dropped matches).
+  property("orJoinDecomposed = OR-predicate join") = {
+    import spark.implicits._
+    val keys = Gen.choose(0L, 6L) // tiny domain forces heavy collisions
+    val leftGen = Gen.nonEmptyListOf(keys)
+    val rightGen = Gen.nonEmptyListOf(Gen.zip(keys, keys))
+    forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("lid", "k")
+      val right = rs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rid", "ka", "kb")
+      val expected = left.join(right, $"k" === $"ka" || $"k" === $"kb")
+        .select($"lid", $"rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.operators.JoinOps
+        .orJoinDecomposed(left, right, "k", "ka", "kb", Seq("lid"), Seq("rid"))
+        .select($"lid", $"rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    }
+  }
+
   // A12: applying the same update batch twice is a no-op
   property("merge upsert is idempotent") = {
     import spark.implicits._
