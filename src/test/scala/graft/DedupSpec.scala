@@ -58,4 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(docA), sh(docB)) < hamming(sh(docA), sh(docC)),
       "near-dup must be closer in hamming distance than unrelated text")
   }
+
+  test("ngram-jaccard's shingle extraction is shared via exchange reuse, not persisted") {
+    // The round-3 caching policy in one assertion: the three consumers of
+    // the exploded shingle table (both self-join sides + sizes) must
+    // share its distinct()'s shuffle in the EXECUTED adaptive plan — a
+    // regression here means the corpus gets re-shingled per consumer
+    // (or someone re-added the persist that measured 3x slower).
+    val df = SparkEntry.queries("dd_ngram_jaccard")(spark, sf0001)
+    df.collect() // execute through this QueryExecution so AQE materializes
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.substring(0, math.max(plan.indexOf("== Initial Plan =="), plan.length - 1))
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    assert(reused >= 2, s"expected >=2 ReusedExchange in final plan, got $reused")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
