@@ -71,13 +71,6 @@ object DedupOps extends QueryModule {
       sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
 
-  /** Banded LSH keys from a minhash signature: `bands` hashes of `rows`
-    * consecutive signature entries each. */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows))), b).as("bucket")))
-
   /** 64-bit SimHash: sign-aggregate of per-token hash bits weighted ±1.
     * Pure column expressions: for each bit position, count tokens whose
     * xxhash64 has that bit set vs total; bit = 1 if majority. Bits are
