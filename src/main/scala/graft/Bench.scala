@@ -16,21 +16,26 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min over `reps` runs: single-shot timings at this scale swing up to
-      // 5x on identical code (JVM/OS noise) — the min is the stable signal
-      val times = (1 to reps).map { _ =>
+      // 5x on identical code (JVM/OS noise) — the min is the stable signal.
+      // Elapsed is captured BEFORE cleanup() so cache-teardown cost is not
+      // charged to the query; failed reps are dropped (a fast failure must
+      // not masquerade as a fast run), and an all-failed query reports -1.
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every output column —
         // count() would let Catalyst prune the projections being measured.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         cleanup()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some(elapsed) else None
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -55,6 +55,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.build).toMap
 
+  /** What Bench times: the production variant when a query is declared
+    * with an oracle-portable (slower) hash — see [[graft.core.QueryDef]]. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(d => d.name -> d.benchBuild.getOrElse(d.build)).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

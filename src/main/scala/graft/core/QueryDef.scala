@@ -8,11 +8,19 @@ import org.apache.spark.sql.types._
   * testdata tables plus (when SQL-expressible) an equivalent DuckDB oracle
   * query. Column names MUST match between the two — the driver sorts
   * columns by name and hashes values.
+  *
+  * `benchBuild`, when set, is what Bench times instead of `build`: some
+  * queries are DECLARED with an oracle-portable hash (md5-derived, so
+  * DuckDB can replay the pipeline value-for-value) whose scalar cost is
+  * not the production path's. Verify always checks `build`; Bench measures
+  * `benchBuild.getOrElse(build)`. The two must be the same pipeline shape —
+  * only the hash primitive may differ.
   */
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    build: (SparkSession, String) => DataFrame)
+    build: (SparkSession, String) => DataFrame,
+    benchBuild: Option[(SparkSession, String) => DataFrame] = None)
 
 trait QueryModule { def defs: Seq[QueryDef] }
 

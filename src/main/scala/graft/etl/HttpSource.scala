@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1 live-HTTP leg: fetch JSON from an API endpoint on the driver and
+  * hand the payload to [[BronzeIngest.fromJsonPayloads]] — the missing
+  * half of the reference's bronze ingest (`requests.get(api_url,
+  * headers=headers)`, `BronzeIngestUsers.py:23-27`;
+  * `bronze_ingest_streamate_mock.py:28-33`).
+  *
+  * The transport is injectable so tests run with no network egress: a
+  * stub function, or the production [[javaHttpTransport]] pointed at a
+  * loopback fixture server. Fetching happens on the DRIVER by design —
+  * an API snapshot is one payload, not a distributed dataset; the data
+  * becomes distributed the moment it enters `spark.read.json`. (Bulk
+  * HTTP sources that need per-partition fetch would instead map a frame
+  * of URLs through `mapPartitions` with a per-partition client — not this
+  * operator's shape.)
+  */
+object HttpSource {
+
+  /** One GET request: URL + headers (the reference authenticates with an
+    * `x-signature` header — headers are data here, never logged). */
+  final case class Request(url: String, headers: Map[String, String] = Map.empty)
+
+  /** A transport takes a request and returns the response body, raising
+    * on any non-success. Injectable for tests. */
+  type Transport = Request => String
+
+  /** Production transport on `java.net.http.HttpClient` (JDK built-in,
+    * no extra dependency). Follows redirects, times out, and fails
+    * loudly on non-2xx — the `raise_for_status` of the reference. */
+  val javaHttpTransport: Transport = { req =>
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    val b = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(req.url))
+      .timeout(java.time.Duration.ofSeconds(60))
+      .GET()
+    req.headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"HTTP ${resp.statusCode()} fetching ${req.url}")
+    resp.body()
+  }
+
+  /** Fetch one JSON payload and land it as a DataFrame (schema inferred,
+    * same as the reference's crawler-on-JSON behavior). */
+  def fetchJson(spark: SparkSession, req: Request,
+      transport: Transport = javaHttpTransport): DataFrame =
+    BronzeIngest.fromJsonPayloads(spark, Seq(transport(req)))
+}

@@ -45,12 +45,30 @@ object LakeCatalog {
         s"jdbc:derby:;databaseName=$metastoreDir;create=true")
       .enableHiveSupport()
 
-  /** Register one external parquet table; idempotent, no data movement. */
+  /** Register one external parquet table; idempotent, no data movement.
+    *
+    * Idempotent is not the same as first-writer-wins: if the table is
+    * already registered at a DIFFERENT location, a bare `IF NOT EXISTS`
+    * would silently keep the stale path and every reader would get old
+    * data with no error. Registration is metadata-only for external
+    * tables, so a location change drops and re-creates the entry. */
   def registerExternalTable(spark: SparkSession, db: String, table: String,
       location: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(db)}")
+    if (spark.catalog.tableExists(s"$db.$table")) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def qualified(p: String) = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(hconf).makeQualified(path)
+      }
+      if (qualified(meta.location.toString) == qualified(location))
+        return // same table, same data — true no-op
+      spark.sql(s"DROP TABLE ${q(db)}.${q(table)}")
+    }
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS ${q(db)}.${q(table)}
+      s"""CREATE TABLE ${q(db)}.${q(table)}
           USING parquet LOCATION '${location.replace("'", "''")}'""")
   }
 

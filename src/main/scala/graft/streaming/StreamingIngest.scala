@@ -96,6 +96,12 @@ object StreamingIngest {
     }
   }
 
+  /** Rename that fails loudly — `FileSystem.rename` signals failure by
+    * RETURN VALUE, and a swallowed false corrupts the swap protocol. */
+  private def checkedRename(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+
   /** Read-merge-swap MERGE into a parquet dir (micro-batch or one record).
     *
     * The filesystem is resolved from `basePath`'s own scheme (a
@@ -104,24 +110,100 @@ object StreamingIngest {
     * default is hdfs/file). The swap is rename-aside, not
     * delete-then-rename: the new data is renamed in only after the old
     * dir has been moved aside, so a crash at any step leaves either the
-    * old table or both dirs on disk — never NO table (the previous
-    * delete-before-rename had a window with zero copies). */
+    * old table or both dirs on disk — never NO table. Recovery runs at
+    * entry: `_old` present with `base` missing means a previous run died
+    * mid-swap — the aside copy IS the table and is renamed back (deleting
+    * it as a "stale leftover", as this code once did, would silently
+    * discard the whole pre-crash table); `_old` is only garbage once
+    * `base` exists.
+    *
+    * Scale note: this variant rewrites the WHOLE base per batch — correct
+    * for driver-small keyed silver tables (the reference's per-record
+    * Lambda table). Date-partitioned facts use
+    * [[mergeIntoDatePartitioned]], which rewrites only the partitions the
+    * batch touches. */
   def mergeIntoParquet(spark: SparkSession, batch: DataFrame,
       basePath: String, keys: Seq[String]): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(basePath + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(basePath + "_old")
+    if (fs.exists(old)) {
+      if (!fs.exists(base)) checkedRename(fs, old, base) // crashed mid-swap
+      else fs.delete(old, true) // swap completed; aside copy is garbage
+    }
     val merged =
       if (fs.exists(base))
         MergeService.upsert(spark.read.parquet(basePath),
           batch.dropDuplicates(keys), keys).drop("merge_action")
       else batch.dropDuplicates(keys)
-    val tmp = new org.apache.hadoop.fs.Path(basePath + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(basePath + "_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true) // stale crash leftover
     val hadBase = fs.exists(base)
-    if (hadBase) fs.rename(base, old)
-    fs.rename(tmp, base)
+    if (hadBase) checkedRename(fs, base, old)
+    checkedRename(fs, tmp, base)
     if (hadBase) fs.delete(old, true)
+  }
+
+  /** Partition-scoped MERGE into a date-partitioned parquet table (layout
+    * of [[graft.etl.LakeLayout.writeDatePartitioned]]: `part_year=YYYY/`
+    * dirs): only the partitions containing the batch's dates are read,
+    * merged, and swapped — a per-day upsert touches exactly one partition
+    * dir instead of rewriting the table. This is the scale-correct
+    * analog of the reference's single-object write
+    * (`ingestStreamateModelPerformance.py:161-169`): cost is O(touched
+    * partitions), not O(base).
+    *
+    * Mechanics: the batch's distinct partition values are collected
+    * (driver-small — distinct DATES in a micro-batch), the base is read
+    * with a partition-pruned filter, merged, and written partitioned to a
+    * sibling `__tmp` root in ONE job; each produced partition dir is then
+    * swapped in with the same rename-aside protocol as
+    * [[mergeIntoParquet]] (aside copies live under a sibling `__old`
+    * root — never inside the table, where hive-style readers would parse
+    * them as partitions). Recovery at entry renames orphaned aside
+    * partitions back before merging. */
+  def mergeIntoDatePartitioned(spark: SparkSession, batch: DataFrame,
+      basePath: String, keys: Seq[String], dateCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRoot = new Path(basePath + "__old")
+    val tmpRoot = new Path(basePath + "__tmp")
+    // Recovery: an aside partition whose table dir is missing is the
+    // surviving copy of a crashed swap — restore it; otherwise it is a
+    // completed swap's leftover.
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { st =>
+        val dst = new Path(base, st.getPath.getName)
+        if (!fs.exists(dst)) checkedRename(fs, st.getPath, dst)
+        else fs.delete(st.getPath, true)
+      }
+      fs.delete(oldRoot, true)
+    }
+    val batchD = batch.dropDuplicates(keys)
+    if (!fs.exists(base)) {
+      graft.etl.LakeLayout.writeDatePartitioned(batchD, dateCol, basePath)
+      return
+    }
+    val years = batchD.select(year(col(dateCol)).as("y")).distinct()
+      .collect().map(_.getInt(0)).toSeq // driver-small: distinct years in the batch
+    val baseSub = spark.read.parquet(basePath)
+      .filter(col("part_year").isin(years: _*)) // partition-pruned scan
+      .drop("part_year")
+    val merged = MergeService.upsert(baseSub, batchD, keys).drop("merge_action")
+    merged.withColumn("part_year", year(col(dateCol)))
+      .write.mode("overwrite").partitionBy("part_year").parquet(tmpRoot.toString)
+    fs.listStatus(tmpRoot)
+      .filter(_.getPath.getName.startsWith("part_year="))
+      .foreach { st =>
+        val dst = new Path(base, st.getPath.getName)
+        val aside = new Path(oldRoot, st.getPath.getName)
+        val had = fs.exists(dst)
+        if (had) { fs.mkdirs(oldRoot); checkedRename(fs, dst, aside) }
+        checkedRename(fs, st.getPath, dst)
+        if (had) fs.delete(aside, true)
+      }
+    fs.delete(tmpRoot, true)
+    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
   }
 }

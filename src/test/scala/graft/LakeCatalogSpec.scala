@@ -46,6 +46,14 @@ class LakeCatalogSpec extends SparkSpec {
 
       // registration is idempotent
       LakeCatalog.registerLakeTables(spark, "lake_s3", locs)
+
+      // re-registration at a NEW location re-points the table — a silent
+      // keep-the-stale-path no-op would serve old data with no error
+      val moved = s"$root/bronze/users_v2"
+      t.users.limit(1).write.parquet(moved)
+      LakeCatalog.registerExternalTable(spark, "lake_s3", "bronze_users", moved)
+      assert(spark.table("lake_s3.bronze_users").count() == 1,
+        "catalog must follow the location change")
     } finally {
       spark.sql("DROP DATABASE IF EXISTS lake_s3 CASCADE")
       spark.catalog.setCurrentDatabase("default")

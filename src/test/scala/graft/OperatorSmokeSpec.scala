@@ -26,7 +26,7 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  SparkEntry.all.foreach { case QueryDef(name, _, build) =>
+  SparkEntry.all.foreach { case QueryDef(name, _, build, _) =>
     test(s"$name runs at sf0.001") {
       val df = build(spark, sf0001)
       val n = df.count()

@@ -98,6 +98,79 @@ class StreamingSpec extends SparkSpec {
       "swap must clean up its working dirs")
   }
 
+  test("mergeIntoParquet recovers the table when a crash left only the aside copy") {
+    val base = Files.createTempDirectory("recover").toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingIngest.mergeIntoParquet(spark,
+      Seq(("k1", 1.0)).toDF("id", "v"), base, Seq("id"))
+    // simulate a crash between rename(base, old) and rename(tmp, base):
+    // only the aside copy remains
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base),
+      new org.apache.hadoop.fs.Path(base + "_old")))
+    StreamingIngest.mergeIntoParquet(spark,
+      Seq(("k2", 2.0)).toDF("id", "v"), base, Seq("id"))
+    val out = spark.read.parquet(base).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out == Map("k1" -> 1.0, "k2" -> 2.0),
+      "pre-crash rows must survive recovery — the aside copy IS the table")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "_old")))
+  }
+
+  test("mergeIntoDatePartitioned: a 1-record upsert rewrites exactly one partition dir") {
+    val base = Files.createTempDirectory("pmerge").toString + "/fact"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def frame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("id", "date", "v").withColumn("date", to_date($"date"))
+    StreamingIngest.mergeIntoDatePartitioned(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0),
+        ("k3", "2024-06-03", 30.0))),
+      base, Seq("id", "date"), "date")
+    def listing(year: Int) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(base + s"/part_year=$year"))
+        .map(st => (st.getPath.getName, st.getModificationTime, st.getLen))
+        .toSeq.sortBy(_._1)
+    val before2023 = listing(2023)
+    StreamingIngest.mergeIntoDatePartitioned(spark,
+      frame(Seq(("k2", "2024-05-02", 25.0))), base, Seq("id", "date"), "date")
+    assert(listing(2023) == before2023,
+      "a 2024 upsert must not rewrite the 2023 partition (file names, mtimes, sizes)")
+    val out = spark.read.parquet(base).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
+    // an unseen year inserts a NEW partition dir, still without touching 2023
+    StreamingIngest.mergeIntoDatePartitioned(spark,
+      frame(Seq(("k4", "2025-01-01", 40.0))), base, Seq("id", "date"), "date")
+    assert(listing(2023) == before2023)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base + "/part_year=2025")))
+    assert(spark.read.parquet(base).count() == 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "__tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(base + "__old")),
+      "swap must clean up its working roots")
+  }
+
+  test("mergeIntoDatePartitioned recovers an orphaned aside partition before merging") {
+    val base = Files.createTempDirectory("precover").toString + "/fact"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def frame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("id", "date", "v").withColumn("date", to_date($"date"))
+    StreamingIngest.mergeIntoDatePartitioned(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0))),
+      base, Seq("id", "date"), "date")
+    // crash between the two renames: the 2024 partition exists only aside
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base + "__old"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base + "/part_year=2024"),
+      new org.apache.hadoop.fs.Path(base + "__old/part_year=2024")))
+    StreamingIngest.mergeIntoDatePartitioned(spark,
+      frame(Seq(("k3", "2023-07-01", 30.0))), base, Seq("id", "date"), "date")
+    val out = spark.read.parquet(base).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out == Map("k1" -> 10.0, "k2" -> 20.0, "k3" -> 30.0),
+      "the aside 2024 partition must be restored, not discarded")
+  }
+
   test("foreachBatch merge stream upserts into the keyed silver table") {
     val base = Files.createTempDirectory("merge").toString + "/silver"
     // seed: two records
