@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed connected components over an undirected edge list —
+  * alternating large-star / small-star rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC '14), the
+  * published algorithm for trillion-edge graphs: converges in
+  * O(log² n) rounds and never materializes a neighborhood on one
+  * machine (each round is groupBy-min + join — keyed shuffles only,
+  * no collect_set, no driver state beyond a convergence checksum).
+  *
+  * Needed because pairwise near-dup dropping is not transitive: with
+  * pairs A~B and B~C but no A~C edge, dropping "the higher id of each
+  * pair" removes B and C while a cluster-aware pass keeps exactly one
+  * of {A,B,C}. Components make the curation semantics well-defined:
+  * every document maps to its component's minimum doc_id.
+  */
+object ConnectedComponents {
+
+  /** Resolve components of the undirected graph given by `edges` (first
+    * two columns = endpoints). Returns (`node`, `component`) for every
+    * node incident to an edge, where `component` is the minimum node id
+    * in the node's connected component.
+    *
+    * Iterations are bounded by `maxIter` (the algorithm provably needs
+    * O(log² n); 25 rounds covers any realistic graph) and stop early on
+    * a fixed point, detected by an order-insensitive edge-set checksum
+    * (count + sum of pair-hashes — one action per round). Each round is
+    * RELIABLY checkpointed to cut lineage — without the cut the plan
+    * grows geometrically per round; with `localCheckpoint` the persisted
+    * RDDs would outlive the call (cache-leak invariant) and not survive
+    * executor loss. A temp checkpoint dir is provisioned when the
+    * session has none; cluster deployments should `setCheckpointDir` to
+    * durable storage. */
+  def components(s: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    import s.implicits._
+    val Array(ca, cb) = edges.columns.take(2)
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
+    def cut(df: DataFrame): DataFrame = df.checkpoint()
+    var e = cut(edges
+      .select(col(ca).cast(LongType).as("u"), col(cb).cast(LongType).as("v"))
+      .filter($"u" =!= $"v")
+      .distinct())
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(least($"u", $"v"), greatest($"u", $"v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: every strictly-larger neighbor of u links to the min
+      // of u's neighborhood (computed per-u by aggregation, then joined
+      // back — no neighborhood list ever materializes on one node)
+      val nbrsL = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val minsL = nbrsL.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val ls = nbrsL.join(minsL, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+      // small-star over the large-star output: u and its smaller
+      // neighbors all link to the min of that set
+      val nbrsS = ls.union(ls.select($"v".as("u"), $"u".as("v")))
+      val smaller = nbrsS.filter($"v" < $"u")
+      val minsS = smaller.groupBy($"u").agg(min($"v").as("m"))
+      val ss = smaller.join(minsS, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(minsS.select($"u", $"m".as("v")))
+      val next = cut(ss.filter($"u" =!= $"v").distinct())
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      it += 1
+    }
+    // At the fixed point edges form stars (node -> component min); the
+    // min itself appears only on the right — add roots as self-labeled.
+    val nonRoots = e.select($"u".as("node"), $"v".as("component"))
+      .groupBy($"node").agg(min($"component").as("component"))
+    val roots = e.select($"v".as("node")).distinct()
+      .join(nonRoots, Seq("node"), "left_anti")
+      .select($"node", $"node".as("component"))
+    nonRoots.union(roots)
+  }
+}

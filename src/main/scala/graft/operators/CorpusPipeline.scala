@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * per-stage attrition report.
   *
   * Shape at 100 TB: every stage is a keyed shuffle or a bucket join over
-  * hashes/shingle rows (never full documents); the near-dup stage drops
-  * the HIGHER doc_id of each surviving pair so the pass is deterministic
-  * and one-sided (no iterative connected components needed for the
-  * common pair-dominated case).
+  * hashes/shingle rows (never full documents); the near-dup stage
+  * resolves TRANSITIVE clusters (A~B, B~C ⇒ {A,B,C} is one cluster) via
+  * distributed star contraction and keeps exactly one document — the
+  * minimum doc_id — per cluster, so chains can't leave
+  * B-dropped-but-C-kept inconsistencies ([[ConnectedComponents]]).
   */
 object CorpusPipeline {
 
@@ -45,11 +46,14 @@ object CorpusPipeline {
       .drop("__n_tokens", "__punct_ratio")
   }
 
-  /** Stage 3: near-dup removal — drop doc_b of every MinHash-verified
-    * pair (keep the lower id). */
+  /** Stage 3: near-dup removal — resolve MinHash pairs into connected
+    * components and keep one doc per component (the minimum doc_id);
+    * docs in no pair pass through untouched. */
   def nearDupFilter(s: SparkSession, docs: DataFrame, t: Thresholds): DataFrame = {
-    val drop = DedupOps.minhashNearDups(s, docs, threshold = t.nearDupJaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val drop = DedupOps
+      .minhashComponents(s, docs, threshold = t.nearDupJaccard)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 

@@ -176,8 +176,10 @@ object DedupOps extends QueryModule {
   /** DuckDB replay of the ENTIRE MinHash-LSH pipeline (shingles → 32-perm
     * signature → 8 banded buckets → candidate bucket-join → exact-Jaccard
     * verify) using the portable seeded hash — generated, since the
-    * signature/band columns are mechanical. */
-  private def minhashOracle(threshold: Double, numPerms: Int, bands: Int): String = {
+    * signature/band columns are mechanical. Returns the CTE chain ending
+    * in `pairs(doc_a, doc_b, jaccard)` so both the pair query and the
+    * connected-components query build on it. */
+  private def minhashCtes(threshold: Double, numPerms: Int, bands: Int): String = {
     val r = numPerms / bands
     val p = minhashPrime
     def h32(arg: String) =
@@ -193,7 +195,7 @@ object DedupOps extends QueryModule {
       .map(b => s"SELECT doc_id, $b AS band, b$b AS bucket FROM buckets")
       .mkString("\n          UNION ALL ")
     s"""
-      WITH toks AS (
+      toks AS (
         SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
         FROM documents),
       sh AS (
@@ -223,15 +225,43 @@ object DedupOps extends QueryModule {
         FROM cands c
         JOIN sh a ON a.doc_id = c.doc_a
         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        GROUP BY c.doc_a, c.doc_b)
-      SELECT i.doc_a, i.doc_b,
-        i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-      FROM inter i
-      JOIN sig sa ON i.doc_a = sa.doc_id
-      JOIN sig sb ON i.doc_b = sb.doc_id
-      WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= $threshold
-      ORDER BY doc_a, doc_b"""
+        GROUP BY c.doc_a, c.doc_b),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b,
+          i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sig sa ON i.doc_a = sa.doc_id
+        JOIN sig sb ON i.doc_b = sb.doc_id
+        WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= $threshold)"""
   }
+
+  private def minhashOracle(threshold: Double, numPerms: Int, bands: Int): String =
+    s"""
+      WITH ${minhashCtes(threshold, numPerms, bands)}
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      ORDER BY doc_a, doc_b"""
+
+  /** Transitive near-dup clusters as a recursive closure over the minhash
+    * pairs: DuckDB walks the undirected pair graph (WITH RECURSIVE; UNION
+    * dedup bounds the recursion) and labels each doc with the minimum
+    * reachable doc_id — exactly what the distributed
+    * [[ConnectedComponents.components]] star-contraction computes. */
+  private def componentsOracle(threshold: Double, numPerms: Int, bands: Int): String =
+    s"""
+      WITH RECURSIVE ${minhashCtes(threshold, numPerms, bands)},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(node, reach) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach)
+      SELECT CAST(node AS BIGINT) AS doc_id,
+        CAST(MIN(reach) AS BIGINT) AS component
+      FROM walk
+      GROUP BY node
+      ORDER BY doc_id"""
 
   /** MinHash + banded LSH candidate pairs, verified by true Jaccard.
     * Declared with the portable md5 hash so the WHOLE pipeline —
@@ -433,6 +463,26 @@ object DedupOps extends QueryModule {
         .orderBy($"id_a", $"id_b")
     })
 
+  /** Cluster ids for every doc in a near-dup pair: minhash pairs → star
+    * contraction → (doc_id, component-min). The piece that makes near-dup
+    * REMOVAL transitive-consistent (keep one doc per cluster, not "drop
+    * the right side of each pair" — see [[ConnectedComponents]]). */
+  def minhashComponents(s: SparkSession, documents: DataFrame,
+      threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+    val pairs = minhashNearDups(s, documents, threshold = threshold, hashFn = hashFn)
+    ConnectedComponents.components(s, pairs.select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  private val ddComponents = QueryDef(
+    "dd_components",
+    Some(componentsOracle(threshold = 0.5, numPerms = 32, bands = 8)),
+    (s, dir) => minhashComponents(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash).orderBy(col("doc_id")),
+    benchBuild = Some((s, dir) =>
+      minhashComponents(s, T(s, dir, "documents")).orderBy(col("doc_id"))))
+
   override val defs: Seq[QueryDef] =
-    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding)
+    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents)
 }

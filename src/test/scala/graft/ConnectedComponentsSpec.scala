@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.T
+import graft.operators.{ConnectedComponents, CorpusPipeline, DedupOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class ConnectedComponentsSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(spark, edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find oracle. */
+  private def ufOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain, star, and disjoint components resolve to the min id") {
+    assert(comps(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(comps(Seq((10L, 7L), (10L, 8L), (10L, 9L))) ==
+      Map(7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
+    assert(comps(Seq((1L, 2L), (5L, 6L), (6L, 7L))) ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("a 60-node chain with shuffled ids converges within the iteration bound") {
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((100L until 160L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = comps(edges)
+    assert(got.size == 60)
+    assert(got.values.toSet == Set(ids.min))
+  }
+
+  test("random graphs match a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val n = 80
+      val edges = Seq.fill(70)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      assert(comps(edges) == ufOracle(edges), s"trial $trial")
+    }
+  }
+
+  test("near-dup filter keeps exactly one doc per connected component") {
+    val docs = T(spark, sf0001, "documents")
+    val t = CorpusPipeline.Thresholds()
+    val compDf = DedupOps.minhashComponents(spark, docs, t.nearDupJaccard)
+    val byComp = compDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
+    assert(byComp.nonEmpty, "corpus has planted near-dups")
+    assert(byComp.exists(_._2.size > 2) ||
+      byComp.forall(_._2.size >= 2), "components group at least pairs")
+    val survivors = CorpusPipeline.nearDupFilter(spark, docs, t)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    byComp.foreach { case (c, members) =>
+      val kept = members.intersect(survivors)
+      assert(kept == Set(c),
+        s"component $c must keep exactly its min (kept: $kept)")
+    }
+    // docs in no component pass through untouched
+    val inComp = byComp.values.flatten.toSet
+    val all = docs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert((all -- inComp).subsetOf(survivors))
+  }
+}
