@@ -114,13 +114,34 @@ final class QueryService(t: DomainTables) {
   /** `detailedRanking.py:229-236` — the page slice plus the response
     * metadata the reference computes around it: `total_results` (count
     * over the full filtered ranking) and `hasMore` (pages left after this
-    * one). Two actions by design, same as the reference's
-    * len(all)+slice. */
+    * one).
+    *
+    * ONE action where the reference runs two passes (len(all) + slice):
+    * `count(*) OVER ()` rides along the ranking plan, so the page rows
+    * and the total arrive in the same collect. The global window is a
+    * single-partition exchange — fine here by the same argument as W1:
+    * the ranking is a POST-aggregation frame of dashboard cardinality
+    * (one row per model, SURVEY §2.5), and the sort below it is already
+    * global. The only second action is the rare past-the-end page, where
+    * an empty slice carries no total. */
   def detailedRankingPaged(r: EarningsRequest): RankingPage = {
-    val full = detailedRankingUnpaged(r)
-    val total = full.count()
+    val spark = t.users.sparkSession
+    val paged = detailedRankingUnpaged(r)
+      .withColumn("__total", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("total_sales").desc, col("artisticname").asc)
+      .offset((r.page - 1) * r.limit)
+      .limit(r.limit)
+    val collected = paged.collect()
+    val total = collected.headOption
+      .map(_.getAs[Long]("__total"))
+      .getOrElse(detailedRankingUnpaged(r).count())
+    val schema = StructType(paged.schema.fields.dropRight(1))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(collected.map(row =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1))): _*),
+      schema)
     RankingPage(
-      rows = full.offset((r.page - 1) * r.limit).limit(r.limit),
+      rows = rows,
       totalResults = total,
       hasMore = r.page.toLong * r.limit < total)
   }

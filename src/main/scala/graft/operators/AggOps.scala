@@ -309,6 +309,25 @@ object AggOps extends QueryModule {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     })
 
+  /** Skew-salted two-phase SUM as a declared query: identical result to
+    * the plain grouped sum (the oracle), with the hot key spread over 16
+    * partial-aggregate buckets first — the rewrite for group skew AQE
+    * can't fix ([[Salting.saltedSum]]). Values are integer-valued
+    * doubles, so the re-associated addition stays exact (< 2^53). */
+  private val a17 = QueryDef(
+    "a17_salted_sum",
+    Some("""
+      SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) => {
+      import s.implicits._
+      Salting.saltedSum(T(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", saltBy = "l_orderkey", buckets = 16)
+        .orderBy($"l_returnflag")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15, a16)
+    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15, a16, a17)
 }

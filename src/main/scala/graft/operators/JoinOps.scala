@@ -85,6 +85,38 @@ object JoinOps extends QueryModule {
         .orderBy($"n_name")
     })
 
+  /** J2 at 100 TB: when the right side is too big to broadcast, the OR
+    * join must NOT plan as a BroadcastNestedLoopJoin — this declares the
+    * [[orJoinDecomposed]] rewrite (union of two SHUFFLED equi-joins,
+    * pair-dedup'd) against a fact-sized right side, giving the scale
+    * rewrite oracle coverage. The `shuffle_hash` hint pins the branch
+    * strategy regardless of size estimates; JoinOpsSpec asserts the
+    * executed plan is BNLJ-free. */
+  private val j2Scale = QueryDef(
+    "j2_scale_or_join",
+    Some("""
+      SELECT c.c_mktsegment, COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+      FROM customer c
+      JOIN orders o
+        ON c.c_custkey = o.o_custkey OR c.c_custkey = (o.o_orderkey % 1500)
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment"""),
+    (s, dir) => {
+      import s.implicits._
+      val cust = T(s, dir, "customer")
+      val ord = T(s, dir, "orders")
+        .withColumn("o_alt_key", $"o_orderkey" % 1500)
+      orJoinDecomposed(cust, ord.hint("shuffle_hash"),
+        leftKey = "c_custkey", rightKeyA = "o_custkey", rightKeyB = "o_alt_key",
+        leftId = Seq("c_custkey"), rightId = Seq("o_orderkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          H.dbl(sum(H.dec2($"o_totalprice", 14))).as("total_price"))
+        .orderBy($"c_mktsegment")
+    })
+
   /** J3: left outer join (null-extending enrich).
     * Ref: `performer_df.join(user_df, ..., "left_outer")`
     * `silver_ingest_streamate_mock.py:89-90`. */
@@ -278,5 +310,5 @@ object JoinOps extends QueryModule {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(j1, j2, j3, j4, j6, j7, j8, jSemi, jAnti)
+    Seq(j1, j2, j2Scale, j3, j4, j6, j7, j8, jSemi, jAnti)
 }

@@ -151,13 +151,21 @@ object SimilarityOps extends QueryModule {
     * and broadcast, so candidate generation is a broadcast equi-join on
     * (table, bucket); only candidate pairs are reranked. Deterministic
     * (seeded planes, total tie-break order). */
+  /** Seeded hyperplane matrix, shared by the Spark path and the oracle
+    * generator — `java.util.Random` Gaussians are deterministic per seed,
+    * and `Double.toString` round-trips exactly, so DuckDB can replay the
+    * bucketing bit-for-bit from emitted literals. */
+  def lshPlanes(tables: Int, planesPerTable: Int, dims: Int,
+      seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dims)(rnd.nextGaussian())))
+  }
+
   def lshAnn(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
       topK: Int = 5, tables: Int = 16, planesPerTable: Int = 4,
       dims: Int = 64, seed: Long = 42L): DataFrame = {
     import s.implicits._
-    val rnd = new java.util.Random(seed)
-    val tablePlanes: Seq[Seq[Seq[Double]]] =
-      Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dims)(rnd.nextGaussian())))
+    val tablePlanes = lshPlanes(tables, planesPerTable, dims, seed)
     // per-table sign-bit bucket of vector column v, exploded to one row
     // per (vector, table) — rows are (id, tbl, bucket): no vector payload
     def buckets(df: DataFrame, idCol: String): DataFrame =
@@ -188,9 +196,63 @@ object SimilarityOps extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
+  /** DuckDB replay of the full LSH-ANN pipeline. The seeded planes are
+    * emitted as array literals (one row per (table, plane) with its
+    * precomputed power-of-two bit weight, so the bucket is an exact
+    * INTEGER sum — no float accumulation); candidate generation and the
+    * exact-cosine rerank mirror the Spark plan expression-for-expression
+    * (same left-to-right folds as the proven sim_cosine_topk oracle). */
+  private def lshOracle(topK: Int, tables: Int, planesPerTable: Int,
+      dims: Int, seed: Long): String = {
+    val planes = lshPlanes(tables, planesPerTable, dims, seed)
+    val planeRows = planes.zipWithIndex.flatMap { case (ps, t) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        val w = 1L << (planesPerTable - 1 - i)
+        s"($t, $w, [${p.map(_.toString).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n          ")
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      planes(tbl, pw, p) AS (VALUES
+          $planeRows),
+      cb AS (
+        SELECT e.vec_id, pl.tbl,
+          SUM(CASE WHEN ${dot("pl.p", "e.v")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.tbl),
+      qb AS (
+        SELECT q.q_id, pl.tbl,
+          SUM(CASE WHEN ${dot("pl.p", "q.qv")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM q CROSS JOIN planes pl
+        GROUP BY q.q_id, pl.tbl),
+      cands AS (
+        SELECT DISTINCT qb.q_id, cb.vec_id AS neighbor_id
+        FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE cb.vec_id <> qb.q_id),
+      rer AS (
+        SELECT c.q_id, c.neighbor_id, ${cosine("q.qv", "e.v")} AS cosine_sim
+        FROM cands c
+        JOIN q ON q.q_id = c.q_id
+        JOIN e ON e.vec_id = c.neighbor_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cosine_sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM rer)
+      SELECT q_id, rank, neighbor_id, cosine_sim
+      FROM ranked WHERE rank <= $topK
+      ORDER BY q_id, rank"""
+  }
+
   private val simLsh = QueryDef(
     "sim_lsh_ann",
-    None,
+    Some(lshOracle(topK = 5, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)),
     (s, dir) => {
       val emb = T(s, dir, "embeddings")
       lshAnn(s, emb, emb.filter(col("vec_id") < 10))

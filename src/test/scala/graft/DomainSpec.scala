@@ -104,6 +104,30 @@ class DomainSpec extends SparkSpec {
     assert(pLast.totalResults == total)
   }
 
+  test("detailedRankingPaged collects page + total in ONE action") {
+    val events = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = events.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = events.incrementAndGet()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val p = qs.detailedRankingPaged(req.copy(page = 1, limit = 3))
+      assert(p.totalResults > 3 && p.hasMore)
+      // listener delivery is async: wait for the first event, then give
+      // any second one a window to show up before asserting it doesn't
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (events.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(400)
+      assert(events.get() == 1,
+        s"expected exactly one action (count rides the page plan), saw ${events.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("detailedRanking: streamate-only user gets 0 jasmin share without NaN") {
     val out = qs.detailedRanking(req.copy(limit = 1000)).collect()
     val u10 = out.find(_.getString(0) == "u10")

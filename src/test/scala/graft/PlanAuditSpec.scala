@@ -38,4 +38,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       s"expected BroadcastHashJoin in:\n$plan")
   }
+
+  test("decomposed OR-join runs as shuffled equi-joins, never a nested loop (J2 scale)") {
+    val plan = executed("j2_scale_or_join")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"BNLJ found in:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.size == 2, s"expected both OR branches as shuffled hash joins in:\n$plan")
+  }
 }
