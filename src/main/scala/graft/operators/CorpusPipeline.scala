@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,10 +48,13 @@ object CorpusPipeline {
 
   /** Stage 3: near-dup removal — resolve MinHash pairs into connected
     * components and keep one doc per component (the minimum doc_id);
-    * docs in no pair pass through untouched. */
-  def nearDupFilter(s: SparkSession, docs: DataFrame, t: Thresholds): DataFrame = {
+    * docs in no pair pass through untouched. `hashFn` defaults to the
+    * production xxhash64; the declared query passes the oracle-portable
+    * hash so DuckDB can replay the whole pipeline. */
+  def nearDupFilter(s: SparkSession, docs: DataFrame, t: Thresholds,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
     val drop = DedupOps
-      .minhashComponents(s, docs, threshold = t.nearDupJaccard)
+      .minhashComponents(s, docs, threshold = t.nearDupJaccard, hashFn = hashFn)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
@@ -68,7 +71,8 @@ object CorpusPipeline {
     * returned curated frame stays valid (it recomputes if acted on; the
     * report rows are already materialized literals). */
   def curate(s: SparkSession, docs: DataFrame,
-      t: Thresholds = Thresholds()): (DataFrame, DataFrame) = {
+      t: Thresholds = Thresholds(),
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val keeper = row_number().over(
@@ -91,7 +95,7 @@ object CorpusPipeline {
     val d2 = flagged.filter(col("__keeper") && col("__q_ok"))
       .select(docs.columns.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d3 = nearDupFilter(s, d2, t)
+    val d3 = nearDupFilter(s, d2, t, hashFn)
     val s3 = d3.count()
     d2.unpersist(blocking = false)
     val report = Seq(
@@ -101,12 +105,58 @@ object CorpusPipeline {
     (d3, report)
   }
 
-  /** The pipeline as a declared query: per-stage counts (rows-only —
-    * stage 3 embeds MinHash, which SQL can't express). */
+  /** DuckDB replay of the WHOLE pipeline's attrition report: exact-dedup
+    * keepers, quality predicates, then the generated minhash-pair CTEs
+    * ([[DedupOps.minhashCtes]]) over the filtered corpus and the
+    * recursive component closure — near_dup survivors = quality-filtered
+    * docs minus non-representative component members. Rows ordered by
+    * stage name (the declared query sorts the same way). */
+  private def curationOracle(t: Thresholds): String =
+    s"""
+      WITH RECURSIVE keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+      d1 AS (
+        SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+      d2 AS (
+        SELECT * FROM d1
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= ${t.minTokens}
+          AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+              / length(text) <= ${t.maxPunctRatio}),
+      ${DedupOps.minhashCtes(t.nearDupJaccard, 32, 8, src = "d2")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(node, reach) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+      comp AS (
+        SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+      SELECT stage, n_docs FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL
+        SELECT 'exact_dedup', (SELECT COUNT(*) FROM d1)
+        UNION ALL
+        SELECT 'quality_filter', (SELECT COUNT(*) FROM d2)
+        UNION ALL
+        SELECT 'near_dup',
+          (SELECT COUNT(*) FROM d2)
+            - (SELECT COUNT(*) FROM comp WHERE node <> component))
+      ORDER BY stage"""
+
+  /** The pipeline as a declared query: per-stage counts, hash-matched
+    * against the generated DuckDB replay above. Verify runs the
+    * oracle-portable hash; Bench measures the production xxhash64 path. */
   private val curateQuery = QueryDef(
     "corpus_curation_report",
-    None,
-    (s, dir) => curate(s, T(s, dir, "documents"))._2)
+    Some(curationOracle(Thresholds())),
+    (s, dir) => curate(s, T(s, dir, "documents"),
+      hashFn = DedupOps.portableSeededHash)._2.orderBy(col("stage")),
+    benchBuild = Some((s, dir) =>
+      curate(s, T(s, dir, "documents"))._2.orderBy(col("stage"))))
 
   val defs: Seq[QueryDef] = Seq(curateQuery)
 }

@@ -177,9 +177,12 @@ object DedupOps extends QueryModule {
     * signature → 8 banded buckets → candidate bucket-join → exact-Jaccard
     * verify) using the portable seeded hash — generated, since the
     * signature/band columns are mechanical. Returns the CTE chain ending
-    * in `pairs(doc_a, doc_b, jaccard)` so both the pair query and the
-    * connected-components query build on it. */
-  private def minhashCtes(threshold: Double, numPerms: Int, bands: Int): String = {
+    * in `pairs(doc_a, doc_b, jaccard)` so the pair query, the
+    * connected-components query, and the corpus-curation oracle all
+    * build on it; `src` is the relation/CTE scanned for (doc_id, text)
+    * rows. */
+  private[operators] def minhashCtes(threshold: Double, numPerms: Int,
+      bands: Int, src: String = "documents"): String = {
     val r = numPerms / bands
     val p = minhashPrime
     def h32(arg: String) =
@@ -197,7 +200,7 @@ object DedupOps extends QueryModule {
     s"""
       toks AS (
         SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
-        FROM documents),
+        FROM $src),
       sh AS (
         SELECT doc_id, unnest(list_distinct(
           list_transform(range(1, greatest(len(ws) - 1, 1)),
