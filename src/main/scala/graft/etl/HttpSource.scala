@@ -52,4 +52,35 @@ object HttpSource {
   def fetchJson(spark: SparkSession, req: Request,
       transport: Transport = javaHttpTransport): DataFrame =
     BronzeIngest.fromJsonPayloads(spark, Seq(transport(req)))
+
+  /** Crawl a paginated API: fetch `first`, follow `nextUrl(payload)`
+    * until it returns None (the characters API publishes `info.next`,
+    * `api/characters.json`), land ALL pages as one DataFrame.
+    * `maxPages` bounds a server that links pages in a cycle. Fetching
+    * is sequential on the driver — next-link pagination is inherently
+    * serial; a URL-list fan-out would be the distributed shape. */
+  def fetchJsonPaged(spark: SparkSession, first: Request,
+      nextUrl: String => Option[String],
+      transport: Transport = javaHttpTransport,
+      maxPages: Int = 1000): DataFrame = {
+    val pages = Seq.newBuilder[String]
+    var url = Option(first.url)
+    var n = 0
+    while (url.isDefined && n < maxPages) {
+      val body = transport(Request(url.get, first.headers))
+      pages += body
+      url = nextUrl(body)
+      n += 1
+    }
+    require(url.isEmpty, s"pagination did not terminate within $maxPages pages")
+    BronzeIngest.fromJsonPayloads(spark, pages.result())
+  }
+
+  /** `info.next`-style link extraction (Jackson ships with Spark):
+    * returns the string at the given path unless null/absent/empty. */
+  def jsonStringAt(path: String*): String => Option[String] = { body =>
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val node = path.foldLeft(root)((n, p) => if (n == null) null else n.get(p))
+    Option(node).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+  }
 }

@@ -210,6 +210,37 @@ object FilterOps extends QueryModule {
         .orderBy($"p_retailprice".desc, $"p_partkey".asc)
     })
 
+  /** O3: sort direction chosen by a RUNTIME string parameter — the
+    * reference threads the request's "ASC"/"DESC" token into its SQL
+    * (`detailedRanking.py` order param); here it maps to a Column sort
+    * with a fixed asc tiebreak for determinism, rejecting anything
+    * else (no string ever reaches a SQL text). */
+  def dynamicSort(df: org.apache.spark.sql.DataFrame, key: String,
+      dir: String, tieBreak: String): org.apache.spark.sql.DataFrame = {
+    val primary = dir.trim.toLowerCase match {
+      case "asc" => col(key).asc
+      case "desc" => col(key).desc
+      case other =>
+        throw new IllegalArgumentException(s"sort dir must be asc|desc, got: $other")
+    }
+    df.orderBy(primary, col(tieBreak).asc)
+  }
+
+  private val o3 = QueryDef(
+    "o3_dynamic_sort",
+    Some("""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      ORDER BY s_acctbal DESC, s_suppkey ASC
+      LIMIT 20"""),
+    (s, dir) => {
+      import s.implicits._
+      dynamicSort(
+        T(s, dir, "supplier").select($"s_suppkey", $"s_name", $"s_acctbal"),
+        key = "s_acctbal", dir = "desc", tieBreak = "s_suppkey")
+        .limit(20)
+    })
+
   /** O5: pagination — ORDER BY + OFFSET/LIMIT pushed into the engine
     * (the reference slices after collect, `detailedRanking.py:223-236`). */
   private val o5 = QueryDef(
@@ -304,5 +335,5 @@ object FilterOps extends QueryModule {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(p1, p3, p4, p5, p6, p7, p8, o2, o4, o5, o6, f8, f16)
+    Seq(p1, p3, p4, p5, p6, p7, p8, o2, o3, o4, o5, o6, f8, f16)
 }

@@ -169,6 +169,60 @@ object JoinOps extends QueryModule {
         .orderBy($"segment")
     })
 
+  /** J5: INNER join onto an inline literal dimension — the reference
+    * maps status codes through a literal VALUES table and keeps only
+    * mapped rows (`averageProfitability.py:72-78` inner flavor; J4 is
+    * the left/zero-filled flavor). Literal dim ⇒ broadcast. */
+  private val j5 = QueryDef(
+    "j5_inner_join_literal_dim",
+    Some("""
+      WITH dim(code, label) AS (VALUES ('F', 'Fulfilled'), ('O', 'Open'))
+      SELECT d.label,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders o
+      INNER JOIN dim d ON o.o_orderstatus = d.code
+      GROUP BY d.label
+      ORDER BY d.label"""),
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq(("F", "Fulfilled"), ("O", "Open")).toDF("code", "label")
+      T(s, dir, "orders")
+        .join(broadcast(dim), $"o_orderstatus" === $"code")
+        .groupBy($"label")
+        .agg(
+          H.dbl(sum(H.dec2($"o_totalprice", 14))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"label")
+    })
+
+  /** Skew-salted fact⟶dim equi-join as a declared query: identical
+    * result to the plain join (the oracle), with the fact side salted
+    * and the dim replicated 16× so one hot key spreads over 16 tasks
+    * ([[Salting.saltedJoin]] — the rewrite for join skew past what AQE
+    * splits). */
+  private val j11 = QueryDef(
+    "j11_salted_join",
+    Some("""
+      SELECT c.c_mktsegment,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment"""),
+    (s, dir) => {
+      import s.implicits._
+      val fact = T(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val dim = T(s, dir, "customer").withColumnRenamed("c_custkey", "custkey")
+      Salting.saltedJoin(fact, dim, key = "custkey", saltBy = "o_orderkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          H.dbl(sum(H.dec2($"o_totalprice", 14))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    })
+
   /** J6: FULL OUTER join of two per-key aggregates + COALESCE merge.
     * Ref: `jasmin_data jd FULL OUTER JOIN streamate_data sd ON jd._id =
     * sd._id` `detailedRanking.py:136-137` (+ coalesce `:123-135`). */
@@ -310,5 +364,5 @@ object JoinOps extends QueryModule {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(j1, j2, j2Scale, j3, j4, j6, j7, j8, jSemi, jAnti)
+    Seq(j1, j2, j2Scale, j3, j4, j5, j6, j7, j8, j11, jSemi, jAnti)
 }

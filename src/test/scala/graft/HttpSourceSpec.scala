@@ -36,6 +36,36 @@ class HttpSourceSpec extends SparkSpec {
     assert(bronze.count() == results.count())
   }
 
+  test("fetchJsonPaged follows info.next across pages and lands the union") {
+    def page(n: Int, next: Option[String]) =
+      s"""{"info":{"count":4,"pages":2,"next":${next.map("\"" + _ + "\"").getOrElse("null")}},
+         |"results":[{"id":${n * 2 - 1},"name":"c${n * 2 - 1}"},
+         |           {"id":${n * 2},"name":"c${n * 2}"}]}""".stripMargin
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val stub: HttpSource.Transport = { req =>
+      calls += req.url
+      if (req.url.endsWith("page=2")) page(2, None)
+      else page(1, Some("https://api.test/character?page=2"))
+    }
+    val df = HttpSource.fetchJsonPaged(spark,
+      HttpSource.Request("https://api.test/character"),
+      nextUrl = HttpSource.jsonStringAt("info", "next"),
+      transport = stub)
+    assert(calls.toSeq == Seq(
+      "https://api.test/character", "https://api.test/character?page=2"))
+    val ids = df.select(explode(col("results.id"))).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), "both pages' results land")
+    // a cycle trips the bound instead of looping forever
+    val cyclic: HttpSource.Transport =
+      _ => page(1, Some("https://api.test/character?page=1"))
+    intercept[IllegalArgumentException] {
+      HttpSource.fetchJsonPaged(spark,
+        HttpSource.Request("https://api.test/character"),
+        nextUrl = HttpSource.jsonStringAt("info", "next"),
+        transport = cyclic, maxPages = 5)
+    }
+  }
+
   test("javaHttpTransport GETs with headers from a loopback fixture server") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
