@@ -171,6 +171,36 @@ class StreamingSpec extends SparkSpec {
       "the aside 2024 partition must be restored, not discarded")
   }
 
+  test("partitioned merge stream rewrites only the touched partition per batch") {
+    val base = Files.createTempDirectory("pstream").toString + "/fact"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def frame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("id", "date", "v").withColumn("date", to_date($"date"))
+    StreamingIngest.mergeIntoDatePartitioned(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0))),
+      base, Seq("id", "date"), "date")
+    def listing(year: Int) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(base + s"/part_year=$year"))
+        .map(st => (st.getPath.getName, st.getModificationTime, st.getLen))
+        .toSeq.sortBy(_._1)
+    val before2023 = listing(2023)
+    val src = Files.createTempDirectory("pstream_src").toString + "/data"
+    val cp = Files.createTempDirectory("pstream_cp").toString
+    frame(Seq(("k2", "2024-05-02", 25.0), ("k3", "2024-07-01", 30.0)))
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingIngest.mergePartitionedStream(spark,
+      spark.readStream.schema(schema).parquet(src),
+      base, Seq("id", "date"), "date", cp)
+    q.awaitTermination()
+    assert(listing(2023) == before2023,
+      "a 2024-only micro-batch must not rewrite the 2023 partition")
+    val out = spark.read.parquet(base).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
+  }
+
   test("foreachBatch merge stream upserts into the keyed silver table") {
     val base = Files.createTempDirectory("merge").toString + "/silver"
     // seed: two records
