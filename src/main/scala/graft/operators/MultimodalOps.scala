@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * a typed metadata struct (BASELINE.json north-star operator).
   *
   * The Spark-side plumbing (schema, batch shape, partitioning) is real and
-  * tested; the actual media DECODE is a deterministic STUB (`decodeStub`)
-  * because no image/audio libraries ship in this container — swap the stub
-  * body for javax.imageio / ffmpeg bindings in production.
+  * tested. Byte-level HEADER decode (PNG IHDR, RIFF/WAVE) is REAL —
+  * pure-JVM parsing, oracle-checked (`mm_header_decode`). Only the ML
+  * FEATURE extraction is a deterministic STUB (`decodeStub`): a real
+  * embedding model doesn't ship in this container — swap the stub body
+  * for the model runtime in production.
   *
   * Scale notes: media rows are large and skewed — `repartition` by a
   * byte-size-aware bucket before decode so one executor doesn't take all
@@ -82,6 +84,135 @@ object MultimodalOps extends QueryModule {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** ======== REAL decode (no stub) ========
+    * Byte-level media HEADER decode needs no external library, so this
+    * part is real: PNG IHDR (big-endian dims after the 8-byte
+    * signature, CRC32-valid chunk) and RIFF/WAVE (little-endian chunk
+    * walk to `fmt `/`data`, duration = data bytes / byte rate). Only
+    * the ML FEATURE extraction above remains stubbed — that genuinely
+    * needs a model. */
+  def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val chunk = java.nio.ByteBuffer.allocate(17) // type + IHDR data
+    chunk.put("IHDR".getBytes("US-ASCII"))
+    chunk.putInt(width).putInt(height)
+    chunk.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk.array())
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 17 + 4)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put(chunk.array()).putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  def wavHeader(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val channels = 1; val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(channels.toShort)
+    bb.putInt(sampleRate).putInt(sampleRate * blockAlign)
+    bb.putShort(blockAlign.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array() // header-only payload: data size is declared, samples elided
+  }
+
+  /** Parse (format, width, height, duration_ms) out of a media payload;
+    * unrecognized bytes classify as ("unknown", -1, -1, -1) instead of
+    * failing the batch — corrupt rows are data, not exceptions. */
+  def parseMediaMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    def be32(o: Int) = java.nio.ByteBuffer.wrap(bytes, o, 4).getInt
+    def le32(o: Int) = java.nio.ByteBuffer.wrap(bytes, o, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (bytes.length >= 24 && bytes.take(8).sameElements(pngSig) &&
+        ascii(12, 4) == "IHDR")
+      ("png", be32(16), be32(20), 0L)
+    else if (bytes.length >= 12 && ascii(0, 4) == "RIFF" &&
+        ascii(8, 4) == "WAVE") {
+      // chunk walk: fmt/data may sit anywhere after the RIFF header
+      var o = 12; var byteRate = -1; var dataSize = -1
+      while (o + 8 <= bytes.length && (byteRate < 0 || dataSize < 0)) {
+        val id = ascii(o, 4); val sz = le32(o + 4)
+        if (id == "fmt ") byteRate = le32(o + 16)
+        else if (id == "data") dataSize = sz
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (byteRate > 0 && dataSize >= 0)
+        ("wav", -1, -1, dataSize.toLong * 1000L / byteRate)
+      else ("unknown", -1, -1, -1L)
+    } else ("unknown", -1, -1, -1L)
+  }
+
+  /** Synthesize REAL media payloads (valid PNG / WAV headers) with
+    * dimensions derived from doc_id — so the decode below is checkable
+    * against a formula-only DuckDB oracle: the parser must recover
+    * exactly the values the formulas put into the bytes. */
+  def withRealMediaHeaders(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (id % 2 == 0)
+            pngHeader((id % 640 + 32).toInt, (id % 480 + 32).toInt)
+          else {
+            val rate = 8000 + (id % 4).toInt * 4000
+            wavHeader(rate, rate * (1 + (id % 5).toInt))
+          }
+        Row(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-partition header decode over the binary column — same batch
+    * shape as [[extractFeatures]] but with a REAL parser. */
+  def decodeMediaMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType)))
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (f, w, h, d) = parseMediaMeta(r.getAs[Array[Byte]]("media"))
+        Row(r.getAs[Long]("doc_id"), f, w, h, d)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Real header decode end-to-end: bytes are BUILT from doc_id-derived
+    * formulas and PARSED back by [[parseMediaMeta]]; the oracle computes
+    * the formulas directly, so any parser/builder bug breaks the hash
+    * match. Even ids are PNG (width/height), odd are WAV (duration =
+    * seconds × 1000 exactly, since nSamples = rate × seconds). */
+  private val mmDecode = QueryDef(
+    "mm_header_decode",
+    Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 32 ELSE -1 END AS INTEGER) AS width,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 32 ELSE -1 END AS INTEGER) AS height,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (1 + doc_id % 5) * 1000 END AS BIGINT) AS duration_ms
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      decodeMediaMeta(withRealMediaHeaders(T(s, dir, "documents")))
+        .orderBy($"doc_id")
+    })
+
   /** Binary column plumbing end-to-end with a DuckDB oracle: payload
     * length + content hash + metadata projection — proves bytes survive
     * the engine byte-exact. */
@@ -121,5 +252,5 @@ object MultimodalOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures)
+  override val defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmDecode)
 }

@@ -35,4 +35,52 @@ class MultimodalSpec extends SparkSpec {
     assert(a != b)
     assert(a == MultimodalOps.decodeStub("payload-a".getBytes, 8).toSeq)
   }
+
+  test("PNG/WAV header round-trip: built bytes parse back exactly") {
+    assert(MultimodalOps.parseMediaMeta(MultimodalOps.pngHeader(1920, 1080)) ==
+      ("png", 1920, 1080, 0L))
+    // 16000 Hz mono 16-bit, 3 s of samples -> 3000 ms
+    assert(MultimodalOps.parseMediaMeta(MultimodalOps.wavHeader(16000, 48000)) ==
+      ("wav", -1, -1, 3000L))
+  }
+
+  test("the PNG header is genuinely valid: ImageIO accepts its signature and CRC holds") {
+    val bytes = MultimodalOps.pngHeader(640, 480)
+    // CRC32 over the IHDR chunk must match the stored value
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 17)
+    assert(java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt == crc.getValue.toInt)
+    // JDK's own reader recognizes the stream as PNG from the header
+    val readers = javax.imageio.ImageIO.getImageReaders(
+      javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    assert(readers.hasNext && readers.next().getFormatName.equalsIgnoreCase("png"))
+  }
+
+  test("corrupt payloads classify as unknown instead of failing the batch") {
+    assert(MultimodalOps.parseMediaMeta(Array[Byte](1, 2, 3)) ==
+      ("unknown", -1, -1, -1L))
+    assert(MultimodalOps.parseMediaMeta("RIFFxxxxWAVE".getBytes) ==
+      ("unknown", -1, -1, -1L))
+    assert(MultimodalOps.parseMediaMeta(Array.empty[Byte]) ==
+      ("unknown", -1, -1, -1L))
+  }
+
+  test("decodeMediaMeta over the corpus recovers the synthesized dimensions") {
+    val out = MultimodalOps.decodeMediaMeta(
+      MultimodalOps.withRealMediaHeaders(T(spark, sf0001, "documents")))
+      .orderBy($"doc_id").collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "png")
+        assert(r.getInt(2) == (id % 640 + 32).toInt)
+        assert(r.getInt(3) == (id % 480 + 32).toInt)
+      } else {
+        assert(r.getString(1) == "wav")
+        assert(r.getLong(4) == (1 + id % 5) * 1000)
+      }
+    }
+  }
 }
