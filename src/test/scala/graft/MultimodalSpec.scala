@@ -57,6 +57,17 @@ class MultimodalSpec extends SparkSpec {
     assert(readers.hasNext && readers.next().getFormatName.equalsIgnoreCase("png"))
   }
 
+  test("full PNG round-trip: ImageIO decodes the built image to the exact pixels") {
+    val png = MultimodalOps.pngImage(9, 5, 200, 100, 50)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO must decode the generated PNG")
+    assert(img.getWidth == 9 && img.getHeight == 5)
+    assert((img.getRGB(4, 2) & 0xffffff) == (200 << 16 | 100 << 8 | 50))
+    val (w, h, mr, mg, mb) = MultimodalOps.decodeImageStats(png)
+    assert((w, h) == (9, 5))
+    assert((mr, mg, mb) == (200.0, 100.0, 50.0), "solid fill ⇒ exact means")
+  }
+
   test("corrupt payloads classify as unknown instead of failing the batch") {
     assert(MultimodalOps.parseMediaMeta(Array[Byte](1, 2, 3)) ==
       ("unknown", -1, -1, -1L))
