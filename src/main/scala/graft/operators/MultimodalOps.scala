@@ -297,6 +297,66 @@ object MultimodalOps extends QueryModule {
       spark.createDataFrame(rdd, outSchema).orderBy($"doc_id")
     })
 
+  /** REAL image resize (JDK Graphics2D — no stub): decode, scale with
+    * nearest-neighbor (deterministic — bilinear blends would still be
+    * deterministic here since the fill is solid, but NN keeps the
+    * policy obvious), re-encode as PNG. The round trip
+    * build→decode→resize→encode→decode is the full transform path a
+    * training pipeline runs before feature extraction. */
+  def resizePng(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "undecodable image payload")
+    val dst = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, outW, outH, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Resize pipeline as a declared query: built PNGs are resized to a
+    * fixed 8×8 thumbnail on the executors and re-measured — decoded
+    * thumbnail dims and channel means must match the oracle formulas
+    * (solid fill survives any resampling exactly). */
+  private val mmResize = QueryDef(
+    "mm_image_resize",
+    Some("""
+      SELECT doc_id,
+        CAST(8 AS INTEGER) AS width,
+        CAST(8 AS INTEGER) AS height,
+        CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val spark = s
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("mean_r", DoubleType),
+        StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType)))
+      val rdd = T(s, dir, "documents").select($"doc_id").rdd.mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val png = pngImage((id % 13 + 4).toInt, (id % 11 + 4).toInt,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+          val (w, h, mr, mg, mb) = decodeImageStats(resizePng(png, 8, 8))
+          Row(id, w, h, mr, mg, mb)
+        }
+      }
+      spark.createDataFrame(rdd, outSchema).orderBy($"doc_id")
+    })
+
   /** Real header decode end-to-end: bytes are BUILT from doc_id-derived
     * formulas and PARSED back by [[parseMediaMeta]]; the oracle computes
     * the formulas directly, so any parser/builder bug breaks the hash
@@ -357,5 +417,6 @@ object MultimodalOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmDecode, mmImage)
+  override val defs: Seq[QueryDef] =
+    Seq(mmBinary, mmFeatures, mmDecode, mmImage, mmResize)
 }

@@ -68,6 +68,24 @@ class MultimodalSpec extends SparkSpec {
     assert((mr, mg, mb) == (200.0, 100.0, 50.0), "solid fill ⇒ exact means")
   }
 
+  test("the WAV header is genuinely valid: the JDK's own audio parser agrees") {
+    val bytes = MultimodalOps.wavHeader(16000, 48000)
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(fmt.getFormat.getSampleRate == 16000.0f)
+    assert(fmt.getFormat.getChannels == 1)
+    assert(fmt.getFormat.getSampleSizeInBits == 16)
+    assert(fmt.getFrameLength == 48000, "declared data size = 48000 frames")
+  }
+
+  test("resize preserves solid-fill means and hits the target dims") {
+    val png = MultimodalOps.pngImage(13, 7, 10, 20, 30)
+    val (w, h, mr, mg, mb) =
+      MultimodalOps.decodeImageStats(MultimodalOps.resizePng(png, 8, 8))
+    assert((w, h) == (8, 8))
+    assert((mr, mg, mb) == (10.0, 20.0, 30.0))
+  }
+
   test("corrupt payloads classify as unknown instead of failing the batch") {
     assert(MultimodalOps.parseMediaMeta(Array[Byte](1, 2, 3)) ==
       ("unknown", -1, -1, -1L))
