@@ -80,6 +80,46 @@ object IvfIndex {
     (assign(s, vecs, centroids), centroids)
   }
 
+  /** Persist the inverted lists partitioned BY cluster — the on-disk
+    * layout that turns a probe into a partition-pruned scan: a query
+    * touching `nprobe` of `k` lists reads nprobe directories, not the
+    * index ([[graft.etl.LakeLayout]] pattern, spec-proved via
+    * `selectedPartitions`). */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** ANN search against the ON-DISK index: the probed cluster ids are
+    * collected first (driver-small — |queries| × nprobe ints) so they
+    * reach the scan as LITERAL partition filters; Catalyst then prunes
+    * the unprobed list directories before any I/O. Same results as the
+    * in-memory [[search]]. */
+  def searchIndexDir(s: SparkSession, indexPath: String, centroids: DataFrame,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val q = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cluster_id".asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select($"q_id", $"qv", $"cluster_id",
+        CosineSimilarity.cosineNative(s, $"qv", $"centroid").as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"q_id", $"qv", $"cluster_id")
+    val probedClusters = probes.select($"cluster_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // driver-small: ≤ queries × nprobe
+    val lists = s.read.parquet(indexPath)
+      .filter($"cluster_id".isin(probedClusters: _*)) // partition-pruned
+    val wRank = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+    probes
+      .join(lists.select($"cluster_id", $"vec_id".as("neighbor_id"), $"v"), Seq("cluster_id"))
+      .filter($"neighbor_id" =!= $"q_id")
+      .select($"q_id", $"neighbor_id",
+        CosineSimilarity.cosineNative(s, $"qv", $"v").as("cosine_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** ANN search: probe the `nprobe` nearest lists per query, exact
     * cosine rerank inside them, top-`topK` per query. */
   def search(s: SparkSession, index: DataFrame, centroids: DataFrame,

@@ -127,6 +127,68 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** BPE-ish pre-tokenizer count: the GPT-2 pre-tokenizer regex family
+    * (contraction suffixes | space-prefixed letter runs | digit runs |
+    * punctuation runs), WITHOUT the trailing-whitespace lookahead —
+    * DuckDB's RE2 has no lookahead, and the simplified pattern is
+    * engine-portable while still splitting "don't it's 42%" the BPE
+    * way. Counts matches, codegen'd (`regexp_count`). */
+  val bpeTokenPattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** Polynomial rolling hash over the token stream (Rabin–Karp style):
+    * h ← (h·131 + tok) mod (2³¹−1), with each token first reduced mod
+    * the prime so every intermediate fits far inside int64 — EXACT and
+    * identical in Spark and DuckDB (whose BIGINT errors on overflow
+    * instead of wrapping). Order-sensitive by construction: documents
+    * with the same words in different order get different fingerprints
+    * (the md5 fingerprint above hashes the joined STRING; this one
+    * hashes the token SEQUENCE and composes incrementally — the shape
+    * a streaming/windowed fingerprinter needs). */
+  def rollingFingerprint(toks: Column, tokHash: Column => Column): Column = {
+    val m = 2147483647L // 2^31 - 1
+    aggregate(toks, lit(0L),
+      (acc, t) => (acc * 131L + pmod(tokHash(t), lit(m))) % m)
+  }
+
+  private val taBpe = QueryDef(
+    "ta_bpe_rolling",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, text,
+          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text, '${bpeTokenPattern.replace("'", "''")}')) AS n_bpe_tokens,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT), list_transform(ws,
+            t -> ('0x' || substr(md5('0_' || t), 25, 8))::UBIGINT::BIGINT % 2147483647)),
+          (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp
+      FROM toks
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", $"text",
+          DedupOps.tokens($"text").as("toks")) // materialized attr: HOF-inlining trap
+        .select(
+          $"doc_id",
+          regexp_count($"text", lit(bpeTokenPattern)).cast(LongType).as("n_bpe_tokens"),
+          rollingFingerprint($"toks",
+            t => DedupOps.portableSeededHash(t, 0)).as("rolling_fp"))
+        .orderBy($"doc_id")
+    },
+    // production path: same fold over xxhash64 token hashes
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", $"text", DedupOps.tokens($"text").as("toks"))
+        .select(
+          $"doc_id",
+          regexp_count($"text", lit(bpeTokenPattern)).cast(LongType).as("n_bpe_tokens"),
+          rollingFingerprint($"toks", t => xxhash64(t)).as("rolling_fp"))
+        .orderBy($"doc_id")
+    }))
+
   override val defs: Seq[QueryDef] =
-    Seq(taTokens, taQuality, taLangId, taFingerprint)
+    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe)
 }

@@ -38,6 +38,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for label-clustered data")
   }
 
+  test("on-disk index prunes to the probed list directories and matches in-memory search") {
+    val (index, centroids) = IvfIndex.buildIndex(spark, emb, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    IvfIndex.writeIndex(index, path)
+    val queries = emb.filter($"vec_id" < 3)
+    // AQE query-stage wrappers hide scans from TreeNode.collect — flat
+    // plan needed for the pruning proof (same caveat as PlanAuditSpec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val onDisk = IvfIndex.searchIndexDir(spark, path, centroids, queries,
+        topK = 5, nprobe = 2)
+      val inMem = IvfIndex.search(spark, index, centroids, queries,
+        topK = 5, nprobe = 2)
+      assert(onDisk.collect().toSeq == inMem.collect().toSeq)
+      // the scan must read only the probed partitions, not all k lists
+      val k = index.select($"cluster_id").distinct().count()
+      val scanned = graft.etl.LakeLayout.selectedPartitions(onDisk)
+      assert(scanned.nonEmpty)
+      assert(scanned.head <= 3 * 2 && scanned.head < k,
+        s"probe must prune to <= queries x nprobe of $k list dirs, scanned ${scanned.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("search is deterministic") {
     val (index, centroids) = IvfIndex.buildIndex(spark, emb, k = 4, iters = 1)
     val q = emb.filter($"vec_id" < 5)
