@@ -180,6 +180,13 @@ object StreamingIngest {
     * partitions back before merging. */
   def mergeIntoDatePartitioned(spark: SparkSession, batch: DataFrame,
       basePath: String, keys: Seq[String], dateCol: String): Unit = {
+    // The partition column must be pinned by the merge key: otherwise an
+    // update whose key exists under a DIFFERENT date would insert into
+    // the new date's partition while the old row survives untouched in a
+    // partition this batch never reads — a silent duplicate. The
+    // reference's upsert is keyed (_id, date) for the same reason.
+    require(keys.contains(dateCol),
+      s"merge keys ${keys.mkString(",")} must include the partition date column $dateCol")
     import org.apache.hadoop.fs.Path
     val base = new Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
