@@ -47,6 +47,36 @@ object LakeLayout {
     }
   }
 
+  /** Compact a parquet dir's small files to ~`targetBytes` outputs —
+    * the chronic lake problem: streaming/micro-batch writers leave
+    * thousands of KB-size files per partition, and at 100 TB the
+    * per-file open/footer overhead dominates scans. One distributed
+    * read → `coalesce` (no shuffle — coalescing only merges read
+    * splits) → rewrite aside → crash-safe rename swap (same protocol
+    * as the merge path: the aside copy is restored on recovery, never
+    * deleted while it is the only copy). Returns the new file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    if (fs.exists(old)) {
+      if (!fs.exists(root)) require(fs.rename(old, root), s"recovery rename failed: $old")
+      else fs.delete(old, true)
+    }
+    val dataFiles = fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(root, old), s"rename failed: $root -> $old")
+    require(fs.rename(tmp, root), s"rename failed: $tmp -> $root")
+    fs.delete(old, true)
+    fs.listStatus(root).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+  }
+
   /** Bucketed + sorted table for co-located, shuffle-free equi-joins. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =

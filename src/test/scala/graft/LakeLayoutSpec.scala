@@ -72,4 +72,28 @@ class LakeLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("compact merges small files, preserves data, and cleans its working dirs") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/tbl"
+    // a micro-batch writer's mess: 20 files for tiny data
+    (1 to 200).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(20).write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(files() == 20)
+    val before = spark.read.parquet(path).orderBy($"id").collect().toSeq
+    val n = graft.etl.LakeLayout.compact(spark, path)
+    assert(n == 1 && files() == 1, "tiny table compacts to one file")
+    assert(spark.read.parquet(path).orderBy($"id").collect().toSeq == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_compact_tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(path + "_compact_old")))
+    // crash recovery: only the aside copy remains -> restored, then compacted
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_compact_old")))
+    assert(graft.etl.LakeLayout.compact(spark, path) == 1)
+    assert(spark.read.parquet(path).orderBy($"id").collect().toSeq == before)
+  }
 }
