@@ -189,6 +189,47 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id")
     }))
 
+  /** PII patterns shared by scrub and count — engine-portable (no
+    * lookarounds: RE2). Order matters: emails before bare domains,
+    * IPv4 before phone-ish digit runs. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("phone", "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"))
+
+  /** Redact every PII hit with a typed placeholder — the corpus-prep
+    * step that must run BEFORE any text lands in a training shard. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, p)) =>
+      regexp_replace(c, p, s"<$kind>")
+    }
+
+  private val taPii = QueryDef(
+    "ta_pii_scrub",
+    Some {
+      val repl = piiPatterns.foldLeft("text") { case (acc, (kind, p)) =>
+        s"regexp_replace($acc, '$p', '<$kind>', 'g')"
+      }
+      val counts = piiPatterns.map { case (kind, p) =>
+        s"len(regexp_extract_all(text, '$p')) AS n_$kind"
+      }.mkString(",\n        ")
+      s"""
+      SELECT doc_id,
+        $repl AS scrubbed,
+        $counts
+      FROM documents
+      ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      import s.implicits._
+      val countCols = piiPatterns.map { case (kind, p) =>
+        regexp_count($"text", lit(p)).cast(LongType).as(s"n_$kind")
+      }
+      T(s, dir, "documents")
+        .select(Seq($"doc_id", scrubPii($"text").as("scrubbed")) ++ countCols: _*)
+        .orderBy($"doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe)
+    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii)
 }

@@ -66,4 +66,25 @@ class FunctionsSpec extends SparkSpec {
     val recall = (ann intersect truth).size.toDouble / truth.size
     assert(recall >= 0.8, s"LSH ANN recall $recall < 0.8 (got ${ann.size} pairs)")
   }
+
+  test("PII scrub redacts emails, IPs, and phone numbers; counts match") {
+    import graft.operators.TextOps
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.com now"),
+      (2L, "server at 192.168.001.1 rebooted"),
+      (3L, "call +1 (555) 123-4567 today"),
+      (4L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextOps.scrubPii($"text").as("s"))
+      .orderBy($"doc_id").collect().map(_.getString(1))
+    assert(out(0) == "mail <email> now")
+    assert(out(1) == "server at <ipv4> rebooted")
+    assert(out(2) == "call <phone> today")
+    assert(out(3) == "clean text with no pii at all")
+    val counted = rows.select(
+      org.apache.spark.sql.functions.regexp_count(
+        $"text", org.apache.spark.sql.functions.lit(TextOps.piiPatterns.head._2)).as("n"))
+      .collect().map(_.getInt(0)).sum
+    assert(counted == 1, "exactly one email in the fixture")
+  }
 }
