@@ -21,6 +21,7 @@ object SparkEntry {
     EtlOps,
     EventOps,
     TextOps,
+    CorpusPrepOps,
     DedupOps,
     SimilarityOps,
     MultimodalOps)

@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators over the `documents` table — the steps a
+  * training-data pipeline runs AFTER dedup/quality scoring and BEFORE
+  * shard writing: repetition filters (Gopher-style), benchmark
+  * decontamination, deterministic stratified sampling (data mixing), and
+  * token-budget shard packing.
+  *
+  * Scale design (100 TB corpus):
+  *  - repetition stats are two keyed aggregations (by doc, by doc+gram) —
+  *    map-side combinable, shuffle carries (id, gram-hashable) rows only;
+  *  - decontamination broadcast-joins the (small) benchmark shingle set
+  *    against the corpus — one pass, no corpus self-join;
+  *  - sampling is a stateless hash predicate — embarrassingly parallel,
+  *    deterministic across runs/executors, no RNG state to coordinate;
+  *  - shard packing uses a two-pass distributed prefix sum (per-bucket
+  *    window + tiny bucket-offset table broadcast back) instead of one
+  *    global unpartitioned window, which would funnel the corpus through
+  *    a single task at scale.
+  */
+object CorpusPrepOps extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // Repetition stats (Gopher-style quality filters)
+  // ---------------------------------------------------------------------
+
+  /** Per-document token-repetition metrics: duplicate-token fraction and
+    * most-frequent-2-gram fraction — the standard "drop boilerplate /
+    * degenerate repetition" pre-training filters (Gopher §A1.2 family).
+    * Two aggregations, both keyed by doc, no arrays survive the shuffle. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), DedupOps.tokens(col("text")).as("toks"))
+    val tokStats = toksDf
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct_tokens"))
+    // index-explode, not explode(shingles(...)): see DedupOps.shingleRows
+    // — inlined split() in HOF lambdas turns extraction quadratic.
+    val grams = toksDf
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          element_at(col("toks"), col("i") + 1),
+          element_at(col("toks"), col("i") + 2)).as("gram"))
+    val gramStats = grams
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_2gram_count"))
+    tokStats
+      .join(gramStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        ((col("n_tokens") - col("n_distinct_tokens")) / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("top_2gram_count"),
+        (col("top_2gram_count") / col("n_2grams")).as("top_2gram_frac"))
+  }
+
+  private val cpRepetition = QueryDef(
+    "cp_repetition",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+      tokstats AS (
+        SELECT doc_id, count(*) AS n_tokens,
+          count(DISTINCT t) AS n_distinct_tokens
+        FROM tok GROUP BY doc_id),
+      grams AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1])) AS gram
+        FROM toks WHERE len(ws) >= 2),
+      gramcounts AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+      gramstats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+          max(c) AS top_2gram_count
+        FROM gramcounts GROUP BY doc_id)
+      SELECT t.doc_id, n_tokens, n_distinct_tokens,
+        (n_tokens - n_distinct_tokens) / n_tokens AS dup_token_frac,
+        top_2gram_count,
+        top_2gram_count / n_2grams AS top_2gram_frac
+      FROM tokstats t JOIN gramstats g ON t.doc_id = g.doc_id
+      ORDER BY t.doc_id"""),
+    (s, dir) => repetitionStats(T(s, dir, "documents")).orderBy(col("doc_id")))
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** Decontamination n-gram size. 5 word-grams for the synthetic corpus
+    * (docs run 10–99 tokens); production corpora use 13 — the pipeline is
+    * size-agnostic. */
+  val decontamN = 5
+
+  /** Flag training documents sharing any `n`-gram with an eval/benchmark
+    * set — the "did a benchmark leak into the training corpus" pass every
+    * serious pretraining run needs. The benchmark side is small by nature,
+    * so its shingle set is broadcast: one corpus pass, no self-shuffle on
+    * the train side. Both sides here derive from one `shingleRows` frame,
+    * so the distinct-shuffle is planned once (ReuseExchange). */
+  def decontaminate(documents: DataFrame, isEval: Column => Column,
+      n: Int = decontamN): DataFrame = {
+    val sh = DedupOps.shingleRows(documents, n)
+    val evalSh = sh.filter(isEval(col("doc_id")))
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainSh = sh.filter(!isEval(col("doc_id")))
+    val hits = trainSh
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    documents
+      .filter(!isEval(col("doc_id")))
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  private val cpDecontaminate = QueryDef(
+    "cp_decontaminate",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - 4),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+        FROM toks WHERE len(ws) >= 5),
+      hits AS (
+        SELECT t.doc_id, count(*) AS n_shared_ngrams,
+          count(DISTINCT e.doc_id) AS n_eval_docs
+        FROM sh t JOIN sh e USING (shingle)
+        WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+        COALESCE(h.n_eval_docs, 0) AS n_eval_docs,
+        COALESCE(h.n_shared_ngrams, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""),
+    (s, dir) =>
+      decontaminate(T(s, dir, "documents"), id => id % 97 === 0)
+        .orderBy(col("doc_id")))
+
+  // ---------------------------------------------------------------------
+  // Deterministic stratified sampling (data mixing)
+  // ---------------------------------------------------------------------
+
+  /** Per-language keep rates in thousandths — the data-mixing move that
+    * downsamples a dominant language. Anything unlisted keeps everything. */
+  val keepMillis: Seq[(String, Long)] =
+    Seq("en" -> 500L, "fr" -> 750L, "zh" -> 250L)
+
+  /** Deterministic stratified sample: keep a doc iff
+    * hash(doc_id) mod 1000 < rate(lang). Hash-based, not rand(): the same
+    * doc is kept on every run, every executor, every retry — resumable at
+    * 100 TB with no RNG state. `weight` is the inverse keep-rate so
+    * downstream stats can reweight the sample back to the population. */
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val rates = keepMillis.foldLeft(lit(1000L)) { case (acc, (l, m)) =>
+      when(col("lang") === l, m).otherwise(acc)
+    }
+    documents
+      .withColumn("keep_millis", rates)
+      .filter(
+        DedupOps.md5Hash32(concat(lit("smp_"), col("doc_id").cast(StringType)))
+          % 1000 < col("keep_millis"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        (lit(1000.0) / col("keep_millis")).as("weight"))
+  }
+
+  private val cpSample = QueryDef(
+    "cp_stratified_sample",
+    Some("""
+      WITH rated AS (
+        SELECT doc_id, lang, source,
+          CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 750 WHEN 'zh' THEN 250
+            ELSE 1000 END AS keep_millis
+        FROM documents)
+      SELECT doc_id, lang, source, 1000.0 / keep_millis AS weight
+      FROM rated
+      WHERE ('0x' || substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 25, 8))::UBIGINT::BIGINT
+              % 1000 < keep_millis
+      ORDER BY doc_id"""),
+    (s, dir) => stratifiedSample(T(s, dir, "documents")).orderBy(col("doc_id")))
+
+  // ---------------------------------------------------------------------
+  // Token-budget shard packing
+  // ---------------------------------------------------------------------
+
+  /** Tokens per training shard. */
+  val shardBudget = 2048L
+
+  /** Prefix-sum bucket width (doc_ids per bucket). Each bucket's running
+    * sum is a partitioned window; only the per-bucket totals (corpus/size
+    * rows, driver-small) go through the one global window. */
+  val packBucket = 100L
+
+  /** Assign each document (in doc_id order) to a training shard by
+    * cumulative token count — greedy sequence packing. Distributed as a
+    * two-pass prefix sum: (1) running sum WITHIN doc_id buckets (parallel
+    * windows), (2) bucket offsets from the tiny per-bucket totals frame,
+    * broadcast back. The global window in pass 2 touches one row per
+    * bucket, not per document — the unpartitioned-window scale killer
+    * stays out of the corpus-sized path. */
+  def packShards(documents: DataFrame, budget: Long = shardBudget,
+      bucket: Long = packBucket): DataFrame = {
+    val withTok = documents.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      (col("doc_id") / bucket).cast(LongType).as("bucket"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withTok.withColumn(
+      "local_before", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withTok
+      .groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btotal"))
+      .select(col("bucket"),
+        coalesce(sum(col("btotal")).over(wBucket), lit(0L)).as("boffset"))
+    local
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local_before") + col("boffset")).as("cum_before"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("shard_id"),
+        (col("cum_before") % budget).as("offset_in_shard"))
+  }
+
+  private val cpPack = QueryDef(
+    "cp_pack_shards",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(cum_before // 2048 AS BIGINT) AS shard_id,
+        CAST(cum_before % 2048 AS BIGINT) AS offset_in_shard
+      FROM c ORDER BY doc_id"""),
+    (s, dir) => packShards(T(s, dir, "documents")).orderBy(col("doc_id")))
+
+  override val defs: Seq[QueryDef] =
+    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack)
+}

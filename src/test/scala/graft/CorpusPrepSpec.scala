@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.CorpusPrepOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: dup-token and top-2-gram fractions on a known doc") {
+    val docs = Seq(
+      (1L, "a a a b"),       // 4 tokens, 2 distinct; 2-grams: "a a"×2, "a b"
+      (2L, "x y z w"))       // no repetition at all
+      .toDF("doc_id", "text")
+    val out = CorpusPrepOps.repetitionStats(docs).orderBy($"doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_tokens") == 4)
+    assert(r1.getAs[Long]("n_distinct_tokens") == 2)
+    assert(r1.getAs[Double]("dup_token_frac") == 0.5)
+    assert(r1.getAs[Long]("top_2gram_count") == 2)
+    assert(r1.getAs[Double]("top_2gram_frac") == 2.0 / 3.0)
+    val r2 = out(1)
+    assert(r2.getAs[Double]("dup_token_frac") == 0.0)
+    assert(r2.getAs[Long]("top_2gram_count") == 1)
+  }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram with eval") {
+    // eval doc 0 shares a verbatim 5-gram with train doc 1; doc 2 is clean
+    val leak = "the quick brown fox jumps"
+    val docs = Seq(
+      (0L, s"benchmark question about $leak over things"),
+      (1L, s"training text containing $leak plus more words"),
+      (2L, "completely unrelated clean training document text here"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrepOps
+      .decontaminate(docs, id => id % 97 === 0)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L)) // eval excluded
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(0).getAs[Long]("n_shared_ngrams") >= 1)
+    assert(out(0).getAs[Long]("n_eval_docs") == 1)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Long]("n_shared_ngrams") == 0)
+  }
+
+  test("stratifiedSample is deterministic, respects rates, and weights invert them") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = CorpusPrepOps.stratifiedSample(docs).orderBy($"doc_id").collect()
+    val b = CorpusPrepOps.stratifiedSample(docs).orderBy($"doc_id").collect()
+    assert(a.toSeq == b.toSeq, "hash sampling must be run-deterministic")
+    assert(a.nonEmpty && a.length < docs.count())
+    // every kept row satisfies the declared keep predicate and weight
+    val rates = CorpusPrepOps.keepMillis.toMap
+    a.foreach { r =>
+      val millis = rates.getOrElse(r.getAs[String]("lang"), 1000L)
+      assert(r.getAs[Double]("weight") == 1000.0 / millis)
+    }
+    // unlisted langs keep everything
+    val keptByLang = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val allByLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("de", "es").foreach { l =>
+      assert(keptByLang.getOrElse(l, 0) == allByLang(l).toInt, s"lang $l must keep all")
+    }
+  }
+
+  test("packShards two-pass prefix sum equals the naive global window") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fast = CorpusPrepOps.packShards(docs, budget = 512L, bucket = 7L)
+      .orderBy($"doc_id").collect()
+    // naive oracle: one global window
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .select($"doc_id", graft.operators.TextOps.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"n_tokens",
+        expr("cum_before div 512").as("shard_id"),
+        ($"cum_before" % 512L).as("offset_in_shard"))
+      .orderBy($"doc_id").collect()
+    assert(fast.toSeq == naive.toSeq)
+    // shards are contiguous in doc order and respect the budget modulus
+    val shards = fast.map(_.getAs[Long]("shard_id"))
+    assert(shards.sameElements(shards.sorted), "shard ids must be monotone in doc order")
+  }
+}

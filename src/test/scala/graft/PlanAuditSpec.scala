@@ -39,6 +39,29 @@ class PlanAuditSpec extends SparkSpec {
       s"expected BroadcastHashJoin in:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark shingle side (cp)") {
+    val plan = executed("cp_decontaminate")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected the eval shingle set to broadcast in:\n$plan")
+  }
+
+  test("shard packing keeps the global window off the corpus-sized path (cp)") {
+    val plan = executed("cp_pack_shards")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    // any unpartitioned (single-task) window must consume the per-bucket
+    // AGGREGATE, never per-document rows
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"unpartitioned window over non-aggregated input:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "per-document running sum must be a partitioned window")
+  }
+
   test("decomposed OR-join runs as shuffled equi-joins, never a nested loop (J2 scale)") {
     val plan = executed("j2_scale_or_join")
     assert(plan.collect {
