@@ -272,6 +272,100 @@ object CorpusPrepOps extends QueryModule {
       FROM c ORDER BY doc_id"""),
     (s, dir) => packShards(T(s, dir, "documents")).orderBy(col("doc_id")))
 
+  // ---------------------------------------------------------------------
+  // Vocabulary / coverage stats (tokenizer training)
+  // ---------------------------------------------------------------------
+
+  /** Corpus-wide token frequency top-K with cumulative coverage — the
+    * "how much of the corpus does a K-entry vocabulary cover" question a
+    * tokenizer trainer asks first. The heavy part is one map-side
+    * combinable count per token; the top-K is Spark's distributed
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort), and
+    * the ranking window runs over the K survivors only. */
+  def vocabTopK(documents: DataFrame, k: Int = 200): DataFrame = {
+    val counts = documents
+      .select(explode(DedupOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_tokens"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"), col("cum_tokens"),
+        (col("cum_tokens") / col("total_tokens")).as("coverage"))
+  }
+
+  private val cpVocab = QueryDef(
+    "cp_vocab_topk",
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM counts),
+      ranked AS (
+        SELECT token, n,
+          row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+          CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM counts)
+      SELECT rank, token, n, cum_tokens, cum_tokens / total_tokens AS coverage
+      FROM ranked, tot
+      WHERE rank <= 200
+      ORDER BY rank"""),
+    (s, dir) => vocabTopK(T(s, dir, "documents")).orderBy(col("rank")))
+
+  // ---------------------------------------------------------------------
+  // Sequence-length histogram (packing efficiency)
+  // ---------------------------------------------------------------------
+
+  /** Token-length histogram on power-of-two bucket edges — the packing-
+    * efficiency profile (how much padding a fixed-length trainer would
+    * waste). One grouped aggregation; the doc-count denominator is a
+    * broadcast scalar. */
+  def lengthHistogram(documents: DataFrame): DataFrame = {
+    val n = TextOps.tokenCount(col("text"))
+    val bucket = when(n < 16, "a_lt16")
+      .when(n < 32, "b_16_31")
+      .when(n < 64, "c_32_63")
+      .when(n < 128, "d_64_127")
+      .otherwise("e_128plus")
+    val total = documents.agg(count(lit(1)).as("n_docs_total"))
+    documents
+      .select(bucket.as("len_bucket"), n.as("n_tokens"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("len_bucket"), col("n_docs"), col("total_tokens"),
+        (col("n_docs") / col("n_docs_total")).as("doc_share"))
+  }
+
+  private val cpHistogram = QueryDef(
+    "cp_length_histogram",
+    Some("""
+      WITH t AS (
+        SELECT CASE
+            WHEN len(string_split_regex(trim(text), '\s+')) < 16 THEN 'a_lt16'
+            WHEN len(string_split_regex(trim(text), '\s+')) < 32 THEN 'b_16_31'
+            WHEN len(string_split_regex(trim(text), '\s+')) < 64 THEN 'c_32_63'
+            WHEN len(string_split_regex(trim(text), '\s+')) < 128 THEN 'd_64_127'
+            ELSE 'e_128plus' END AS len_bucket,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      tot AS (SELECT count(*) AS n_docs_total FROM documents)
+      SELECT len_bucket, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        count(*) / n_docs_total AS doc_share
+      FROM t, tot
+      GROUP BY len_bucket, n_docs_total
+      ORDER BY len_bucket"""),
+    (s, dir) => lengthHistogram(T(s, dir, "documents")).orderBy(col("len_bucket")))
+
   override val defs: Seq[QueryDef] =
-    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack)
+    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram)
 }

@@ -272,5 +272,62 @@ object SimilarityOps extends QueryModule {
         topK = 5, nprobe = 2)
     })
 
-  override val defs: Seq[QueryDef] = Seq(simTopK, simCentroid, simLsh, simIvf)
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the top-3 most-similar vectors carrying a DIFFERENT label —
+    * the "looks alike, isn't" pairs a contrastive or reranker trainer
+    * wants. Same plan shape as the brute-force top-k (anchors broadcast,
+    * codegen cosine, per-anchor window) plus the label-mismatch predicate
+    * pushed below the ranking; at scale the candidate set would come from
+    * the LSH/IVF paths instead of the cross join, identically reranked. */
+  private val simHardNeg = QueryDef(
+    "sim_hard_negatives",
+    Some("""
+      WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                   CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      pairs AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id,
+          e.label AS neighbor_label,
+          list_reduce(list_transform(list_zip(q.qv, CAST(e.embedding AS DOUBLE[])),
+                                     p -> p[1] * p[2]), (acc, x) -> acc + x)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]),
+                                (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])),
+                                                 p -> p[1] * p[2]), (acc, x) -> acc + x)))
+            AS cosine_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.q_label),
+      ranked AS (
+        SELECT q_id, q_label, neighbor_id, neighbor_label, cosine_sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, q_label, rank, neighbor_id, neighbor_label, cosine_sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""),
+    (s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"),
+          asDouble($"embedding").as("qv"))
+      val e = emb.select($"vec_id".as("neighbor_id"),
+        $"label".as("neighbor_label"), asDouble($"embedding").as("ev"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+      broadcast(q)
+        .crossJoin(e)
+        .filter($"neighbor_label" =!= $"q_label")
+        .select($"q_id", $"q_label", $"neighbor_id", $"neighbor_label",
+          CosineSimilarity.cosineNative(s, $"qv", $"ev").as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"q_label", $"rank", $"neighbor_id",
+          $"neighbor_label", $"cosine_sim")
+        .orderBy($"q_id", $"rank")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg)
 }

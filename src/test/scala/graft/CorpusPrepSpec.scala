@@ -64,6 +64,40 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("vocabTopK: ranks are dense, coverage is monotone and bounded by 1") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val vocabSize = docs
+      .select(explode(graft.operators.DedupOps.tokens($"text")).as("t"))
+      .select($"t").distinct().count()
+    val out = CorpusPrepOps.vocabTopK(docs, k = 50).orderBy($"rank").collect()
+    assert(out.length == math.min(50L, vocabSize))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    val cov = out.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    assert(cov.last > 0.0 && cov.last <= 1.0)
+    val ns = out.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+  }
+
+  test("lengthHistogram: doc shares sum to 1 and buckets partition the corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusPrepOps.lengthHistogram(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val share = out.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9)
+  }
+
+  test("hard negatives: every neighbor has a different label, top-3 per anchor") {
+    val out = SparkEntry.queries("sim_hard_negatives")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("neighbor_label"))
+      assert(r.getAs[Int]("rank") <= 3)
+    }
+    val byAnchor = out.groupBy(_.getAs[Long]("q_id"))
+    byAnchor.values.foreach(rs => assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)))
+  }
+
   test("packShards two-pass prefix sum equals the naive global window") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val fast = CorpusPrepOps.packShards(docs, budget = 512L, bucket = 7L)
