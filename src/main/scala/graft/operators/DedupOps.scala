@@ -486,6 +486,87 @@ object DedupOps extends QueryModule {
     benchBuild = Some((s, dir) =>
       minhashComponents(s, T(s, dir, "documents")).orderBy(col("doc_id"))))
 
+  /** SimHash near-dup PAIRS within a Hamming ball (Manku/Google style):
+    * split the b-bit simhash into maxDist+1 blocks — any pair within
+    * Hamming distance maxDist must agree on at least one whole block
+    * (pigeonhole) — so candidates come from a block-value equi-join,
+    * never an all-pairs scan, and the exact `bit_count(xor)` verify only
+    * touches candidates. Completes the [[simhashCorpus]] pipeline, which
+    * alone only finds EXACT hash collisions.
+    *
+    * Ref: Manku, Jain, Sarma — "Detecting Near-Duplicates for Web
+    * Crawling" (WWW'07), the canonical simhash-at-scale design. */
+  def simhashHammingPairs(documents: DataFrame, bits: Int = 64,
+      hashFn: Column => Column = xxhash64(_), maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1
+    val blockBits = bits / nBlocks
+    val mask = (1L << blockBits) - 1
+    val blocks = simhashCorpus(documents, bits, hashFn)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b"),
+        call_function("shiftright", col("simhash"), col("b") * blockBits)
+          .bitwiseAND(lit(mask)).as("bv"))
+    val left = blocks.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("b"), col("bv"))
+    val right = blocks.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("b").as("b2"), col("bv").as("bv2"))
+    left
+      .join(right,
+        col("b") === col("b2") && col("bv") === col("bv2")
+          && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct() // a pair agreeing on several blocks appears once
+      .select(col("doc_a"), col("doc_b"),
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Declared with the 32-bit md5-portable hash (8-bit blocks) so DuckDB
+    * replays it value-for-value; Bench measures the 64-bit xxhash64
+    * production variant (16-bit blocks) — same plan, production scalars. */
+  private val ddSimhashHamming = QueryDef(
+    "dd_simhash_hamming",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        FROM documents),
+      hs AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 25, 8))::UBIGINT::BIGINT AS h
+        FROM toks),
+      bitrows AS (
+        SELECT doc_id, b, SUM((h >> b) & 1) AS ones, COUNT(*) AS n
+        FROM hs CROSS JOIN range(32) t(b)
+        GROUP BY doc_id, b),
+      sims AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN ones * 2 > n THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+            AS simhash
+        FROM bitrows GROUP BY doc_id),
+      blocks AS (
+        SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+        FROM sims CROSS JOIN range(4) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+          a.simhash AS sim_a, c.simhash AS sim_b
+        FROM blocks a JOIN blocks c ON a.b = c.b AND a.bv = c.bv
+          AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) =>
+      simhashHammingPairs(T(s, dir, "documents"), bits = 32,
+        hashFn = md5Hash32)
+        .orderBy(col("doc_a"), col("doc_b")),
+    benchBuild = Some((s, dir) =>
+      simhashHammingPairs(T(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))))
+
   override val defs: Seq[QueryDef] =
-    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents)
+    Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
+      ddSimhashHamming)
 }

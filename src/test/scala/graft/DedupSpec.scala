@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer in hamming distance than unrelated text")
   }
 
+  test("simhash hamming-band pairs = brute force within distance 3 (pigeonhole completeness)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val banded = DedupOps.simhashHammingPairs(docs)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming"))).toSet
+    // brute force over all simhash pairs
+    val sims = DedupOps.simhashCorpus(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sims; (b, hb) <- sims if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute, "block banding must find EXACTLY the <=3-distance pairs")
+    assert(banded.nonEmpty, "corpus has exact dups, so distance-0 pairs must exist")
+  }
+
   test("ngram-jaccard's shingle extraction is shared via exchange reuse, not persisted") {
     // The round-3 caching policy in one assertion: the three consumers of
     // the exploded shingle table (both self-join sides + sizes) must
