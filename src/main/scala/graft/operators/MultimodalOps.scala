@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -417,6 +417,75 @@ object MultimodalOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** Bytes per synthetic raw-video frame (fixed-size ASCII payload, so
+    * frame extraction is pure byte arithmetic). */
+  val videoFrameBytes = 32
+
+  /** One frame's payload — formula-derived from (video id, frame index),
+    * like every other synthetic media builder here, so oracles can
+    * recompute content without blob support. */
+  def videoFrameStr(vid: Column, f: Column): Column =
+    rpad(concat(lit("f"), vid.cast(StringType), lit(":"),
+      f.cast(StringType), lit(";")), videoFrameBytes, "x")
+
+  /** Attach a synthetic raw "video" — n_frames fixed-size frames
+    * concatenated into ONE opaque binary column — plus typed metadata.
+    * The ingestion shape for video corpora: payload opaque, metadata
+    * queryable. */
+  def withSyntheticVideo(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (lit(4) + pmod(col("doc_id"), lit(5))).cast(IntegerType).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        aggregate(
+          transform(sequence(lit(0), col("n_frames") - 1),
+            f => encode(videoFrameStr(col("doc_id"), f), "utf-8")),
+          lit(Array[Byte]()),
+          (acc, x) => concat(acc, x)).as("video"),
+        struct(lit("rawv").as("format"), lit(8).as("width"),
+          lit(4).as("height"),
+          (col("n_frames") * 40L).as("duration_ms")).as("meta"))
+
+  /** Frame sampling: every `stride`-th frame sliced OUT OF the video blob
+    * by byte arithmetic (`substring` on binary — codegen'd, no UDF, no
+    * decode). The projection happens before anything shuffles, so a
+    * 100 TB video corpus moves sampled frames, never whole videos. */
+  def sampleFrames(videos: DataFrame, stride: Int = 2): DataFrame =
+    videos
+      .select(col("doc_id"), col("n_frames"), col("video"),
+        col("meta.duration_ms").as("duration_ms"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("duration_ms"),
+        md5(expr(s"substring(video, frame_idx * $videoFrameBytes + 1, $videoFrameBytes)"))
+          .as("frame_md5"))
+
+  /** The oracle never sees the blob (DuckDB md5/substring are
+    * VARCHAR-only): it recomputes each sampled frame's payload from the
+    * generator formula. The Spark side REALLY assembles and byte-slices
+    * the binary — any misalignment in assembly or slicing breaks the
+    * md5 hash-match. */
+  private val mmFrames = QueryDef(
+    "mm_frame_sample",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_frames,
+          unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+        FROM v)
+      SELECT doc_id, frame_idx, n_frames,
+        CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+        md5(rpad('f' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(frame_idx AS VARCHAR) || ';', 32, 'x')) AS frame_md5
+      FROM f
+      ORDER BY doc_id, frame_idx"""),
+    (s, dir) =>
+      sampleFrames(withSyntheticVideo(T(s, dir, "documents")))
+        .orderBy(col("doc_id"), col("frame_idx")))
+
   override val defs: Seq[QueryDef] =
-    Seq(mmBinary, mmFeatures, mmDecode, mmImage, mmResize)
+    Seq(mmBinary, mmFeatures, mmDecode, mmImage, mmResize, mmFrames)
 }

@@ -112,4 +112,28 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("video assembly and frame slicing are byte-exact; stride respected") {
+    val vids = MultimodalOps.withSyntheticVideo(
+      T(spark, sf0001, "documents").filter($"doc_id" < 20))
+    // blob length = n_frames * frame size, byte-exact
+    vids.select($"doc_id", $"n_frames", org.apache.spark.sql.functions.length($"video").as("len"))
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("len") ==
+          r.getAs[Int]("n_frames") * MultimodalOps.videoFrameBytes)
+      }
+    val frames = MultimodalOps.sampleFrames(vids).collect()
+    frames.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 2 == 0, "stride-2 must sample even frames only")
+      // sliced frame md5 == md5 of the formula-generated payload
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(("f" + r.getAs[Long]("doc_id") + ":" + r.getAs[Int]("frame_idx") + ";")
+          .padTo(MultimodalOps.videoFrameBytes, 'x').mkString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("frame_md5") == expected)
+    }
+    // doc 0 has 4 frames -> samples frames 0 and 2
+    assert(frames.filter(_.getAs[Long]("doc_id") == 0L)
+      .map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 2)))
+  }
 }
