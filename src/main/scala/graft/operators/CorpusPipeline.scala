@@ -6,23 +6,42 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** End-to-end training-corpus curation — the composition the individual
-  * dedup/text operators exist for: fingerprint-exact dedup → quality
-  * filters → near-dup removal (MinHash-LSH) → curated corpus + a
-  * per-stage attrition report.
+  * dedup/text/corpus-prep operators exist for: benchmark decontamination →
+  * fingerprint-exact dedup → quality filters → repetition filters
+  * (Gopher-style) → near-dup removal (MinHash-LSH) → PII scrub → curated
+  * corpus + a per-stage attrition report.
   *
   * Shape at 100 TB: every stage is a keyed shuffle or a bucket join over
-  * hashes/shingle rows (never full documents); the near-dup stage
-  * resolves TRANSITIVE clusters (A~B, B~C ⇒ {A,B,C} is one cluster) via
+  * hashes/shingle rows (never full documents); decontamination broadcasts
+  * the (small) benchmark shingle set; the near-dup stage resolves
+  * TRANSITIVE clusters (A~B, B~C ⇒ {A,B,C} is one cluster) via
   * distributed star contraction and keeps exactly one document — the
   * minimum doc_id — per cluster, so chains can't leave
-  * B-dropped-but-C-kept inconsistencies ([[ConnectedComponents]]).
+  * B-dropped-but-C-kept inconsistencies ([[ConnectedComponents]]); the
+  * PII scrub is pure map-side codegen.
   */
 object CorpusPipeline {
 
   final case class Thresholds(
       minTokens: Long = 10,
       maxPunctRatio: Double = 0.30,
-      nearDupJaccard: Double = 0.5)
+      nearDupJaccard: Double = 0.5,
+      decontamN: Int = 5,
+      maxDupTokenFrac: Double = 0.68,
+      maxTop2gramFrac: Double = 0.09)
+
+  /** The benchmark membership rule for the declared pipeline: in
+    * production the eval set arrives as its own table; here a slice of
+    * `documents` stands in for it. */
+  val isEval: Column => Column = id => id % 97 === 0
+
+  /** Stage 0: drop benchmark docs themselves AND train docs sharing an
+    * n-gram with them ([[CorpusPrepOps.contaminatedIds]]). */
+  def decontaminationFilter(docs: DataFrame, t: Thresholds): DataFrame = {
+    val contam = CorpusPrepOps.contaminatedIds(docs, isEval, t.decontamN)
+    docs.filter(!isEval(col("doc_id")))
+      .join(contam, Seq("doc_id"), "left_anti")
+  }
 
   /** Stage 1: exact dedup on the normalized-text fingerprint. */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -46,7 +65,18 @@ object CorpusPipeline {
       .drop("__n_tokens", "__punct_ratio")
   }
 
-  /** Stage 3: near-dup removal — resolve MinHash pairs into connected
+  /** Stage 3: repetition filters — drop degenerate/boilerplate docs by
+    * duplicate-token and top-2-gram fractions ([[CorpusPrepOps
+    * .repetitionStats]]). Docs too short to have 2-grams fail closed. */
+  def repetitionFilter(docs: DataFrame, t: Thresholds): DataFrame = {
+    val rep = CorpusPrepOps.repetitionStats(docs)
+      .filter(col("dup_token_frac") <= t.maxDupTokenFrac &&
+        col("top_2gram_frac") <= t.maxTop2gramFrac)
+      .select(col("doc_id"))
+    docs.join(rep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage 4: near-dup removal — resolve MinHash pairs into connected
     * components and keep one doc per component (the minimum doc_id);
     * docs in no pair pass through untouched. `hashFn` defaults to the
     * production xxhash64; the declared query passes the oracle-portable
@@ -60,71 +90,136 @@ object CorpusPipeline {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  /** Full pipeline; returns (curated corpus, attrition report).
+  /** Full pipeline; returns (curated corpus — PII-scrubbed text — and the
+    * attrition report).
     *
-    * Two actions total, not one per stage: stages 1–2 are per-row flags
-    * (keeper-of-fingerprint via one window, quality predicates), so their
-    * attrition counts come from ONE conditional aggregate over a single
-    * corpus pass; the surviving corpus (small after filtering) is
-    * persisted before the MinHash stage, which consumes it three times.
-    * The persisted stage-2 frame is unpersisted before returning — the
-    * returned curated frame stays valid (it recomputes if acted on; the
-    * report rows are already materialized literals). */
+    * Two actions total, not one per stage: decontamination, keeper-of-
+    * fingerprint, quality, and repetition are all per-row FLAGS (two id
+    * joins + one window), so their attrition counts come from ONE
+    * conditional aggregate over a single corpus pass; the surviving
+    * corpus (small after filtering) is persisted before the MinHash
+    * stage, which consumes it three times, and the final count + PII tally
+    * ride one aggregate over the near-dup survivors. The persisted
+    * stage-3 frame is unpersisted before returning — the returned curated
+    * frame stays valid (it recomputes if acted on; the report rows are
+    * already materialized literals). */
   def curate(s: SparkSession, docs: DataFrame,
       t: Thresholds = Thresholds(),
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val keeper = row_number().over(
-      Window.partitionBy(col("__fp")).orderBy(col("doc_id"))) === 1
+    val contam = CorpusPrepOps.contaminatedIds(docs, isEval, t.decontamN)
+      .withColumn("__contam", lit(true))
+    val rep = CorpusPrepOps.repetitionStats(docs)
+      .select(col("doc_id"), col("dup_token_frac"), col("top_2gram_frac"))
     val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
     val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
     val qualityOk = col("__n_tokens") >= t.minTokens &&
       (col("__n_punct") / length(col("text"))) <= t.maxPunctRatio
+    // keeper is chosen AMONG clean docs (the window partitions on the
+    // clean flag too): if a dedup group's minimum doc_id was
+    // decontaminated away, the next clean copy keeps the group alive —
+    // matching the sequential composable stages exactly.
+    val keeper = row_number().over(
+      Window.partitionBy(col("__fp"), col("__clean"))
+        .orderBy(col("doc_id"))) === 1
     val flagged = docs
+      .join(contam, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("__clean", !isEval(col("doc_id")) && col("__contam").isNull)
       .withColumn("__fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .withColumn("__n_tokens", nTokens)
       .withColumn("__n_punct", nPunct)
-      .withColumn("__keeper", keeper)
+      .withColumn("__keeper", keeper && col("__clean"))
       .withColumn("__q_ok", qualityOk)
+      .withColumn("__rep_ok", coalesce(
+        col("dup_token_frac") <= t.maxDupTokenFrac &&
+          col("top_2gram_frac") <= t.maxTop2gramFrac, lit(false)))
     val row = flagged.agg(
       count(lit(1)).as("s0"),
-      sum(when(col("__keeper"), 1L).otherwise(0L)).as("s1"),
-      sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)).as("s2")).head()
-    val (s0, s1, s2) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    val d2 = flagged.filter(col("__keeper") && col("__q_ok"))
+      sum(when(col("__clean"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("__keeper"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
+        .otherwise(0L)).as("s4")).head()
+    val (s0, s1, s2, s3, s4) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val d2 = flagged.filter(col("__keeper") && col("__q_ok") && col("__rep_ok"))
       .select(docs.columns.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d3 = nearDupFilter(s, d2, t, hashFn)
-    val s3 = d3.count()
+    val finalRow = d3.agg(
+      count(lit(1)).as("n"),
+      sum(when(TextOps.scrubPii(col("text")) =!= col("text"), 1L).otherwise(0L))
+        .as("n_pii")).head()
+    val (s5, nPii) = (finalRow.getLong(0), finalRow.getLong(1))
     d2.unpersist(blocking = false)
     val report = Seq(
-      ("input", s0), ("exact_dedup", s1),
-      ("quality_filter", s2), ("near_dup", s3))
+      ("input", s0), ("decontamination", s1), ("exact_dedup", s2),
+      ("quality_filter", s3), ("repetition_filter", s4), ("near_dup", s5),
+      ("pii_scrubbed", nPii))
       .toDF("stage", "n_docs")
-    (d3, report)
+    (d3.withColumn("text", TextOps.scrubPii(col("text"))), report)
   }
 
-  /** DuckDB replay of the WHOLE pipeline's attrition report: exact-dedup
-    * keepers, quality predicates, then the generated minhash-pair CTEs
-    * ([[DedupOps.minhashCtes]]) over the filtered corpus and the
-    * recursive component closure — near_dup survivors = quality-filtered
-    * docs minus non-representative component members. Rows ordered by
+  /** DuckDB replay of the WHOLE pipeline's attrition report:
+    * decontamination ids (5-gram broadcast-join replay), exact-dedup
+    * keepers among clean docs, quality + repetition predicates, then the
+    * generated minhash-pair CTEs ([[DedupOps.minhashCtes]]) over the
+    * filtered corpus and the recursive component closure — near_dup
+    * survivors = repetition-filtered docs minus non-representative
+    * component members — and the surviving-doc PII tally. Rows ordered by
     * stage name (the declared query sorts the same way). */
-  private def curationOracle(t: Thresholds): String =
+  private def curationOracle(t: Thresholds): String = {
+    val scrubbed = TextOps.piiPatterns.foldLeft("text") { case (acc, (kind, p)) =>
+      s"regexp_replace($acc, '$p', '<$kind>', 'g')"
+    }
     s"""
-      WITH RECURSIVE keepers AS (
+      WITH RECURSIVE toks5 AS (
+        SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      sh5 AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - ${t.decontamN - 1}),
+            i -> ${(0 until t.decontamN).map(k => s"ws[i+$k]").mkString(" || ' ' || ")})) AS shingle
+        FROM toks5 WHERE len(ws) >= ${t.decontamN}),
+      contam AS (
+        SELECT DISTINCT t.doc_id FROM sh5 t JOIN sh5 e USING (shingle)
+        WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0),
+      cleaned AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id % 97 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+      keepers AS (
         SELECT MIN(doc_id) AS doc_id
-        FROM documents
+        FROM cleaned
         GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
       d1 AS (
-        SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+        SELECT d.* FROM cleaned d JOIN keepers USING (doc_id)),
       d2 AS (
         SELECT * FROM d1
         WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= ${t.minTokens}
           AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
               / length(text) <= ${t.maxPunctRatio}),
-      ${DedupOps.minhashCtes(t.nearDupJaccard, 32, 8, src = "d2")},
+      reptok AS (SELECT doc_id, unnest(ws) AS tk FROM toks5),
+      repts AS (
+        SELECT doc_id, count(*) AS n_tok, count(DISTINCT tk) AS nd_tok
+        FROM reptok GROUP BY doc_id),
+      repgrams AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1])) AS gram
+        FROM toks5 WHERE len(ws) >= 2),
+      repgc AS (SELECT doc_id, gram, count(*) AS c FROM repgrams GROUP BY doc_id, gram),
+      repgs AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng, max(c) AS topg
+        FROM repgc GROUP BY doc_id),
+      d2r AS (
+        SELECT d2.* FROM d2
+        JOIN repts USING (doc_id) JOIN repgs USING (doc_id)
+        WHERE (n_tok - nd_tok) / n_tok <= ${t.maxDupTokenFrac}
+          AND topg / ng <= ${t.maxTop2gramFrac}),
+      ${DedupOps.minhashCtes(t.nearDupJaccard, 32, 8, src = "d2r")},
       edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION
@@ -134,18 +229,27 @@ object CorpusPipeline {
         UNION
         SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
       comp AS (
-        SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+        SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+      surv AS (
+        SELECT * FROM d2r
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component))
       SELECT stage, n_docs FROM (
         SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL
+        SELECT 'decontamination', (SELECT COUNT(*) FROM cleaned)
         UNION ALL
         SELECT 'exact_dedup', (SELECT COUNT(*) FROM d1)
         UNION ALL
         SELECT 'quality_filter', (SELECT COUNT(*) FROM d2)
         UNION ALL
-        SELECT 'near_dup',
-          (SELECT COUNT(*) FROM d2)
-            - (SELECT COUNT(*) FROM comp WHERE node <> component))
+        SELECT 'repetition_filter', (SELECT COUNT(*) FROM d2r)
+        UNION ALL
+        SELECT 'near_dup', (SELECT COUNT(*) FROM surv)
+        UNION ALL
+        SELECT 'pii_scrubbed',
+          (SELECT COUNT(*) FROM surv WHERE $scrubbed <> text))
       ORDER BY stage"""
+  }
 
   /** The pipeline as a declared query: per-stage counts, hash-matched
     * against the generated DuckDB replay above. Verify runs the

@@ -108,6 +108,19 @@ object CorpusPrepOps extends QueryModule {
     * size-agnostic. */
   val decontamN = 5
 
+  /** Distinct train doc_ids sharing any `n`-gram with the eval set — the
+    * id set both the report below and [[CorpusPipeline]]'s decontamination
+    * stage key off. Eval shingles are broadcast (benchmarks are small by
+    * nature). */
+  def contaminatedIds(documents: DataFrame, isEval: Column => Column,
+      n: Int = decontamN): DataFrame = {
+    val sh = DedupOps.shingleRows(documents, n)
+    val evalSh = sh.filter(isEval(col("doc_id"))).select(col("shingle")).distinct()
+    sh.filter(!isEval(col("doc_id")))
+      .join(broadcast(evalSh), "shingle")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Flag training documents sharing any `n`-gram with an eval/benchmark
     * set — the "did a benchmark leak into the training corpus" pass every
     * serious pretraining run needs. The benchmark side is small by nature,

@@ -2,29 +2,38 @@ package graft
 
 import graft.core.T
 import graft.operators.CorpusPipeline
+import org.apache.spark.sql.functions._
 
 class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   test("curation stages are monotonically non-increasing and drop near-dups") {
     val (curated, report) = CorpusPipeline.curate(
       spark, T(spark, sf0001, "documents"))
     val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("input") == 500)
-    assert(counts("input") >= counts("exact_dedup"))
+    assert(counts("input") >= counts("decontamination"))
+    assert(counts("decontamination") >= counts("exact_dedup"))
     assert(counts("exact_dedup") >= counts("quality_filter"))
-    assert(counts("quality_filter") > counts("near_dup"),
-      "the corpus has planted near-dups; stage 3 must drop some")
+    assert(counts("quality_filter") >= counts("repetition_filter"))
+    assert(counts("repetition_filter") > counts("near_dup"),
+      "the corpus has planted near-dups; the near-dup stage must drop some")
+    assert(counts("pii_scrubbed") <= counts("near_dup"))
     assert(curated.count() == counts("near_dup"))
   }
 
   test("one-pass flag counts agree with the composable stage functions") {
     val docs = T(spark, sf0001, "documents")
+    val t = CorpusPipeline.Thresholds()
     val (_, report) = CorpusPipeline.curate(spark, docs)
     val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val d1 = CorpusPipeline.exactDedup(docs)
+    val d0 = CorpusPipeline.decontaminationFilter(docs, t)
+    assert(counts("decontamination") == d0.count())
+    val d1 = CorpusPipeline.exactDedup(d0)
     assert(counts("exact_dedup") == d1.count())
-    assert(counts("quality_filter") ==
-      CorpusPipeline.qualityFilter(d1, CorpusPipeline.Thresholds()).count())
+    val d2 = CorpusPipeline.qualityFilter(d1, t)
+    assert(counts("quality_filter") == d2.count())
+    assert(counts("repetition_filter") == CorpusPipeline.repetitionFilter(d2, t).count())
   }
 
   test("curation is idempotent: curating the curated corpus is a no-op on near-dups") {
@@ -33,5 +42,21 @@ class CorpusPipelineSpec extends SparkSpec {
     val counts = report2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("input") == counts("near_dup"), "no further attrition")
     assert(again.count() == curated.count())
+  }
+
+  test("curated corpus text is PII-scrubbed and the report counts affected docs") {
+    // fabricate a corpus with PII in one surviving doc
+    val docs = T(spark, sf0001, "documents").limit(50)
+      .withColumn("text",
+        when($"doc_id" === 1, concat($"text", lit(" contact bob@example.com now")))
+          .otherwise($"text"))
+    val (curated, report) = CorpusPipeline.curate(spark, docs)
+    val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val survived = curated.filter($"doc_id" === 1).collect()
+    if (survived.nonEmpty) {
+      assert(survived.head.getAs[String]("text").contains("<email>"))
+      assert(!survived.head.getAs[String]("text").contains("bob@example.com"))
+      assert(counts("pii_scrubbed") >= 1)
+    } else assert(counts("pii_scrubbed") == 0)
   }
 }
