@@ -162,6 +162,19 @@ object CorpusPipeline {
     (d3.withColumn("text", TextOps.scrubPii(col("text"))), report)
   }
 
+  /** The full corpus-to-training-data path in one call: curate (all six
+    * stages), then pack the survivors into token-budget shards and write
+    * them partitioned by shard_id ([[CorpusPrepOps.writeTrainingShards]]).
+    * Returns (attrition report, per-shard summary — read back from the
+    * written files). */
+  def prepareTrainingData(s: SparkSession, docs: DataFrame, path: String,
+      t: Thresholds = Thresholds(),
+      budget: Long = CorpusPrepOps.shardBudget): (DataFrame, DataFrame) = {
+    val (curated, report) = curate(s, docs, t)
+    val shards = CorpusPrepOps.writeTrainingShards(curated, path, budget)
+    (report, shards)
+  }
+
   /** DuckDB replay of the WHOLE pipeline's attrition report:
     * decontamination ids (5-gram broadcast-join replay), exact-dedup
     * keepers among clean docs, quality + repetition predicates, then the

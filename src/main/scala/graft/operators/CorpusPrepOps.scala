@@ -285,6 +285,26 @@ object CorpusPrepOps extends QueryModule {
       FROM c ORDER BY doc_id"""),
     (s, dir) => packShards(T(s, dir, "documents")).orderBy(col("doc_id")))
 
+  /** Materialize a corpus as training shards: pack by token budget, then
+    * write parquet partitioned by `shard_id` — one directory per shard, so
+    * a trainer (or a backfill of one shard) reads exactly the files it
+    * needs via partition pruning. Returns a per-shard summary computed
+    * from the files just WRITTEN (read-back, not lineage), so the numbers
+    * prove the round trip. */
+  def writeTrainingShards(documents: DataFrame, path: String,
+      budget: Long = shardBudget, bucket: Long = packBucket): DataFrame = {
+    val spark = documents.sparkSession
+    val packed = packShards(documents, budget, bucket)
+      .select(col("doc_id"), col("shard_id"), col("n_tokens"))
+    documents
+      .join(packed, "doc_id")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Vocabulary / coverage stats (tokenizer training)
   // ---------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.CorpusPrepOps
+import graft.operators.{CorpusPipeline, CorpusPrepOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,33 @@ class CorpusPrepSpec extends SparkSpec {
     }
     val byAnchor = out.groupBy(_.getAs[Long]("q_id"))
     byAnchor.values.foreach(rs => assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)))
+  }
+
+  test("writeTrainingShards: partition-pruned layout, budget respected, round trip") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val summary = CorpusPrepOps.writeTrainingShards(docs, dir, budget = 2048L)
+      .collect()
+    // one directory per shard (hive-style partition pruning)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(shardDirs.length == summary.length && shardDirs.nonEmpty)
+    // greedy packing: a shard never exceeds budget by more than one doc's tail
+    val maxDoc = docs
+      .select(org.apache.spark.sql.functions.max(
+        graft.operators.TextOps.tokenCount($"text"))).head().getLong(0)
+    summary.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= 2048L + maxDoc,
+        s"shard ${r.getAs[Long]("shard_id")} overflows")
+    }
+    // every doc survives the round trip exactly once
+    assert(summary.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val end2end = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val (report, shards) = CorpusPipeline.prepareTrainingData(
+      spark, docs, end2end)
+    val nearDup = report.collect().find(_.getString(0) == "near_dup").get.getLong(1)
+    assert(shards.collect().map(_.getAs[Long]("n_docs")).sum == nearDup,
+      "every curated doc must land in exactly one shard")
   }
 
   test("packShards two-pass prefix sum equals the naive global window") {
