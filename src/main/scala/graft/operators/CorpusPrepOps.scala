@@ -399,6 +399,51 @@ object CorpusPrepOps extends QueryModule {
       ORDER BY len_bucket"""),
     (s, dir) => lengthHistogram(T(s, dir, "documents")).orderBy(col("len_bucket")))
 
+  // ---------------------------------------------------------------------
+  // Domain-mixing report
+  // ---------------------------------------------------------------------
+
+  /** Per-source token shares plus the up/down-sampling weight that would
+    * equalize the mixture across sources — the report a data-mixing
+    * config starts from. One grouped aggregation; corpus totals are a
+    * broadcast scalar. */
+  def domainMix(documents: DataFrame): DataFrame = {
+    val totals = documents.agg(
+      sum(TextOps.tokenCount(col("text"))).as("corpus_tokens"),
+      countDistinct(col("source")).as("n_sources"))
+    documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("corpus_tokens")).as("token_share"),
+        ((lit(1.0) / col("n_sources")) / (col("n_tokens") / col("corpus_tokens")))
+          .as("uniform_weight"))
+  }
+
+  private val cpMix = QueryDef(
+    "cp_domain_mix",
+    Some("""
+      WITH t AS (
+        SELECT source,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+          count(DISTINCT source) AS n_sources
+        FROM (SELECT source, n_tokens FROM t))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(n_tokens) AS BIGINT) / corpus_tokens AS token_share,
+        (CAST(1 AS DOUBLE) / n_sources)
+          / (CAST(sum(n_tokens) AS BIGINT) / corpus_tokens) AS uniform_weight
+      FROM t, tot
+      GROUP BY source, corpus_tokens, n_sources
+      ORDER BY source"""),
+    (s, dir) => domainMix(T(s, dir, "documents")).orderBy(col("source")))
+
   override val defs: Seq[QueryDef] =
-    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram)
+    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram,
+      cpMix)
 }

@@ -98,6 +98,18 @@ class CorpusPrepSpec extends SparkSpec {
     byAnchor.values.foreach(rs => assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)))
   }
 
+  test("domainMix: shares sum to 1 and weights rebalance to uniform") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusPrepOps.domainMix(docs).collect()
+    assert(math.abs(out.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    // weighted shares are uniform: share * weight == 1/n_sources for every source
+    val n = out.length
+    out.foreach { r =>
+      val reweighted = r.getAs[Double]("token_share") * r.getAs[Double]("uniform_weight")
+      assert(math.abs(reweighted - 1.0 / n) < 1e-12)
+    }
+  }
+
   test("writeTrainingShards: partition-pruned layout, budget respected, round trip") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString

@@ -62,6 +62,13 @@ class PlanAuditSpec extends SparkSpec {
       "per-document running sum must be a partitioned window")
   }
 
+  test("vocab top-K plans as distributed TakeOrdered, not a full global sort (cp)") {
+    val plan = executed("cp_vocab_topk")
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject for the top-K in:\n$plan")
+  }
+
   test("decomposed OR-join runs as shuffled equi-joins, never a nested loop (J2 scale)") {
     val plan = executed("j2_scale_or_join")
     assert(plan.collect {
