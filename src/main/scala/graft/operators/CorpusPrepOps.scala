@@ -68,6 +68,28 @@ object CorpusPrepOps extends QueryModule {
         (col("top_2gram_count") / col("n_2grams")).as("top_2gram_frac"))
   }
 
+  /** Per-row (aggregation-free) forms of the repetition metrics for the
+    * STREAMING path — same values as [[repetitionStats]] (spec-checked),
+    * but computable on a single row, so they run in append-mode
+    * micro-batches with no state. Pass MATERIALIZED attribute columns
+    * (select toks/grams first): inlined expressions re-evaluate inside
+    * the HOF lambdas (the DedupOps.shingleRows trap). */
+  def gramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  def dupTokenFrac(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))) / size(toks)
+
+  /** O(distinct-grams × grams) per row — fine for per-document arrays
+    * (≤ a few hundred grams), not for corpus-wide aggregation, which is
+    * what [[repetitionStats]]'s grouped form is for. */
+  def top2gramFrac(grams: Column): Column =
+    array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))) / size(grams)
+
   private val cpRepetition = QueryDef(
     "cp_repetition",
     Some("""

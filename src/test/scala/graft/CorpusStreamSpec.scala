@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.T
+import graft.operators.{CorpusPipeline, CorpusPrepOps}
+import graft.streaming.CorpusStream
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-row repetition metrics equal the batch groupBy forms") {
+    val docs = T(spark, sf0001, "documents")
+    val batch = CorpusPrepOps.repetitionStats(docs)
+      .select($"doc_id", $"dup_token_frac", $"top_2gram_frac")
+      .orderBy($"doc_id").collect()
+    val perRow = docs
+      .select($"doc_id", graft.operators.DedupOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", CorpusPrepOps.gramsOf($"toks").as("grams"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        CorpusPrepOps.dupTokenFrac($"toks").as("dup_token_frac"),
+        CorpusPrepOps.top2gramFrac($"grams").as("top_2gram_frac"))
+      .orderBy($"doc_id").collect()
+    assert(batch.length == perRow.length)
+    batch.zip(perRow).foreach { case (b, r) =>
+      assert(b.getLong(0) == r.getLong(0))
+      assert(b.getDouble(1) == r.getDouble(1), s"dup frac differs for doc ${b.getLong(0)}")
+      assert(b.getDouble(2) == r.getDouble(2), s"top2 frac differs for doc ${b.getLong(0)}")
+    }
+  }
+
+  test("streaming curation dedups across micro-batches and matches batch flags") {
+    val src = Files.createTempDirectory("cur_src").toString + "/data"
+    val cp = Files.createTempDirectory("cur_cp").toString
+    val out = Files.createTempDirectory("cur_out").toString + "/data"
+    val docs = T(spark, sf0001, "documents").limit(100)
+    docs.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = CorpusStream.curateStream(
+        spark.readStream.schema(schema).parquet(src))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val fpOf = md5(lower(trim(regexp_replace($"text", "\\s+", " "))))
+    val got = spark.read.parquet(out)
+    // no duplicate fingerprints survive
+    val fps = got.select(fpOf.as("fp")).collect().map(_.getString(0))
+    assert(fps.distinct.length == fps.length, "stateful dedup must be exact")
+    // every survivor passes the batch quality + repetition predicates
+    // (scrub is a no-op on this corpus: no PII in the synthetic text)
+    val t = CorpusPipeline.Thresholds()
+    assert(CorpusPipeline.repetitionFilter(
+      CorpusPipeline.qualityFilter(got, t), t).count() == got.count())
+    // fingerprint SET matches the batch path (keeper identity may differ:
+    // first-seen vs min doc_id — same content either way)
+    val batchFps = CorpusPipeline.exactDedup(
+      CorpusPipeline.repetitionFilter(CorpusPipeline.qualityFilter(docs, t), t))
+      .select(fpOf.as("fp")).collect().map(_.getString(0)).sorted
+    assert(fps.sorted.sameElements(batchFps))
+    // batch 2: replay the same docs plus one genuinely new doc
+    docs.limit(10).write.mode("append").parquet(src)
+    Seq((100000L, "a genuinely new document with plenty of distinct words " +
+      "alpha beta gamma delta epsilon zeta eta theta", "en", "srcX", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(src)
+    run()
+    val after = spark.read.parquet(out)
+    assert(after.count() == got.count() + 1,
+      "replayed docs stay suppressed by the state store; the new doc lands")
+  }
+}
