@@ -288,6 +288,59 @@ object EventOps extends QueryModule {
         .orderBy($"event_date", $"event_type")
     })
 
+  /** Weekly cohort retention: users grouped by first-seen week, then
+    * "what fraction of each cohort was active k weeks later" — the
+    * canonical product-analytics dashboard the reference's earnings
+    * dashboards are one step away from. Shape at scale: two keyed
+    * aggregations over (user, week) rows and a broadcast of the tiny
+    * per-cohort sizes; nothing corpus-sized crosses an unpartitioned
+    * boundary. */
+  private val evCohorts = QueryDef(
+    "ev_retention_cohorts",
+    Some("""
+      WITH fs AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+      act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events),
+      cs AS (
+        SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+        FROM fs GROUP BY cohort_week),
+      r AS (
+        SELECT f.cohort_week,
+          date_diff('day', f.cohort_week, a.activity_week) // 7 AS week_offset,
+          count(DISTINCT a.user_id) AS retained
+        FROM act a JOIN fs f USING (user_id)
+        GROUP BY 1, 2)
+      SELECT r.cohort_week, week_offset, retained, cohort_size,
+        retained / cohort_size AS retention_rate
+      FROM r JOIN cs USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""),
+    (s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val firstSeen = ev.groupBy($"user_id")
+        .agg(to_date(date_trunc("week", min($"ts"))).as("cohort_week"))
+      val activity = ev
+        .select($"user_id", to_date(date_trunc("week", $"ts")).as("activity_week"))
+        .distinct()
+      val cohortSizes = firstSeen.groupBy($"cohort_week")
+        .agg(countDistinct($"user_id").as("cohort_size"))
+      activity
+        .join(firstSeen, "user_id")
+        .select($"cohort_week",
+          expr("datediff(activity_week, cohort_week) div 7").as("week_offset"),
+          $"user_id")
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("retained"))
+        .join(broadcast(cohortSizes), "cohort_week")
+        .select($"cohort_week", $"week_offset", $"retained", $"cohort_size",
+          ($"retained" / $"cohort_size").as("retention_rate"))
+        .orderBy($"cohort_week", $"week_offset")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14)
+    Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14,
+      evCohorts)
 }
