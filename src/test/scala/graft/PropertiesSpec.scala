@@ -75,6 +75,23 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // Shard packing: the two-pass distributed prefix sum must give the
+  // same assignment for EVERY bucketing (bucket width is a physical
+  // knob, never a semantic one) and for any budget.
+  property("packShards is bucket-width invariant") = {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(word).map(_.mkString(" ")))
+    forAll(docsGen, Gen.choose(8L, 256L), Gen.choose(1L, 50L)) {
+      (texts, budget, bucket) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        def run(b: Long) = graft.operators.CorpusPrepOps
+          .packShards(docs, budget, b)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+        run(bucket) == run(1000000L) // one bucket == naive global window
+    }
+  }
+
   // A12: applying the same update batch twice is a no-op
   property("merge upsert is idempotent") = {
     import spark.implicits._
