@@ -242,7 +242,20 @@ object CorpusPrepOps extends QueryModule {
       WHERE ('0x' || substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 25, 8))::UBIGINT::BIGINT
               % 1000 < keep_millis
       ORDER BY doc_id"""),
-    (s, dir) => stratifiedSample(T(s, dir, "documents")).orderBy(col("doc_id")))
+    (s, dir) => stratifiedSample(T(s, dir, "documents")).orderBy(col("doc_id")),
+    // production predicate: xxhash64 instead of the md5-portable hash
+    // (same plan — scan, broadcast-free CASE rates, stateless filter)
+    benchBuild = Some { (s, dir) =>
+      val rates = keepMillis.foldLeft(lit(1000L)) { case (acc, (l, m)) =>
+        when(col("lang") === l, m).otherwise(acc)
+      }
+      T(s, dir, "documents")
+        .withColumn("keep_millis", rates)
+        .filter(pmod(xxhash64(col("doc_id")), lit(1000)) < col("keep_millis"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (lit(1000.0) / col("keep_millis")).as("weight"))
+        .orderBy(col("doc_id"))
+    })
 
   // ---------------------------------------------------------------------
   // Token-budget shard packing

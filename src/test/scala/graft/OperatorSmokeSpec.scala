@@ -37,4 +37,15 @@ class OperatorSmokeSpec extends SparkSpec {
         s"$name left persisted RDDs behind")
     }
   }
+
+  // the production variants Bench measures (declared queries use the
+  // oracle-portable hash) must run too — they're never exercised by
+  // Verify, and a broken benchBuild silently zeroes a bench number
+  SparkEntry.all.filter(_.benchBuild.isDefined).foreach { d =>
+    test(s"${d.name} production bench variant runs at sf0.001") {
+      val n = d.benchBuild.get(spark, sf0001).count()
+      if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} bench variant returned 0 rows")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    }
+  }
 }
