@@ -340,7 +340,48 @@ object EventOps extends QueryModule {
         .orderBy($"cohort_week", $"week_offset")
     })
 
+  /** Sessionized event SEQUENCES — each user session rendered as its
+    * ordered event-type chain (`view>click>purchase`): the dataset a
+    * behavioral/recommendation model trains on. Same session_window
+    * state as ev_session_window; the sequence is a sorted struct
+    * collect folded to a string — deterministic (event_id breaks ts
+    * ties), and the collect is per-session (bounded by the gap), never
+    * per-user-history. */
+  private val evSequences = QueryDef(
+    "ev_session_sequences",
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    >= INTERVAL 30 MINUTE THEN 1
+               WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+               ELSE 0 END AS is_start
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+          SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""),
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct($"ts", $"event_id", $"event_type")))
+            .as("evs"))
+        .select(
+          $"user_id", $"session_window.start".as("session_start"), $"n_events",
+          concat_ws(">", transform($"evs", e => e("event_type"))).as("sequence"))
+        .orderBy($"user_id", $"session_start")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14,
-      evCohorts)
+      evCohorts, evSequences)
 }

@@ -230,6 +230,56 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** TF-IDF keyword extraction, log-free: score = tf × (N / df). The
+    * standard idf uses ln(N/df); ln is a libm call with no cross-engine
+    * bit guarantee, and the RANKING is identical under any monotone
+    * transform of N/df — so the oracle-checked score skips the log.
+    * Shape at scale: two keyed aggregations (term frequency by (doc,
+    * token), document frequency by token) joined on token — the
+    * inverted-index join — then a per-doc top-3 window. */
+  private val taTfidf = QueryDef(
+    "ta_tfidf_keywords",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf.tf, dfx.df,
+          tf.tf * (n.n_docs / dfx.df) AS score
+        FROM tf JOIN dfx USING (token), n),
+      ranked AS (
+        SELECT doc_id, token, tf, df, score,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, token ASC) AS rank
+        FROM scored)
+      SELECT doc_id, rank, token, tf, df, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank"""),
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val tf = docs
+        .select($"doc_id", explode(DedupOps.tokens($"text")).as("token"))
+        .groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token".asc)
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"token", $"tf", $"df",
+          ($"tf" * ($"n_docs" / $"df")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii)
+    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf)
 }
