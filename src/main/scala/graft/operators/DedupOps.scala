@@ -365,9 +365,14 @@ object DedupOps extends QueryModule {
     * errors on overflow instead of wrapping). */
   val minhashPrime: Long = 4294967291L
 
+  /** `pairPredicate(docA, docB)` prunes candidate pairs AT GENERATION
+    * (inside the band-bucket join), before any verify work — e.g. the
+    * cross-corpus restriction of [[ddIncremental]]. Defaults to all
+    * pairs. */
   def minhashNearDups(s: SparkSession, documents: DataFrame,
       threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8,
-      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed)),
+      pairPredicate: (Column, Column) => Column = (_, _) => lit(true)): DataFrame = {
     import s.implicits._
     val rowsPerBand = numPerms / bands
     val sh = shingleRows(documents)
@@ -395,7 +400,8 @@ object DedupOps extends QueryModule {
     val cands = banded.as("x")
       .join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
-          $"x.doc_id" < $"y.doc_id")
+          $"x.doc_id" < $"y.doc_id" &&
+          pairPredicate($"x.doc_id", $"y.doc_id"))
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
     val sizes = sig.select($"doc_id", $"n_sh")
@@ -566,7 +572,46 @@ object DedupOps extends QueryModule {
       simhashHammingPairs(T(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))))
 
+  /** Incremental ingest dedup: near-dup pairs BETWEEN a new batch
+    * (doc_id % 10 = 0 stands in for "this batch" — scale-factor
+    * independent) and the existing corpus — the shape every continuous
+    * ingestion pipeline runs per batch. The cross-corpus restriction is
+    * applied INSIDE the band-bucket join (pairPredicate), so within-batch
+    * and within-corpus pairs never reach the verify stage. At 100 TB the
+    * corpus-side signatures/buckets would be a persisted index rather
+    * than recomputed — the query pins the join/verify semantics that
+    * index serves. */
+  private def incrementalPairs(s: SparkSession, docs: DataFrame,
+      hashFn: (Column, Int) => Column): DataFrame = {
+    val isNew: Column => Column = id => id % 10 === 0
+    minhashNearDups(s, docs, hashFn = hashFn,
+      pairPredicate = (a, b) => isNew(a) =!= isNew(b))
+      .select(
+        when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_old"),
+        when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_new"),
+        col("jaccard"))
+      .orderBy(col("doc_old"), col("doc_new"))
+  }
+
+  private val ddIncremental = QueryDef(
+    "dd_incremental_neardup",
+    Some(s"""
+      WITH ${minhashCtes(0.5, 32, 8)}
+      SELECT
+        CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_old,
+        CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+        jaccard
+      FROM pairs
+      WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+      ORDER BY doc_old, doc_new"""),
+    (s, dir) => incrementalPairs(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash),
+    benchBuild = Some((s, dir) => incrementalPairs(s, T(s, dir, "documents"),
+      hashFn = (c, seed) => xxhash64(c, lit(seed)))))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
-      ddSimhashHamming)
+      ddSimhashHamming, ddIncremental)
 }

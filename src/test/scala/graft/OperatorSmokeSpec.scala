@@ -12,7 +12,7 @@ class OperatorSmokeSpec extends SparkSpec {
   // sim_lsh_ann is deliberately NOT here: as top-k-per-query it must
   // always return rows — it was empty for two rounds and nothing failed.
   private val mayBeEmpty = Set(
-    "dd_minhash_lsh", "dd_ngram_jaccard",
+    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_incremental_neardup",
     "j10_anti_join_not_exists", "p3_date_eq_filter", "p5_calendar_bucket_filter",
     "a12_merge_audit")
 
