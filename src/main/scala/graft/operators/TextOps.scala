@@ -280,6 +280,48 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id", $"rank")
     })
 
+  /** Count-based bigram language model (KenLM-style counts): corpus-wide
+    * bigram frequencies with exact conditional probabilities
+    * p(w2|w1) = c(w1,w2) / Σ_w c(w1,w). Bigrams never span documents.
+    * The table a count-LM quality filter scores against. Shape at scale:
+    * one keyed count per bigram (map-side combinable) + a per-context
+    * aggregate joined back — both shuffles carry two short words. */
+  private val taBigramLm = QueryDef(
+    "ta_bigram_lm",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      grams AS (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+          i -> [ws[i], ws[i+1]])) AS g
+        FROM toks WHERE len(ws) >= 2),
+      bi AS (
+        SELECT g[1] AS w1, g[2] AS w2, count(*) AS n
+        FROM grams GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_ctx FROM bi GROUP BY w1)
+      SELECT w1, w2, n, n_ctx, n / n_ctx AS cond_p
+      FROM bi JOIN ctx USING (w1)
+      ORDER BY w1, w2"""),
+    (s, dir) => {
+      import s.implicits._
+      val bi = T(s, dir, "documents")
+        .select(DedupOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"toks", explode(sequence(lit(0), size($"toks") - 2)).as("i"))
+        .select(
+          element_at($"toks", $"i" + 1).as("w1"),
+          element_at($"toks", $"i" + 2).as("w2"))
+        .groupBy($"w1", $"w2")
+        .agg(count(lit(1)).as("n"))
+      val ctx = bi.groupBy($"w1").agg(sum($"n").as("n_ctx"))
+      bi.join(ctx, "w1")
+        .select($"w1", $"w2", $"n", $"n_ctx", ($"n" / $"n_ctx").as("cond_p"))
+        .orderBy($"w1", $"w2")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf)
+    Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
+      taBigramLm)
 }
