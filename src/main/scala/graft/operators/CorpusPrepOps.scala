@@ -435,6 +435,57 @@ object CorpusPrepOps extends QueryModule {
     (s, dir) => lengthHistogram(T(s, dir, "documents")).orderBy(col("len_bucket")))
 
   // ---------------------------------------------------------------------
+  // Corpus diversity (dataset-version tracking)
+  // ---------------------------------------------------------------------
+
+  /** Per-source lexical diversity: type-token ratio and distinct-3-gram
+    * ratio — the cheap drift metrics teams chart across corpus versions
+    * (a collapsing ratio flags boilerplate flooding a source). Two
+    * count-distinct aggregations keyed by source. */
+  def diversityReport(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("source"),
+      explode(DedupOps.tokens(col("text"))).as("t"))
+    val tokStats = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("t")).as("n_types"))
+    val grams = DedupOps.shingleRows(
+      documents.select(col("doc_id"), col("text")), 3)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val gramStats = grams.groupBy(col("source"))
+      .agg(countDistinct(col("shingle")).as("n_distinct_3grams"))
+    tokStats.join(gramStats, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types") / col("n_tokens")).as("type_token_ratio"),
+        col("n_distinct_3grams"))
+  }
+
+  private val cpDiversity = QueryDef(
+    "cp_diversity",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      tok AS (SELECT source, unnest(ws) AS t FROM toks),
+      ts AS (
+        SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS n_types
+        FROM tok GROUP BY source),
+      sh AS (
+        SELECT DISTINCT doc_id, source,
+          unnest(list_transform(generate_series(1, len(ws) - 2),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM toks WHERE len(ws) >= 3),
+      gs AS (
+        SELECT source, count(DISTINCT shingle) AS n_distinct_3grams
+        FROM sh GROUP BY source)
+      SELECT source, n_tokens, n_types,
+        n_types / n_tokens AS type_token_ratio,
+        n_distinct_3grams
+      FROM ts JOIN gs USING (source)
+      ORDER BY source"""),
+    (s, dir) => diversityReport(T(s, dir, "documents")).orderBy(col("source")))
+
+  // ---------------------------------------------------------------------
   // Domain-mixing report
   // ---------------------------------------------------------------------
 
@@ -480,5 +531,5 @@ object CorpusPrepOps extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram,
-      cpMix)
+      cpMix, cpDiversity)
 }
