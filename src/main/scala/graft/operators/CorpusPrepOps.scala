@@ -485,6 +485,32 @@ object CorpusPrepOps extends QueryModule {
       ORDER BY source"""),
     (s, dir) => diversityReport(T(s, dir, "documents")).orderBy(col("source")))
 
+  /** Per-source exact-duplication rate — "which feed is sending us the
+    * same documents over and over": fingerprint count-distinct per
+    * source. The shuffle carries (source, 16-byte hash) only. */
+  private val cpDupRate = QueryDef(
+    "cp_dup_rate_by_source",
+    Some("""
+      WITH f AS (
+        SELECT source,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        count(DISTINCT fp) AS n_unique,
+        (count(*) - count(DISTINCT fp)) / count(*) AS dup_rate
+      FROM f
+      GROUP BY source
+      ORDER BY source"""),
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("source"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")) / col("n_docs")).as("dup_rate"))
+        .orderBy(col("source")))
+
   // ---------------------------------------------------------------------
   // Domain-mixing report
   // ---------------------------------------------------------------------
@@ -531,5 +557,5 @@ object CorpusPrepOps extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram,
-      cpMix, cpDiversity)
+      cpMix, cpDiversity, cpDupRate)
 }

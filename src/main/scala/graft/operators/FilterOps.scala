@@ -276,6 +276,35 @@ object FilterOps extends QueryModule {
         .limit(5)
     })
 
+  /** O7 (beyond parity): KEYSET pagination — "page after cursor" via a
+    * row-value seek predicate instead of OFFSET. Offset pagination
+    * (o5, matching the reference) sorts-and-skips O(offset) rows per
+    * page; the seek predicate prunes everything before the cursor AT THE
+    * SCAN (PushedFilters carries the acctbal bound), so page 1000 costs
+    * the same as page 1 — the only pagination that survives a 100 TB
+    * table. Cursor = the (c_acctbal, c_custkey) of the previous page's
+    * last row; the strict lexicographic `<` mirrors the DESC/ASC order. */
+  def keysetPage(customers: org.apache.spark.sql.DataFrame,
+      lastBal: Double, lastKey: Long, pageSize: Int): org.apache.spark.sql.DataFrame =
+    customers
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .filter(col("c_acctbal") < lastBal ||
+        (col("c_acctbal") === lastBal && col("c_custkey") > lastKey))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(pageSize)
+
+  private val o7 = QueryDef(
+    "o7_keyset_pagination",
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE c_acctbal < 9000.0
+         OR (c_acctbal = 9000.0 AND c_custkey > 42)
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 10"""),
+    (s, dir) => keysetPage(T(s, dir, "customer"),
+      lastBal = 9000.0, lastKey = 42L, pageSize = 10))
+
   /** F8: CASE WHEN value-mapping into buckets, grouped.
     * Ref: DOW→Spanish names `earnings_by_day_of_week.sql:1-9`. */
   private val f8 = QueryDef(
@@ -335,5 +364,5 @@ object FilterOps extends QueryModule {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(p1, p3, p4, p5, p6, p7, p8, o2, o3, o4, o5, o6, f8, f16)
+    Seq(p1, p3, p4, p5, p6, p7, p8, o2, o3, o4, o5, o6, o7, f8, f16)
 }

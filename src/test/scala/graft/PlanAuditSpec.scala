@@ -62,6 +62,14 @@ class PlanAuditSpec extends SparkSpec {
       "per-document running sum must be a partitioned window")
   }
 
+  test("keyset pagination pushes the cursor predicate to the parquet scan (O7)") {
+    val scans = executed("o7_keyset_pagination")
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(_.contains("c_acctbal"))),
+      "the seek predicate must reach the scan — that's what makes page N cost page 1")
+  }
+
   test("vocab top-K plans as distributed TakeOrdered, not a full global sort (cp)") {
     val plan = executed("cp_vocab_topk")
     assert(plan.collect {
