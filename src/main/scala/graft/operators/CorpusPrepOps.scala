@@ -485,6 +485,43 @@ object CorpusPrepOps extends QueryModule {
       ORDER BY source"""),
     (s, dir) => diversityReport(T(s, dir, "documents")).orderBy(col("source")))
 
+  /** Adaptive quality thresholding: keep everything but the worst decile
+    * of punctuation-noise PER LANGUAGE — absolute thresholds misfire
+    * across languages, percentile cuts self-calibrate. Declared with the
+    * exact `percent_rank` (oracle-replayable); at 100 TB the same cut is
+    * one `approx_percentile(punct_ratio, 0.9)` per language (tiny,
+    * broadcast) followed by a stateless filter — no full-partition sort,
+    * same semantics up to sketch error. */
+  private val cpQualityPct = QueryDef(
+    "cp_quality_percentile",
+    Some("""
+      WITH q AS (
+        SELECT doc_id, lang,
+          length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+            / length(text) AS punct_ratio
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang, punct_ratio,
+          percent_rank() OVER (PARTITION BY lang
+                               ORDER BY punct_ratio ASC, doc_id ASC) AS pr
+        FROM q)
+      SELECT doc_id, lang, punct_ratio, pr, pr <= 0.9 AS keep
+      FROM r
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val punct = (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+        / length(col("text"))).as("punct_ratio")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("punct_ratio").asc, col("doc_id").asc)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), punct)
+        .withColumn("pr", percent_rank().over(w))
+        .select(col("doc_id"), col("lang"), col("punct_ratio"), col("pr"),
+          (col("pr") <= 0.9).as("keep"))
+        .orderBy(col("doc_id"))
+    })
+
   /** Per-source exact-duplication rate — "which feed is sending us the
     * same documents over and over": fingerprint count-distinct per
     * source. The shuffle carries (source, 16-byte hash) only. */
@@ -557,5 +594,5 @@ object CorpusPrepOps extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram,
-      cpMix, cpDiversity, cpDupRate)
+      cpMix, cpDiversity, cpDupRate, cpQualityPct)
 }
