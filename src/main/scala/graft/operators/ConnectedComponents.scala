@@ -27,22 +27,47 @@ object ConnectedComponents {
     *
     * Iterations are bounded by `maxIter` (the algorithm provably needs
     * O(log² n); 25 rounds covers any realistic graph) and stop early on
-    * a fixed point, detected by an order-insensitive edge-set checksum
-    * (count + sum of pair-hashes — one action per round). Each round is
-    * RELIABLY checkpointed to cut lineage — without the cut the plan
-    * grows geometrically per round; with `localCheckpoint` the persisted
-    * RDDs would outlive the call (cache-leak invariant) and not survive
-    * executor loss. A temp checkpoint dir is provisioned when the
-    * session has none; cluster deployments should `setCheckpointDir` to
-    * durable storage. */
+    * a fixed point: an order-insensitive edge-set checksum (count + sum
+    * of pair-hashes — one cheap action per round) gates an EXACT
+    * `except`-based set-equality confirmation, so a checksum collision
+    * cannot fake convergence. If `maxIter` is exhausted without a fixed
+    * point the call FAILS (IllegalStateException) rather than silently
+    * labeling from a non-star edge set — downstream `nearDupFilter`
+    * drops documents by these labels, so a wrong label is silent data
+    * loss. Each round is RELIABLY checkpointed to cut lineage — without
+    * the cut the plan grows geometrically per round; with
+    * `localCheckpoint` the persisted RDDs would outlive the call
+    * (cache-leak invariant) and not survive executor loss. A temp
+    * checkpoint dir is provisioned when the session has none; cluster
+    * deployments should `setCheckpointDir` to durable storage.
+    * Checkpoint data from round N is DELETED as soon as round N+1 is
+    * checkpointed (Spark never cleans reliable checkpoints itself, so
+    * Bench-style repeated calls would otherwise leak disk for the JVM's
+    * lifetime); the final round's files — which the returned DataFrame
+    * still reads — are registered for deletion at FileSystem close.
+    * Round attribution is by checkpoint-dir listing diff, so concurrent
+    * `components` calls on one session should use distinct checkpoint
+    * dirs. */
   def components(s: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import s.implicits._
     val Array(ca, cb) = edges.columns.take(2)
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
-    def cut(df: DataFrame): DataFrame = df.checkpoint()
-    var e = cut(edges
+    val ckptRoot = new org.apache.hadoop.fs.Path(s.sparkContext.getCheckpointDir.get)
+    val fs = ckptRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rddDirs(): Set[String] =
+      if (fs.exists(ckptRoot)) fs.listStatus(ckptRoot).map(_.getPath.toString).toSet
+      else Set.empty[String]
+    // checkpoint df, returning the dirs this round created
+    def cut(df: DataFrame): (DataFrame, Set[String]) = {
+      val before = rddDirs()
+      val out = df.checkpoint()
+      (out, rddDirs() -- before)
+    }
+    def drop(dirs: Set[String]): Unit =
+      dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    var (e, eDirs) = cut(edges
       .select(col(ca).cast(LongType).as("u"), col(cb).cast(LongType).as("v"))
       .filter($"u" =!= $"v")
       .distinct())
@@ -75,13 +100,24 @@ object ConnectedComponents {
       val ss = smaller.join(minsS, "u")
         .select($"v".as("u"), $"m".as("v"))
         .union(minsS.select($"u", $"m".as("v")))
-      val next = cut(ss.filter($"u" =!= $"v").distinct())
+      val (next, nextDirs) = cut(ss.filter($"u" =!= $"v").distinct())
       val nextSig = checksum(next)
-      converged = nextSig == sig
+      // checksum equality is the cheap gate; exact set equality confirms
+      // (counts already match, so one-direction except suffices)
+      converged = nextSig == sig && next.except(e).isEmpty
+      drop(eDirs) // round N's checkpoint is dead once round N+1 exists
       e = next
+      eDirs = nextDirs
       sig = nextSig
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIter rounds — " +
+          "component labels would be wrong; raise maxIter")
+    // the returned DataFrame still reads the final round's checkpoint:
+    // delete it at FileSystem close, not now
+    eDirs.foreach(d => fs.deleteOnExit(new org.apache.hadoop.fs.Path(d)))
     // At the fixed point edges form stars (node -> component min); the
     // min itself appears only on the right — add roots as self-labeled.
     val nonRoots = e.select($"u".as("node"), $"v".as("component"))

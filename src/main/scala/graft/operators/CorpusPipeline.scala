@@ -43,9 +43,19 @@ object CorpusPipeline {
       .join(contam, Seq("doc_id"), "left_anti")
   }
 
+  /** Case/whitespace normalization — the SAME form the dedup fingerprint
+    * hashes. Quality predicates are computed over THIS text (not the raw
+    * bytes) so that same-fingerprint documents always share the same
+    * quality decision — the invariant that keeps batch curation (keeper =
+    * min doc_id per fingerprint) and streaming curation (first-seen-wins
+    * after per-row filters) selecting the same fingerprint SET even when
+    * copies differ in case or whitespace. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
   /** Stage 1: exact dedup on the normalized-text fingerprint. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val fp = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val fp = md5(normText(col("text")))
     val keepers = docs
       .groupBy(fp.as("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -53,13 +63,16 @@ object CorpusPipeline {
     docs.join(keepers, Seq("doc_id"), "left_semi")
   }
 
-  /** Stage 2: mechanical quality filters (token count, punctuation). */
+  /** Stage 2: mechanical quality filters (token count, punctuation) —
+    * evaluated over [[normText]] so the decision is a pure function of
+    * the dedup fingerprint (see normText's contract). */
   def qualityFilter(docs: DataFrame, t: Thresholds): DataFrame = {
-    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
-    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val norm = normText(col("text"))
+    val nTokens = size(split(norm, " ")).cast(LongType)
+    val nPunct = length(regexp_replace(norm, "[a-z0-9 ]", ""))
     docs
       .withColumn("__n_tokens", nTokens)
-      .withColumn("__punct_ratio", nPunct / length(col("text")))
+      .withColumn("__punct_ratio", nPunct / length(norm))
       .filter(col("__n_tokens") >= t.minTokens &&
         col("__punct_ratio") <= t.maxPunctRatio)
       .drop("__n_tokens", "__punct_ratio")
@@ -112,10 +125,10 @@ object CorpusPipeline {
       .withColumn("__contam", lit(true))
     val rep = CorpusPrepOps.repetitionStats(docs)
       .select(col("doc_id"), col("dup_token_frac"), col("top_2gram_frac"))
-    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
-    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val nTokens = size(split(col("__norm"), " ")).cast(LongType)
+    val nPunct = length(regexp_replace(col("__norm"), "[a-z0-9 ]", ""))
     val qualityOk = col("__n_tokens") >= t.minTokens &&
-      (col("__n_punct") / length(col("text"))) <= t.maxPunctRatio
+      (col("__n_punct") / length(col("__norm"))) <= t.maxPunctRatio
     // keeper is chosen AMONG clean docs (the window partitions on the
     // clean flag too): if a dedup group's minimum doc_id was
     // decontaminated away, the next clean copy keeps the group alive —
@@ -127,7 +140,8 @@ object CorpusPipeline {
       .join(contam, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
       .withColumn("__clean", !isEval(col("doc_id")) && col("__contam").isNull)
-      .withColumn("__fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("__norm", normText(col("text")))
+      .withColumn("__fp", md5(col("__norm")))
       .withColumn("__n_tokens", nTokens)
       .withColumn("__n_punct", nPunct)
       .withColumn("__keeper", keeper && col("__clean"))
@@ -135,13 +149,16 @@ object CorpusPipeline {
       .withColumn("__rep_ok", coalesce(
         col("dup_token_frac") <= t.maxDupTokenFrac &&
           col("top_2gram_frac") <= t.maxTop2gramFrac, lit(false)))
+    // sum over ZERO rows is null, not 0 — coalesce so an empty corpus (or
+    // thresholds that drop everything) reports zeros instead of NPE-ing
     val row = flagged.agg(
       count(lit(1)).as("s0"),
-      sum(when(col("__clean"), 1L).otherwise(0L)).as("s1"),
-      sum(when(col("__keeper"), 1L).otherwise(0L)).as("s2"),
-      sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)).as("s3"),
-      sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
-        .otherwise(0L)).as("s4")).head()
+      coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
+      coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
+      coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
+        lit(0L)).as("s3"),
+      coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
+        .otherwise(0L)), lit(0L)).as("s4")).head()
     val (s0, s1, s2, s3, s4) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
     val d2 = flagged.filter(col("__keeper") && col("__q_ok") && col("__rep_ok"))
@@ -150,8 +167,9 @@ object CorpusPipeline {
     val d3 = nearDupFilter(s, d2, t, hashFn)
     val finalRow = d3.agg(
       count(lit(1)).as("n"),
-      sum(when(TextOps.scrubPii(col("text")) =!= col("text"), 1L).otherwise(0L))
-        .as("n_pii")).head()
+      coalesce(
+        sum(when(TextOps.scrubPii(col("text")) =!= col("text"), 1L).otherwise(0L)),
+        lit(0L)).as("n_pii")).head()
     val (s5, nPii) = (finalRow.getLong(0), finalRow.getLong(1))
     d2.unpersist(blocking = false)
     val report = Seq(
@@ -210,10 +228,12 @@ object CorpusPipeline {
       d1 AS (
         SELECT d.* FROM cleaned d JOIN keepers USING (doc_id)),
       d2 AS (
-        SELECT * FROM d1
-        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= ${t.minTokens}
-          AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-              / length(text) <= ${t.maxPunctRatio}),
+        -- quality over the NORMALIZED text (toks5.ws is its token split),
+        -- mirroring qualityFilter's normText contract
+        SELECT d1.* FROM d1 JOIN toks5 USING (doc_id)
+        WHERE len(ws) >= ${t.minTokens}
+          AND length(regexp_replace(array_to_string(ws, ' '), '[a-z0-9 ]', '', 'g'))
+              / length(array_to_string(ws, ' ')) <= ${t.maxPunctRatio}),
       reptok AS (SELECT doc_id, unnest(ws) AS tk FROM toks5),
       repts AS (
         SELECT doc_id, count(*) AS n_tok, count(DISTINCT tk) AS nd_tok

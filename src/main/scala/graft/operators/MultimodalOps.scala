@@ -134,15 +134,26 @@ object MultimodalOps extends QueryModule {
       ("png", be32(16), be32(20), 0L)
     else if (bytes.length >= 12 && ascii(0, 4) == "RIFF" &&
         ascii(8, 4) == "WAVE") {
-      // chunk walk: fmt/data may sit anywhere after the RIFF header
-      var o = 12; var byteRate = -1; var dataSize = -1
-      while (o + 8 <= bytes.length && (byteRate < 0 || dataSize < 0)) {
+      // chunk walk: fmt/data may sit anywhere after the RIFF header.
+      // Size fields are attacker-controlled data at corpus scale: a
+      // negative size must not stall the walk (hung task) and a
+      // truncated fmt chunk must not throw — malformed structure
+      // classifies as "unknown", honoring the corrupt-rows-are-data
+      // contract above.
+      var o = 12; var byteRate = -1; var dataSize = -1; var malformed = false
+      while (!malformed && o + 8 <= bytes.length && (byteRate < 0 || dataSize < 0)) {
         val id = ascii(o, 4); val sz = le32(o + 4)
-        if (id == "fmt ") byteRate = le32(o + 16)
-        else if (id == "data") dataSize = sz
-        o += 8 + sz + (sz & 1) // chunks are word-aligned
+        if (sz < 0) malformed = true
+        else {
+          if (id == "fmt ") {
+            if (o + 20 <= bytes.length) byteRate = le32(o + 16)
+            else malformed = true // truncated fmt chunk
+          } else if (id == "data") dataSize = sz
+          // Long arithmetic: o + 8 + sz can overflow Int near MaxValue
+          o = math.min(o.toLong + 8L + sz.toLong + (sz & 1), bytes.length.toLong).toInt
+        }
       }
-      if (byteRate > 0 && dataSize >= 0)
+      if (!malformed && byteRate > 0 && dataSize >= 0)
         ("wav", -1, -1, dataSize.toLong * 1000L / byteRate)
       else ("unknown", -1, -1, -1L)
     } else ("unknown", -1, -1, -1L)

@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.LongType
   *  - exact dedup is the one STATEFUL stage: first-seen-wins on the
   *    content fingerprint via the [[StreamingIngest.dedupStream]] state
   *    store — the only semantic difference from batch curation, which
-  *    keeps the minimum doc_id (same-content copies share every per-row
-  *    flag, so the surviving fingerprint SET is identical, spec-checked);
+  *    keeps the minimum doc_id. Same-FINGERPRINT copies (byte-identical
+  *    or differing only in case/whitespace) share every per-row flag
+  *    because all flags are computed over [[CorpusPipeline.normText]] —
+  *    the text the fingerprint hashes — so the surviving fingerprint SET
+  *    is identical to batch (spec-checked, including a whitespace-variant
+  *    copy);
   *  - the corpus-JOIN stages — benchmark decontamination and minhash
   *    near-dup — need a corpus-wide index and deliberately stay in the
   *    periodic batch compaction pass over the accumulated silver table
@@ -29,22 +33,23 @@ object CorpusStream {
     * append-mode safe. */
   def curateStream(docs: DataFrame,
       t: CorpusPipeline.Thresholds = CorpusPipeline.Thresholds()): DataFrame = {
-    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
-    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val norm = CorpusPipeline.normText(col("text"))
+    val nTokens = size(col("__toks")).cast(LongType)
+    val nPunct = length(regexp_replace(col("__norm"), "[a-z0-9 ]", ""))
     val flagged = docs
+      .withColumn("__norm", norm)
       .withColumn("__toks", DedupOps.tokens(col("text")))
       .withColumn("__grams", CorpusPrepOps.gramsOf(col("__toks")))
       .withColumn("__q_ok",
         nTokens >= t.minTokens &&
-          (nPunct / length(col("text"))) <= t.maxPunctRatio)
+          (nPunct / length(col("__norm"))) <= t.maxPunctRatio)
       .withColumn("__rep_ok", coalesce(
         CorpusPrepOps.dupTokenFrac(col("__toks")) <= t.maxDupTokenFrac &&
           CorpusPrepOps.top2gramFrac(col("__grams")) <= t.maxTop2gramFrac,
         lit(false)))
       .filter(col("__q_ok") && col("__rep_ok"))
-      // fingerprint the ORIGINAL text (matching batch), scrub after
-      .withColumn("__fp",
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      // fingerprint the ORIGINAL (normalized) text (matching batch), scrub after
+      .withColumn("__fp", md5(col("__norm")))
       .withColumn("text", TextOps.scrubPii(col("text")))
     val recSchema = org.apache.spark.sql.types.StructType(
       docs.schema.fields)

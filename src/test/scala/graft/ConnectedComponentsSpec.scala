@@ -54,6 +54,32 @@ class ConnectedComponentsSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("exhausting maxIter fails loudly instead of returning wrong labels") {
+    val edges = (1L to 40L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.components(spark, edges.toDF("a", "b"), maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("intermediate-round checkpoints are deleted; only the final round remains") {
+    val root = java.nio.file.Files.createTempDirectory("cc_ckpt_test").toString
+    spark.sparkContext.setCheckpointDir(root)
+    val ckptDir = spark.sparkContext.getCheckpointDir.get
+    val rnd = new scala.util.Random(3)
+    val ids = rnd.shuffle((0L until 50L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val out = ConnectedComponents.components(spark, edges.toDF("a", "b"))
+    assert(out.collect().length == 50) // result readable AFTER cleanup ran
+    val p = new org.apache.hadoop.fs.Path(ckptDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = fs.listStatus(p).length
+    // a 50-node shuffled chain takes several rounds; all but the final
+    // round's checkpoint must be gone (Spark never cleans these itself)
+    assert(remaining <= 1,
+      s"intermediate checkpoints leaked: $remaining dirs under $ckptDir")
+  }
+
   test("near-dup filter keeps exactly one doc per connected component") {
     val docs = T(spark, sf0001, "documents")
     val t = CorpusPipeline.Thresholds()

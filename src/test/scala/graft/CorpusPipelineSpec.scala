@@ -44,6 +44,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again.count() == curated.count())
   }
 
+  test("curate reports zeros, not NPE, when thresholds drop every document") {
+    val t = CorpusPipeline.Thresholds(minTokens = 1000000)
+    val (curated, report) = CorpusPipeline.curate(
+      spark, T(spark, sf0001, "documents").limit(20), t)
+    val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("quality_filter") == 0)
+    assert(counts("near_dup") == 0)
+    assert(counts("pii_scrubbed") == 0)
+    assert(curated.count() == 0)
+  }
+
   test("curated corpus text is PII-scrubbed and the report counts affected docs") {
     // fabricate a corpus with PII in one surviving doc
     val docs = T(spark, sf0001, "documents").limit(50)

@@ -75,4 +75,52 @@ class CorpusStreamSpec extends SparkSpec {
     assert(after.count() == got.count() + 1,
       "replayed docs stay suppressed by the state store; the new doc lands")
   }
+
+  test("whitespace-variant copies share flags: stream and batch keep the same fp set") {
+    // Doc 1 fails the punct-ratio cut on NORMALIZED text; doc 2 is the
+    // same content padded with extra whitespace — under raw-text flags its
+    // ratio would pass, and the stream would keep a fingerprint batch
+    // drops. Docs 3/4 are a passing pair: exactly one survivor each path.
+    // 35 commas over 105 normalized chars = 0.333 > 0.30 (fails on norm);
+    // padding adds 23 whitespace chars: 35/128 = 0.273 <= 0.30 (raw passes)
+    val failing = (1 to 20).map(i => s"w$i" + (if (i <= 15) ",," else ","))
+      .mkString(" ")
+    val passing = (1 to 20).map(i => s"tok$i").mkString(" ")
+    def pad(s: String) = "  " + s.replace(" ", "  ") + "  "
+    val docs = Seq(
+      (1L, failing, "en", "srcA", failing.length.toLong),
+      (2L, pad(failing), "en", "srcA", pad(failing).length.toLong),
+      (3L, passing, "en", "srcA", passing.length.toLong),
+      (4L, pad(passing), "en", "srcA", pad(passing).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = CorpusPipeline.Thresholds()
+    // sanity: the divergence trap is armed — raw-text ratio of the padded
+    // copy is under the threshold while the normalized ratio is over it
+    val rawRatio = docs.filter($"doc_id" === 2).select(
+      length(regexp_replace($"text", "[a-zA-Z0-9 ]", "")) / length($"text"))
+      .head().getDouble(0)
+    assert(rawRatio <= t.maxPunctRatio, "padded copy must pass under RAW flags")
+    val src = Files.createTempDirectory("wsv_src").toString + "/data"
+    val cp = Files.createTempDirectory("wsv_cp").toString
+    val outP = Files.createTempDirectory("wsv_out").toString + "/data"
+    docs.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = CorpusStream.curateStream(
+      spark.readStream.schema(schema).parquet(src), t)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outP)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fpOf = md5(lower(trim(regexp_replace($"text", "\\s+", " "))))
+    val streamFps = spark.read.parquet(outP)
+      .select(fpOf.as("fp")).collect().map(_.getString(0)).sorted
+    val batchFps = CorpusPipeline.exactDedup(
+      CorpusPipeline.repetitionFilter(CorpusPipeline.qualityFilter(docs, t), t))
+      .select(fpOf.as("fp")).collect().map(_.getString(0)).sorted
+    assert(streamFps.sameElements(batchFps),
+      s"stream ${streamFps.length} fps vs batch ${batchFps.length}")
+    assert(streamFps.length == 1, "only the passing pair survives, deduped to one")
+  }
 }

@@ -95,6 +95,34 @@ class MultimodalSpec extends SparkSpec {
       ("unknown", -1, -1, -1L))
   }
 
+  test("adversarial RIFF chunk sizes terminate and classify as unknown") {
+    def riff(chunks: (String, Int)*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + chunks.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + chunks.size * 8)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      chunks.foreach { case (id, sz) =>
+        bb.put(id.getBytes("US-ASCII")).putInt(sz)
+      }
+      bb.array()
+    }
+    // sz = -8 made the old walk advance by zero bytes — a hung task
+    assert(MultimodalOps.parseMediaMeta(riff("data" -> -8)) ==
+      ("unknown", -1, -1, -1L))
+    assert(MultimodalOps.parseMediaMeta(riff("fmt " -> -8)) ==
+      ("unknown", -1, -1, -1L))
+    // sz near Int.MaxValue overflowed o + 8 + sz into a negative offset
+    assert(MultimodalOps.parseMediaMeta(riff("junk" -> Int.MaxValue, "data" -> 4)) ==
+      ("unknown", -1, -1, -1L))
+    // truncated fmt chunk: header present but bytes end before byteRate
+    assert(MultimodalOps.parseMediaMeta(
+      MultimodalOps.wavHeader(16000, 48000).take(24)) ==
+      ("unknown", -1, -1, -1L))
+    // a well-formed payload still parses after the hardening
+    assert(MultimodalOps.parseMediaMeta(MultimodalOps.wavHeader(16000, 48000)) ==
+      ("wav", -1, -1, 3000L))
+  }
+
   test("decodeMediaMeta over the corpus recovers the synthesized dimensions") {
     val out = MultimodalOps.decodeMediaMeta(
       MultimodalOps.withRealMediaHeaders(T(spark, sf0001, "documents")))
