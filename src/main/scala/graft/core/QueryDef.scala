@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * DuckDB can replay the pipeline value-for-value) whose scalar cost is
   * not the production path's. Verify always checks `build`; Bench measures
   * `benchBuild.getOrElse(build)`. The two must be the same pipeline shape —
-  * only the hash primitive may differ.
+  * only a scalar primitive may differ (the hash, or the ordered-fold vs
+  * `avg` mean in IVF training).
   */
 final case class QueryDef(
     name: String,

@@ -29,9 +29,18 @@ object IvfIndex {
     c.cast(ArrayType(DoubleType))
 
   /** Train the coarse quantizer: k centroids after `iters` Lloyd rounds.
-    * Returns (label-free) centroids as (cluster_id, centroid). */
+    * Returns (label-free) centroids as (cluster_id, centroid).
+    *
+    * `exactMean = false` (production) recomputes centroids with `avg` —
+    * partial+final agg, constant memory per (cluster, dim) group, the
+    * form to run at 100 TB. `exactMean = true` sums each group's values
+    * left-to-right in vec_id order (same deterministic-fold policy as
+    * `sim_label_centroid`): double addition is not associative, so only
+    * the ordered fold is bit-reproducible across engines — required for
+    * the DuckDB oracle replay, at the cost of collecting each (cluster,
+    * dim) group into an array. Same pipeline, different mean primitive. */
   def trainCentroids(s: SparkSession, embeddings: DataFrame, k: Int = 8,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, exactMean: Boolean = false): DataFrame = {
     import s.implicits._
     val vecs = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     var centroids = vecs.orderBy($"vec_id").limit(k)
@@ -40,10 +49,21 @@ object IvfIndex {
         row_number().over(Window.orderBy($"cluster_id")) - 1)
     for (_ <- 1 to iters) {
       val assigned = assign(s, vecs, centroids)
-      val next = assigned
-        .select($"cluster_id", posexplode($"v").as(Seq("dim", "x")))
-        .groupBy($"cluster_id", $"dim")
-        .agg(avg($"x").as("cx"))
+      val perDim =
+        if (exactMean)
+          assigned
+            .select($"cluster_id", $"vec_id", posexplode($"v").as(Seq("dim", "x")))
+            .groupBy($"cluster_id", $"dim")
+            .agg(array_sort(collect_list(struct($"vec_id", $"x"))).as("xs"),
+              count(lit(1)).as("n"))
+            .select($"cluster_id", $"dim",
+              (aggregate($"xs", lit(0.0), (acc, e) => acc + e("x")) / $"n").as("cx"))
+        else
+          assigned
+            .select($"cluster_id", posexplode($"v").as(Seq("dim", "x")))
+            .groupBy($"cluster_id", $"dim")
+            .agg(avg($"x").as("cx"))
+      val next = perDim
         .groupBy($"cluster_id")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cs"))
         .select($"cluster_id", transform($"cs", c => c("cx")).as("centroid"))
@@ -73,8 +93,8 @@ object IvfIndex {
 
   /** Build the inverted index: every vector tagged with its list. */
   def buildIndex(s: SparkSession, embeddings: DataFrame, k: Int = 8,
-      iters: Int = 3): (DataFrame, DataFrame) = {
-    val centroids = trainCentroids(s, embeddings, k, iters)
+      iters: Int = 3, exactMean: Boolean = false): (DataFrame, DataFrame) = {
+    val centroids = trainCentroids(s, embeddings, k, iters, exactMean)
     import s.implicits._
     val vecs = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     (assign(s, vecs, centroids), centroids)

@@ -258,19 +258,104 @@ object SimilarityOps extends QueryModule {
       lshAnn(s, emb, emb.filter(col("vec_id") < 10))
     })
 
+  /** DuckDB replay of the FULL IVF pipeline — k-means training included.
+    * The `iters` Lloyd rounds unroll into CTE pairs (assign round r
+    * against centroids r-1, recompute centroids r); every float
+    * accumulation is an ordered left-to-right fold (init = first-k by
+    * vec_id; centroid mean = fold over values sorted by vec_id; cosine =
+    * the proven list_reduce form), so training is bit-reproducible and
+    * the search stage replays value-for-value. Mirrors
+    * [[IvfIndex.trainCentroids]] with `exactMean = true`. */
+  private def ivfOracle(k: Int, iters: Int, topK: Int, nprobe: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    def assignCte(r: Int, cPrev: String) = s"""
+      a$r AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT e.vec_id, c.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosine("e.v", "c.centroid")} DESC,
+                                        c.cluster_id ASC) AS rn
+          FROM e CROSS JOIN $cPrev c) WHERE rn = 1)"""
+    def recomputeCte(r: Int) = s"""
+      c${r}d AS (
+        SELECT a.cluster_id, ex.dim,
+          list_reduce(list(ex.x ORDER BY ex.vec_id), (p, q) -> p + q)
+            / COUNT(*) AS cx
+        FROM a$r a JOIN ex ON ex.vec_id = a.vec_id
+        GROUP BY a.cluster_id, ex.dim),
+      c$r AS (SELECT cluster_id, list(cx ORDER BY dim) AS centroid
+              FROM c${r}d GROUP BY cluster_id)"""
+    val rounds = (1 to iters)
+      .map(r => assignCte(r, s"c${r - 1}") + "," + recomputeCte(r))
+      .mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ex AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+             FROM e),
+      c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                    v AS centroid
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+      $rounds,
+      idx AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT e.vec_id, c.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosine("e.v", "c.centroid")} DESC,
+                                        c.cluster_id ASC) AS rn
+          FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      probes AS (
+        SELECT q_id, qv, cluster_id FROM (
+          SELECT q.q_id, q.qv, c.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+                               ORDER BY ${cosine("q.qv", "c.centroid")} DESC,
+                                        c.cluster_id ASC) AS rn
+          FROM q CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+      rer AS (
+        SELECT p.q_id, e.vec_id AS neighbor_id,
+               ${cosine("p.qv", "e.v")} AS cosine_sim
+        FROM probes p
+        JOIN idx i ON i.cluster_id = p.cluster_id
+        JOIN e ON e.vec_id = i.vec_id
+        WHERE i.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cosine_sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM rer)
+      SELECT q_id, rank, neighbor_id, cosine_sim
+      FROM ranked WHERE rank <= $topK
+      ORDER BY q_id, rank"""
+  }
+
   /** IVF ANN over the embeddings table: k-means index + nprobe search
-    * (see [[IvfIndex]]). Rows-only check; recall vs the oracle-checked
-    * brute force is asserted in IvfIndexSpec. */
+    * (see [[IvfIndex]]). The DECLARED query trains with the
+    * deterministic ordered-fold mean so DuckDB replays the whole
+    * pipeline — training included — hash-exact; Bench measures the
+    * production `avg`-trained variant (constant-memory partial aggs,
+    * the 100 TB form). Recall vs the oracle-checked brute force is
+    * additionally asserted in IvfIndexSpec. */
   private val simIvf = QueryDef(
     "sim_ivf_ann",
-    None,
+    Some(ivfOracle(k = 8, iters = 2, topK = 5, nprobe = 2)),
     (s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val (index, centroids) =
+        IvfIndex.buildIndex(s, emb, k = 8, iters = 2, exactMean = true)
+      IvfIndex.search(s, index, centroids, emb.filter($"vec_id" < 10),
+        topK = 5, nprobe = 2)
+    },
+    benchBuild = Some((s, dir) => {
       import s.implicits._
       val emb = T(s, dir, "embeddings")
       val (index, centroids) = IvfIndex.buildIndex(s, emb, k = 8, iters = 2)
       IvfIndex.search(s, index, centroids, emb.filter($"vec_id" < 10),
         topK = 5, nprobe = 2)
-    })
+    }))
 
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the top-3 most-similar vectors carrying a DIFFERENT label —
