@@ -592,7 +592,58 @@ object CorpusPrepOps extends QueryModule {
       ORDER BY source"""),
     (s, dir) => domainMix(T(s, dir, "documents")).orderBy(col("source")))
 
+  // ---------------------------------------------------------------------
+  // Deterministic train/val/test split
+  // ---------------------------------------------------------------------
+
+  /** Assign every document to train/val/test by hashing its CONTENT
+    * fingerprint into 100 buckets (train < `trainPct`, val < trainPct +
+    * `valPct`, rest test). Hashing the normalized-text fingerprint — not
+    * the doc_id — means byte-identical and case/whitespace-variant copies
+    * always land in the SAME split, so surviving duplicates can never
+    * leak train text into eval. Stateless hash predicate: deterministic
+    * across runs/executors/engines, no RNG state, embarrassingly
+    * parallel (same policy as [[stratifiedSample]]). */
+  def splitAssign(documents: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val bucket = pmod(
+      DedupOps.md5Hash32(graft.operators.CorpusPipeline.normText(col("text"))),
+      lit(100L))
+    documents.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  private val cpHashSplit = QueryDef(
+    "cp_hash_split",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(norm), 25, 8))::UBIGINT::BIGINT % 100 AS bucket,
+          CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_toks
+        FROM d),
+      s AS (
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               n_toks
+        FROM b)
+      SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM s GROUP BY split ORDER BY split"""),
+    (s, dir) =>
+      splitAssign(T(s, dir, "documents"))
+        .select(col("split"),
+          size(DedupOps.tokens(col("text"))).cast(LongType).as("n_toks"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("split")))
+
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram,
-      cpMix, cpDiversity, cpDupRate, cpQualityPct)
+      cpMix, cpDiversity, cpDupRate, cpQualityPct, cpHashSplit)
 }

@@ -611,7 +611,86 @@ object DedupOps extends QueryModule {
     benchBuild = Some((s, dir) => incrementalPairs(s, T(s, dir, "documents"),
       hashFn = (c, seed) => xxhash64(c, lit(seed)))))
 
+  /** Shared-passage (boilerplate) coverage — the n-gram-granular form of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): a token position is "boilerplate"
+    * when some n-gram window covering it occurs in at least `minDocs`
+    * DISTINCT documents. Returns per-doc covered-token counts and the
+    * covered fraction — the signal a curation pipeline thresholds to
+    * drop template-heavy pages or trim repeated passages.
+    *
+    * Scale shape: windows are (doc_id, pos, md5-of-gram) rows — the
+    * shuffle carries a 16-byte hash, never gram text; "shared" grams come
+    * from a distinct + count aggregation (map-side combinable), and
+    * coverage is a hash join back on the gram hash followed by a
+    * position explode + distinct — every stage is a keyed shuffle, no
+    * all-pairs anywhere. The window frame feeds both the shared-gram
+    * aggregate and the coverage join, so AQE shares its exchange (same
+    * ReuseExchange policy the n-gram Jaccard query pins in spec). */
+  def boilerplateCoverage(documents: DataFrame, n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tokens"))
+    val wins = toksDf
+      .filter(col("n_tokens") >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), (col("n_tokens") - n).cast(IntegerType)))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
+          .as("gram_h"))
+    val shared = wins.select(col("gram_h"), col("doc_id")).distinct()
+      .groupBy(col("gram_h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram_h"))
+    val covered = wins.join(shared, "gram_h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    toksDf.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType)
+          / col("n_tokens").cast(DoubleType)).as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ddBoilerplate = QueryDef(
+    "dd_boilerplate_ngrams",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM t),
+      w AS (
+        SELECT doc_id, unnest(range(0, n_tokens - 7)) AS pos, ws
+        FROM d WHERE n_tokens >= 8),
+      wg AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(list_slice(ws, pos + 1, pos + 8), ' ')) AS gram_h
+        FROM w),
+      shared AS (
+        SELECT gram_h FROM (SELECT DISTINCT gram_h, doc_id FROM wg)
+        GROUP BY gram_h HAVING COUNT(*) >= 2),
+      cpos AS (
+        SELECT DISTINCT doc_id, p FROM (
+          SELECT wg.doc_id, unnest(range(wg.pos, wg.pos + 8)) AS p
+          FROM wg JOIN shared USING (gram_h))),
+      cov AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM cpos GROUP BY doc_id)
+      SELECT d.doc_id, d.n_tokens,
+        COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+        CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE)
+          / CAST(d.n_tokens AS DOUBLE) AS boilerplate_frac
+      FROM d LEFT JOIN cov USING (doc_id)
+      ORDER BY d.doc_id"""),
+    (s, dir) => boilerplateCoverage(T(s, dir, "documents")))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
-      ddSimhashHamming, ddIncremental)
+      ddSimhashHamming, ddIncremental, ddBoilerplate)
 }

@@ -156,4 +156,29 @@ class CorpusPrepSpec extends SparkSpec {
     val shards = fast.map(_.getAs[Long]("shard_id"))
     assert(shards.sameElements(shards.sorted), "shard ids must be monotone in doc order")
   }
+
+  test("splitAssign: deterministic, exhaustive, and content-copies co-split") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    val a = CorpusPrepOps.splitAssign(docs).select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CorpusPrepOps.splitAssign(docs).select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must be a pure function of content")
+    assert(a.size == docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // train must dominate with the 90/5/5 defaults
+    val train = a.values.count(_ == "train").toDouble / a.size
+    assert(train > 0.75 && train < 1.0, s"train fraction $train implausible for 90%")
+  }
+
+  test("splitAssign puts case/whitespace variants of one document in one split") {
+    val docs = Seq(
+      (1L, "The Quick   Brown Fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an unrelated document about shuffle partitioning strategy")
+    ).toDF("doc_id", "text")
+    val by = CorpusPrepOps.splitAssign(docs).select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(by(1L) == by(2L), "same normalized content must co-split (no eval leakage)")
+  }
 }

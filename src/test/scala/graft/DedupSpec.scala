@@ -88,4 +88,37 @@ class DedupSpec extends SparkSpec {
     assert(reused >= 2, s"expected >=2 ReusedExchange in final plan, got $reused")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("boilerplateCoverage marks exactly the positions under a shared 8-gram") {
+    // docs 1 and 2 share one 8-token passage at different offsets; doc 3
+    // is disjoint. Coverage = the 8 positions of that window, nothing else.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $passage three four five"),
+      (2L, s"$passage nine ten eleven twelve thirteen fourteen"),
+      (3L, "p q r s t u v w x y z aa bb cc")).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateCoverage(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 8L && out(2L)._1 == 8L)
+    assert(out(3L) == ((0L, 0.0)))
+    assert(math.abs(out(1L)._2 - 8.0 / 13.0) < 1e-15)
+  }
+
+  test("boilerplateCoverage: overlapping shared windows union their positions") {
+    // two docs identical for 9 tokens -> two overlapping shared 8-grams
+    // covering 9 distinct positions, not 16
+    val nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    val docs = Seq(
+      (1L, s"$nine tailone tailtwo tailthree"),
+      (2L, s"$nine othera otherb otherc")).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 9L && out(2L) == 9L)
+  }
+
+  test("boilerplateCoverage: docs shorter than the window are reported uncovered") {
+    val docs = Seq((1L, "just three words"), (2L, "just three words")).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateCoverage(docs).collect()
+    assert(out.length == 2 && out.forall(_.getLong(2) == 0L))
+  }
 }
