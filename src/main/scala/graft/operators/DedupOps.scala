@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -619,14 +620,19 @@ object DedupOps extends QueryModule {
     * covered fraction — the signal a curation pipeline thresholds to
     * drop template-heavy pages or trim repeated passages.
     *
-    * Scale shape: windows are (doc_id, pos, md5-of-gram) rows — the
-    * shuffle carries a 16-byte hash, never gram text; "shared" grams come
-    * from a distinct + count aggregation (map-side combinable), and
-    * coverage is a hash join back on the gram hash followed by a
-    * position explode + distinct — every stage is a keyed shuffle, no
-    * all-pairs anywhere. The window frame feeds both the shared-gram
-    * aggregate and the coverage join, so AQE shares its exchange (same
-    * ReuseExchange policy the n-gram Jaccard query pins in spec). */
+    * Scale shape — ONE corpus pass, no self-join: windows are (doc_id,
+    * pos, md5-of-gram) rows (the shuffle carries a 16-byte hash, never
+    * gram text); each gram's distinct-doc count is computed by window
+    * functions over a single gram-partitioned sort — a lag-based
+    * first-occurrence flag summed over the partition — so the corpus is
+    * scanned and hashed exactly once (spec-pinned) where a
+    * shared-grams-then-join design re-windows it per consumer. Both
+    * window functions share one exchange + sort; state per partition is
+    * O(1). Known hot spot at 100 TB: a gram present in a large fraction
+    * of all documents funnels its rows through one partition (true of
+    * any exact formulation — the join form's distinct has the same hot
+    * reducer); production would cap or sample universal grams before
+    * this stage. */
   def boilerplateCoverage(documents: DataFrame, n: Int = 8,
       minDocs: Int = 2): DataFrame = {
     val toksDf = documents
@@ -641,11 +647,14 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), col("pos"),
         md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
           .as("gram_h"))
-    val shared = wins.select(col("gram_h"), col("doc_id")).distinct()
-      .groupBy(col("gram_h")).agg(count(lit(1)).as("nd"))
+    val byGram = Window.partitionBy(col("gram_h")).orderBy(col("doc_id"), col("pos"))
+    val wholeGram = Window.partitionBy(col("gram_h"))
+    val prevDoc = lag(col("doc_id"), 1).over(byGram)
+    val covered = wins
+      .withColumn("first_occ",
+        when(prevDoc.isNull || prevDoc =!= col("doc_id"), 1L).otherwise(0L))
+      .withColumn("nd", sum(col("first_occ")).over(wholeGram))
       .filter(col("nd") >= minDocs)
-      .select(col("gram_h"))
-    val covered = wins.join(shared, "gram_h")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()

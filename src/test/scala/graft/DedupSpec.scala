@@ -83,7 +83,8 @@ class DedupSpec extends SparkSpec {
     val df = SparkEntry.queries("dd_ngram_jaccard")(spark, sf0001)
     df.collect() // execute through this QueryExecution so AQE materializes
     val plan = df.queryExecution.executedPlan.toString
-    val finalPlan = plan.substring(0, math.max(plan.indexOf("== Initial Plan =="), plan.length - 1))
+    val initialIdx = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (initialIdx >= 0) plan.substring(0, initialIdx) else plan
     val reused = "ReusedExchange".r.findAllIn(finalPlan).length
     assert(reused >= 2, s"expected >=2 ReusedExchange in final plan, got $reused")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)

@@ -86,4 +86,22 @@ class PlanAuditSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.size == 2, s"expected both OR branches as shuffled hash joins in:\n$plan")
   }
+
+  test("boilerplate coverage windows the corpus exactly once (dd)") {
+    // The one-pass design: shared-gram detection is a window function
+    // over one gram-partitioned sort, NOT a second scan+shingle of the
+    // corpus. A regression to a two-consumer shape re-windows 100 TB of
+    // text — pin the count of window-extraction explodes at one.
+    val df = SparkEntry.queries("dd_boilerplate_ngrams")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val initialIdx = plan.indexOf("== Initial Plan ==")
+    val finalPlan =
+      if (initialIdx >= 0) plan.substring(0, initialIdx) else plan
+    val windowExplodes =
+      "Generate explode\\(sequence\\(0,".r.findAllIn(finalPlan).length
+    assert(windowExplodes == 1,
+      s"corpus must be windowed once, found $windowExplodes in:\n$finalPlan")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
