@@ -413,6 +413,59 @@ object SimilarityOps extends QueryModule {
         .orderBy($"q_id", $"rank")
     })
 
+  /** Symmetric per-vector int8 quantization — the compression step an
+    * ANN index runs before sharding billions of embeddings (4x smaller
+    * vectors, SIMD-friendly integer dot products). scale = max|x|/127;
+    * q_i = round(x_i / scale) ∈ [-127, 127], ties away from zero in both
+    * engines. Pure element-wise column expressions — embarrassingly
+    * parallel, no shuffle until the final per-vector summary. Returns a
+    * per-vector digest (component sum / min / max of the quantized
+    * vector plus the max absolute reconstruction error) rather than the
+    * array itself so the result is hash-comparable; the reconstruction
+    * bound max_abs_err <= scale/2 is spec-asserted. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val s = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+    s.select(col("vec_id"), col("v"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale"), 0).cast(IntegerType))).as("qv"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        array_max(zip_with(col("v"), col("qv"),
+          (x, q) => abs(x - q * col("scale")))).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val simQuantize = QueryDef(
+    "sim_quantize_int8",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (
+        SELECT vec_id, v,
+          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        FROM e),
+      q AS (
+        SELECT vec_id, v, scale,
+          list_transform(v, x ->
+            CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(round(x / scale, 0) AS INTEGER) END) AS qv
+        FROM s)
+      SELECT vec_id, scale,
+        CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+        CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max,
+        list_aggregate(list_transform(list_zip(v, qv),
+                                      z -> abs(z[1] - z[2] * scale)), 'max')
+          AS max_abs_err
+      FROM q
+      ORDER BY vec_id"""),
+    (s, dir) => quantizeInt8(T(s, dir, "embeddings")))
+
   override val defs: Seq[QueryDef] =
-    Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg)
+    Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg, simQuantize)
 }

@@ -41,4 +41,21 @@ class CosineSimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("array"))
   }
+
+  test("int8 quantization: range, error bound, and zero-vector guard") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val out = SimilarityOps.quantizeInt8(emb).collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127)
+      // round-to-nearest: reconstruction error is at most half a step
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-12,
+        s"err ${r.getAs[Double]("max_abs_err")} > scale/2 ${scale / 2}")
+    }
+    val zero = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val z = SimilarityOps.quantizeInt8(zero).head()
+    assert(z.getAs[Double]("scale") == 0.0 && z.getAs[Long]("q_sum") == 0L
+      && z.getAs[Double]("max_abs_err") == 0.0)
+  }
 }
