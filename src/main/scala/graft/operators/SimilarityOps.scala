@@ -466,6 +466,96 @@ object SimilarityOps extends QueryModule {
       ORDER BY vec_id"""),
     (s, dir) => quantizeInt8(T(s, dir, "embeddings")))
 
+  /** Top-k search over the int8-QUANTIZED vectors — what the serving
+    * tier actually executes once embeddings are compressed: integer dot
+    * products over 4x-smaller vectors, floats touched only for the final
+    * normalization. The per-vector scales cancel out of the cosine
+    * (score = dot_int / (sqrt(ssq_q) * sqrt(ssq_c))), so ranking is
+    * EXACT integer arithmetic plus one IEEE division — bit-reproducible
+    * across engines, which is why this ANN score is hash-checkable when
+    * the float-accumulation one needs ordered folds. Same plan shape as
+    * the exact brute force (queries broadcast, per-query window);
+    * recall vs the exact ranking is spec-asserted. */
+  def quantizedTopK(s: SparkSession, embeddings: DataFrame,
+      queries: DataFrame, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    def quant(df: DataFrame, idAs: String, qvAs: String, ssqAs: String) = df
+      .select(col("vec_id").as(idAs), asDouble(col("embedding")).as("v"))
+      .select(col(idAs), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+      .select(col(idAs),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale"), 0).cast(IntegerType)))
+          .as(qvAs))
+      .select(col(idAs), col(qvAs),
+        aggregate(col(qvAs), lit(0L),
+          (acc, q) => acc + q.cast(LongType) * q.cast(LongType)).as(ssqAs))
+    val corpus = quant(embeddings, "neighbor_id", "cv", "cssq")
+    val q = quant(queries, "q_id", "qv", "qssq")
+    val dotInt = aggregate(
+      zip_with(col("qv"), col("cv"),
+        (a, b) => a.cast(LongType) * b.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"neighbor_id".asc)
+    broadcast(q).crossJoin(corpus)
+      .filter($"neighbor_id" =!= $"q_id")
+      .select($"q_id", $"neighbor_id",
+        (dotInt.cast(DoubleType)
+          / (sqrt($"qssq".cast(DoubleType)) * sqrt($"cssq".cast(DoubleType))))
+          .as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"rank", $"neighbor_id", $"qcos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val simQuantTopK = QueryDef(
+    "sim_quantized_topk",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (
+        SELECT vec_id, v,
+          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        FROM e),
+      q8 AS (
+        SELECT vec_id,
+          list_transform(v, x ->
+            CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(round(x / scale, 0) AS BIGINT) END) AS qv
+        FROM s),
+      n8 AS (
+        SELECT vec_id, qv,
+          CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT)
+            AS ssq
+        FROM q8),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          CAST(list_aggregate(list_transform(list_zip(q.qv, c.qv),
+                                             z -> z[1] * z[2]), 'sum') AS BIGINT)
+            AS dot_int,
+          q.ssq AS qssq, c.ssq AS cssq
+        FROM n8 q CROSS JOIN n8 c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT q_id, neighbor_id,
+          CAST(dot_int AS DOUBLE)
+            / (sqrt(CAST(qssq AS DOUBLE)) * sqrt(CAST(cssq AS DOUBLE))) AS qcos
+        FROM pairs),
+      ranked AS (
+        SELECT q_id, neighbor_id, qcos,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY qcos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, neighbor_id, qcos
+      FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      quantizedTopK(s, emb, emb.filter(col("vec_id") < 10))
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg, simQuantize)
+    Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg, simQuantize,
+      simQuantTopK)
 }

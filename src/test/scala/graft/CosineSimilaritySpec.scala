@@ -58,4 +58,18 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(z.getAs[Double]("scale") == 0.0 && z.getAs[Long]("q_sum") == 0L
       && z.getAs[Double]("max_abs_err") == 0.0)
   }
+
+  test("quantized top-k recalls most of the exact top-k") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = topSets(SparkEntry.queries("sim_cosine_topk")(spark, sf0001))
+    val quant = topSets(SimilarityOps.quantizedTopK(spark, emb, q, topK = 5))
+    val recalls = exact.map { case (k, ex) =>
+      quant(k).intersect(ex).size.toDouble / ex.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"int8 ranking lost too much: avg recall@5 = $avg")
+  }
 }
