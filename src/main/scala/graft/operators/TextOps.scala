@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -321,7 +321,99 @@ object TextOps extends QueryModule {
         .orderBy($"w1", $"w2")
     })
 
+  /** BM25 retrieval scoring of the corpus against a fixed term query —
+    * the ranking function a data pipeline uses to mine topical subsets
+    * or build retrieval training pairs. Same inverted-index shape as
+    * TF-IDF: tf by (doc, term), df by term, document length and corpus
+    * average length for the saturation denominator; only the query's
+    * terms survive the first filter, so every later stage is
+    * query-sized, not corpus-sized.
+    *
+    * Two reproducibility choices, both deliberate: idf is the RATIONAL
+    * core (N - df + 0.5)/(df + 0.5) without the usual ln() — the two
+    * engines' libm logs can differ in the last ulp, and the driver
+    * hash-compares exact doubles (same reason TF-IDF uses the raw N/df
+    * ratio); and the per-doc sum over matched terms folds in sorted term
+    * order, since float addition is order-dependent. avgdl is exact: an
+    * integer token-count sum divided once by the doc count. */
+  def bm25(documents: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("token"))
+    val dl = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        (((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * ((col("tf") * (k1 + 1.0))
+            / (col("tf")
+              + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))))
+          .as("score"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("token"), col("score")))).as("ts"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"),
+        aggregate(col("ts"), lit(0.0), (acc, e) => acc + e("score"))
+          .as("bm25"),
+        col("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  private val taBm25 = QueryDef(
+    "ta_bm25_retrieval",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) AS n_docs
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok WHERE token IN ('spark', 'join', 'window')
+        GROUP BY doc_id, token),
+      dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      scored AS (
+        -- every fractional literal is ::DOUBLE: DuckDB otherwise parses
+        -- them as DECIMAL and computes tf * 2.2 exactly, off the IEEE
+        -- double product Spark evaluates
+        SELECT tf.doc_id, tf.token,
+          ((stats.n_docs - dfx.df + 0.5::DOUBLE) / (dfx.df + 0.5::DOUBLE))
+            * ((tf.tf * 2.2::DOUBLE)
+              / (tf.tf + 1.2::DOUBLE
+                 * (1.0::DOUBLE - 0.75::DOUBLE
+                    + 0.75::DOUBLE * (dl.dl / stats.avgdl))))
+            AS score
+        FROM tf
+        JOIN dfx USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id, stats),
+      agg AS (
+        SELECT doc_id,
+          list_reduce(list(score ORDER BY token), (a, x) -> a + x) AS bm25,
+          COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, bm25, n_terms_hit
+      FROM agg
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT 10"""),
+    (s, dir) => bm25(T(s, dir, "documents"), Seq("spark", "join", "window")))
+
   override val defs: Seq[QueryDef] =
     Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
-      taBigramLm)
+      taBigramLm, taBm25)
 }

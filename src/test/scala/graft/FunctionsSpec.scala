@@ -87,4 +87,17 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sum
     assert(counted == 1, "exactly one email in the fixture")
   }
+
+  test("bm25: term frequency saturates and absent terms score nothing") {
+    val docs = Seq(
+      (1L, "spark spark spark spark unrelated filler words here"),
+      (2L, "spark appears once among other filler words here"),
+      (3L, "no relevant terms in this document at all okay")).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("spark", "zzz_absent"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 has no query terms -> no row; tf=4 beats tf=1 but not 4x (k1 saturation)
+    assert(!out.contains(3L))
+    assert(out(1L) > out(2L))
+    assert(out(1L) < 4.0 * out(2L), "BM25 must saturate, not scale linearly in tf")
+  }
 }
