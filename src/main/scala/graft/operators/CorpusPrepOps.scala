@@ -320,6 +320,57 @@ object CorpusPrepOps extends QueryModule {
       FROM c ORDER BY doc_id"""),
     (s, dir) => packShards(T(s, dir, "documents")).orderBy(col("doc_id")))
 
+  /** Assemble each shard's actual TRAINING SEQUENCE — documents
+    * concatenated in doc order with an EOS separator — and prove the
+    * bytes via a per-shard md5, alongside doc/token counts. This is the
+    * step after [[packShards]]'s assignment: what a dataloader reads.
+    * The collect_list per shard is bounded by the shard token budget (a
+    * few KB of text), not by corpus size, so groups stay executor-safe
+    * at any corpus scale; ordering inside the group is an array_sort by
+    * doc_id, making the digest deterministic. */
+  def packSequences(documents: DataFrame, budget: Long = shardBudget,
+      bucket: Long = packBucket, eos: String = "<eos>"): DataFrame = {
+    val packed = packShards(documents, budget, bucket)
+      .select(col("doc_id"), col("shard_id"), col("n_tokens"))
+    documents.select(col("doc_id"), col("text"))
+      .join(packed, "doc_id")
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            e => e("text")),
+          eos)).as("seq_md5"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val cpPackSeq = QueryDef(
+    "cp_pack_sequences",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t),
+      a AS (
+        SELECT doc_id, n_tokens,
+          CAST(cum_before // 2048 AS BIGINT) AS shard_id
+        FROM c),
+      j AS (
+        SELECT a.shard_id, a.doc_id, a.n_tokens, d.text
+        FROM a JOIN documents d USING (doc_id))
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        md5(string_agg(text, '<eos>' ORDER BY doc_id)) AS seq_md5
+      FROM j GROUP BY shard_id ORDER BY shard_id"""),
+    (s, dir) => packSequences(T(s, dir, "documents")))
+
   /** Materialize a corpus as training shards: pack by token budget, then
     * write parquet partitioned by `shard_id` — one directory per shard, so
     * a trainer (or a backfill of one shard) reads exactly the files it
@@ -644,6 +695,6 @@ object CorpusPrepOps extends QueryModule {
         .orderBy(col("split")))
 
   override val defs: Seq[QueryDef] =
-    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpVocab, cpHistogram,
-      cpMix, cpDiversity, cpDupRate, cpQualityPct, cpHashSplit)
+    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpPackSeq, cpVocab,
+      cpHistogram, cpMix, cpDiversity, cpDupRate, cpQualityPct, cpHashSplit)
 }

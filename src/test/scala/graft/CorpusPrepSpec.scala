@@ -157,6 +157,23 @@ class CorpusPrepSpec extends SparkSpec {
     assert(shards.sameElements(shards.sorted), "shard ids must be monotone in doc order")
   }
 
+  test("packSequences assembles each shard's bytes in doc order") {
+    val docs = Seq(
+      (1L, "one two three"), (2L, "four five"), (3L, "six"),
+      (4L, "seven eight nine ten")).toDF("doc_id", "text")
+    // budget 6 tokens: docs 1,2 fill shard 0 (3+2), doc 3 starts at cum 5
+    // (still shard 0), doc 4 at cum 6 -> shard 1
+    val out = CorpusPrepOps.packSequences(docs, budget = 6L).collect()
+    assert(out.length == 2)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("seq_md5")
+      == hex("one two three<eos>four five<eos>six"))
+    assert(out(1).getAs[String]("seq_md5") == hex("seven eight nine ten"))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(3L, 1L))
+  }
+
   test("splitAssign: deterministic, exhaustive, and content-copies co-split") {
     val docs = graft.core.T(spark, sf0001, "documents")
     val a = CorpusPrepOps.splitAssign(docs).select($"doc_id", $"split")
