@@ -381,7 +381,65 @@ object EventOps extends QueryModule {
         .orderBy($"user_id", $"session_start")
     })
 
+  /** Per-user daily-volume anomaly detection — days whose event count
+    * sits ≥ 2σ above that user's own mean, the standard ops/abuse screen
+    * over behavioral data. Reproducibility: mean and variance derive
+    * from EXACT integer sums (Σn, Σn² as bigints — no float
+    * accumulation), each converted to double with a single division, so
+    * the z-scores are bit-identical across engines without ordered
+    * folds. Two keyed aggregations plus a stats join back — all
+    * map-side combinable; users with under 5 active days or zero
+    * variance are excluded (z undefined). Σn²·m stays within int64 for
+    * any per-user history a real pipeline shards (overflow needs
+    * ~10⁶ days at ~10⁵ events/day). */
+  private val evAnomaly = QueryDef(
+    "ev_anomaly_zscore",
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT user_id, COUNT(*) AS m,
+          CAST(SUM(n) AS BIGINT) AS s,
+          CAST(SUM(n * n) AS BIGINT) AS ssq
+        FROM daily GROUP BY 1),
+      j AS (
+        SELECT d.user_id, d.day, d.n,
+          CAST(st.s AS DOUBLE) / st.m AS mean,
+          CAST(st.ssq * st.m - st.s * st.s AS DOUBLE)
+            / CAST(st.m * st.m AS DOUBLE) AS varr
+        FROM daily d JOIN stats st USING (user_id)
+        WHERE st.m >= 5)
+      SELECT user_id, day, n, mean,
+        (CAST(n AS DOUBLE) - mean) / sqrt(varr) AS z
+      FROM j
+      WHERE varr > 0 AND (CAST(n AS DOUBLE) - mean) / sqrt(varr) >= 2.0::DOUBLE
+      ORDER BY user_id, day"""),
+    (s, dir) => anomalousDays(events(s, dir)))
+
+  /** See [[evAnomaly]]. `ev` needs (user_id, ts) columns. */
+  def anomalousDays(ev: DataFrame, minDays: Int = 5,
+      zThreshold: Double = 2.0): DataFrame = {
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("m"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ssq"))
+    daily.join(stats, "user_id")
+      .filter(col("m") >= minDays)
+      .select(col("user_id"), col("day"), col("n"),
+        (col("s").cast(DoubleType) / col("m")).as("mean"),
+        ((col("ssq") * col("m") - col("s") * col("s")).cast(DoubleType)
+          / (col("m") * col("m")).cast(DoubleType)).as("varr"))
+      .withColumn("z",
+        (col("n").cast(DoubleType) - col("mean")) / sqrt(col("varr")))
+      .filter(col("varr") > 0 && col("z") >= zThreshold)
+      .select(col("user_id"), col("day"), col("n"), col("mean"), col("z"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   override val defs: Seq[QueryDef] =
     Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14,
-      evCohorts, evSequences)
+      evCohorts, evSequences, evAnomaly)
 }

@@ -88,6 +88,23 @@ class FunctionsSpec extends SparkSpec {
     assert(counted == 1, "exactly one email in the fixture")
   }
 
+  test("anomalousDays flags the planted spike and skips flat users") {
+    import java.sql.Timestamp
+    def day(d: Int, k: Int) = (1 to k).map(_ =>
+      Timestamp.valueOf(f"2024-03-${d}%02d 10:00:00"))
+    // user 1: 9 days of 2 events, day 10 spikes to 20; user 2: flat
+    val rows =
+      (1 to 9).flatMap(d => day(d, 2)).map(ts => (1L, ts)) ++
+        day(10, 20).map(ts => (1L, ts)) ++
+        (1 to 9).flatMap(d => day(d, 3)).map(ts => (2L, ts))
+    val ev = rows.toDF("user_id", "ts")
+    val out = graft.operators.EventOps.anomalousDays(ev).collect()
+    assert(out.length == 1, s"exactly the spike: ${out.mkString(",")}")
+    assert(out.head.getAs[Long]("user_id") == 1L
+      && out.head.getAs[Long]("n") == 20L)
+    assert(out.head.getAs[Double]("z") > 2.0)
+  }
+
   test("bm25: term frequency saturates and absent terms score nothing") {
     val docs = Seq(
       (1L, "spark spark spark spark unrelated filler words here"),
