@@ -555,7 +555,170 @@ object SimilarityOps extends QueryModule {
       quantizedTopK(s, emb, emb.filter(col("vec_id") < 10))
     })
 
+  /** IVF + int8 end-to-end: probe the nprobe nearest k-means lists with
+    * full-precision centroids, then rerank INSIDE the probed lists with
+    * integer dot products over the quantized vectors — the composition a
+    * production serving tier actually deploys (coarse quantizer for
+    * pruning, product/scalar quantization for the candidate scan; the
+    * lists it would store on disk carry int8 payloads at a quarter the
+    * bytes). Candidate generation touches nprobe/k of the corpus;
+    * scoring touches no floats until the final normalization, and the
+    * scales cancel (see [[quantizedTopK]]) so the whole pipeline —
+    * ordered-fold k-means training included — is hash-exact. */
+  def ivfQuantizedSearch(s: SparkSession, embeddings: DataFrame,
+      queries: DataFrame, k: Int = 8, iters: Int = 2, topK: Int = 5,
+      nprobe: Int = 2, exactMean: Boolean = true): DataFrame = {
+    import s.implicits._
+    val (index, centroids) =
+      IvfIndex.buildIndex(s, embeddings, k, iters, exactMean)
+    def quant(df: DataFrame, idCol: String, idAs: String) = df
+      .select(col(idCol).as(idAs), col("v"))
+      .select(col(idAs), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+      .select(col(idAs),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale"), 0).cast(IntegerType)))
+          .as("qv"))
+      .select(col(idAs), col("qv"),
+        aggregate(col("qv"), lit(0L),
+          (acc, q) => acc + q.cast(LongType) * q.cast(LongType)).as("ssq"))
+    // quantized lists: (cluster_id, neighbor_id, qv, ssq) — the on-disk
+    // payload at scale, int8 instead of float64
+    val lists = index
+      .join(quant(index, "vec_id", "nid"), $"vec_id" === $"nid")
+      .select($"cluster_id", $"vec_id".as("neighbor_id"), $"qv", $"ssq")
+    val q = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("v"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cluster_id".asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select($"q_id", $"v", $"cluster_id",
+        CosineSimilarity.cosineNative(s, $"v", $"centroid").as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"q_id", $"v", $"cluster_id")
+    val qq = quant(probes.select($"q_id", $"v").distinct(), "q_id", "q_id")
+      .withColumnRenamed("qv", "qqv").withColumnRenamed("ssq", "qssq")
+    val dotInt = aggregate(
+      zip_with(col("qqv"), col("qv"),
+        (a, b) => a.cast(LongType) * b.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val wRank = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"neighbor_id".asc)
+    probes.select($"q_id", $"cluster_id")
+      .join(broadcast(qq), "q_id")
+      .join(lists, Seq("cluster_id"))
+      .filter($"neighbor_id" =!= $"q_id")
+      .select($"q_id", $"neighbor_id",
+        (dotInt.cast(DoubleType)
+          / (sqrt($"qssq".cast(DoubleType)) * sqrt($"ssq".cast(DoubleType))))
+          .as("qcos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"rank", $"neighbor_id", $"qcos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** DuckDB replay: the [[ivfOracle]] training/probe CTEs composed with
+    * the [[simQuantTopK]] quantization CTEs; rerank joins the probed
+    * lists against the int8 vectors. */
+  private def ivfQuantOracle(k: Int, iters: Int, topK: Int,
+      nprobe: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    def recomputeCte(r: Int) = s"""
+      c${r}d AS (
+        SELECT a.cluster_id, ex.dim,
+          list_reduce(list(ex.x ORDER BY ex.vec_id), (p, q) -> p + q)
+            / COUNT(*) AS cx
+        FROM a$r a JOIN ex ON ex.vec_id = a.vec_id
+        GROUP BY a.cluster_id, ex.dim),
+      c$r AS (SELECT cluster_id, list(cx ORDER BY dim) AS centroid
+              FROM c${r}d GROUP BY cluster_id)"""
+    def assignCte(r: Int, cPrev: String) = s"""
+      a$r AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT e.vec_id, c.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosine("e.v", "c.centroid")} DESC,
+                                        c.cluster_id ASC) AS rn
+          FROM e CROSS JOIN $cPrev c) WHERE rn = 1)"""
+    val rounds = (1 to iters)
+      .map(r => assignCte(r, s"c${r - 1}") + "," + recomputeCte(r))
+      .mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ex AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+             FROM e),
+      c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                    v AS centroid
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+      $rounds,
+      idx AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT e.vec_id, c.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosine("e.v", "c.centroid")} DESC,
+                                        c.cluster_id ASC) AS rn
+          FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+      sc AS (
+        SELECT vec_id, v,
+          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        FROM e),
+      n8 AS (
+        SELECT vec_id, qv,
+          CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT)
+            AS ssq
+        FROM (
+          SELECT vec_id,
+            list_transform(v, x ->
+              CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(round(x / scale, 0) AS BIGINT) END) AS qv
+          FROM sc)),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      probes AS (
+        SELECT q_id, cluster_id FROM (
+          SELECT q.q_id, c.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+                               ORDER BY ${cosine("q.qv", "c.centroid")} DESC,
+                                        c.cluster_id ASC) AS rn
+          FROM q CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+      rer AS (
+        SELECT p.q_id, i.vec_id AS neighbor_id,
+          CAST(${dot("qn.qv", "cn.qv")} AS DOUBLE)
+            / (sqrt(CAST(qn.ssq AS DOUBLE)) * sqrt(CAST(cn.ssq AS DOUBLE)))
+            AS qcos
+        FROM probes p
+        JOIN idx i ON i.cluster_id = p.cluster_id
+        JOIN n8 cn ON cn.vec_id = i.vec_id
+        JOIN n8 qn ON qn.vec_id = p.q_id
+        WHERE i.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, qcos,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY qcos DESC, neighbor_id ASC) AS rank
+        FROM rer)
+      SELECT q_id, rank, neighbor_id, qcos
+      FROM ranked WHERE rank <= $topK
+      ORDER BY q_id, rank"""
+  }
+
+  private val simIvfQuant = QueryDef(
+    "sim_ivf_quantized",
+    Some(ivfQuantOracle(k = 8, iters = 2, topK = 5, nprobe = 2)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      ivfQuantizedSearch(s, emb, emb.filter(col("vec_id") < 10))
+    },
+    benchBuild = Some((s, dir) => {
+      // production: avg-trained centroids (constant-memory partial aggs),
+      // same quantized search
+      val emb = T(s, dir, "embeddings")
+      ivfQuantizedSearch(s, emb, emb.filter(col("vec_id") < 10),
+        exactMean = false)
+    }))
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg, simQuantize,
-      simQuantTopK)
+      simQuantTopK, simIvfQuant)
 }

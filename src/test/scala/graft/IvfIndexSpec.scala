@@ -68,4 +68,20 @@ class IvfIndexSpec extends SparkSpec {
     val b = IvfIndex.search(spark, index, centroids, q).collect().toSeq
     assert(a == b)
   }
+
+  test("int8 rerank inside the probed lists preserves most of the float ranking") {
+    val q = emb.filter($"vec_id" < 10)
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val (index, centroids) =
+      IvfIndex.buildIndex(spark, emb, k = 8, iters = 2, exactMean = true)
+    val float = tops(IvfIndex.search(spark, index, centroids, q))
+    val quant = tops(graft.operators.SimilarityOps
+      .ivfQuantizedSearch(spark, emb, q))
+    val recalls = float.map { case (k, f) =>
+      quant(k).intersect(f).size.toDouble / f.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"quantized IVF lost too much: avg overlap@5 = $avg")
+  }
 }
