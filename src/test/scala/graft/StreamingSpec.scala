@@ -222,4 +222,46 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(2))).toMap
     assert(out == Map("u1" -> 15.0, "u2" -> 20.0, "u3" -> 30.0))
   }
+
+  test("anomaly stream flags the spike the day it closes, state surviving batches") {
+    import graft.streaming.EventAnomalyStream
+    import graft.streaming.EventAnomalyStream.DayCount
+    val src = Files.createTempDirectory("anom_src").toString + "/data"
+    val cp = Files.createTempDirectory("anom_cp").toString
+    val out = Files.createTempDirectory("anom_out").toString + "/data"
+    def dc(u: Long, d: Int, n: Long) =
+      DayCount(u, java.sql.Date.valueOf(f"2024-03-$d%02d"), n)
+    // batch 1: 7 uniform-ish days for user 1, flat user 2
+    val b1 = (1 to 7).map(d => dc(1L, d, if (d % 2 == 0) 2L else 3L)) ++
+      (1 to 7).map(d => dc(2L, d, 4L))
+    b1.toDF().write.parquet(src)
+    def run(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val daily = spark.readStream.schema(schema).parquet(src).as[DayCount]
+      val q = EventAnomalyStream.anomalyStream(daily)
+        .toDF().writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).isEmpty, "no spike yet -> no anomalies")
+    // batch 2: the spike (and another flat day for user 2) — the moments
+    // from batch 1 must still be in the state store
+    Seq(dc(1L, 8, 20L), dc(2L, 8, 4L)).toDF().write.mode("append").parquet(src)
+    run()
+    val got = spark.read.parquet(out).as[EventAnomalyStream.Anomaly].collect()
+    assert(got.length == 1 && got.head.user_id == 1L && got.head.n == 20L)
+    // prequential z over the same 7-day history == batch z on those days + spike
+    val batchEv = (b1.filter(_.user_id == 1L) :+ dc(1L, 8, 20L))
+      .flatMap(d => (1 to d.n.toInt).map(_ =>
+        (d.user_id, java.sql.Timestamp.valueOf(d.day.toString + " 09:00:00"))))
+      .toDF("user_id", "ts")
+    val batchZ = graft.operators.EventOps.anomalousDays(batchEv, minDays = 5)
+      .collect().filter(_.getAs[java.sql.Date]("day").toString == "2024-03-08")
+    // batch includes the spike day itself in the stats, so values differ;
+    // both must agree the spike is the unique >=2 sigma day
+    assert(batchZ.length == 1)
+  }
 }
