@@ -250,6 +250,10 @@ object DedupOps extends QueryModule {
     * dedup bounds the recursion) and labels each doc with the minimum
     * reachable doc_id — exactly what the distributed
     * [[ConnectedComponents.components]] star-contraction computes. */
+  /** Shared CTE chain: minhash pairs → undirected edges → transitive
+    * closure walk. Terminal SELECTs build the per-doc labels
+    * ([[componentsOracle]]) or the size distribution
+    * ([[clusterStatsOracle]]) on top. */
   private def componentsOracle(threshold: Double, numPerms: Int, bands: Int): String =
     s"""
       WITH RECURSIVE ${minhashCtes(threshold, numPerms, bands)},
@@ -266,6 +270,29 @@ object DedupOps extends QueryModule {
       FROM walk
       GROUP BY node
       ORDER BY doc_id"""
+
+  private def clusterStatsOracle(threshold: Double, numPerms: Int,
+      bands: Int): String =
+    s"""
+      WITH RECURSIVE ${minhashCtes(threshold, numPerms, bands)},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(node, reach) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+      comp AS (
+        SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+      sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        COUNT(*) AS n_clusters,
+        CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+      FROM sizes
+      GROUP BY cluster_size
+      ORDER BY cluster_size"""
 
   /** MinHash + banded LSH candidate pairs, verified by true Jaccard.
     * Declared with the portable md5 hash so the WHOLE pipeline —
@@ -493,6 +520,30 @@ object DedupOps extends QueryModule {
     benchBuild = Some((s, dir) =>
       minhashComponents(s, T(s, dir, "documents")).orderBy(col("doc_id"))))
 
+  /** Near-dup cluster SIZE DISTRIBUTION — the dedup health report a
+    * curation run reads first: how many pairs vs long chains vs
+    * pathological mega-clusters (a size-10⁶ cluster usually means a
+    * boilerplate template, not real duplication, and warrants a
+    * different policy than keep-one). Aggregation on top of
+    * [[minhashComponents]]; cost is the components run plus two tiny
+    * keyed counts. */
+  def clusterSizeStats(s: SparkSession, documents: DataFrame,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))
+  ): DataFrame =
+    minhashComponents(s, documents, hashFn = hashFn)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  private val ddClusterStats = QueryDef(
+    "dd_cluster_stats",
+    Some(clusterStatsOracle(threshold = 0.5, numPerms = 32, bands = 8)),
+    (s, dir) => clusterSizeStats(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash),
+    benchBuild = Some((s, dir) => clusterSizeStats(s, T(s, dir, "documents"))))
+
   /** SimHash near-dup PAIRS within a Hamming ball (Manku/Google style):
     * split the b-bit simhash into maxDist+1 blocks — any pair within
     * Hamming distance maxDist must agree on at least one whole block
@@ -701,5 +752,5 @@ object DedupOps extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
-      ddSimhashHamming, ddIncremental, ddBoilerplate)
+      ddClusterStats, ddSimhashHamming, ddIncremental, ddBoilerplate)
 }
