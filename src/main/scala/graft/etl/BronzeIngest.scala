@@ -22,6 +22,39 @@ object BronzeIngest {
     spark.read.json(spark.createDataset(payloads))
   }
 
+  /** S1 at scale: the same ingest with malformed payloads QUARANTINED
+    * instead of silently nulled. Against 100 TB of API responses some
+    * rows are always corrupt; Spark's default PERMISSIVE mode makes a
+    * bad row all-nulls plus a corrupt-record column, and dropping that
+    * column silently (the [[fromJsonPayloads]] behavior when every field
+    * fails to parse) loses data with no signal. Returns (good rows
+    * without the marker column, quarantined raw payloads) — good rows
+    * flow to bronze, the quarantine lands next to it for replay after a
+    * parser fix. A row that parses but misses fields is DATA (nulls),
+    * not quarantine — only unparseable payloads divert. */
+  def fromJsonPayloadsQuarantined(spark: SparkSession, payloads: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    // from_json (not the json datasource): no corrupt-column filter
+    // restriction, and the quarantine keeps the ORIGINAL payload bytes
+    // for replay. PERMISSIVE from_json signals an unparseable payload
+    // either as a null struct or as an all-null struct with the corrupt
+    // marker populated — divert on both.
+    val marker = "__corrupt_record"
+    val withMarker = schema.add(marker,
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.createDataset(payloads).toDF("raw_payload")
+      .select(col("raw_payload"),
+        from_json(col("raw_payload"), withMarker,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> marker)).as("rec"))
+    val corrupt = col("rec").isNull || col(s"rec.$marker").isNotNull
+    val good = parsed.filter(!corrupt)
+      .select(schema.fieldNames.map(f => col(s"rec.$f")).toSeq: _*)
+    val quarantine = parsed.filter(corrupt).select(col("raw_payload"))
+    (good, quarantine)
+  }
+
   /** E2: processing-time stamping with an injectable clock. */
   def stamp(df: DataFrame, clock: LocalDate): DataFrame =
     df.withColumn("processing_date", lit(java.sql.Date.valueOf(clock)))

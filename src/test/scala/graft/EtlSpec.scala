@@ -88,4 +88,24 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == S * P * E)
     assert(back.columns.contains("payableAmount"))
   }
+
+  test("quarantined ingest diverts unparseable payloads, keeps partial rows as data") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType)))
+    val payloads = Seq(
+      """{"_id": "u1", "amount": 10.5}""",
+      """{"_id": "u2"}""",                       // missing field -> data (null)
+      """{"_id": "u3", "amount": }""",           // invalid JSON -> quarantine
+      """not json at all""")                     // garbage -> quarantine
+    val (good, bad) =
+      BronzeIngest.fromJsonPayloadsQuarantined(spark, payloads, schema)
+    val g = good.collect().map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(g == Map("u1" -> Some(10.5), "u2" -> None))
+    val q = bad.collect().map(_.getString(0)).toSet
+    assert(q == Set("""{"_id": "u3", "amount": }""", "not json at all"),
+      "quarantine must keep the original payload bytes for replay")
+  }
 }
