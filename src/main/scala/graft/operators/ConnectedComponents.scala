@@ -25,6 +25,13 @@ object ConnectedComponents {
     * node incident to an edge, where `component` is the minimum node id
     * in the node's connected component.
     *
+    * Edge lists at or below `driverThreshold` (after dedup) resolve by
+    * exact union-find on the driver — label-identical, two Spark jobs
+    * total — because near-dup pair graphs are output-sized and the
+    * distributed loop's per-round fixed cost (checkpoint + convergence
+    * action) dominates them; larger graphs take the star-contraction
+    * path below, whose properties the rest of this doc describes.
+    *
     * Iterations are bounded by `maxIter` (the algorithm provably needs
     * O(log² n); 25 rounds covers any realistic graph) and stop early on
     * a fixed point: an order-insensitive edge-set checksum (count + sum
@@ -48,9 +55,57 @@ object ConnectedComponents {
     * Round attribution is by checkpoint-dir listing diff, so concurrent
     * `components` calls on one session should use distinct checkpoint
     * dirs. */
-  def components(s: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(s: SparkSession, edges: DataFrame, maxIter: Int = 25,
+      driverThreshold: Long = 1000000L): DataFrame = {
     import s.implicits._
-    val Array(ca, cb) = edges.columns.take(2)
+    val Array(ca0, cb0) = edges.columns.take(2)
+    val dedupedInput = edges
+      .select(col(ca0).cast(LongType).as("u"), col(cb0).cast(LongType).as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+    // Near-dup edge lists are OUTPUT-sized (pairs that verified), not
+    // corpus-sized: overwhelmingly they fit the driver with room to
+    // spare, and star contraction's per-round fixed cost (a checkpoint
+    // plus a convergence action) dwarfs the actual work. Below the
+    // threshold (default 1M edges ≈ 16 MB) run exact union-find on the
+    // driver — same labels (min member id per component), two jobs
+    // total; past it, fall through to the distributed contraction. The
+    // count that picks the path is one cheap aggregate over a frame the
+    // loop would materialize anyway.
+    if (dedupedInput.count() <= driverThreshold)
+      return driverComponents(s, dedupedInput)
+    distributedComponents(s, dedupedInput, maxIter)
+  }
+
+  /** Exact union-find with path halving; component label = the minimum
+    * member id, matching the distributed path bit-for-bit. */
+  private def driverComponents(s: SparkSession, deduped: DataFrame): DataFrame = {
+    import s.implicits._
+    val es = deduped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != cur) {
+        val next = parent(cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // union-by-min keeps every root the minimum of its merged pair, and
+    // transitively of its component
+    val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    labels.toDF("node", "component")
+  }
+
+  private def distributedComponents(s: SparkSession, dedupedInput: DataFrame,
+      maxIter: Int): DataFrame = {
+    import s.implicits._
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
@@ -67,10 +122,7 @@ object ConnectedComponents {
     }
     def drop(dirs: Set[String]): Unit =
       dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    var (e, eDirs) = cut(edges
-      .select(col(ca).cast(LongType).as("u"), col(cb).cast(LongType).as("v"))
-      .filter($"u" =!= $"v")
-      .distinct())
+    var (e, eDirs) = cut(dedupedInput)
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         count(lit(1)),

@@ -8,8 +8,12 @@ import org.scalatest.prop.TableDrivenPropertyChecks
 class ConnectedComponentsSpec extends SparkSpec with TableDrivenPropertyChecks {
   import spark.implicits._
 
-  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.components(spark, edges.toDF("a", "b"))
+  /** driverThreshold = 0 forces the distributed star-contraction path;
+    * the default exercises the driver union-find fast path. */
+  private def comps(edges: Seq[(Long, Long)],
+      driverThreshold: Long = 1000000L): Map[Long, Long] =
+    ConnectedComponents.components(spark, edges.toDF("a", "b"),
+      driverThreshold = driverThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Driver-side union-find oracle. */
@@ -44,20 +48,24 @@ class ConnectedComponentsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got.values.toSet == Set(ids.min))
   }
 
-  test("random graphs match a driver-side union-find oracle") {
+  test("random graphs match a driver-side union-find oracle on BOTH paths") {
     val rnd = new scala.util.Random(13)
     (1 to 3).foreach { trial =>
       val n = 80
       val edges = Seq.fill(70)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
-      assert(comps(edges) == ufOracle(edges), s"trial $trial")
+      val expect = ufOracle(edges)
+      assert(comps(edges) == expect, s"trial $trial (driver fast path)")
+      assert(comps(edges, driverThreshold = 0L) == expect,
+        s"trial $trial (distributed star contraction)")
     }
   }
 
   test("exhausting maxIter fails loudly instead of returning wrong labels") {
     val edges = (1L to 40L).sliding(2).map(p => (p(0), p(1))).toSeq
     val ex = intercept[IllegalStateException] {
-      ConnectedComponents.components(spark, edges.toDF("a", "b"), maxIter = 1)
+      ConnectedComponents.components(spark, edges.toDF("a", "b"), maxIter = 1,
+        driverThreshold = 0L)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
@@ -69,7 +77,8 @@ class ConnectedComponentsSpec extends SparkSpec with TableDrivenPropertyChecks {
     val rnd = new scala.util.Random(3)
     val ids = rnd.shuffle((0L until 50L).toVector)
     val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
-    val out = ConnectedComponents.components(spark, edges.toDF("a", "b"))
+    val out = ConnectedComponents.components(spark, edges.toDF("a", "b"),
+      driverThreshold = 0L)
     assert(out.collect().length == 50) // result readable AFTER cleanup ran
     val p = new org.apache.hadoop.fs.Path(ckptDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
