@@ -121,5 +121,46 @@ object WindowOps extends QueryModule {
         .orderBy($"user_id", $"event_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(w1, w2, w3, w4)
+  /** W5 (beyond parity): RANGE-framed moving aggregate — the
+    * trailing-7-day average daily event count per user, the dashboard
+    * smoothing primitive ROWS frames can't express (a row frame counts
+    * ROWS back, not days back, so gaps in activity skew it). Reproducible
+    * division policy: the frame's SUM and COUNT are exact integers;
+    * avg = one double division. The range key is days-since-epoch so
+    * both engines frame on integer day arithmetic. */
+  private val w5 = QueryDef(
+    "w5_range_moving_avg",
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      d AS (SELECT user_id, day,
+              CAST(day - DATE '1970-01-01' AS BIGINT) AS dnum, n
+            FROM daily)
+      SELECT user_id, day, n,
+        CAST(SUM(n) OVER w AS BIGINT) AS win_events,
+        COUNT(*) OVER w AS win_days,
+        CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_active_day
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY dnum
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day"""),
+    (s, dir) => {
+      import s.implicits._
+      val daily = EventOps.events(s, dir)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dnum", datediff($"day", lit("1970-01-01")).cast(LongType))
+      val w = Window.partitionBy($"user_id").orderBy($"dnum")
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .select($"user_id", $"day", $"n",
+          sum($"n").over(w).as("win_events"),
+          count(lit(1)).over(w).as("win_days"),
+          (sum($"n").over(w).cast(DoubleType)
+            / count(lit(1)).over(w)).as("avg_active_day"))
+        .orderBy($"user_id", $"day")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(w1, w2, w3, w4, w5)
 }
