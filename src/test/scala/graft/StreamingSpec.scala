@@ -223,6 +223,46 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("u1" -> 15.0, "u2" -> 20.0, "u3" -> 30.0))
   }
 
+  test("stream-stream attribution join matches clicks inside the window only") {
+    import graft.streaming.StreamingJoins
+    val impSrc = Files.createTempDirectory("ss_imp").toString + "/data"
+    val clkSrc = Files.createTempDirectory("ss_clk").toString + "/data"
+    val cp = Files.createTempDirectory("ss_cp").toString
+    val out = Files.createTempDirectory("ss_out").toString + "/data"
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+    // impressions: user 1 at 10:00, user 2 at 10:00
+    Seq((1L, t("10:00"), 100L), (2L, t("10:00"), 101L))
+      .toDF("user_id", "ts", "event_id").write.parquet(impSrc)
+    // clicks: user 1 at 10:20 (inside 30min), user 2 at 11:30 (outside),
+    // user 3 at 10:05 (no impression)
+    Seq((1L, t("10:20"), 200L), (2L, t("11:30"), 201L), (3L, t("10:05"), 202L))
+      .toDF("user_id", "ts", "event_id").write.parquet(clkSrc)
+    val schema = spark.read.parquet(impSrc).schema
+    val joined = StreamingJoins.attributionJoin(
+      spark.readStream.schema(schema).parquet(impSrc),
+      spark.readStream.schema(schema).parquet(clkSrc))
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("imp_id"),
+        r.getAs[Long]("click_id")))
+    assert(got.toSet == Set((1L, 100L, 200L)),
+      s"only the in-window click attributes, got ${got.mkString(",")}")
+    // batch twin: the same semantics as a plain interval join
+    val impB = spark.read.parquet(impSrc)
+    val clkB = spark.read.parquet(clkSrc)
+    val batch = impB.alias("i").join(clkB.alias("c"),
+      col("i.user_id") === col("c.user_id") &&
+        col("c.ts").between(col("i.ts"),
+          col("i.ts") + expr("INTERVAL 30 minutes")))
+      .select(col("i.event_id"), col("c.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.toSet == Set((100L, 200L)))
+  }
+
   test("anomaly stream flags the spike the day it closes, state surviving batches") {
     import graft.streaming.EventAnomalyStream
     import graft.streaming.EventAnomalyStream.DayCount
