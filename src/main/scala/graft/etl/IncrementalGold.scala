@@ -1,0 +1,77 @@
+package graft.etl
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bookmark-driven gold maintenance — the batch-incremental lakehouse
+  * pattern the reference's Glue job bookmarks approximate (SURVEY §2.9
+  * E7): each refresh aggregates ONLY bronze partitions newer than the
+  * bookmark and merges them into the gold table.
+  *
+  * Why the grain must include the date column: with (business keys +
+  * date) as the merge key, a new partition contributes brand-new grain
+  * rows (pure insert) and RE-processing a partition overwrites exactly
+  * that date's rows — refresh is idempotent, and no additive
+  * read-modify-write of existing aggregates is ever needed. At 100 TB
+  * the delta scan is the whole point: the date predicate prunes to the
+  * new partition directories (spec-proved via `selectedPartitions`), so
+  * a daily refresh touches one partition of bronze regardless of table
+  * size.
+  *
+  * The bookmark advances ATOMICALLY (temp file + rename) and only after
+  * the merge lands; a crash between merge and bookmark write means the
+  * next refresh re-processes the last delta — idempotent by the grain
+  * argument above, so at-least-once processing yields exactly-once
+  * table state.
+  */
+object IncrementalGold {
+
+  final case class RefreshReport(fromExclusive: Option[String],
+      newBookmark: Option[String], rowsUpserted: Long)
+
+  /** One refresh cycle. `aggregate` maps the (pruned) bronze delta to
+    * gold-grain rows; `keys` is the gold merge key and MUST contain
+    * `dateCol`. */
+  def refresh(spark: SparkSession, bronzePath: String, goldPath: String,
+      bookmarkPath: String, dateCol: String, keys: Seq[String],
+      aggregate: DataFrame => DataFrame): RefreshReport = {
+    require(keys.contains(dateCol),
+      s"gold merge key $keys must contain the partition date column $dateCol — " +
+        "that is what makes re-processing idempotent instead of double-counting")
+    val from = readBookmark(spark, bookmarkPath)
+    val bronze = spark.read.parquet(bronzePath)
+    val delta = from.fold(bronze)(b =>
+      bronze.filter(col(dateCol) > lit(b))) // partition-pruned
+    val up = aggregate(delta)
+    val maxDate = delta.agg(max(col(dateCol).cast("string"))).head().getString(0)
+    if (maxDate == null) // no new partitions — nothing to merge or advance
+      return RefreshReport(from, from, 0L)
+    val n = up.count()
+    StreamingIngest.mergeIntoParquet(spark, up, goldPath, keys)
+    writeBookmark(spark, bookmarkPath, maxDate)
+    RefreshReport(from, Some(maxDate), n)
+  }
+
+  private def readBookmark(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeBookmark(spark: SparkSession, path: String,
+      value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"bookmark rename failed: $tmp -> $p")
+  }
+}
