@@ -45,4 +45,35 @@ object Salting {
       .join(replicatedDim, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Measure the skew and pick the salt factor, instead of making the
+    * caller guess: one aggregate over the fact computes the hottest
+    * key's share; the factor is how many ideal reducer-shares that key
+    * occupies (hot / (total / parallelism)), clamped to [1, maxBuckets].
+    * 1 means "don't salt" — salting un-skewed data just adds a second
+    * aggregate for nothing. The measurement is itself a keyed count —
+    * map-side combinable, safe on the skewed input. */
+  def suggestBuckets(df: DataFrame, keys: Seq[String], parallelism: Int,
+      maxBuckets: Int = 64): Int = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("hot"), sum(col("n")).as("total"))
+      .head()
+    if (r.isNullAt(0)) 1
+    else {
+      val hot = r.getLong(0).toDouble
+      val ideal = r.getLong(1).toDouble / parallelism
+      math.max(1, math.min(maxBuckets, math.ceil(hot / math.max(ideal, 1.0)).toInt))
+    }
+  }
+
+  /** [[saltedSum]] with the factor measured from the data; falls back to
+    * a plain aggregate when the keys are not skewed. */
+  def autoSaltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBy: String, parallelism: Int): DataFrame = {
+    val buckets = suggestBuckets(df, keys, parallelism)
+    if (buckets <= 1)
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(valueCol)).as(s"sum_$valueCol"))
+    else saltedSum(df, keys, valueCol, saltBy, buckets)
+  }
 }

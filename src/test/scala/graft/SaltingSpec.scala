@@ -31,4 +31,25 @@ class SaltingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(salted == plain)
   }
+
+  test("suggestBuckets sees skew; autoSaltedSum matches plain on both shapes") {
+    // hot key: 9000 of 10000 rows on one key; 8-way parallelism means the
+    // hot key is ~7 ideal reducer shares
+    val skewed = ((1 to 9000).map(i => ("hot", i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", i.toLong)))
+      .toDF("k", "v")
+    val sb = Salting.suggestBuckets(skewed, Seq("k"), parallelism = 8)
+    assert(sb > 1 && sb <= 64, s"skewed input must salt, got $sb")
+    val uniform = (1 to 1000).map(i => (s"k${i % 100}", i.toLong)).toDF("k", "v")
+    assert(Salting.suggestBuckets(uniform, Seq("k"), parallelism = 8) == 1,
+      "uniform input must not salt")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Salting.autoSaltedSum(df, Seq("k"), "v", saltBy = "v", parallelism = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def plainSums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(sum($"v")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums(skewed) == plainSums(skewed))
+    assert(sums(uniform) == plainSums(uniform))
+  }
 }
