@@ -161,20 +161,26 @@ object SimilarityOps extends QueryModule {
     Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dims)(rnd.nextGaussian())))
   }
 
+  /** Per-table sign-bit bucket of vector column v, exploded to one row
+    * per (vector, table) — rows are (id, tbl, bucket): no vector
+    * payload ever enters a shuffle. */
+  private def signBuckets(df: DataFrame, idCol: String,
+      tablePlanes: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(array(tablePlanes.map { planes =>
+        aggregate(typedLit(planes), lit(0L),
+          (acc, p) => acc * 2
+            + when(dot(p, col("v")) >= 0, lit(1L)).otherwise(lit(0L)))
+      }: _*)).as(Seq("tbl", "bucket")))
+
   def lshAnn(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
       topK: Int = 5, tables: Int = 16, planesPerTable: Int = 4,
       dims: Int = 64, seed: Long = 42L): DataFrame = {
     import s.implicits._
     val tablePlanes = lshPlanes(tables, planesPerTable, dims, seed)
-    // per-table sign-bit bucket of vector column v, exploded to one row
-    // per (vector, table) — rows are (id, tbl, bucket): no vector payload
     def buckets(df: DataFrame, idCol: String): DataFrame =
-      df.select(
-        col(idCol),
-        posexplode(array(tablePlanes.map { planes =>
-          aggregate(typedLit(planes), lit(0L),
-            (acc, p) => acc * 2 + when(dot(p, $"v") >= 0, lit(1L)).otherwise(lit(0L)))
-        }: _*)).as(Seq("tbl", "bucket")))
+      signBuckets(df, idCol, tablePlanes)
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     val q = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
     val corpusBuckets = buckets(corpus, "vec_id")
@@ -718,7 +724,101 @@ object SimilarityOps extends QueryModule {
         exactMean = false)
     }))
 
+  /** SemDeDup-shaped semantic dedup: LSH candidate pairs (any shared
+    * bucket across the hash tables) → exact-cosine verify at `tau` →
+    * connected components over the verified pairs → keep the minimum
+    * vec_id per cluster. The 100 TB shape end-to-end: candidates come
+    * from a bucketed self-equi-join (never all-pairs), only candidate
+    * pairs touch float math, and transitive A~B~C chains collapse to ONE
+    * keeper instead of pairwise-dropping B and C both. Recall is
+    * LSH-bounded by construction — a pair the tables never co-bucket is
+    * not a candidate — and the oracle replays the SAME candidate
+    * generation from emitted plane literals, so the declared result is
+    * exact over the declared candidate set. */
+  def semanticDedup(s: SparkSession, embeddings: DataFrame,
+      tau: Double = 0.4, tables: Int = 16, planesPerTable: Int = 4,
+      dims: Int = 64, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val tablePlanes = lshPlanes(tables, planesPerTable, dims, seed)
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val cb = signBuckets(corpus, "vec_id", tablePlanes)
+    val cands = cb
+      .join(cb.select($"vec_id".as("id_b"), $"tbl", $"bucket"),
+        Seq("tbl", "bucket"))
+      .filter($"vec_id" < $"id_b")
+      .select($"vec_id".as("id_a"), $"id_b")
+      .distinct()
+    val verified = cands
+      .join(corpus.select($"vec_id".as("id_a"), $"v".as("v_a")), "id_a")
+      .join(corpus.select($"vec_id".as("id_b"), $"v".as("v_b")), "id_b")
+      .filter(CosineSimilarity.cosineNative(s, $"v_a", $"v_b") >= tau)
+      .select($"id_a", $"id_b")
+    val comp = ConnectedComponents.components(s, verified)
+    corpus.select($"vec_id")
+      .join(comp.select($"node".as("vec_id"), $"component"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"component", $"vec_id").as("keeper_id"),
+        (coalesce($"component", $"vec_id") === $"vec_id").as("is_kept"))
+      .orderBy($"vec_id")
+  }
+
+  private def semanticDedupOracle(tau: Double, tables: Int,
+      planesPerTable: Int, dims: Int, seed: Long): String = {
+    val planes = lshPlanes(tables, planesPerTable, dims, seed)
+    val planeRows = planes.zipWithIndex.flatMap { case (ps, t) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        val w = 1L << (planesPerTable - 1 - i)
+        s"($t, $w, [${p.map(_.toString).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n          ")
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      planes(tbl, pw, p) AS (VALUES
+          $planeRows),
+      cb AS (
+        SELECT e.vec_id, pl.tbl,
+          SUM(CASE WHEN ${dot("pl.p", "e.v")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.tbl),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
+      verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cands c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE ${cosine("ea.v", "eb.v")} >= $tau),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified),
+      walk(node, reach) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.node, ed.b FROM walk w JOIN edges ed ON ed.a = w.reach),
+      comp AS (
+        SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+      SELECT e.vec_id,
+        COALESCE(c.component, e.vec_id) AS keeper_id,
+        COALESCE(c.component, e.vec_id) = e.vec_id AS is_kept
+      FROM e LEFT JOIN comp c ON c.node = e.vec_id
+      ORDER BY e.vec_id"""
+  }
+
+  private val simSemDedup = QueryDef(
+    "sim_semantic_dedup",
+    Some(semanticDedupOracle(tau = 0.4, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)),
+    (s, dir) => semanticDedup(s, T(s, dir, "embeddings")))
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg, simQuantize,
-      simQuantTopK, simIvfQuant)
+      simQuantTopK, simIvfQuant, simSemDedup)
 }

@@ -88,6 +88,20 @@ class FunctionsSpec extends SparkSpec {
     assert(counted == 1, "exactly one email in the fixture")
   }
 
+  test("semantic dedup keeps exactly one representative per cluster") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val out = SimilarityOps.semanticDedup(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    val keepers = out.filter(_._3).map(_._1).toSet
+    out.foreach { case (vec, keeper, kept) =>
+      assert(keeper <= vec, "cluster representative is the minimum id")
+      assert(keepers.contains(keeper), "every keeper must itself be kept")
+      assert(kept == (vec == keeper))
+    }
+    assert(keepers.size < out.length, "corpus has planted near-dup vectors")
+  }
+
   test("anomalousDays flags the planted spike and skips flat users") {
     import java.sql.Timestamp
     def day(d: Int, k: Int) = (1 to k).map(_ =>
