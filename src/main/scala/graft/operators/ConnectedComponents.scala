@@ -69,19 +69,23 @@ object ConnectedComponents {
     // plus a convergence action) dwarfs the actual work. Below the
     // threshold (default 1M edges ≈ 16 MB) run exact union-find on the
     // driver — same labels (min member id per component), two jobs
-    // total; past it, fall through to the distributed contraction. The
-    // count that picks the path is one cheap aggregate over a frame the
-    // loop would materialize anyway.
-    if (dedupedInput.count() <= driverThreshold)
-      return driverComponents(s, dedupedInput)
+    // total; past it, fall through to the distributed contraction.
+    // ONE limit-bounded collect both picks the path and fetches the
+    // edges — a separate count() would evaluate the (often expensive)
+    // upstream pair pipeline twice, and the limit caps driver memory at
+    // threshold+1 rows even when the graph is huge.
+    val probe = dedupedInput.limit(
+      (driverThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= driverThreshold)
+      return driverComponents(s, probe.map(r => (r.getLong(0), r.getLong(1))))
     distributedComponents(s, dedupedInput, maxIter)
   }
 
   /** Exact union-find with path halving; component label = the minimum
     * member id, matching the distributed path bit-for-bit. */
-  private def driverComponents(s: SparkSession, deduped: DataFrame): DataFrame = {
+  private def driverComponents(s: SparkSession,
+      es: Array[(Long, Long)]): DataFrame = {
     import s.implicits._
-    val es = deduped.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var root = x

@@ -743,7 +743,10 @@ object SimilarityOps extends QueryModule {
     * p from 4 to 8); recall for genuinely-similar pairs stays ≈99.6%
     * across 16 tables because their per-table collision probability is
     * high. Size p so corpus/2^p stays tens, not hundreds. */
-  def semanticDedup(s: SparkSession, embeddings: DataFrame,
+  /** The candidate+verify stage of [[semanticDedup]], exposed so its
+    * plan shape (single bucket derivation, reused exchange) can be
+    * audited and so callers can inspect the verified pair list. */
+  def semanticPairs(s: SparkSession, embeddings: DataFrame,
       tau: Double = 0.4, tables: Int = 16, planesPerTable: Int = 8,
       dims: Int = 64, seed: Long = 42L): DataFrame = {
     import s.implicits._
@@ -761,11 +764,20 @@ object SimilarityOps extends QueryModule {
       .filter($"vec_id" < $"id_b")
       .select($"vec_id".as("id_a"), $"id_b")
       .distinct()
-    val verified = cands
+    cands
       .join(corpus.select($"vec_id".as("id_a"), $"v".as("v_a")), "id_a")
       .join(corpus.select($"vec_id".as("id_b"), $"v".as("v_b")), "id_b")
       .filter(CosineSimilarity.cosineNative(s, $"v_a", $"v_b") >= tau)
       .select($"id_a", $"id_b")
+  }
+
+  def semanticDedup(s: SparkSession, embeddings: DataFrame,
+      tau: Double = 0.4, tables: Int = 16, planesPerTable: Int = 8,
+      dims: Int = 64, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val verified =
+      semanticPairs(s, embeddings, tau, tables, planesPerTable, dims, seed)
     val comp = ConnectedComponents.components(s, verified)
     corpus.select($"vec_id")
       .join(comp.select($"node".as("vec_id"), $"component"), Seq("vec_id"), "left")

@@ -87,6 +87,23 @@ class PlanAuditSpec extends SparkSpec {
     }.size == 2, s"expected both OR branches as shuffled hash joins in:\n$plan")
   }
 
+  test("semantic dedup derives LSH buckets once, self-join reads the reused exchange (sim)") {
+    // The plane-dot stage is the expensive scalar; a regression to
+    // per-side recomputation doubles it (measured 2x at sf0.1). Audited
+    // on the pair stage directly — the full query resolves tiny graphs
+    // on the driver, which hides the pair pipeline's plan.
+    val df = graft.operators.SimilarityOps.semanticPairs(spark,
+      graft.core.T(spark, sf0001, "embeddings"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val i = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (i >= 0) plan.substring(0, i) else plan
+    assert("ReusedExchange".r.findAllIn(finalPlan).nonEmpty,
+      s"bucket exchange not reused:\n$finalPlan")
+    assert("plane_buckets".r.findAllIn(finalPlan).length <= 1,
+      "buckets must be computed by ONE native expression site")
+  }
+
   test("boilerplate coverage windows the corpus exactly once (dd)") {
     // The one-pass design: shared-gram detection is a window function
     // over one gram-partitioned sort, NOT a second scan+shingle of the
