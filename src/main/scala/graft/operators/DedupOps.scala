@@ -750,7 +750,79 @@ object DedupOps extends QueryModule {
       ORDER BY d.doc_id"""),
     (s, dir) => boilerplateCoverage(T(s, dir, "documents")))
 
+  /** N-gram novelty — the share of a document's DISTINCT 8-grams whose
+    * first occurrence (minimum doc_id) is this document. High-novelty
+    * docs introduce new content; near-zero novelty means everything was
+    * already said — the per-doc complement of [[boilerplateCoverage]]
+    * and a cheap curriculum/sampling signal. Same one-derivation
+    * discipline: the distinct (doc, gram-hash) frame is repartitioned
+    * by gram hash once and feeds both the first-doc aggregate and the
+    * join back. */
+  def ngramNovelty(documents: DataFrame, n: Int = 8): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tokens"))
+    val grams = toksDf
+      .filter(col("n_tokens") >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), (col("n_tokens") - n).cast(IntegerType)))
+          .as("pos"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
+          .as("gram_h"))
+      .distinct()
+      .repartition(col("gram_h"))
+    val firstDoc = grams.groupBy(col("gram_h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val per = grams.join(firstDoc, "gram_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    toksDf.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .otherwise(lit(0.0)).as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ddNovelty = QueryDef(
+    "ta_ngram_novelty",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM t),
+      g AS (
+        SELECT DISTINCT doc_id,
+          md5(array_to_string(list_slice(ws, pos + 1, pos + 8), ' ')) AS gram_h
+        FROM (SELECT doc_id, unnest(range(0, n_tokens - 7)) AS pos, ws
+              FROM d WHERE n_tokens >= 8)),
+      fd AS (SELECT gram_h, MIN(doc_id) AS first_doc FROM g GROUP BY gram_h),
+      per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+        FROM g JOIN fd USING (gram_h)
+        GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        COALESCE(per.n_grams, 0) AS n_grams,
+        COALESCE(per.n_novel, 0) AS n_novel,
+        CASE WHEN COALESCE(per.n_grams, 0) > 0
+             THEN CAST(per.n_novel AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+             ELSE 0.0 END AS novelty_frac
+      FROM d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id"""),
+    (s, dir) => ngramNovelty(T(s, dir, "documents")))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
-      ddClusterStats, ddSimhashHamming, ddIncremental, ddBoilerplate)
+      ddClusterStats, ddSimhashHamming, ddIncremental, ddBoilerplate,
+      ddNovelty)
 }

@@ -122,4 +122,17 @@ class DedupSpec extends SparkSpec {
     val out = DedupOps.boilerplateCoverage(docs).collect()
     assert(out.length == 2 && out.forall(_.getLong(2) == 0L))
   }
+
+  test("ngramNovelty: originals score 1, a verbatim copy scores 0") {
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, original),
+      (2L, original), // copy: every 8-gram first seen in doc 1
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val out = DedupOps.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1.0)))
+    assert(out(2L) == ((3L, 0.0)))
+    assert(out(3L) == ((3L, 1.0)))
+  }
 }
