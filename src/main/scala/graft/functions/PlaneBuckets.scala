@@ -106,8 +106,14 @@ object PlaneBuckets {
   def buckets(spark: SparkSession, v: Column,
       planes: Seq[Seq[Seq[Double]]]): Column = {
     val mat = planes.map(_.map(_.toArray).toArray).toArray
-    val name = s"plane_buckets_${java.util.Arrays.deepHashCode(
-      mat.asInstanceOf[Array[AnyRef]]).toHexString}"
+    // name keys the matrix identity: shape explicitly, contents by both
+    // a deep hash AND a first-element bit pattern — a bare 32-bit hash
+    // collision would silently bind a query to the wrong planes
+    val head = if (mat.nonEmpty && mat(0).nonEmpty && mat(0)(0).nonEmpty)
+      java.lang.Double.doubleToLongBits(mat(0)(0)(0)).toHexString else "e"
+    val name = s"plane_buckets_${mat.length}_" +
+      s"${if (mat.nonEmpty) mat(0).length else 0}_${head}_" +
+      java.util.Arrays.deepHashCode(mat.asInstanceOf[Array[AnyRef]]).toHexString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       { exprs =>
