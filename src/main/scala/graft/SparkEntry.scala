@@ -61,6 +61,11 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.benchBuild.getOrElse(d.build)).toMap
 
+  /** Untimed per-query Bench setup (offline artifact builds, e.g. the
+    * persisted MinHash band index) — see [[graft.core.QueryDef]]. */
+  def benchSetups: Map[String, (SparkSession, String) => Unit] =
+    all.flatMap(d => d.benchSetup.map(d.name -> _)).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -1,0 +1,132 @@
+package graft.etl
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted corpus-side MinHash band index — the artifact a continuous
+  * ingestion pipeline maintains so per-batch near-dup probes never
+  * recompute the corpus (the reference's per-record dedup check,
+  * `src/lambdas/ingest/ingestStreamateModelPerformance.py:72-142`, is the
+  * degenerate one-row form of this probe). Three bucketed tables:
+  *
+  *  - `<name>_banded(doc_id, band, bucket)` bucketed by (band, bucket):
+  *    the LSH candidate index. A probe shuffles only its OWN banded rows
+  *    (batch-sized) to the index's bucketing; the corpus side is read in
+  *    place with zero exchange (MinhashIndexSpec asserts this on the
+  *    executed plan).
+  *  - `<name>_shingles(doc_id, shingle)` bucketed by (doc_id, shingle):
+  *    the exact-Jaccard verify side — intersection counts join candidate
+  *    pairs here, again corpus-exchange-free.
+  *  - `<name>_sizes(doc_id, n_sh)` bucketed by doc_id: Jaccard
+  *    denominators, joined (not broadcast — one row per corpus doc is NOT
+  *    driver-small at 100 TB) with the corpus side read in place.
+  *
+  * At 100 TB the bucketed layout is the entire point: the corpus never
+  * moves. Probe cost is O(batch) shuffle + colocated reads of the index
+  * buckets the batch actually touches. Index refresh is an offline job
+  * (per-batch appends of the accepted docs' rows), amortized across
+  * probes; [[build]] here is the full-rebuild form of that job.
+  *
+  * The shingle table stores shingle STRINGS so the verify stage is
+  * value-identical to the recompute pipeline (and its DuckDB oracle); a
+  * production deployment would store 8-byte shingle hashes instead —
+  * intersection counts are identical absent 64-bit collisions — cutting
+  * the index to a fraction of corpus bytes.
+  */
+object MinhashIndex {
+
+  final case class Tables(banded: String, shingles: String, sizes: String)
+
+  def tables(name: String): Tables =
+    Tables(s"${name}_banded", s"${name}_shingles", s"${name}_sizes")
+
+  /** Full rebuild of the index over `corpus` (must carry doc_id, text).
+    * Drops + recreates the three tables; the shingle table is written
+    * first and the signature derived from the STORED rows, so the three
+    * artifacts are consistent even if the corpus frame is
+    * non-deterministic under recompute. */
+  def build(s: SparkSession, corpus: DataFrame, name: String,
+      numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): Tables = {
+    val t = tables(name)
+    Seq(t.banded, t.shingles, t.sizes).foreach(dropTable(s, _))
+    val sh = DedupOps.shingleRows(corpus)
+    writeBucketed(sh, t.shingles, nBuckets, "doc_id", "shingle")
+    val sig = DedupOps
+      .minhashSigFromShingles(s.table(t.shingles), numPerms, hashFn)
+      .persist() // one row per doc; consumed by two writes below
+    try {
+      writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
+        nBuckets, "doc_id")
+      writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
+        t.banded, nBuckets, "band", "bucket")
+    } finally sig.unpersist(blocking = false)
+    t
+  }
+
+  /** Full-rebuild drop: DROP TABLE clears only THIS session's catalog —
+    * with the default in-memory catalog a fresh JVM doesn't know the
+    * table, but its warehouse directory survives and `saveAsTable` then
+    * fails with LOCATION_ALREADY_EXISTS. Clear the physical location
+    * too. */
+  private def dropTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Repartition to the bucket spec before writing so each task owns
+    * whole buckets — without it every task writes a file per bucket and
+    * the table shatters into tasks×buckets small files. */
+  private def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      cols: String*): Unit =
+    df.repartition(nBuckets, cols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Near-dup pairs between `batch` and the indexed corpus — the
+    * per-batch probe. Candidates come from the (band, bucket) equi-join
+    * against the banded index; exact-Jaccard verify restricts to
+    * candidates and joins the stored shingle/size tables. All pairs are
+    * cross-corpus by construction (the two sides are different frames),
+    * so no pair predicate is needed. Semantically identical to
+    * [[DedupOps.minhashNearDups]] with the cross-corpus pairPredicate —
+    * MinhashIndexSpec asserts row-for-row equality, and the declared
+    * query's DuckDB oracle replays the recompute form. */
+  def incrementalPairs(s: SparkSession, batch: DataFrame, name: String,
+      threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+    val t = tables(name)
+    val shNew = DedupOps.shingleRows(batch)
+    val sigNew = DedupOps.minhashSigFromShingles(shNew, numPerms, hashFn)
+    val bandedNew = DedupOps.bandedBuckets(sigNew, numPerms, bands, hashFn)
+    val cands = bandedNew.as("x")
+      .join(s.table(t.banded).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("y.doc_id").as("doc_old"), col("x.doc_id").as("doc_new"))
+      .distinct()
+    val inter = cands
+      .join(shNew.select(col("doc_id").as("doc_new"), col("shingle")), "doc_new")
+      .join(s.table(t.shingles).select(col("doc_id").as("doc_old"), col("shingle")),
+        Seq("doc_old", "shingle"))
+      .groupBy(col("doc_old"), col("doc_new"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      // corpus-side sizes: plain join (bucketed on doc_id, read in place);
+      // batch-side sizes: genuinely small, broadcast.
+      .join(s.table(t.sizes).select(col("doc_id").as("doc_old"), col("n_sh").as("n_old")),
+        "doc_old")
+      .join(broadcast(sigNew.select(col("doc_id").as("doc_new"), col("n_sh").as("n_new"))),
+        "doc_new")
+      .select(col("doc_old"), col("doc_new"),
+        (col("n_inter") / (col("n_old") + col("n_new") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_old"), col("doc_new"))
+  }
+}

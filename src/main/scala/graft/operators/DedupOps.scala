@@ -397,34 +397,51 @@ object DedupOps extends QueryModule {
     * (inside the band-bucket join), before any verify work — e.g. the
     * cross-corpus restriction of [[ddIncremental]]. Defaults to all
     * pairs. */
+  /** MinHash signature aggregate over (doc_id, shingle) rows: one row per
+    * doc with `n_sh` (distinct shingle count, the Jaccard denominator
+    * input) and `numPerms` min-hash columns `h0..h{k-1}`.
+    *
+    * Broder double-hashing: each shingle is hashed TWICE (not once per
+    * permutation); permutation i = (h1 + i*h2) mod P, derived
+    * arithmetically inside the aggregate. h1/h2 are materialized as
+    * attributes first so Catalyst computes them once per row, not once
+    * per permutation column (the HOF-inlining trap, agg flavor). */
+  private[graft] def minhashSigFromShingles(sh: DataFrame, numPerms: Int,
+      hashFn: (Column, Int) => Column): DataFrame = {
+    val shH = sh.select(col("doc_id"),
+      pmod(hashFn(col("shingle"), 0), lit(minhashPrime)).as("h1"),
+      pmod(hashFn(col("shingle"), 1), lit(minhashPrime)).as("h2"))
+    shH.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_sh"),
+      (0 until numPerms).map(i =>
+        min((col("h1") + lit(i.toLong) * col("h2")) % minhashPrime).as(s"h$i")): _*)
+  }
+
+  /** LSH banding of a signature frame: (doc_id, band, bucket) rows, one
+    * per band, where `bucket` hashes that band's `numPerms/bands`
+    * signature rows. Docs sharing (band, bucket) are candidates. */
+  private[graft] def bandedBuckets(sig: DataFrame, numPerms: Int, bands: Int,
+      hashFn: (Column, Int) => Column): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val bandCols = (0 until bands).map { b =>
+      val rowsCols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      hashFn(concat_ws("_", rowsCols: _*), b).as(s"b$b")
+    }
+    sig
+      .select(col("doc_id") +: bandCols: _*)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"b$b")): _*)).as(Seq("band", "bucket")))
+  }
+
   def minhashNearDups(s: SparkSession, documents: DataFrame,
       threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8,
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed)),
       pairPredicate: (Column, Column) => Column = (_, _) => lit(true)): DataFrame = {
     import s.implicits._
-    val rowsPerBand = numPerms / bands
     val sh = shingleRows(documents)
-    // Broder double-hashing: each shingle is hashed TWICE (not once per
-    // permutation); permutation i = (h1 + i*h2) mod P, derived
-    // arithmetically inside the aggregate. h1/h2 are materialized as
-    // attributes first so Catalyst computes them once per row, not once
-    // per permutation column (the HOF-inlining trap, agg flavor).
-    val shH = sh.select($"doc_id",
-      pmod(hashFn($"shingle", 0), lit(minhashPrime)).as("h1"),
-      pmod(hashFn($"shingle", 1), lit(minhashPrime)).as("h2"))
-    val sig = shH.groupBy($"doc_id").agg(
-      count(lit(1)).as("n_sh"),
-      (0 until numPerms).map(i =>
-        min(($"h1" + lit(i.toLong) * $"h2") % minhashPrime).as(s"h$i")): _*)
-    val bandCols = (0 until bands).map { b =>
-      val rowsCols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      hashFn(concat_ws("_", rowsCols: _*), b).as(s"b$b")
-    }
-    val banded = sig
-      .select($"doc_id" +: bandCols: _*)
-      .select(
-        $"doc_id",
-        posexplode(array((0 until bands).map(b => col(s"b$b")): _*)).as(Seq("band", "bucket")))
+    val sig = minhashSigFromShingles(sh, numPerms, hashFn)
+    val banded = bandedBuckets(sig, numPerms, bands, hashFn)
     val cands = banded.as("x")
       .join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
@@ -663,6 +680,42 @@ object DedupOps extends QueryModule {
     benchBuild = Some((s, dir) => incrementalPairs(s, T(s, dir, "documents"),
       hashFn = (c, seed) => xxhash64(c, lit(seed)))))
 
+  /** The same incremental near-dup check served from a PERSISTED
+    * corpus-side index ([[graft.etl.MinhashIndex]]) instead of
+    * recomputing the corpus per batch — what a continuous-ingest
+    * pipeline actually runs at 100 TB. The oracle is the full recompute
+    * replay (identical to [[ddIncremental]]'s), so a green row proves
+    * batch-vs-index equivalence end to end. Verify's `build` rebuilds
+    * the index inline (correctness never reads stale state); Bench
+    * treats the build as the offline job it is (`benchSetup`) and times
+    * only the per-batch probe. */
+  private val newBatch: Column = col("doc_id") % 10 === 0
+
+  private val ddIncrementalIndexed = QueryDef(
+    "dd_incremental_indexed",
+    Some(s"""
+      WITH ${minhashCtes(0.5, 32, 8)}
+      SELECT
+        CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_old,
+        CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+        jaccard
+      FROM pairs
+      WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+      ORDER BY doc_old, doc_new"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.etl.MinhashIndex.build(s, docs.filter(!newBatch), "mh_idx_v",
+        hashFn = portableSeededHash)
+      graft.etl.MinhashIndex.incrementalPairs(s, docs.filter(newBatch),
+        "mh_idx_v", hashFn = portableSeededHash)
+    },
+    benchBuild = Some((s, dir) =>
+      graft.etl.MinhashIndex.incrementalPairs(s,
+        T(s, dir, "documents").filter(newBatch), "mh_idx_b")),
+    benchSetup = Some((s, dir) =>
+      graft.etl.MinhashIndex.build(s,
+        T(s, dir, "documents").filter(!newBatch), "mh_idx_b")))
+
   /** Shared-passage (boilerplate) coverage — the n-gram-granular form of
     * exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): a token position is "boilerplate"
@@ -823,6 +876,6 @@ object DedupOps extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
-      ddClusterStats, ddSimhashHamming, ddIncremental, ddBoilerplate,
-      ddNovelty)
+      ddClusterStats, ddSimhashHamming, ddIncremental, ddIncrementalIndexed,
+      ddBoilerplate, ddNovelty)
 }

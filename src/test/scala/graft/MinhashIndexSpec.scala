@@ -1,0 +1,92 @@
+package graft
+
+import graft.etl.MinhashIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** The persisted corpus-side MinHash band index: probes must (a) return
+  * exactly the recompute pipeline's pairs and (b) never shuffle the
+  * corpus — every index table is read in place (bucketed on its join
+  * keys), with only batch-derived frames crossing an exchange. */
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val isNew = col("doc_id") % 10 === 0
+
+  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("indexed probe equals the recompute pipeline, corpus side exchange-free") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    try {
+      MinhashIndex.build(spark, docs.filter(!isNew), "mhspec_idx")
+      val probe = MinhashIndex.incrementalPairs(spark, docs.filter(isNew), "mhspec_idx")
+
+      // (a) row-for-row equality with the self-contained recompute form
+      val recompute = graft.operators.DedupOps
+        .minhashNearDups(spark, docs,
+          pairPredicate = (a, b) => (a % 10 === 0) =!= (b % 10 === 0))
+        .select(
+          when(col("doc_a") % 10 === 0, col("doc_b")).otherwise(col("doc_a")).as("doc_old"),
+          when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+          col("jaccard"))
+      val got = probe.collect().toSeq
+      assert(got.nonEmpty, "probe found no pairs — vacuous test")
+      assert(got.toSet ==
+        recompute.collect().toSeq.toSet)
+
+      // (b) plan shape: AQE/broadcast off so the joins take their true
+      // distributed (sort-merge) form, then walk the executed plan — no
+      // ShuffleExchange subtree may contain an index-table scan.
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val p = MinhashIndex.incrementalPairs(spark, docs.filter(isNew), "mhspec_idx")
+        val plan = p.queryExecution.executedPlan
+        val allIdxScans = plan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("mhspec_idx")) =>
+            f.relation.location.rootPaths.mkString
+        }
+        assert(allIdxScans.size == 3,
+          s"expected scans of all three index tables, got: $allIdxScans")
+        // Invariant: between each index scan and its FIRST join there is
+        // no ShuffleExchange — the corpus is read in place (bucketed on
+        // its join keys); only joined/candidate-sized frames shuffle
+        // downstream. `raw(n)` = index scans in n's subtree not yet
+        // absorbed by a join; a shuffle seeing raw scans is a violation.
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.joins.BaseJoinExec
+        var violations = List.empty[String]
+        def raw(n: SparkPlan): Seq[String] = n match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("mhspec_idx")) =>
+            Seq(f.relation.location.rootPaths.mkString)
+          case _: BaseJoinExec =>
+            n.children.foreach(raw); Seq.empty
+          case sh: ShuffleExchangeExec =>
+            violations ++= sh.children.flatMap(raw); Seq.empty
+          case other => other.children.flatMap(raw)
+        }
+        raw(plan)
+        assert(violations.isEmpty,
+          s"corpus-side index scans shuffled BEFORE their first join: $violations")
+        // non-vacuous: the batch side DOES shuffle
+        assert(plan.collect { case sh: ShuffleExchangeExec => sh }.nonEmpty,
+          "expected batch-side exchanges — plan walker is seeing nothing")
+        assert(p.collect().toSeq.toSet == got.toSet)
+      }
+    } finally
+      Seq("mhspec_idx_banded", "mhspec_idx_shingles", "mhspec_idx_sizes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -26,7 +26,8 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  SparkEntry.all.foreach { case QueryDef(name, _, build, _) =>
+  SparkEntry.all.foreach { d =>
+    val (name, build) = (d.name, d.build)
     test(s"$name runs at sf0.001") {
       val df = build(spark, sf0001)
       val n = df.count()
@@ -43,6 +44,7 @@ class OperatorSmokeSpec extends SparkSpec {
   // Verify, and a broken benchBuild silently zeroes a bench number
   SparkEntry.all.filter(_.benchBuild.isDefined).foreach { d =>
     test(s"${d.name} production bench variant runs at sf0.001") {
+      d.benchSetup.foreach(_(spark, sf0001)) // untimed artifact builds
       val n = d.benchBuild.get(spark, sf0001).count()
       if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} bench variant returned 0 rows")
       assert(spark.sparkContext.getPersistentRDDs.isEmpty)
