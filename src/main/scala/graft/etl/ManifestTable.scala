@@ -1,0 +1,172 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-committed, date-partitioned parquet table — the ATOMIC
+  * multi-partition merge [[graft.streaming.StreamingIngest.mergeIntoDatePartitioned]]
+  * cannot give: that path swaps each `part_year=` dir independently, so a
+  * crash mid-loop leaves the table mixed (some partitions new, some old).
+  * Here the unit of visibility is one manifest FILE, so readers see every
+  * partition at the same version or none of them.
+  *
+  * Layout:
+  * {{{
+  *   <base>/data/v00007/part_year=2023/...   # written by commit 7
+  *   <base>/data/v00003/part_year=2022/...   # untouched since commit 3
+  *   <base>/_manifests/v00007.txt            # "2023\tv00007" / "2022\tv00003"
+  * }}}
+  *
+  * Protocol (single writer; the snapshot/manifest shape is the public
+  * Iceberg/Delta design, re-derived on raw Hadoop FS):
+  *  1. STAGE: write the merged rows of every TOUCHED partition under a
+  *     fresh `data/v<N>/` root — one distributed partitioned write.
+  *     Nothing references these dirs yet; a crash leaves invisible
+  *     garbage for [[vacuum]], never a mixed table.
+  *  2. COMMIT: write the new manifest (touched partitions → v<N>,
+  *     untouched → their previous dirs, carried forward without any data
+  *     movement) to a dot-tmp file, then ONE rename to
+  *     `_manifests/v<N>.txt`. A file rename is atomic on HDFS/POSIX —
+  *     readers resolve the highest manifest and see all-old or all-new.
+  *     On S3-like stores without atomic rename this step needs a commit
+  *     lock/service, exactly as Delta documents — same caveat, same fix.
+  *
+  * Readers ([[read]]) union the manifest's partition dirs, restoring
+  * `part_year` as a literal per branch — Catalyst constant-folds a
+  * `part_year = X` filter against each literal and prunes non-matching
+  * branches at PLAN time, so manifest tables keep partition-pruned scans
+  * (spec-asserted). Cost per merge stays O(touched partitions).
+  */
+object ManifestTable {
+
+  /** One committed table state: manifest version + partition → data dir
+    * (relative to `<base>/data/`). */
+  final case class Snapshot(version: Int, parts: Map[Int, String])
+
+  /** Staged-but-uncommitted merge: everything COMMIT needs. Package-
+    * private so specs can crash-inject between stage and commit. */
+  private[graft] final case class Staged(snapshot: Snapshot)
+
+  private def fs(spark: SparkSession, base: Path): FileSystem =
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(base: String) = new Path(base, "_manifests")
+  private def dataDir(base: String) = new Path(base, "data")
+  private def vdir(v: Int) = f"v$v%05d"
+
+  /** Highest committed snapshot, if the table exists. */
+  def currentSnapshot(spark: SparkSession, basePath: String): Option[Snapshot] = {
+    val md = manifestDir(basePath)
+    val f = fs(spark, md)
+    if (!f.exists(md)) return None
+    val versions = f.listStatus(md).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+\\.txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt }
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val body = {
+      val in = f.open(new Path(md, f"v$v%05d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val parts = body.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(year, dir) = line.split("\t", 2)
+      year.toInt -> dir
+    }.toMap
+    Some(Snapshot(v, parts))
+  }
+
+  /** Current table contents as a DataFrame with `part_year` restored.
+    * Per-branch literal years keep partition pruning: a `part_year`
+    * filter constant-folds each branch to true/false at plan time. */
+  def read(spark: SparkSession, basePath: String): DataFrame = {
+    val snap = currentSnapshot(spark, basePath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $basePath"))
+    val dd = dataDir(basePath)
+    snap.parts.toSeq.sortBy(_._1).map { case (year, dir) =>
+      spark.read.parquet(new Path(dd, s"$dir/part_year=$year").toString)
+        .withColumn("part_year", lit(year))
+    }.reduceLeft(_.unionByName(_))
+  }
+
+  /** Keyed upsert of `batch` with one atomic commit. Reads only the
+    * partitions the batch touches, stages their merged rows under a new
+    * version dir, then flips the manifest. */
+  def mergeInto(spark: SparkSession, batch: DataFrame, basePath: String,
+      keys: Seq[String], dateCol: String): Unit =
+    commit(spark, basePath, stage(spark, batch, basePath, keys, dateCol))
+
+  private[graft] def stage(spark: SparkSession, batch: DataFrame,
+      basePath: String, keys: Seq[String], dateCol: String): Staged = {
+    // Same invariant as the partition-swap path: the merge key must pin
+    // the partition column, or an update under a new date would duplicate
+    // its old row in a partition this merge never reads.
+    require(keys.contains(dateCol),
+      s"merge keys ${keys.mkString(",")} must include the partition date column $dateCol")
+    val prev = currentSnapshot(spark, basePath)
+    val next = prev.map(_.version + 1).getOrElse(1)
+    val batchD = batch.dropDuplicates(keys)
+    val years = batchD.select(year(col(dateCol)).as("y")).distinct()
+      .collect().map(_.getInt(0)).toSeq // driver-small: distinct years in the batch
+    val dd = dataDir(basePath)
+    val touched = prev match {
+      case Some(snap) =>
+        val existing = years.flatMap(y => snap.parts.get(y).map(y -> _))
+        val baseSub = existing.map { case (y, dir) =>
+          spark.read.parquet(new Path(dd, s"$dir/part_year=$y").toString)
+        }.reduceLeftOption(_.unionByName(_))
+        baseSub match {
+          case Some(b) => MergeService.upsert(b, batchD, keys).drop("merge_action")
+          case None    => batchD
+        }
+      case None => batchD
+    }
+    touched.withColumn("part_year", year(col(dateCol)))
+      .write.mode("overwrite").partitionBy("part_year")
+      .parquet(new Path(dd, vdir(next)).toString)
+    val carried = prev.map(_.parts).getOrElse(Map.empty) --
+      years // untouched partitions carry their old dirs forward
+    Staged(Snapshot(next, carried ++ years.map(_ -> vdir(next))))
+  }
+
+  private[graft] def commit(spark: SparkSession, basePath: String,
+      staged: Staged): Unit = {
+    val md = manifestDir(basePath)
+    val f = fs(spark, md)
+    f.mkdirs(md)
+    val body = staged.snapshot.parts.toSeq.sorted
+      .map { case (y, dir) => s"$y\t$dir" }.mkString("\n")
+    val tmp = new Path(md, s".tmp-${vdir(staged.snapshot.version)}.txt")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(md, s"${vdir(staged.snapshot.version)}.txt")
+    require(f.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
+  }
+
+  /** Delete data dirs no manifest ≤ current references — crashed stages
+    * and superseded versions. Returns the number of dirs removed. Safe
+    * only when no reader is pinned to an old snapshot (same contract as
+    * any snapshot-store vacuum). */
+  def vacuum(spark: SparkSession, basePath: String): Int = {
+    val snap = currentSnapshot(spark, basePath).getOrElse(return 0)
+    val dd = dataDir(basePath)
+    val f = fs(spark, dd)
+    if (!f.exists(dd)) return 0
+    val live: Set[String] = snap.parts.values.toSet
+    val removed = f.listStatus(dd).toSeq.filter { st =>
+      st.isDirectory && !live.contains(st.getPath.getName)
+    }
+    removed.foreach(st => f.delete(st.getPath, true))
+    // superseded manifests: everything below the current version
+    val md = manifestDir(basePath)
+    f.listStatus(md).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("v\\d+\\.txt") &&
+          n.stripPrefix("v").stripSuffix(".txt").toInt < snap.version)
+        f.delete(st.getPath, false)
+    }
+    removed.size
+  }
+}

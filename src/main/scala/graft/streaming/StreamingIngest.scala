@@ -77,6 +77,23 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** A12 streaming with ATOMIC multi-partition visibility: each
+    * micro-batch merges through [[graft.etl.ManifestTable]] — one
+    * manifest-file rename flips every touched partition at once, so a
+    * reader never observes the mixed some-new-some-old state the
+    * per-partition swap of [[mergePartitionedStream]] can expose if the
+    * writer dies mid-loop. */
+  def mergeManifestStream(spark: SparkSession, updates: DataFrame,
+      basePath: String, keys: Seq[String], dateCol: String,
+      checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.ManifestTable.mergeInto(spark, batch, basePath, keys, dateCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Custom keyed state via flatMapGroupsWithState: streaming exact
     * dedup — emit each key's FIRST record only, remembering seen keys in
     * the state store. This is the stateful primitive the reference's
@@ -168,6 +185,13 @@ object StreamingIngest {
     * analog of the reference's single-object write
     * (`ingestStreamateModelPerformance.py:161-169`): cost is O(touched
     * partitions), not O(base).
+    *
+    * Atomicity boundary: each PARTITION swap is crash-safe, but a crash
+    * between swaps leaves some partitions new and some old until the
+    * next run's recovery. When readers must never observe that mixed
+    * state, use [[graft.etl.ManifestTable.mergeInto]] /
+    * [[mergeManifestStream]], which flip all touched partitions with one
+    * manifest rename.
     *
     * Mechanics: the batch's distinct partition values are collected
     * (driver-small — distinct DATES in a micro-batch), the base is read

@@ -1,0 +1,95 @@
+package graft
+
+import graft.etl.ManifestTable
+import java.nio.file.Files
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The manifest-committed table's one promise: readers see every
+  * partition at the same version — a crash anywhere before the manifest
+  * rename leaves the previous snapshot fully intact, no mixed state. */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(String, String, Double)]) =
+    rows.toDF("id", "date", "v").withColumn("date", to_date($"date"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+    df.select($"id", $"date".cast("string"), $"v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+  test("merge commits atomically; a crash between stage and commit leaves all-old") {
+    val base = Files.createTempDirectory("manifest").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0))),
+      base, keys, "date")
+    val v1 = asMap(ManifestTable.read(spark, base))
+    assert(v1 == Map(("k1", "2023-03-01") -> 10.0, ("k2", "2024-05-02") -> 20.0))
+
+    // CRASH INJECTION: a multi-partition update (touches 2023 AND 2024)
+    // is fully staged — all its data files exist on disk — but the writer
+    // dies before the manifest rename. Readers must see ALL-OLD.
+    val update = frame(Seq(("k1", "2023-03-01", 11.0), ("k3", "2024-07-04", 30.0)))
+    val staged = ManifestTable.stage(spark, update, base, keys, "date")
+    assert(asMap(ManifestTable.read(spark, base)) == v1,
+      "uncommitted stage must be invisible — mixed state observed")
+
+    // The writer restarts and re-runs the same merge end to end (the
+    // crashed stage's dirs are dead weight for vacuum, never read):
+    ManifestTable.mergeInto(spark, update, base, keys, "date")
+    val v2 = asMap(ManifestTable.read(spark, base))
+    assert(v2 == Map(
+      ("k1", "2023-03-01") -> 11.0, // updated
+      ("k2", "2024-05-02") -> 20.0, // untouched partition carried forward
+      ("k3", "2024-07-04") -> 30.0), // inserted
+      "committed merge must flip every touched partition at once")
+
+    // the crashed stage staged version 2; the successful rerun also
+    // staged version 2 and committed it — count data dirs before vacuum
+    val dd = new org.apache.hadoop.fs.Path(base, "data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(staged.snapshot.version == 2)
+    val removed = ManifestTable.vacuum(spark, base)
+    assert(removed >= 0)
+    assert(asMap(ManifestTable.read(spark, base)) == v2,
+      "vacuum must never change what readers see")
+    // everything left under data/ is referenced by the live manifest
+    val live = ManifestTable.currentSnapshot(spark, base).get.parts.values.toSet
+    assert(fs.listStatus(dd).map(_.getPath.getName).forall(live.contains))
+  }
+
+  test("untouched partitions carry forward without data movement") {
+    val base = Files.createTempDirectory("manifest2").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("a", "2022-01-01", 1.0), ("b", "2024-01-01", 2.0))),
+      base, keys, "date")
+    val snap1 = ManifestTable.currentSnapshot(spark, base).get
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("c", "2024-02-02", 3.0))), base, keys, "date")
+    val snap2 = ManifestTable.currentSnapshot(spark, base).get
+    assert(snap2.version == snap1.version + 1)
+    assert(snap2.parts(2022) == snap1.parts(2022),
+      "untouched 2022 must keep its old data dir (no rewrite)")
+    assert(snap2.parts(2024) != snap1.parts(2024),
+      "touched 2024 must point at the new version dir")
+    assert(asMap(ManifestTable.read(spark, base)).keySet ==
+      Set(("a", "2022-01-01"), ("b", "2024-01-01"), ("c", "2024-02-02")))
+  }
+
+  test("part_year filter prunes non-matching partition branches at plan time") {
+    val base = Files.createTempDirectory("manifest3").toString + "/fact"
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("a", "2022-01-01", 1.0), ("b", "2023-01-01", 2.0),
+        ("c", "2024-01-01", 3.0))),
+      base, Seq("id", "date"), "date")
+    val pruned = ManifestTable.read(spark, base).filter($"part_year" === 2023)
+    assert(pruned.count() == 1)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"expected the 2022/2024 branches constant-folded away, got ${scans.size} scans")
+  }
+}

@@ -201,6 +201,29 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
   }
 
+  test("manifest merge stream commits each micro-batch atomically") {
+    val base = Files.createTempDirectory("mstream").toString + "/fact"
+    def frame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("id", "date", "v").withColumn("date", to_date($"date"))
+    graft.etl.ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0))),
+      base, Seq("id", "date"), "date")
+    val src = Files.createTempDirectory("mstream_src").toString + "/data"
+    val cp = Files.createTempDirectory("mstream_cp").toString
+    frame(Seq(("k2", "2024-05-02", 25.0), ("k3", "2025-07-01", 30.0)))
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingIngest.mergeManifestStream(spark,
+      spark.readStream.schema(schema).parquet(src),
+      base, Seq("id", "date"), "date", cp)
+    q.awaitTermination()
+    val out = graft.etl.ManifestTable.read(spark, base).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
+    // the batch flipped 2024 + 2025 with ONE commit
+    assert(graft.etl.ManifestTable.currentSnapshot(spark, base).get.version == 2)
+  }
+
   test("foreachBatch merge stream upserts into the keyed silver table") {
     val base = Files.createTempDirectory("merge").toString + "/silver"
     // seed: two records
