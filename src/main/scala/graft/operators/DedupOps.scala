@@ -474,10 +474,45 @@ object DedupOps extends QueryModule {
     *
     * Scale note: the exact all-pairs verify is O(N²) and is the right
     * tool only below ~10⁵ vectors (here: ≤2k). A 100 TB corpus runs
-    * candidate generation FIRST — [[SimilarityOps.lshAnn]]'s multi-table
-    * buckets or [[IvfIndex]] lists, both already shipped — and applies
-    * exactly this cosine threshold to candidates only; the operator
-    * and its oracle pin the verify semantics those paths share. */
+    * candidate generation FIRST and applies exactly this cosine
+    * threshold to candidates only — [[embeddingNearDups]] enforces that
+    * envelope with a count guard that auto-routes oversized inputs to
+    * [[SimilarityOps.semanticPairs]]; the operator and its oracle pin
+    * the verify semantics both paths share. */
+
+  /** Embedding near-dup pairs with a scale-envelope guard. At or below
+    * `maxExactVectors` (default 10⁵ — the documented ceiling where an
+    * all-pairs broadcast NLJ stops being the right tool) the result is
+    * EXACT: every i<j pair with cosine ≥ tau. Above it the input is
+    * auto-routed to the LSH-bucketed candidate path
+    * ([[SimilarityOps.semanticPairs]] — bucketed self-equi-join, never
+    * all-pairs), with the same cosine threshold applied to candidates;
+    * recall is then LSH-bounded, which is the only honest option at a
+    * size where the exact tool cannot finish. The guard costs one count
+    * over a single projected column. */
+  def embeddingNearDups(s: SparkSession, embeddings: DataFrame,
+      tau: Double = 0.4, maxExactVectors: Long = 100000L): DataFrame = {
+    import s.implicits._
+    import graft.functions.CosineSimilarity
+    val emb = embeddings
+      .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("v"))
+    if (emb.select($"vec_id").count() <= maxExactVectors) {
+      val a = emb.select($"vec_id".as("id_a"), $"v".as("v_a"))
+      val b = emb.select($"vec_id".as("id_b"), $"v".as("v_b"))
+      a.join(broadcast(b), $"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          CosineSimilarity.cosineNative(s, $"v_a", $"v_b").as("cosine_sim"))
+        .filter($"cosine_sim" >= tau)
+        .orderBy($"id_a", $"id_b")
+    } else {
+      SimilarityOps.semanticPairs(s, embeddings, tau)
+        .join(emb.select($"vec_id".as("id_a"), $"v".as("v_a")), "id_a")
+        .join(emb.select($"vec_id".as("id_b"), $"v".as("v_b")), "id_b")
+        .select($"id_a", $"id_b",
+          CosineSimilarity.cosineNative(s, $"v_a", $"v_b").as("cosine_sim"))
+        .orderBy($"id_a", $"id_b")
+    }
+  }
   private val ddEmbedding = QueryDef(
     "dd_embedding_neardup",
     Some("""
@@ -503,19 +538,7 @@ object DedupOps extends QueryModule {
                                                p -> p[1] * p[2]),
                                 (acc, x) -> acc + x))) >= 0.4
       ORDER BY id_a, id_b"""),
-    (s, dir) => {
-      import s.implicits._
-      import graft.functions.CosineSimilarity
-      val emb = T(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("v"))
-      val a = emb.select($"vec_id".as("id_a"), $"v".as("v_a"))
-      val b = emb.select($"vec_id".as("id_b"), $"v".as("v_b"))
-      a.join(broadcast(b), $"id_a" < $"id_b")
-        .select($"id_a", $"id_b",
-          CosineSimilarity.cosineNative(s, $"v_a", $"v_b").as("cosine_sim"))
-        .filter($"cosine_sim" >= 0.4)
-        .orderBy($"id_a", $"id_b")
-    })
+    (s, dir) => embeddingNearDups(s, T(s, dir, "embeddings")))
 
   /** Cluster ids for every doc in a near-dup pair: minhash pairs → star
     * contraction → (doc_id, component-min). The piece that makes near-dup

@@ -135,4 +135,44 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((3L, 0.0)))
     assert(out(3L) == ((3L, 1.0)))
   }
+
+  test("embeddingNearDups envelope guard routes oversized inputs off the O(N²) path") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    def hasNlj(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    // within the envelope: the exact all-pairs tool (broadcast NLJ)
+    val exact = DedupOps.embeddingNearDups(spark, emb)
+    assert(hasNlj(exact), "small input must take the exact all-pairs path")
+    val exactPairs = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exactPairs.nonEmpty)
+    // past the envelope (forced low): auto-routed to the LSH-bucketed
+    // candidate path — no nested-loop join anywhere in the plan
+    val routed = DedupOps.embeddingNearDups(spark, emb, maxExactVectors = 10L)
+    assert(!hasNlj(routed), "oversized input must never plan an all-pairs NLJ")
+    val routedPairs = routed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // routed results are a recall-bounded subset with identical verify math
+    assert(routedPairs.nonEmpty)
+    assert(routedPairs.keySet.subsetOf(exactPairs.keySet))
+    routedPairs.foreach { case (k, cos) => assert(cos == exactPairs(k)) }
+  }
+
+  test("routed path catches planted high-cosine near-dups (the LSH design regime)") {
+    import org.apache.spark.sql.functions._
+    // this corpus has NO pair above cosine 0.48 — plant five jittered
+    // copies (cosine ≈ 1), the duplicates semantic dedup exists to catch
+    val base = graft.core.T(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val dup = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f) + lit(0.001f)).as("embedding"))
+    val emb = base.unionByName(dup)
+    val routed = DedupOps.embeddingNearDups(spark, emb,
+        tau = 0.9, maxExactVectors = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(routed.contains((i, i + 10000L)), s"missed planted near-dup $i")
+    }
+  }
 }
