@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.core._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -747,21 +746,31 @@ object DedupOps extends QueryModule {
     * covered fraction — the signal a curation pipeline thresholds to
     * drop template-heavy pages or trim repeated passages.
     *
-    * Scale shape — ONE corpus pass, no self-join: windows are (doc_id,
-    * pos, md5-of-gram) rows (the shuffle carries a 16-byte hash, never
-    * gram text); each gram's distinct-doc count is computed by window
-    * functions over a single gram-partitioned sort — a lag-based
-    * first-occurrence flag summed over the partition — so the corpus is
-    * scanned and hashed exactly once (spec-pinned) where a
-    * shared-grams-then-join design re-windows it per consumer. Both
-    * window functions share one exchange + sort; state per partition is
-    * O(1). Known hot spot at 100 TB: a gram present in a large fraction
-    * of all documents funnels its rows through one partition (true of
-    * any exact formulation — the join form's distinct has the same hot
-    * reducer); production would cap or sample universal grams before
-    * this stage. */
+    * Scale shape — keyed aggregates + a broadcast gram dictionary, no
+    * gram-partitioned window (the round-5 window form funneled EVERY
+    * position row of a universal gram through one reducer): windows are
+    * (doc_id, pos, md5-of-gram) rows (shuffles carry a 16-byte hash,
+    * never gram text); each gram's distinct-doc count comes from a
+    * (gram_h, doc_id) distinct — a universal gram's rows SPREAD across
+    * reducers by doc_id — followed by a partially-aggregated count whose
+    * final reducer sees at most one row per upstream partition per gram.
+    * The shared-gram dictionary then joins back as a BROADCAST, so
+    * position rows never shuffle on gram_h at all; the price is a second
+    * corpus scan (windows feed both the dictionary and the probe), the
+    * standard inverted-index trade.
+    *
+    * `maxDocFrac`: grams present in more than this fraction of documents
+    * are dropped from the dictionary — they stop contributing to
+    * coverage (approximate, default OFF for oracle parity). At 100 TB
+    * this bounds the dictionary the broadcast carries and, for a
+    * deployment that must fall back to a shuffle join (dictionary too
+    * big to broadcast), bounds that join's hottest partition — a single
+    * boilerplate footer shared by half the corpus otherwise owns a
+    * reducer. A capped gram is by definition in `> frac × corpus` docs;
+    * the curation policy for such content is a corpus-level rule (drop
+    * the template), not per-position accounting. */
   def boilerplateCoverage(documents: DataFrame, n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, maxDocFrac: Option[Double] = None): DataFrame = {
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -774,14 +783,20 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), col("pos"),
         md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
           .as("gram_h"))
-    val byGram = Window.partitionBy(col("gram_h")).orderBy(col("doc_id"), col("pos"))
-    val wholeGram = Window.partitionBy(col("gram_h"))
-    val prevDoc = lag(col("doc_id"), 1).over(byGram)
+    val nd = wins.select(col("gram_h"), col("doc_id")).distinct()
+      .groupBy(col("gram_h")).agg(count(lit(1)).as("nd"))
+    val capped = maxDocFrac match {
+      case Some(f) =>
+        // corpus doc count rides in as a 1-row broadcast, no driver action
+        val total = toksDf.agg(count(lit(1)).as("n_docs"))
+        nd.crossJoin(broadcast(total))
+          .filter(col("nd") <= col("n_docs") * f)
+          .drop("n_docs")
+      case None => nd
+    }
+    val shared = capped.filter(col("nd") >= minDocs).select(col("gram_h"))
     val covered = wins
-      .withColumn("first_occ",
-        when(prevDoc.isNull || prevDoc =!= col("doc_id"), 1L).otherwise(0L))
-      .withColumn("nd", sum(col("first_occ")).over(wholeGram))
-      .filter(col("nd") >= minDocs)
+      .join(broadcast(shared), "gram_h")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()
@@ -830,16 +845,27 @@ object DedupOps extends QueryModule {
     * first occurrence (minimum doc_id) is this document. High-novelty
     * docs introduce new content; near-zero novelty means everything was
     * already said — the per-doc complement of [[boilerplateCoverage]]
-    * and a cheap curriculum/sampling signal. Same one-derivation
-    * discipline: the distinct (doc, gram-hash) frame is repartitioned
-    * by gram hash once and feeds both the first-doc aggregate and the
-    * join back. */
-  def ngramNovelty(documents: DataFrame, n: Int = 8): DataFrame = {
+    * and a cheap curriculum/sampling signal. Default shape: the distinct
+    * (doc, gram-hash) frame is repartitioned by gram hash once and feeds
+    * both the first-doc aggregate and the join back (one exchange, two
+    * consumers).
+    *
+    * `measuredSalt = true` (the Bench/production path) replaces the
+    * blind `repartition(gram_h)` with a MEASURED decision: one keyed
+    * count ([[Salting.suggestBuckets]]) finds the hottest gram's share,
+    * and only when it exceeds a reducer's ideal share does the join
+    * switch to [[Salting.saltedJoin]] — the hot gram's rows spread over
+    * `buckets` tasks against a replicated first-doc dim. Results are
+    * identical (the salted join is an algebraic rewrite), so the oracle
+    * covers both shapes; the first-doc aggregate itself is min(), partial
+    * aggregation keeps it skew-safe in either mode. */
+  def ngramNovelty(documents: DataFrame, n: Int = 8,
+      measuredSalt: Boolean = false): DataFrame = {
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast(LongType).as("n_tokens"))
-    val grams = toksDf
+    val gramsRaw = toksDf
       .filter(col("n_tokens") >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), (col("n_tokens") - n).cast(IntegerType)))
@@ -848,10 +874,22 @@ object DedupOps extends QueryModule {
         md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
           .as("gram_h"))
       .distinct()
-      .repartition(col("gram_h"))
-    val firstDoc = grams.groupBy(col("gram_h"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    val per = grams.join(firstDoc, "gram_h")
+    def firstDocOf(g: DataFrame) =
+      g.groupBy(col("gram_h")).agg(min(col("doc_id")).as("first_doc"))
+    val buckets =
+      if (measuredSalt)
+        Salting.suggestBuckets(gramsRaw, Seq("gram_h"),
+          documents.sparkSession.sparkContext.defaultParallelism)
+      else 1
+    val joined =
+      if (buckets > 1)
+        Salting.saltedJoin(gramsRaw, firstDocOf(gramsRaw), "gram_h",
+          saltBy = "doc_id", buckets = buckets)
+      else {
+        val grams = gramsRaw.repartition(col("gram_h"))
+        grams.join(firstDocOf(grams), "gram_h")
+      }
+    val per = joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -895,7 +933,12 @@ object DedupOps extends QueryModule {
              ELSE 0.0 END AS novelty_frac
       FROM d LEFT JOIN per USING (doc_id)
       ORDER BY d.doc_id"""),
-    (s, dir) => ngramNovelty(T(s, dir, "documents")))
+    (s, dir) => ngramNovelty(T(s, dir, "documents")),
+    // production: the skew decision is measured, not guessed — identical
+    // results (salted join is an algebraic rewrite), so the oracle pins
+    // both shapes
+    benchBuild = Some((s, dir) =>
+      ngramNovelty(T(s, dir, "documents"), measuredSalt = true)))
 
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,

@@ -136,6 +136,72 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1.0)))
   }
 
+  test("boilerplate: universal-gram cap bounds the dictionary; position rows never shuffle on gram") {
+    import org.apache.spark.sql.functions._
+    // a footer 8-gram planted in EVERY doc — the 100 TB hot-spot shape
+    val footer = "copyright acme corp all rights reserved worldwide inc"
+    val docs = (1L to 40L).map { i =>
+      val body = (1 to 12).map(k => s"w${i}_$k").mkString(" ")
+      val shared = if (i <= 10) " alpha beta gamma delta epsilon zeta eta theta" else ""
+      (i, s"$body$shared $footer")
+    }.toDF("doc_id", "text")
+    // cap off: every doc is covered by the universal footer
+    val uncapped = DedupOps.boilerplateCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncapped.values.forall(_ >= 8L), "footer must cover all docs when uncapped")
+    // cap 0.5: the universal gram is dropped from the dictionary; only
+    // the 10-doc shared passage (25% of docs) still counts
+    val capped = DedupOps.boilerplateCoverage(docs, maxDocFrac = Some(0.5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 10L).forall(capped(_) >= 8L), "sub-cap shared passage must survive")
+    assert((11L to 40L).forall(capped(_) == 0L),
+      "universal footer must be dropped by the cap")
+    // plan shape: the position rows reach the dictionary via BROADCAST,
+    // and the ONLY exchange keyed on gram_h alone carries partially
+    // aggregated rows (≤ one row per gram per upstream partition) — a
+    // universal gram can never own a reducer with its raw position rows
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      val plan = DedupOps.boilerplateCoverage(docs, maxDocFrac = Some(0.5))
+        .queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        "shared-gram dictionary must broadcast")
+      val gramOnly = plan.collect {
+        case sh: ShuffleExchangeExec => sh
+      }.filter(_.outputPartitioning match {
+        case hp: HashPartitioning =>
+          hp.expressions.flatMap(_.references.toSeq).map(_.name) == Seq("gram_h")
+        case _ => false
+      })
+      import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+      def strip(p: SparkPlan): SparkPlan = p match {
+        case w: WholeStageCodegenExec => strip(w.child)
+        case i: InputAdapter => strip(i.child)
+        case other => other
+      }
+      gramOnly.foreach { sh =>
+        assert(strip(sh.child).isInstanceOf[BaseAggregateExec],
+          s"gram_h-keyed exchange must carry partial aggregates, not raw rows: ${sh.child.nodeName}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("ngramNovelty measuredSalt: salted strategy returns identical results under planted skew") {
+    import org.apache.spark.sql.functions._
+    val footer = "copyright acme corp all rights reserved worldwide inc"
+    val docs = (1L to 40L).map { i =>
+      val body = (1 to 12).map(k => s"w${i}_$k").mkString(" ")
+      (i, s"$body $footer")
+    }.toDF("doc_id", "text")
+    val plain = DedupOps.ngramNovelty(docs).collect().map(_.toSeq).toSet
+    val salted = DedupOps.ngramNovelty(docs, measuredSalt = true).collect().map(_.toSeq).toSet
+    assert(plain == salted, "salted join must be result-identical")
+  }
+
   test("embeddingNearDups envelope guard routes oversized inputs off the O(N²) path") {
     val emb = graft.core.T(spark, sf0001, "embeddings")
     def hasNlj(df: org.apache.spark.sql.DataFrame): Boolean =
