@@ -116,29 +116,37 @@ final class QueryService(t: DomainTables) {
     * over the full filtered ranking) and `hasMore` (pages left after this
     * one).
     *
-    * ONE action where the reference runs two passes (len(all) + slice):
-    * `count(*) OVER ()` rides along the ranking plan, so the page rows
-    * and the total arrive in the same collect. The global window is a
-    * single-partition exchange — fine here by the same argument as W1:
-    * the ranking is a POST-aggregation frame of dashboard cardinality
-    * (one row per model, SURVEY §2.5), and the sort below it is already
-    * global. The only second action is the rare past-the-end page, where
-    * an empty slice carries no total. */
+    * ONE action for EVERY page where the reference runs two passes
+    * (len(all) + slice): `count(*) OVER ()` rides along the ranking
+    * plan, so the page rows and the total arrive in the same collect.
+    * The global window is a single-partition exchange — fine here by
+    * the same argument as W1: the ranking is a POST-aggregation frame
+    * of dashboard cardinality (one row per model, SURVEY §2.5), and the
+    * sort below it is already global. A past-the-end page slices to
+    * zero rows, which would carry no total — so one SENTINEL row of the
+    * same windowed frame rides the union and always delivers it; an
+    * empty ranking delivers no sentinel and the total is legitimately
+    * 0. No page shape triggers a second action (spec-asserted via a
+    * QueryExecutionListener). */
   def detailedRankingPaged(r: EarningsRequest): RankingPage = {
     val spark = t.users.sparkSession
-    val paged = detailedRankingUnpaged(r)
+    val ranked = detailedRankingUnpaged(r)
       .withColumn("__total", count(lit(1)).over(Window.partitionBy()))
       .orderBy(col("total_sales").desc, col("artisticname").asc)
+    val pageRows = ranked
       .offset((r.page - 1) * r.limit)
       .limit(r.limit)
-    val collected = paged.collect()
+      .withColumn("__page", lit(1))
+    val sentinel = ranked.limit(1).withColumn("__page", lit(0))
+    val collected = pageRows.unionByName(sentinel).collect()
     val total = collected.headOption
       .map(_.getAs[Long]("__total"))
-      .getOrElse(detailedRankingUnpaged(r).count())
-    val schema = StructType(paged.schema.fields.dropRight(1))
+      .getOrElse(0L) // no sentinel ⇒ the ranking itself is empty
+    val pageOnly = collected.filter(_.getAs[Int]("__page") == 1)
+    val schema = StructType(pageRows.schema.fields.dropRight(2))
     val rows = spark.createDataFrame(
-      java.util.Arrays.asList(collected.map(row =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1))): _*),
+      java.util.Arrays.asList(pageOnly.map(row =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(2))): _*),
       schema)
     RankingPage(
       rows = rows,

@@ -120,11 +120,24 @@ class DomainSpec extends SparkSpec {
       assert(p.totalResults > 3 && p.hasMore)
       // listener delivery is async: wait for the first event, then give
       // any second one a window to show up before asserting it doesn't
-      val deadline = System.nanoTime() + 5_000_000_000L
-      while (events.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-      Thread.sleep(400)
+      def settle(expect: Int): Unit = {
+        val deadline = System.nanoTime() + 5_000_000_000L
+        while (events.get() < expect && System.nanoTime() < deadline) Thread.sleep(20)
+        Thread.sleep(400)
+      }
+      settle(1)
       assert(events.get() == 1,
         s"expected exactly one action (count rides the page plan), saw ${events.get()}")
+      // past-the-end page: zero page rows, but the sentinel still carries
+      // the total in the SAME single action — no fallback recount
+      val past = qs.detailedRankingPaged(req.copy(page = 9999, limit = 3))
+      assert(past.rows.count() == 0 && !past.hasMore)
+      assert(past.totalResults == p.totalResults,
+        "empty page must still report the full total")
+      settle(3)
+      // rows.count() above is itself one action on a local relation
+      assert(events.get() == 3,
+        s"past-the-end page must stay one action, saw ${events.get() - 1} for it")
     } finally spark.listenerManager.unregister(listener)
   }
 
