@@ -32,6 +32,27 @@ object SimilarityOps extends QueryModule {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Brute-force cosine top-k (exact): query side broadcast, codegen
+    * cosine, per-query ranking window with deterministic tie-break. The
+    * ground truth every ANN path's recall is measured against. */
+  def cosineTopK(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
+      topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val q = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
+    val e = embeddings.select($"vec_id".as("neighbor_id"),
+      asDouble($"embedding").as("ev"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+    broadcast(q)
+      .crossJoin(e)
+      .filter($"neighbor_id" =!= $"q_id")
+      .select($"q_id", $"neighbor_id",
+        CosineSimilarity.cosineNative(s, $"qv", $"ev").as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < 10 (broadcast), ranked
     * per query with deterministic tie-break. */
   private val simTopK = QueryDef(
@@ -60,21 +81,8 @@ object SimilarityOps extends QueryModule {
       FROM ranked WHERE rank <= 5
       ORDER BY q_id, rank"""),
     (s, dir) => {
-      import s.implicits._
       val emb = T(s, dir, "embeddings")
-      val q = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), asDouble($"embedding").as("qv"))
-      val e = emb.select($"vec_id".as("neighbor_id"), asDouble($"embedding").as("ev"))
-      val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
-      broadcast(q)
-        .crossJoin(e)
-        .filter($"neighbor_id" =!= $"q_id")
-        .select($"q_id", $"neighbor_id",
-          CosineSimilarity.cosineNative(s, $"qv", $"ev").as("cosine_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"q_id", $"rank", $"neighbor_id", $"cosine_sim")
-        .orderBy($"q_id", $"rank")
+      cosineTopK(s, emb, emb.filter(col("vec_id") < 10))
     })
 
   /** Centroid distance per label — the IVF building block (coarse quantizer
@@ -361,6 +369,84 @@ object SimilarityOps extends QueryModule {
       val (index, centroids) = IvfIndex.buildIndex(s, emb, k = 8, iters = 2)
       IvfIndex.search(s, index, centroids, emb.filter($"vec_id" < 10),
         topK = 5, nprobe = 2)
+    }))
+
+  /** Recall@k of the two ANN paths against the exact top-k, per query and
+    * method — ANN QUALITY as a declared, oracle-checked query instead of a
+    * spec-only assertion: a bucketing or training regression now shows up
+    * as a red CORRECTNESS row, not just a failed test. Both ANN pipelines
+    * and the brute-force ground truth are already hash-green individually;
+    * the oracle embeds those three proven replays verbatim (as
+    * WITH-subqueries, so their CTE names stay scoped) and joins them the
+    * same way the Spark side does. */
+  def annRecall(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
+      topK: Int = 5, exactMean: Boolean = true): DataFrame = {
+    import s.implicits._
+    val exactPairs = cosineTopK(s, embeddings, queries, topK)
+      .select($"q_id", $"neighbor_id")
+    val qIds = queries.select($"vec_id".as("q_id"))
+    def recallOf(method: String, ann: DataFrame): DataFrame = {
+      val hits = ann.select($"q_id", $"neighbor_id")
+        .join(exactPairs, Seq("q_id", "neighbor_id"))
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+      qIds.join(hits, Seq("q_id"), "left")
+        .select(lit(method).as("method"), $"q_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)) / lit(topK.toDouble)).as(s"recall_at_$topK"))
+    }
+    val lsh = lshAnn(s, embeddings, queries, topK = topK)
+    val ivf = {
+      val (index, centroids) =
+        IvfIndex.buildIndex(s, embeddings, k = 8, iters = 2,
+          exactMean = exactMean)
+      IvfIndex.search(s, index, centroids, queries, topK = topK, nprobe = 2)
+    }
+    recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
+      .orderBy($"method", $"q_id")
+  }
+
+  private def annRecallOracle(topK: Int): String = {
+    val exactSql = simTopK.oracle.get
+    val lshSql = lshOracle(topK = topK, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)
+    val ivfSql = ivfOracle(k = 8, iters = 2, topK = topK, nprobe = 2)
+    s"""
+      WITH exact AS (SELECT q_id, neighbor_id FROM ($exactSql) x),
+      lsh AS (SELECT q_id, neighbor_id FROM ($lshSql) x),
+      ivf AS (SELECT q_id, neighbor_id FROM ($ivfSql) x),
+      qs AS (SELECT DISTINCT q_id FROM exact),
+      methods AS (
+        SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
+        UNION ALL
+        SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf),
+      hits AS (
+        SELECT m.method, m.q_id, COUNT(*) AS n_hits
+        FROM methods m
+        JOIN exact x ON x.q_id = m.q_id AND x.neighbor_id = m.neighbor_id
+        GROUP BY m.method, m.q_id),
+      grid AS (
+        SELECT mm.method, qs.q_id
+        FROM (VALUES ('lsh'), ('ivf')) mm(method) CROSS JOIN qs)
+      SELECT g.method, g.q_id,
+        COALESCE(h.n_hits, 0) AS n_hits,
+        COALESCE(h.n_hits, 0) / $topK.0 AS recall_at_$topK
+      FROM grid g
+      LEFT JOIN hits h ON h.method = g.method AND h.q_id = g.q_id
+      ORDER BY g.method, g.q_id"""
+  }
+
+  private val simAnnRecall = QueryDef(
+    "sim_ann_recall",
+    Some(annRecallOracle(topK = 5)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      annRecall(s, emb, emb.filter(col("vec_id") < 10))
+    },
+    // production: avg-trained IVF (constant-memory partial aggs) — the
+    // sanctioned exactMean/avg scalar swap, same pipeline shape
+    benchBuild = Some((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      annRecall(s, emb, emb.filter(col("vec_id") < 10), exactMean = false)
     }))
 
   /** Hard-negative mining for contrastive training: for each anchor
@@ -844,6 +930,6 @@ object SimilarityOps extends QueryModule {
     (s, dir) => semanticDedup(s, T(s, dir, "embeddings")))
 
   override val defs: Seq[QueryDef] =
-    Seq(simTopK, simCentroid, simLsh, simIvf, simHardNeg, simQuantize,
-      simQuantTopK, simIvfQuant, simSemDedup)
+    Seq(simTopK, simCentroid, simLsh, simIvf, simAnnRecall, simHardNeg,
+      simQuantize, simQuantTopK, simIvfQuant, simSemDedup)
 }
