@@ -857,6 +857,33 @@ object SimilarityOps extends QueryModule {
       .select($"id_a", $"id_b")
   }
 
+  /** Cross-frame sibling of [[semanticPairs]]: semantic near-dup pairs
+    * BETWEEN a new batch and an existing corpus (id_new, id_old) — the
+    * probe a continuously-ingesting semantic dedup runs per micro-batch
+    * ([[graft.streaming.CorpusStream.semanticDedupStream]]). Same
+    * bucket-equi-join candidates, same exact-cosine verify, never
+    * all-pairs; both sides must share (tables, planes, dims, seed) with
+    * the index that bucketed the corpus. */
+  def semanticPairsAgainst(s: SparkSession, batch: DataFrame,
+      corpus: DataFrame, tau: Double = 0.4, tables: Int = 16,
+      planesPerTable: Int = 8, dims: Int = 64, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val tablePlanes = lshPlanes(tables, planesPerTable, dims, seed)
+    val b = batch.select($"vec_id", asDouble($"embedding").as("v"))
+    val c = corpus.select($"vec_id", asDouble($"embedding").as("v"))
+    val cands = signBuckets(b, "vec_id", tablePlanes)
+      .withColumnRenamed("vec_id", "id_new")
+      .join(signBuckets(c, "vec_id", tablePlanes)
+        .withColumnRenamed("vec_id", "id_old"), Seq("tbl", "bucket"))
+      .select($"id_new", $"id_old")
+      .distinct()
+    cands
+      .join(b.select($"vec_id".as("id_new"), $"v".as("v_new")), "id_new")
+      .join(c.select($"vec_id".as("id_old"), $"v".as("v_old")), "id_old")
+      .filter(CosineSimilarity.cosineNative(s, $"v_new", $"v_old") >= tau)
+      .select($"id_new", $"id_old")
+  }
+
   def semanticDedup(s: SparkSession, embeddings: DataFrame,
       tau: Double = 0.4, tables: Int = 16, planesPerTable: Int = 8,
       dims: Int = 64, seed: Long = 42L): DataFrame = {

@@ -28,6 +28,67 @@ import org.apache.spark.sql.types.LongType
   */
 object CorpusStream {
 
+  /** Stream-side SEMANTIC dedup over an embeddings stream (vec_id,
+    * embedding) — the continuous twin of
+    * [[graft.operators.SimilarityOps.semanticDedup]] (batch twin
+    * `sim_semantic_dedup`, oracle-green). Per micro-batch, under
+    * `foreachBatch`:
+    *
+    *  1. WITHIN-batch: the full LSH-candidates → cosine-verify →
+    *     connected-components → min-id-keeper pipeline collapses the
+    *     batch's own near-dup clusters;
+    *  2. VS the kept set: surviving keepers probe the accumulated index
+    *     with the same bucket-equi-join + cosine verify
+    *     ([[graft.operators.SimilarityOps.semanticPairsAgainst]]) — a
+    *     batch vector near a previously-KEPT vector is dropped
+    *     (first-seen-wins, the streaming analog of min-id);
+    *  3. survivors land in `keptDir/batch_id=N/` — overwrite by batch id,
+    *     so a checkpoint replay of the same micro-batch is IDEMPOTENT
+    *     (at-least-once delivery never duplicates the kept set). The
+    *     kept dir is simultaneously the output and the probe index.
+    *
+    * Semantics note (inherent to any online dedup): a transitive chain
+    * A~B~C where B arrives after A (dropped) and C is near only B keeps
+    * C, while batch components collapse all three — first-seen keeper
+    * sets match the batch twin exactly when near-dup clusters arrive
+    * with their keeper first (CorpusStreamSpec plants exactly the
+    * adversarial case that DOES match, and documents the chain case). */
+  def semanticDedupStream(spark: org.apache.spark.sql.SparkSession,
+      vecs: DataFrame, keptDir: String, checkpointDir: String,
+      tau: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticDedupBatch(spark, batch, keptDir, batchId, tau)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  private[graft] def semanticDedupBatch(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      keptDir: String, batchId: Long, tau: Double): Unit = {
+    import graft.operators.SimilarityOps
+    val root = new org.apache.hadoop.fs.Path(keptDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withinKept = SimilarityOps.semanticDedup(spark, batch, tau)
+      .filter(col("is_kept")).select(col("vec_id"))
+    val keepers = batch.join(withinKept, "vec_id")
+    val survivors =
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
+        // a checkpoint replay of batch N must not probe its OWN pre-crash
+        // batch_id=N write — every replayed vector is cosine-1 near itself
+        // and the whole batch would silently vanish
+        val idx = spark.read.parquet(keptDir)
+          .filter(col("batch_id") =!= batchId)
+        val dupOfKept = SimilarityOps
+          .semanticPairsAgainst(spark, keepers, idx, tau)
+          .select(col("id_new").as("vec_id")).distinct()
+        keepers.join(dupOfKept, Seq("vec_id"), "left_anti")
+      } else keepers
+    survivors.write.mode("overwrite")
+      .parquet(s"$keptDir/batch_id=$batchId")
+  }
+
   /** Apply the stateless stages + stateful exact dedup to a streaming
     * documents frame (same schema as the `documents` table). Output is
     * append-mode safe. */

@@ -76,6 +76,74 @@ class CorpusStreamSpec extends SparkSpec {
       "replayed docs stay suppressed by the state store; the new doc lands")
   }
 
+  test("streaming semantic dedup drops planted near-dups and matches the batch twin") {
+    val src = Files.createTempDirectory("sem_src").toString + "/data"
+    val cp = Files.createTempDirectory("sem_cp").toString
+    val kept = Files.createTempDirectory("sem_kept").toString + "/kept"
+    val base = T(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").filter($"vec_id" < 50)
+    // batch 1: the base corpus (no pair reaches cosine 0.9 — measured)
+    base.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      // a just-terminated AvailableNow query can linger in the active
+      // list for a beat — starting the next run over the same checkpoint
+      // then trips the concurrent-use guard
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val q = graft.streaming.CorpusStream.semanticDedupStream(spark,
+        spark.readStream.schema(schema).parquet(src), kept, cp, tau = 0.9)
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(kept).count() == 50,
+      "no base vector is near any other at tau 0.9 — all kept")
+    // batch 2: a jittered copy of kept vec 0 (cosine ~1, must drop), two
+    // jittered copies of each other but of nothing kept (one survives),
+    // and the WITHIN-batch pair arrives with ascending ids so first-seen
+    // equals min-id
+    val jitter = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x * lit(1.001f) + lit(0.001f))
+    val dupOfKept = base.filter($"vec_id" === 0)
+      .select(lit(10000L).as("vec_id"), jitter($"embedding").as("embedding"))
+    val freshA = T(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").filter($"vec_id" === 60)
+      .select(lit(10001L).as("vec_id"), $"embedding")
+    val freshB = freshA.select(lit(10002L).as("vec_id"),
+      jitter($"embedding").as("embedding"))
+    dupOfKept.unionByName(freshA).unionByName(freshB)
+      .write.mode("append").parquet(src)
+    run()
+    val keptIds = spark.read.parquet(kept)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(10000L), "near-dup of a kept vector must drop")
+    assert(keptIds.contains(10001L), "first of the fresh pair is kept")
+    assert(!keptIds.contains(10002L), "its within-batch near-dup drops")
+    // batch-twin equivalence: min-id keepers over ALL arrivals = the
+    // stream's first-seen keepers (arrival order is ascending-id here)
+    val all = base
+      .unionByName(dupOfKept).unionByName(freshA).unionByName(freshB)
+    val batchKeepers = graft.operators.SimilarityOps
+      .semanticDedup(spark, all, tau = 0.9)
+      .filter($"is_kept").select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == batchKeepers,
+      s"stream kept ${keptIds.size} vs batch ${batchKeepers.size}")
+    // crash replay: delete batch 1's commit marker so the restarted
+    // stream re-executes it with the SAME batch id and offsets — the
+    // overwrite-by-batch-id sink plus the probe's own-batch exclusion
+    // must make the replay byte-idempotent (no loss, no duplicates)
+    val commits = new java.io.File(cp, "commits")
+    val last = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commits, last.toString).delete())
+    new java.io.File(commits, s".$last.crc").delete() // local-FS checksum shadow
+    run()
+    val again = spark.read.parquet(kept)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds, "a replayed micro-batch must be a no-op")
+  }
+
   test("whitespace-variant copies share flags: stream and batch keep the same fp set") {
     // Doc 1 fails the punct-ratio cut on NORMALIZED text; doc 2 is the
     // same content padded with extra whitespace — under raw-text flags its
