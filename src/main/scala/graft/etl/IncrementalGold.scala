@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * a daily refresh touches one partition of bronze regardless of table
   * size.
   *
-  * The bookmark advances ATOMICALLY (temp file + rename) and only after
-  * the merge lands; a crash between merge and bookmark write means the
-  * next refresh re-processes the last delta — idempotent by the grain
-  * argument above, so at-least-once processing yields exactly-once
-  * table state.
+  * The bookmark advances with a temp file + ONE overwriting rename —
+  * atomic on rename-atomic filesystems (HDFS/POSIX); an object store
+  * may lose it on a crash — and only after the merge lands; a crash
+  * between merge and bookmark write (or a lost bookmark) means the next
+  * refresh re-processes history — idempotent by the grain argument
+  * above, so at-least-once processing yields exactly-once table state.
   */
 object IncrementalGold {
 
@@ -71,7 +72,15 @@ object IncrementalGold {
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     val out = fs.create(tmp, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"bookmark rename failed: $tmp -> $p")
+    // ONE overwriting rename (FileContext exposes what FileSystem.rename
+    // hides) — the previous delete-then-rename had a crash window that
+    // lost the bookmark entirely. Losing it is SAFE (the merge grain
+    // makes a full-history reprocess idempotent) but contradicted the
+    // "atomic" doc. Object stores without atomic rename fall back to
+    // exactly that documented reprocess-from-scratch behavior.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

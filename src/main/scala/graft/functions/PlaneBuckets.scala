@@ -36,9 +36,20 @@ case class PlaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "plane_buckets"
 
+  /** A vector whose length differs from the planes' dimensionality
+    * returns NULL — the same semantics as the `zip_with`/`aggregate`
+    * composition this expression replaced (and DuckDB's `list_zip`), so
+    * a malformed vector stays loud instead of silently bucketing on a
+    * prefix. */
+  private val expectedDims: Int =
+    if (planes.nonEmpty && planes(0).nonEmpty) planes(0)(0).length else -1
+
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (expectedDims >= 0 && n != expectedDims) return null
     val out = new Array[Long](planes.length)
     var t = 0
     while (t < planes.length) {
@@ -49,8 +60,7 @@ case class PlaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
         val p = tp(i)
         var dot = 0.0
         var d = 0
-        val lim = math.min(n, p.length)
-        while (d < lim) { dot += p(d) * v.getDouble(d); d += 1 }
+        while (d < p.length) { dot += p(d) * v.getDouble(d); d += 1 }
         b = b * 2 + (if (dot >= 0) 1L else 0L)
         i += 1
       }
@@ -71,24 +81,26 @@ case class PlaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
       val b = ctx.freshName("b")
       val dot = ctx.freshName("dot")
       val p = ctx.freshName("p")
-      val lim = ctx.freshName("lim")
       s"""
-        long[] $out = new long[$planesRef.length];
-        for (int $t = 0; $t < $planesRef.length; $t++) {
-          double[][] tp = $planesRef[$t];
-          long $b = 0L;
-          for (int $i = 0; $i < tp.length; $i++) {
-            double[] $p = tp[$i];
-            double $dot = 0.0;
-            int $lim = java.lang.Math.min($v.numElements(), $p.length);
-            for (int $d = 0; $d < $lim; $d++) {
-              $dot += $p[$d] * $v.getDouble($d);
+        if ($expectedDims >= 0 && $v.numElements() != $expectedDims) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $out = new long[$planesRef.length];
+          for (int $t = 0; $t < $planesRef.length; $t++) {
+            double[][] tp = $planesRef[$t];
+            long $b = 0L;
+            for (int $i = 0; $i < tp.length; $i++) {
+              double[] $p = tp[$i];
+              double $dot = 0.0;
+              for (int $d = 0; $d < $p.length; $d++) {
+                $dot += $p[$d] * $v.getDouble($d);
+              }
+              $b = $b * 2 + ($dot >= 0 ? 1L : 0L);
             }
-            $b = $b * 2 + ($dot >= 0 ? 1L : 0L);
+            $out[$t] = $b;
           }
-          $out[$t] = $b;
+          ${ev.value} = new $arrCls($out);
         }
-        ${ev.value} = new $arrCls($out);
       """
     })
   }

@@ -73,11 +73,17 @@ object ConnectedComponents {
     // ONE limit-bounded collect both picks the path and fetches the
     // edges — a separate count() would evaluate the (often expensive)
     // upstream pair pipeline twice, and the limit caps driver memory at
-    // threshold+1 rows even when the graph is huge.
-    val probe = dedupedInput.limit(
-      (driverThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
+    // threshold+1 rows even when the graph is huge. Collected as typed
+    // (Long, Long) tuples (specialized, ~32 B each → ~32 MB at the 1M
+    // default), not GenericRow (~100 B each). When the probe overflows,
+    // its rows are discarded and the distributed path re-evaluates the
+    // pair pipeline — one extra upstream pass, paid only by graphs big
+    // enough that the contraction rounds dominate it anyway.
+    val probe = dedupedInput
+      .limit((driverThreshold + 1).min(Int.MaxValue.toLong).toInt)
+      .as[(Long, Long)].collect()
     if (probe.length <= driverThreshold)
-      return driverComponents(s, probe.map(r => (r.getLong(0), r.getLong(1))))
+      return driverComponents(s, probe)
     distributedComponents(s, dedupedInput, maxIter)
   }
 

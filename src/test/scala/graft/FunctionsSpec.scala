@@ -131,4 +131,19 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L) > out(2L))
     assert(out(1L) < 4.0 * out(2L), "BM25 must saturate, not scale linearly in tf")
   }
+
+  test("plane_buckets: dimension-mismatched vector yields NULL, not a prefix bucket") {
+    import org.apache.spark.sql.functions._
+    val planes = Seq(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)), // matches 3-dim planes
+      (2L, Seq(1.0, 2.0))       // malformed: 2-dim
+    ).toDF("id", "v")
+    val out = df.select($"id",
+        graft.functions.PlaneBuckets.buckets(spark, $"v", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined, "well-formed vector must bucket")
+    assert(out(2L).isEmpty,
+      "mismatched vector must be NULL — same semantics as zip_with/list_zip")
+  }
 }

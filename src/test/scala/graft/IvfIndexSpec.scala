@@ -84,4 +84,22 @@ class IvfIndexSpec extends SparkSpec {
     val avg = recalls.sum / recalls.size
     assert(avg >= 0.8, s"quantized IVF lost too much: avg overlap@5 = $avg")
   }
+
+  test("avg-trained and exact-trained IVF agree on recall (bench-vs-verify bound)") {
+    // Bench times the avg-trained variant of the exact-trained declared
+    // queries (the sanctioned scalar swap); this bounds how far the two
+    // can drift as SEARCH QUALITY, not just as plans
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def meanIvfRecall(exact: Boolean): Double =
+      graft.operators.SimilarityOps.annRecall(spark, emb, q, exactMean = exact)
+        .filter(col("method") === "ivf")
+        .agg(avg(col("recall_at_5"))).head().getDouble(0)
+    val e = meanIvfRecall(true)
+    val a = meanIvfRecall(false)
+    assert(e >= 0.6 && a >= 0.6, s"IVF recall collapsed: exact=$e avg=$a")
+    assert(math.abs(e - a) <= 0.2,
+      s"exact-trained ($e) and avg-trained ($a) recall diverged past the bound")
+  }
 }
