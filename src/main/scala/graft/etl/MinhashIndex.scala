@@ -52,17 +52,44 @@ object MinhashIndex {
     val t = tables(name)
     Seq(t.banded, t.shingles, t.sizes).foreach(dropTable(s, _))
     val sh = DedupOps.shingleRows(corpus)
-    writeBucketed(sh, t.shingles, nBuckets, "doc_id", "shingle")
+    writeBucketed(sh, t.shingles, nBuckets, append = false, "doc_id", "shingle")
     val sig = DedupOps
       .minhashSigFromShingles(s.table(t.shingles), numPerms, hashFn)
       .persist() // one row per doc; consumed by two writes below
     try {
       writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
-        nBuckets, "doc_id")
+        nBuckets, append = false, "doc_id")
       writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
-        t.banded, nBuckets, "band", "bucket")
+        t.banded, nBuckets, append = false, "band", "bucket")
     } finally sig.unpersist(blocking = false)
     t
+  }
+
+  /** Incremental refresh: append `newDocs`' rows to the three tables —
+    * the per-batch maintenance job that keeps probes cheap (accepted
+    * batch docs enter the corpus index without any rebuild). Appending
+    * with the SAME bucket spec adds one file set per bucket; readers
+    * keep the bucketed distribution, so probes stay corpus-exchange-free
+    * (spec-asserted post-append). Caller contract: `newDocs` must not
+    * already be indexed, and the append must run exactly once per
+    * accepted batch — drive it from a committed batch log (the
+    * [[ManifestTable]] pattern); a blind re-run duplicates index rows. */
+  def append(s: SparkSession, newDocs: DataFrame, name: String,
+      numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): Unit = {
+    val t = tables(name)
+    val sh = DedupOps.shingleRows(newDocs)
+    writeBucketed(sh, t.shingles, nBuckets, append = true, "doc_id", "shingle")
+    val sig = DedupOps.minhashSigFromShingles(
+      s.table(t.shingles).join(
+        newDocs.select(col("doc_id")).distinct(), "doc_id"),
+      numPerms, hashFn).persist()
+    try {
+      writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
+        nBuckets, append = true, "doc_id")
+      writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
+        t.banded, nBuckets, append = true, "band", "bucket")
+    } finally sig.unpersist(blocking = false)
   }
 
   /** Full-rebuild drop: DROP TABLE clears only THIS session's catalog —
@@ -82,9 +109,9 @@ object MinhashIndex {
     * whole buckets — without it every task writes a file per bucket and
     * the table shatters into tasks×buckets small files. */
   private def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-      cols: String*): Unit =
+      append: Boolean, cols: String*): Unit =
     df.repartition(nBuckets, cols.map(col): _*)
-      .write.mode("overwrite")
+      .write.mode(if (append) "append" else "overwrite")
       .bucketBy(nBuckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .format("parquet")

@@ -51,42 +51,77 @@ class MinhashIndexSpec extends SparkSpec {
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         val p = MinhashIndex.incrementalPairs(spark, docs.filter(isNew), "mhspec_idx")
-        val plan = p.queryExecution.executedPlan
-        val allIdxScans = plan.collect {
-          case f: FileSourceScanExec
-              if f.relation.location.rootPaths.exists(_.toString.contains("mhspec_idx")) =>
-            f.relation.location.rootPaths.mkString
-        }
-        assert(allIdxScans.size == 3,
-          s"expected scans of all three index tables, got: $allIdxScans")
-        // Invariant: between each index scan and its FIRST join there is
-        // no ShuffleExchange — the corpus is read in place (bucketed on
-        // its join keys); only joined/candidate-sized frames shuffle
-        // downstream. `raw(n)` = index scans in n's subtree not yet
-        // absorbed by a join; a shuffle seeing raw scans is a violation.
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.joins.BaseJoinExec
-        var violations = List.empty[String]
-        def raw(n: SparkPlan): Seq[String] = n match {
-          case f: FileSourceScanExec
-              if f.relation.location.rootPaths.exists(_.toString.contains("mhspec_idx")) =>
-            Seq(f.relation.location.rootPaths.mkString)
-          case _: BaseJoinExec =>
-            n.children.foreach(raw); Seq.empty
-          case sh: ShuffleExchangeExec =>
-            violations ++= sh.children.flatMap(raw); Seq.empty
-          case other => other.children.flatMap(raw)
-        }
-        raw(plan)
-        assert(violations.isEmpty,
-          s"corpus-side index scans shuffled BEFORE their first join: $violations")
-        // non-vacuous: the batch side DOES shuffle
-        assert(plan.collect { case sh: ShuffleExchangeExec => sh }.nonEmpty,
-          "expected batch-side exchanges — plan walker is seeing nothing")
+        assertCorpusInPlace(p, "mhspec_idx")
         assert(p.collect().toSeq.toSet == got.toSet)
       }
     } finally
       Seq("mhspec_idx_banded", "mhspec_idx_shingles", "mhspec_idx_sizes")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("append maintains the index: probe equals full rebuild, still exchange-free") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    val corpus = docs.filter(!isNew)
+    try {
+      // build over two thirds of the corpus, append the rest per-batch
+      MinhashIndex.build(spark, corpus.filter(col("doc_id") % 3 =!= 0), "mhspec_app")
+      MinhashIndex.append(spark, corpus.filter(col("doc_id") % 3 === 0), "mhspec_app")
+      val probe = MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_app")
+        .collect().toSeq
+      assert(probe.nonEmpty)
+      MinhashIndex.build(spark, corpus, "mhspec_full")
+      val full = MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_full")
+        .collect().toSeq
+      assert(probe.toSet == full.toSet,
+        "appended index must answer exactly like a full rebuild")
+      // bucketing survives the append: probes stay corpus-exchange-free
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        assertCorpusInPlace(
+          MinhashIndex.incrementalPairs(spark, docs.filter(isNew), "mhspec_app"),
+          "mhspec_app")
+      }
+    } finally
+      Seq("mhspec_app", "mhspec_full").foreach { n =>
+        Seq(s"${n}_banded", s"${n}_shingles", s"${n}_sizes")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+  }
+
+  /** Walk the executed plan: every scan of `idxName` tables must reach
+    * its first join WITHOUT crossing a ShuffleExchange — the corpus is
+    * read in place (bucketed on its join keys); only joined,
+    * candidate-sized frames shuffle downstream. */
+  private def assertCorpusInPlace(p: org.apache.spark.sql.DataFrame,
+      idxName: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = p.queryExecution.executedPlan
+    val allIdxScans = plan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idxName)) =>
+        f.relation.location.rootPaths.mkString
+    }
+    assert(allIdxScans.size == 3,
+      s"expected scans of all three index tables, got: $allIdxScans")
+    var violations = List.empty[String]
+    def raw(n: SparkPlan): Seq[String] = n match {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idxName)) =>
+        Seq(f.relation.location.rootPaths.mkString)
+      case _: BaseJoinExec =>
+        n.children.foreach(raw); Seq.empty
+      case sh: ShuffleExchangeExec =>
+        violations ++= sh.children.flatMap(raw); Seq.empty
+      case other => other.children.flatMap(raw)
+    }
+    raw(plan)
+    assert(violations.isEmpty,
+      s"corpus-side index scans shuffled BEFORE their first join: $violations")
+    assert(plan.collect { case sh: ShuffleExchangeExec => sh }.nonEmpty,
+      "expected batch-side exchanges — plan walker is seeing nothing")
   }
 }

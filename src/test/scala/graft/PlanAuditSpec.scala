@@ -104,11 +104,12 @@ class PlanAuditSpec extends SparkSpec {
       "buckets must be computed by ONE native expression site")
   }
 
-  test("boilerplate coverage windows the corpus exactly once (dd)") {
-    // The one-pass design: shared-gram detection is a window function
-    // over one gram-partitioned sort, NOT a second scan+shingle of the
-    // corpus. A regression to a two-consumer shape re-windows 100 TB of
-    // text — pin the count of window-extraction explodes at one.
+  test("boilerplate coverage: broadcast dictionary, no raw window/sort on the gram key (dd)") {
+    // Round-6 shape (the round-5 window form owned a reducer per
+    // universal gram): the corpus IS window-extracted twice — dictionary
+    // derivation + probe, the inverted-index trade — but position rows
+    // must reach the shared-gram dictionary via BROADCAST, and no Window
+    // operator or gram-keyed sort over raw position rows may exist.
     val df = SparkEntry.queries("dd_boilerplate_ngrams")(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
@@ -117,8 +118,12 @@ class PlanAuditSpec extends SparkSpec {
       if (initialIdx >= 0) plan.substring(0, initialIdx) else plan
     val windowExplodes =
       "Generate explode\\(sequence\\(0,".r.findAllIn(finalPlan).length
-    assert(windowExplodes == 1,
-      s"corpus must be windowed once, found $windowExplodes in:\n$finalPlan")
+    assert(windowExplodes == 2,
+      s"expected dictionary + probe extraction (2 explodes), found $windowExplodes in:\n$finalPlan")
+    assert(!finalPlan.contains("Window "),
+      "no window function may consume gram-partitioned position rows")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "the shared-gram dictionary must join via broadcast")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }
