@@ -132,28 +132,10 @@ object MinhashIndex {
     val t = tables(name)
     val shNew = DedupOps.shingleRows(batch)
     val sigNew = DedupOps.minhashSigFromShingles(shNew, numPerms, hashFn)
-    val bandedNew = DedupOps.bandedBuckets(sigNew, numPerms, bands, hashFn)
-    val cands = bandedNew.as("x")
-      .join(s.table(t.banded).as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("y.doc_id").as("doc_old"), col("x.doc_id").as("doc_new"))
-      .distinct()
-    val inter = cands
-      .join(shNew.select(col("doc_id").as("doc_new"), col("shingle")), "doc_new")
-      .join(s.table(t.shingles).select(col("doc_id").as("doc_old"), col("shingle")),
-        Seq("doc_old", "shingle"))
-      .groupBy(col("doc_old"), col("doc_new"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      // corpus-side sizes: plain join (bucketed on doc_id, read in place);
-      // batch-side sizes: genuinely small, broadcast.
-      .join(s.table(t.sizes).select(col("doc_id").as("doc_old"), col("n_sh").as("n_old")),
-        "doc_old")
-      .join(broadcast(sigNew.select(col("doc_id").as("doc_new"), col("n_sh").as("n_new"))),
-        "doc_new")
-      .select(col("doc_old"), col("doc_new"),
-        (col("n_inter") / (col("n_old") + col("n_new") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_old"), col("doc_new"))
+    // corpus-side frames are bucketed table reads: the candidate join,
+    // the shingle verify join, and the sizes join all read them in place
+    DedupOps.crossPairs(shNew, sigNew,
+      DedupOps.bandedBuckets(sigNew, numPerms, bands, hashFn),
+      s.table(t.shingles), s.table(t.banded), s.table(t.sizes), threshold)
   }
 }

@@ -433,6 +433,58 @@ object DedupOps extends QueryModule {
         posexplode(array((0 until bands).map(b => col(s"b$b")): _*)).as(Seq("band", "bucket")))
   }
 
+  /** Cross-frame near-dup verify core shared by the persisted-index
+    * probe ([[graft.etl.MinhashIndex.incrementalPairs]]) and the
+    * frame-vs-frame probe ([[minhashPairsAgainst]]): candidates from the
+    * (band, bucket) equi-join, exact-Jaccard verify restricted to them.
+    * Corpus-side inputs may be bucketed table reads (exchange-free) or
+    * derived frames; batch-side sizes ride a broadcast (genuinely
+    * small), corpus-side sizes a plain join (one row per corpus doc is
+    * NOT driver-small at 100 TB). */
+  private[graft] def crossPairs(shNew: DataFrame, sigNew: DataFrame,
+      bandedNew: DataFrame, shOld: DataFrame, bandedOld: DataFrame,
+      sizesOld: DataFrame, threshold: Double): DataFrame = {
+    val cands = bandedNew.as("x")
+      .join(bandedOld.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("y.doc_id").as("doc_old"), col("x.doc_id").as("doc_new"))
+      .distinct()
+    val inter = cands
+      .join(shNew.select(col("doc_id").as("doc_new"), col("shingle")), "doc_new")
+      .join(shOld.select(col("doc_id").as("doc_old"), col("shingle")),
+        Seq("doc_old", "shingle"))
+      .groupBy(col("doc_old"), col("doc_new"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizesOld.select(col("doc_id").as("doc_old"), col("n_sh").as("n_old")),
+        "doc_old")
+      .join(broadcast(sigNew.select(col("doc_id").as("doc_new"), col("n_sh").as("n_new"))),
+        "doc_new")
+      .select(col("doc_old"), col("doc_new"),
+        (col("n_inter") / (col("n_old") + col("n_new") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_old"), col("doc_new"))
+  }
+
+  /** Near-dup pairs BETWEEN two document frames — the frame-vs-frame
+    * probe a streaming lexical dedup runs per micro-batch against its
+    * accumulated kept set ([[graft.streaming.CorpusStream.minhashDedupStream]]).
+    * Both sides' signatures derive here; when the corpus side is stable
+    * across many probes, persist it once as a
+    * [[graft.etl.MinhashIndex]] instead. */
+  def minhashPairsAgainst(s: SparkSession, batch: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.5, numPerms: Int = 32,
+      bands: Int = 8,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+    val shNew = shingleRows(batch)
+    val sigNew = minhashSigFromShingles(shNew, numPerms, hashFn)
+    val shOld = shingleRows(corpus)
+    val sigOld = minhashSigFromShingles(shOld, numPerms, hashFn)
+    crossPairs(shNew, sigNew, bandedBuckets(sigNew, numPerms, bands, hashFn),
+      shOld, bandedBuckets(sigOld, numPerms, bands, hashFn),
+      sigOld.select(col("doc_id"), col("n_sh")), threshold)
+  }
+
   def minhashNearDups(s: SparkSession, documents: DataFrame,
       threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8,
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed)),

@@ -89,6 +89,54 @@ object CorpusStream {
       .parquet(s"$keptDir/batch_id=$batchId")
   }
 
+  /** Stream-side LEXICAL near-dup dedup over a documents stream — the
+    * MinHash sibling of [[semanticDedupStream]] (batch twin:
+    * `dd_minhash_lsh` + components keeper, both oracle-green). Per
+    * micro-batch: (1) within-batch transitive clusters collapse to their
+    * min-id keeper ([[graft.operators.DedupOps.minhashComponents]]);
+    * (2) survivors probe the accumulated kept set frame-vs-frame
+    * ([[graft.operators.DedupOps.minhashPairsAgainst]] — banded bucket
+    * equi-join + exact-Jaccard verify, never all-pairs); (3) survivors
+    * land in `keptDir/batch_id=N` (overwrite by batch id + own-batch
+    * exclusion in the probe = idempotent replay, same protocol as the
+    * semantic twin). At index-worthy corpus sizes, step (2)'s kept-set
+    * signatures should come from a persisted [[graft.etl.MinhashIndex]]
+    * maintained by `append` per committed batch instead of re-deriving. */
+  def minhashDedupStream(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, keptDir: String, checkpointDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashDedupBatch(spark, batch, keptDir, batchId, threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  private[graft] def minhashDedupBatch(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      keptDir: String, batchId: Long, threshold: Double): Unit = {
+    val root = new org.apache.hadoop.fs.Path(keptDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // docs in no pair are absent from the components frame — they keep
+    // themselves; only non-minimum cluster members are dropped
+    val losers = DedupOps.minhashComponents(spark, batch, threshold)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val keepers = batch.join(losers, Seq("doc_id"), "left_anti")
+    val survivors =
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
+        val kept = spark.read.parquet(keptDir)
+          .filter(col("batch_id") =!= batchId) // replay: never probe own write
+        val dupOfKept = DedupOps
+          .minhashPairsAgainst(spark, keepers, kept, threshold)
+          .select(col("doc_new").as("doc_id")).distinct()
+        keepers.join(dupOfKept, Seq("doc_id"), "left_anti")
+      } else keepers
+    survivors.write.mode("overwrite")
+      .parquet(s"$keptDir/batch_id=$batchId")
+  }
+
   /** Apply the stateless stages + stateful exact dedup to a streaming
     * documents frame (same schema as the `documents` table). Output is
     * append-mode safe. */

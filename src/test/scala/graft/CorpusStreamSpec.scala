@@ -144,6 +144,66 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == keptIds, "a replayed micro-batch must be a no-op")
   }
 
+  test("streaming minhash dedup drops lexical near-dups and matches the batch twin") {
+    val src = Files.createTempDirectory("mh_src").toString + "/data"
+    val cp = Files.createTempDirectory("mh_cp").toString
+    val kept = Files.createTempDirectory("mh_kept").toString + "/kept"
+    def doc(id: Long, text: String) = (id, text, "en", "srcA", text.length.toLong)
+    def words(tag: String, n: Int) = (1 to n).map(k => s"${tag}_$k").mkString(" ")
+    // batch 1: ten mutually-distinct docs (no shared trigrams)
+    val batch1 = (1L to 10L).map(i => doc(i, words(s"b$i", 12)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch1.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val q = graft.streaming.CorpusStream.minhashDedupStream(spark,
+        spark.readStream.schema(schema).parquet(src), kept, cp)
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(kept).count() == 10, "distinct docs all survive")
+    // batch 2: a near-dup of kept doc 1 (one word changed → trigram
+    // jaccard 9/11), a fresh doc, its within-batch near-dup, and a
+    // second fresh doc — ascending ids so first-seen = min-id
+    val fresh = words("f", 12)
+    val batch2 = Seq(
+      doc(100L, words("b1", 11) + " changed"),
+      doc(101L, fresh),
+      doc(102L, fresh.replace("f_12", "altered")),
+      doc(103L, words("g", 12)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch2.write.mode("append").parquet(src)
+    run()
+    val keptIds = spark.read.parquet(kept)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(100L), "near-dup of a kept doc must drop")
+    assert(keptIds.contains(101L) && !keptIds.contains(102L),
+      "within-batch pair collapses to its min id")
+    assert(keptIds.contains(103L))
+    // batch-twin equivalence over all arrivals (no cross-batch chains)
+    val all = batch1.unionByName(batch2)
+    val losers = graft.operators.DedupOps.minhashComponents(spark, all)
+      .filter($"component" =!= $"doc_id").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchKeepers = all.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet -- losers
+    assert(keptIds == batchKeepers,
+      s"stream kept ${keptIds.toSeq.sorted} vs batch ${batchKeepers.toSeq.sorted}")
+    // crash replay of the last micro-batch is a no-op
+    val commits = new java.io.File(cp, "commits")
+    val last = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commits, last.toString).delete())
+    new java.io.File(commits, s".$last.crc").delete()
+    run()
+    val again = spark.read.parquet(kept)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds, "a replayed micro-batch must be a no-op")
+  }
+
   test("whitespace-variant copies share flags: stream and batch keep the same fp set") {
     // Doc 1 fails the punct-ratio cut on NORMALIZED text; doc 2 is the
     // same content padded with extra whitespace — under raw-text flags its
