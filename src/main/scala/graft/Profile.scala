@@ -18,6 +18,7 @@ object Profile {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     args.foreach { n =>
       val fn = SparkEntry.benchQueries(n)
+      SparkEntry.benchSetups.get(n).foreach(_(spark, sfDir)) // offline artifacts
       if (explain) { println(s"\n===== $n ====="); fn(spark, sfDir).explain("formatted") }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -97,7 +97,7 @@ object MinhashIndex {
     * table, but its warehouse directory survives and `saveAsTable` then
     * fails with LOCATION_ALREADY_EXISTS. Clear the physical location
     * too. */
-  private def dropTable(s: SparkSession, table: String): Unit = {
+  private[etl] def dropTable(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val p = new org.apache.hadoop.fs.Path(
       s.sessionState.conf.warehousePath, table.toLowerCase)

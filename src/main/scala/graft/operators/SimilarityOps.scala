@@ -175,7 +175,7 @@ object SimilarityOps extends QueryModule {
     * [[graft.functions.PlaneBuckets]] expression — the HOF composition
     * evaluated tables × planes × dims interpreted lambdas per row and
     * dominated the semantic-dedup profile. */
-  private def signBuckets(df: DataFrame, idCol: String,
+  private[graft] def signBuckets(df: DataFrame, idCol: String,
       tablePlanes: Seq[Seq[Seq[Double]]]): DataFrame =
     df.select(
       col(idCol),
@@ -271,6 +271,26 @@ object SimilarityOps extends QueryModule {
       val emb = T(s, dir, "embeddings")
       lshAnn(s, emb, emb.filter(col("vec_id") < 10))
     })
+
+  /** The same ANN search served from a PERSISTED bucket index
+    * ([[graft.etl.LshIndex]]) instead of re-bucketing the corpus per
+    * query — the serving shape. The oracle is sim_lsh_ann's replay
+    * verbatim, so a green row proves recompute-vs-index equivalence;
+    * Bench treats the index build as the offline job it is. */
+  private val simLshIndexed = QueryDef(
+    "sim_lsh_indexed",
+    Some(lshOracle(topK = 5, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.etl.LshIndex.build(s, emb, "lsh_idx_v")
+      graft.etl.LshIndex.search(s, emb.filter(col("vec_id") < 10), "lsh_idx_v")
+    },
+    benchBuild = Some((s, dir) =>
+      graft.etl.LshIndex.search(s,
+        T(s, dir, "embeddings").filter(col("vec_id") < 10), "lsh_idx_b")),
+    benchSetup = Some((s, dir) =>
+      graft.etl.LshIndex.build(s, T(s, dir, "embeddings"), "lsh_idx_b")))
 
   /** DuckDB replay of the FULL IVF pipeline — k-means training included.
     * The `iters` Lloyd rounds unroll into CTE pairs (assign round r
@@ -957,6 +977,6 @@ object SimilarityOps extends QueryModule {
     (s, dir) => semanticDedup(s, T(s, dir, "embeddings")))
 
   override val defs: Seq[QueryDef] =
-    Seq(simTopK, simCentroid, simLsh, simIvf, simAnnRecall, simHardNeg,
-      simQuantize, simQuantTopK, simIvfQuant, simSemDedup)
+    Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simAnnRecall,
+      simHardNeg, simQuantize, simQuantTopK, simIvfQuant, simSemDedup)
 }

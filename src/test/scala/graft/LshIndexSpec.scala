@@ -1,0 +1,48 @@
+package graft
+
+import graft.etl.LshIndex
+import org.apache.spark.sql.functions._
+
+/** The persisted LSH ANN index: probes must return exactly the
+  * recompute path's ranking and read the corpus in place. */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("indexed search equals lshAnn recompute, corpus side exchange-free") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    try {
+      LshIndex.build(spark, emb, "lshspec_idx")
+      val indexed = LshIndex.search(spark, queries, "lshspec_idx")
+        .collect().map(_.toSeq).toSet
+      assert(indexed.nonEmpty)
+      val recompute = graft.operators.SimilarityOps
+        .lshAnn(spark, emb, queries)
+        .collect().map(_.toSeq).toSet
+      assert(indexed == recompute,
+        "indexed search must answer exactly like the recompute path")
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        // the two query-side broadcasts are explicit hints, so the
+        // no-broadcast conf only forces the CORPUS-side joins into
+        // their true distributed form
+        val p = LshIndex.search(spark, queries, "lshspec_idx")
+        PlanChecks.assertCorpusInPlace(p, "lshspec_idx", expectedScans = 2)
+        assert(p.collect().map(_.toSeq).toSet == indexed)
+      }
+    } finally
+      Seq("lshspec_idx_buckets", "lshspec_idx_vectors")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -91,37 +91,7 @@ class MinhashIndexSpec extends SparkSpec {
       }
   }
 
-  /** Walk the executed plan: every scan of `idxName` tables must reach
-    * its first join WITHOUT crossing a ShuffleExchange — the corpus is
-    * read in place (bucketed on its join keys); only joined,
-    * candidate-sized frames shuffle downstream. */
   private def assertCorpusInPlace(p: org.apache.spark.sql.DataFrame,
-      idxName: String): Unit = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
-    val plan = p.queryExecution.executedPlan
-    val allIdxScans = plan.collect {
-      case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains(idxName)) =>
-        f.relation.location.rootPaths.mkString
-    }
-    assert(allIdxScans.size == 3,
-      s"expected scans of all three index tables, got: $allIdxScans")
-    var violations = List.empty[String]
-    def raw(n: SparkPlan): Seq[String] = n match {
-      case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains(idxName)) =>
-        Seq(f.relation.location.rootPaths.mkString)
-      case _: BaseJoinExec =>
-        n.children.foreach(raw); Seq.empty
-      case sh: ShuffleExchangeExec =>
-        violations ++= sh.children.flatMap(raw); Seq.empty
-      case other => other.children.flatMap(raw)
-    }
-    raw(plan)
-    assert(violations.isEmpty,
-      s"corpus-side index scans shuffled BEFORE their first join: $violations")
-    assert(plan.collect { case sh: ShuffleExchangeExec => sh }.nonEmpty,
-      "expected batch-side exchanges — plan walker is seeing nothing")
-  }
+      idxName: String): Unit =
+    PlanChecks.assertCorpusInPlace(p, idxName, expectedScans = 3)
 }
