@@ -391,6 +391,43 @@ object SimilarityOps extends QueryModule {
         topK = 5, nprobe = 2)
     }))
 
+  /** The IVF sibling of [[simLshIndexed]]: the exact-trained index —
+    * inverted lists partitioned by cluster plus the k×dims centroid
+    * table — persists to the warehouse, and the probe collects its
+    * nprobe cluster ids into LITERAL partition filters so the scan
+    * prunes to the probed list directories before any I/O (the same
+    * pruning IvfIndexSpec proves via selectedPartitions). Oracle =
+    * sim_ivf_ann's full-training replay, so index-vs-recompute
+    * equivalence is hash-checked. */
+  private def ivfIndexRoot(s: SparkSession, name: String): String =
+    s"${s.sessionState.conf.warehousePath}/$name"
+
+  private def ivfIndexedBuild(s: SparkSession, dir: String, name: String): Unit = {
+    val (index, centroids) = IvfIndex.buildIndex(s, T(s, dir, "embeddings"),
+      k = 8, iters = 2, exactMean = true)
+    val root = ivfIndexRoot(s, name)
+    IvfIndex.writeIndex(index, s"$root/lists")
+    centroids.write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  private def ivfIndexedSearch(s: SparkSession, dir: String, name: String): DataFrame = {
+    val root = ivfIndexRoot(s, name)
+    IvfIndex.searchIndexDir(s, s"$root/lists",
+      s.read.parquet(s"$root/centroids"),
+      T(s, dir, "embeddings").filter(col("vec_id") < 10),
+      topK = 5, nprobe = 2)
+  }
+
+  private val simIvfIndexed = QueryDef(
+    "sim_ivf_indexed",
+    Some(ivfOracle(k = 8, iters = 2, topK = 5, nprobe = 2)),
+    (s, dir) => {
+      ivfIndexedBuild(s, dir, "ivf_idx_v")
+      ivfIndexedSearch(s, dir, "ivf_idx_v")
+    },
+    benchBuild = Some((s, dir) => ivfIndexedSearch(s, dir, "ivf_idx_b")),
+    benchSetup = Some((s, dir) => ivfIndexedBuild(s, dir, "ivf_idx_b")))
+
   /** Recall@k of the two ANN paths against the exact top-k, per query and
     * method — ANN QUALITY as a declared, oracle-checked query instead of a
     * spec-only assertion: a bucketing or training regression now shows up
@@ -977,6 +1014,7 @@ object SimilarityOps extends QueryModule {
     (s, dir) => semanticDedup(s, T(s, dir, "embeddings")))
 
   override val defs: Seq[QueryDef] =
-    Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simAnnRecall,
-      simHardNeg, simQuantize, simQuantTopK, simIvfQuant, simSemDedup)
+    Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
+      simAnnRecall, simHardNeg, simQuantize, simQuantTopK, simIvfQuant,
+      simSemDedup)
 }
