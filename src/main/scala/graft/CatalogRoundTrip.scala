@@ -22,6 +22,11 @@ object CatalogRoundTrip {
     LakeCatalog.registerExternalTable(s1, "lake", "nation", s"$sfDir/nation.parquet")
     LakeCatalog.registerExternalTable(s1, "lake", "region", s"$sfDir/region.parquet")
     val n1 = s1.table("lake.nation").count()
+    // the corpus-side MinHash index is built ONCE here; its bucketing
+    // must travel with the table through the metastore
+    val newBatch = org.apache.spark.sql.functions.col("doc_id") % 10 === 0
+    graft.etl.MinhashIndex.build(s1,
+      s1.read.parquet(s"$sfDir/documents.parquet").filter(!newBatch), "mh_rt")
     println(s"[catalog] session1 registered, nation rows=$n1")
     s1.stop()
     SparkSession.clearActiveSession()
@@ -32,6 +37,41 @@ object CatalogRoundTrip {
     // NO registration here — the definitions must come from the metastore
     require(s2.catalog.tableExists("lake.nation"),
       "session 2 must see the table registered by session 1")
+    // the index built by session 1 answers probes here — with its
+    // BUCKETING intact (no corpus-side shuffle before the first join),
+    // which is the whole point of registering it in a real metastore:
+    // on a cluster the build job and every probe job are different JVMs
+    require(s2.catalog.tableExists("mh_rt_banded"),
+      "session 2 must see the index tables built by session 1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val newBatch2 = org.apache.spark.sql.functions.col("doc_id") % 10 === 0
+    val batch2 = s2.read.parquet(s"$sfDir/documents.parquet").filter(newBatch2)
+    val probe = graft.etl.MinhashIndex.incrementalPairs(s2, batch2, "mh_rt")
+    val pairs = probe.collect()
+    require(pairs.nonEmpty, "probe must find the planted near-dups")
+    locally {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      var violations = List.empty[String]
+      def raw(n: SparkPlan): Seq[String] = n match {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("mh_rt")) =>
+          Seq(f.relation.location.rootPaths.mkString)
+        case _: BaseJoinExec => n.children.foreach(raw); Seq.empty
+        case sh: ShuffleExchangeExec =>
+          violations ++= sh.children.flatMap(raw); Seq.empty
+        case other => other.children.flatMap(raw)
+      }
+      raw(probe.queryExecution.executedPlan)
+      require(violations.isEmpty,
+        s"cross-session probe shuffled the corpus side: $violations")
+    }
+    s2.conf.unset("spark.sql.adaptive.enabled")
+    s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(s"[catalog] session2 probed session1's bucketed minhash index " +
+      s"exchange-free: pairs=${pairs.length}")
     s2.catalog.setCurrentDatabase("lake")
     val joined = s2.sql(
       """SELECT r.r_name, COUNT(*) AS n
