@@ -92,6 +92,44 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // ManifestTable law: any sequence of merges reads back as the
+  // left-to-right in-memory fold of keyed upserts — snapshot isolation
+  // never loses or duplicates a (key, date) grain row
+  property("manifest table merges fold like a map") = {
+    import spark.implicits._
+    val batchGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1, 6), Gen.choose(2022, 2024), Gen.choose(0.0, 100.0)))
+    forAll(Gen.nonEmptyListOf(batchGen)) { batches0 =>
+      val batches = batches0.take(4).map(_.take(8)) // bound Spark work
+      val base = java.nio.file.Files
+        .createTempDirectory("manifest_prop").toString + "/t"
+      def keyOf(r: (Int, Int, Double)) = (s"k${r._1}", s"${r._2}-01-01")
+      batches.foreach { b =>
+        val df = b.map { case (k, y, v) => (s"k$k", s"$y-01-01", v) }
+          .toDF("id", "date", "v")
+          .withColumn("date", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("date")))
+        graft.etl.ManifestTable.mergeInto(spark, df, base,
+          Seq("id", "date"), "date")
+      }
+      val got = graft.etl.ManifestTable.read(spark, base)
+        .select($"id", $"date".cast("string"), $"v")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      // (a) exactly one row per (id, date) grain, covering every key
+      // ever merged; (b) each key's value comes from the LAST batch
+      // containing it (dropDuplicates picks one candidate within a
+      // batch, so assert membership, not a specific pick)
+      val allKeys = batches.flatten.map(keyOf).toSet
+      got.map(_._1).toSet == allKeys &&
+        got.length == allKeys.size &&
+        got.forall { case (key, v) =>
+          batches.reverse.find(_.exists(keyOf(_) == key))
+            .get.collect { case r if keyOf(r) == key => r._3 }
+            .contains(v)
+        }
+    }
+  }
+
   // A12: applying the same update batch twice is a no-op
   property("merge upsert is idempotent") = {
     import spark.implicits._
