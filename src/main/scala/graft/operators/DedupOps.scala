@@ -814,15 +814,21 @@ object DedupOps extends QueryModule {
     * `maxDocFrac`: grams present in more than this fraction of documents
     * are dropped from the dictionary — they stop contributing to
     * coverage (approximate, default OFF for oracle parity). At 100 TB
-    * this bounds the dictionary the broadcast carries and, for a
-    * deployment that must fall back to a shuffle join (dictionary too
-    * big to broadcast), bounds that join's hottest partition — a single
+    * this bounds the dictionary the broadcast carries and, in
+    * shuffle-join mode, that join's hottest partition — a single
     * boilerplate footer shared by half the corpus otherwise owns a
     * reducer. A capped gram is by definition in `> frac × corpus` docs;
     * the curation policy for such content is a corpus-level rule (drop
-    * the template), not per-position accounting. */
+    * the template), not per-position accounting.
+    *
+    * `broadcastDict = false` is the mode for corpora whose minDocs-
+    * filtered dictionary outgrows a broadcast (at 100 TB it will):
+    * positions then shuffle on the gram key — results identical
+    * (spec-asserted) — and the cap is what keeps that join's hottest
+    * partition bounded. */
   def boilerplateCoverage(documents: DataFrame, n: Int = 8,
-      minDocs: Int = 2, maxDocFrac: Option[Double] = None): DataFrame = {
+      minDocs: Int = 2, maxDocFrac: Option[Double] = None,
+      broadcastDict: Boolean = true): DataFrame = {
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -848,7 +854,7 @@ object DedupOps extends QueryModule {
     }
     val shared = capped.filter(col("nd") >= minDocs).select(col("gram_h"))
     val covered = wins
-      .join(broadcast(shared), "gram_h")
+      .join(if (broadcastDict) broadcast(shared) else shared, "gram_h")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()

@@ -190,6 +190,45 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("boilerplate shuffle-join mode: identical results; cap bounds the gram-keyed partition") {
+    import org.apache.spark.sql.functions._
+    val footer = "copyright acme corp all rights reserved worldwide inc"
+    val docs = (1L to 40L).map { i =>
+      val body = (1 to 12).map(k => s"w${i}_$k").mkString(" ")
+      (i, s"$body $footer")
+    }.toDF("doc_id", "text")
+    // shuffle-join mode (the dictionary-outgrew-broadcast deployment)
+    // returns exactly the broadcast mode's rows, capped and uncapped
+    Seq(None, Some(0.5): Option[Double]).foreach { cap =>
+      val b = DedupOps.boilerplateCoverage(docs, maxDocFrac = cap)
+        .collect().map(_.toSeq).toSet
+      val s = DedupOps.boilerplateCoverage(docs, maxDocFrac = cap,
+        broadcastDict = false).collect().map(_.toSeq).toSet
+      assert(b == s, s"modes diverged at cap=$cap")
+    }
+    // in shuffle-join mode the cap is what bounds the hot partition:
+    // count position rows surviving the dictionary join per gram — with
+    // the universal footer capped away, no gram funnels the corpus
+    val toks = DedupOps.tokens(col("text"))
+    val wins = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 8)).as("pos"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("pos") + 1, lit(8)), " ")).as("gram_h"))
+    val perGram = wins.groupBy(col("gram_h")).agg(count(lit(1)).as("n"))
+    val nDocs = 40.0
+    val hotUncapped = perGram.agg(max(col("n"))).head().getLong(0)
+    val hotCapped = perGram
+      .join(wins.select(col("gram_h"), col("doc_id")).distinct()
+        .groupBy(col("gram_h")).agg(count(lit(1)).as("nd")), "gram_h")
+      .filter(col("nd") <= nDocs * 0.5)
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    assert(hotUncapped >= 40L, "the planted footer must dominate uncapped")
+    assert(hotCapped < hotUncapped / 4,
+      s"cap must bound the hottest gram: $hotCapped vs $hotUncapped")
+  }
+
   test("ngramNovelty measuredSalt: salted strategy returns identical results under planted skew") {
     import org.apache.spark.sql.functions._
     val footer = "copyright acme corp all rights reserved worldwide inc"
