@@ -413,7 +413,83 @@ object TextOps extends QueryModule {
       LIMIT 10"""),
     (s, dir) => bm25(T(s, dir, "documents"), Seq("spark", "join", "window")))
 
+  /** LM-based document scoring — the perplexity-filter shape (CCNet
+    * style: score each doc under a corpus LM, drop the tail) in this
+    * repo's log-free engine-parity form: instead of mean log-prob
+    * (libm `ln` differs between engines in the last ulp, and double
+    * SUMS are partial-aggregation-order-dependent), the signal is
+    * COUNT-based — the fraction of a doc's bigrams whose corpus
+    * conditional probability falls below a rarity threshold, plus the
+    * doc's minimum cond_p (min of identically-computed doubles is
+    * deterministic). High rare_frac = the doc keeps surprising the
+    * corpus LM — gibberish, boilerplate-mangled, or genuinely novel;
+    * either way the bucket a curation pass inspects.
+    *
+    * One derivation discipline: the per-doc bigram frame feeds BOTH the
+    * LM counts and the scoring join; shuffles carry two short words. */
+  private val taLmScore = QueryDef(
+    "ta_lm_score",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      dbi AS (
+        SELECT doc_id, g[1] AS w1, g[2] AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> [ws[i], ws[i+1]])) AS g
+          FROM toks WHERE len(ws) >= 2)),
+      bi AS (SELECT w1, w2, count(*) AS n FROM dbi GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_ctx FROM bi GROUP BY w1),
+      lm AS (SELECT w1, w2, n / n_ctx AS cond_p FROM bi JOIN ctx USING (w1)),
+      per AS (
+        SELECT d.doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(CASE WHEN lm.cond_p < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rare,
+          MIN(lm.cond_p) AS min_p
+        FROM dbi d JOIN lm USING (w1, w2)
+        GROUP BY d.doc_id)
+      SELECT doc.doc_id,
+        COALESCE(per.n_bigrams, 0) AS n_bigrams,
+        COALESCE(per.n_rare, 0) AS n_rare,
+        CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+             THEN CAST(per.n_rare AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+             ELSE 0.0 END AS rare_frac,
+        per.min_p
+      FROM documents doc LEFT JOIN per USING (doc_id)
+      ORDER BY doc.doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val docBi = T(s, dir, "documents")
+        .select($"doc_id", DedupOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", $"toks",
+          explode(sequence(lit(0), size($"toks") - 2)).as("i"))
+        .select($"doc_id",
+          element_at($"toks", $"i" + 1).as("w1"),
+          element_at($"toks", $"i" + 2).as("w2"))
+      val bi = docBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      val lm = bi
+        .join(bi.groupBy($"w1").agg(sum($"n").as("n_ctx")), "w1")
+        .select($"w1", $"w2", ($"n" / $"n_ctx").as("cond_p"))
+      val per = docBi.join(lm, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when($"cond_p" < 0.05, 1L).otherwise(0L)).as("n_rare"),
+          min($"cond_p").as("min_p"))
+      T(s, dir, "documents").select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          coalesce($"n_rare", lit(0L)).as("n_rare"),
+          when(coalesce($"n_bigrams", lit(0L)) > 0,
+            $"n_rare".cast(DoubleType) / $"n_bigrams".cast(DoubleType))
+            .otherwise(lit(0.0)).as("rare_frac"),
+          $"min_p")
+        .orderBy($"doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
-      taBigramLm, taBm25)
+      taBigramLm, taLmScore, taBm25)
 }

@@ -132,6 +132,25 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L) < 4.0 * out(2L), "BM25 must saturate, not scale linearly in tf")
   }
 
+  test("ta_lm_score: a bigram is rare when its context usually continues elsewhere") {
+    import org.apache.spark.sql.functions._
+    // 30 docs say "the cat sat"; one says "the zebra sat". p(zebra|the)
+    // = 1/31 < 0.05 — rare. p(sat|zebra) = 1 (zebra's ONLY continuation)
+    // — not rare: rarity measures the context's fan-out, not the word's
+    // corpus frequency. So doc 999 scores n_rare=1, rare_frac=0.5.
+    val docs = ((1L to 30L).map(i => (i, "the cat sat")) :+
+      (999L, "the zebra sat")).toDF("doc_id", "text")
+    val build = graft.SparkEntry.queries("ta_lm_score")
+    // reuse the query builder against a temp dir holding just these docs
+    val dir = java.nio.file.Files.createTempDirectory("lmscore").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = build(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0L, 0.0)), "the common phrasing has no rare bigrams")
+    assert(out(999L) == ((1L, 0.5)),
+      "(the,zebra) is rare; (zebra,sat) is zebra's only continuation")
+  }
+
   test("plane_buckets: dimension-mismatched vector yields NULL, not a prefix bucket") {
     import org.apache.spark.sql.functions._
     val planes = Seq(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
