@@ -201,6 +201,48 @@ object CorpusPrepOps extends QueryModule {
       decontaminate(T(s, dir, "documents"), id => id % 97 === 0)
         .orderBy(col("doc_id")))
 
+  /** FUZZY decontamination — exact n-gram overlap ([[cpDecontaminate]])
+    * misses paraphrased or lightly-edited benchmark leakage; this pass
+    * drops training docs NEAR-duplicating any eval doc (MinHash banded
+    * candidates + exact-Jaccard verify, cross-corpus only — the
+    * [[DedupOps.minhashPairsAgainst]] probe with the eval set as the
+    * corpus side). Output is the retained training corpus. At scale the
+    * eval side is tiny, so its signatures cost nothing next to the
+    * train-side pass a plain near-dup run pays anyway. */
+  private val cpDecontaminateFuzzy = QueryDef(
+    "cp_decontaminate_fuzzy",
+    Some(s"""
+      WITH ${DedupOps.minhashCtes(0.5, 32, 8)},
+      flagged AS (
+        SELECT DISTINCT CASE WHEN doc_a % 97 = 0 THEN doc_b ELSE doc_a END
+          AS doc_id
+        FROM pairs WHERE (doc_a % 97 = 0) <> (doc_b % 97 = 0))
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+      ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val isEval = col("doc_id") % 97 === 0
+      val flagged = DedupOps.minhashPairsAgainst(s,
+          docs.filter(!isEval), docs.filter(isEval),
+          hashFn = DedupOps.portableSeededHash)
+        .select(col("doc_new").as("doc_id")).distinct()
+      docs.filter(!isEval).select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    },
+    benchBuild = Some((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val isEval = col("doc_id") % 97 === 0
+      val flagged = DedupOps.minhashPairsAgainst(s,
+          docs.filter(!isEval), docs.filter(isEval))
+        .select(col("doc_new").as("doc_id")).distinct()
+      docs.filter(!isEval).select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }))
+
   // ---------------------------------------------------------------------
   // Deterministic stratified sampling (data mixing)
   // ---------------------------------------------------------------------
@@ -695,6 +737,7 @@ object CorpusPrepOps extends QueryModule {
         .orderBy(col("split")))
 
   override val defs: Seq[QueryDef] =
-    Seq(cpRepetition, cpDecontaminate, cpSample, cpPack, cpPackSeq, cpVocab,
-      cpHistogram, cpMix, cpDiversity, cpDupRate, cpQualityPct, cpHashSplit)
+    Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
+      cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
+      cpDupRate, cpQualityPct, cpHashSplit)
 }

@@ -43,6 +43,37 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_shared_ngrams") == 0)
   }
 
+  test("fuzzy decontamination drops near-copies of eval docs that exact overlap would pass") {
+    import graft.operators.DedupOps
+    // eval doc 0 (id % 97 == 0); train doc 1 is a light paraphrase —
+    // every 5-gram differs (word changed mid-window) but trigram
+    // jaccard stays high; train doc 2 is unrelated
+    val eval0 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val paraphrase = (1 to 20).map(i => if (i == 5) "swapped" else s"w$i")
+      .mkString(" ")
+    val docs = Seq(
+      (0L, eval0), (1L, paraphrase),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // exact 5-gram decontamination: the paraphrase SHARES 5-grams with
+    // eval (windows not covering position 5 survive) — to isolate the
+    // fuzzy case, check the near-dup pair machinery directly
+    val pairs = DedupOps.minhashPairsAgainst(spark,
+        docs.filter($"doc_id" =!= 0), docs.filter($"doc_id" === 0))
+      .collect().map(r => (r.getLong(1), r.getLong(0))) // (new, old)
+    assert(pairs.toSeq == Seq((1L, 0L)),
+      "only the paraphrase near-duplicates the eval doc")
+    // and the declared query's shape: retained = train minus flagged
+    val isEval = col("doc_id") % 97 === 0
+    val flagged = DedupOps.minhashPairsAgainst(spark,
+        docs.filter(!isEval), docs.filter(isEval))
+      .select($"doc_new".as("doc_id")).distinct()
+    val retained = docs.filter(!isEval).select($"doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(retained == Set(2L), "paraphrase dropped, unrelated doc kept")
+  }
+
   test("stratifiedSample is deterministic, respects rates, and weights invert them") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = CorpusPrepOps.stratifiedSample(docs).orderBy($"doc_id").collect()
