@@ -55,6 +55,30 @@ object LshIndex {
     t
   }
 
+  /** Incremental refresh: append a batch's vectors and buckets under the
+    * same bucket spec — probes stay corpus-exchange-free. Same
+    * exactly-once contract as [[MinhashIndex.append]]: drive from a
+    * committed batch log; a blind re-run duplicates index rows. */
+  def append(s: SparkSession, embeddings: DataFrame, name: String,
+      tables0: Int = 16, planesPerTable: Int = 4, dims: Int = 64,
+      seed: Long = 42L, nBuckets: Int = 32): Unit = {
+    val t = tables(name)
+    val batch = embeddings.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    batch.repartition(nBuckets, col("vec_id"))
+      .write.mode("append")
+      .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(t.vectors)
+    val planes = SimilarityOps.lshPlanes(tables0, planesPerTable, dims, seed)
+    SimilarityOps.signBuckets(
+        s.table(t.vectors).join(batch.select(col("vec_id")), "vec_id"),
+        "vec_id", planes)
+      .repartition(nBuckets, col("tbl"), col("bucket"))
+      .write.mode("append")
+      .bucketBy(nBuckets, "tbl", "bucket").sortBy("tbl", "bucket")
+      .format("parquet").saveAsTable(t.buckets)
+  }
+
   /** ANN search against the persisted index — same candidates, same
     * rerank, same results as [[SimilarityOps.lshAnn]] (spec-asserted and
     * oracle-replayed), with the corpus side read in place. */

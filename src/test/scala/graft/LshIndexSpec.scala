@@ -45,4 +45,31 @@ class LshIndexSpec extends SparkSpec {
       Seq("lshspec_idx_buckets", "lshspec_idx_vectors")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("append maintains the index: search equals full rebuild, still exchange-free") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    try {
+      LshIndex.build(spark, emb.filter($"vec_id" % 3 =!= 0), "lshspec_app")
+      LshIndex.append(spark, emb.filter($"vec_id" % 3 === 0), "lshspec_app")
+      val appended = LshIndex.search(spark, queries, "lshspec_app")
+        .collect().map(_.toSeq).toSet
+      LshIndex.build(spark, emb, "lshspec_full")
+      val full = LshIndex.search(spark, queries, "lshspec_full")
+        .collect().map(_.toSeq).toSet
+      assert(appended.nonEmpty && appended == full,
+        "appended index must answer exactly like a full rebuild")
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        PlanChecks.assertCorpusInPlace(
+          LshIndex.search(spark, queries, "lshspec_app"),
+          "lshspec_app", expectedScans = 2)
+      }
+    } finally
+      Seq("lshspec_app", "lshspec_full").foreach { n =>
+        Seq(s"${n}_buckets", s"${n}_vectors")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+  }
 }
