@@ -210,7 +210,13 @@ object MultimodalOps extends QueryModule {
     * every JVM, so "no media libs in the container" doesn't apply to
     * PNG). Solid-fill RGB keeps the bytes small and the pixel stats
     * formula-predictable. */
-  def pngImage(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+  def pngImage(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    pngPixels(width, height, (_, _) => (r, g, b))
+
+  /** Per-pixel PNG builder — the gradient fills the perceptual-hash
+    * query uses come from a formula the DuckDB oracle replays. */
+  def pngPixels(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val stride = 1 + width * 3 // filter byte + RGB pixels
     val raw = new Array[Byte](height * stride)
     var y = 0
@@ -218,6 +224,7 @@ object MultimodalOps extends QueryModule {
       var x = 0
       while (x < width) {
         val o = y * stride + 1 + x * 3
+        val (r, g, b) = px(x, y)
         raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
         x += 1
       }
@@ -368,6 +375,99 @@ object MultimodalOps extends QueryModule {
       spark.createDataFrame(rdd, outSchema).orderBy($"doc_id")
     })
 
+  /** dHash of a DECODED image raster: compare each pixel's gray to its
+    * right neighbor over a (cols+1)×rows grid, MSB-first fold — the
+    * standard difference perceptual hash. Images sharing a gradient
+    * pattern collapse to one hash regardless of byte-level encoding
+    * differences. */
+  def dHash(img: java.awt.image.BufferedImage, cols: Int, rows: Int): Long = {
+    var h = 0L
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val a = img.getRGB(x, y) & 0xFF
+        val b = img.getRGB(x + 1, y) & 0xFF
+        h = h * 2 + (if (b > a) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Image DEDUP by perceptual hash — the multimodal sibling of
+    * [[DedupOps]]'s text fingerprints: build gradient PNGs whose pixel
+    * formula repeats every 50 ids (the planted duplicate classes),
+    * REALLY encode + ImageIO-decode them on executors, dHash the decoded
+    * raster, and group by hash (keeper = min doc_id — the exact-dedup
+    * policy). The oracle replays the dHash from the generating formula,
+    * so the whole encode→decode→hash round trip must be lossless for
+    * the row to stay green. Declared at 32 bits (4×8 comparisons —
+    * DuckDB's BIGINT fold cannot wrap into the sign bit); Bench measures
+    * the 64-bit production variant (8×8, Spark-only), the same
+    * declared-portable-vs-production split as dd_simhash. */
+  private def imageDhashFrame(s: SparkSession, dir: String,
+      cols: Int, rows: Int): DataFrame = {
+    import s.implicits._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType)))
+    val rdd = T(s, dir, "documents").select($"doc_id").rdd.mapPartitions { rws =>
+      rws.map { row =>
+        val id = row.getLong(0)
+        val seed = id % 50 // duplicate class: same gradient every 50 ids
+        val png = pngPixels(cols + 1, rows, (x, y) => {
+          // quadratic-in-x so the horizontal STEP varies per class —
+          // a linear gradient's constant step makes dHash collapse
+          // most classes together (measured 14 distinct hashes → 35)
+          val gray = ((seed * 11 + x * x * (seed + 1) + y * 7) % 256).toInt
+          (gray, gray, gray)
+        })
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        Row(id, dHash(img, cols, rows))
+      }
+    }
+    val hashed = s.createDataFrame(rdd, outSchema)
+    hashed
+      .join(hashed.groupBy($"dhash")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies")),
+        "dhash")
+      .select($"doc_id", $"dhash", $"keeper_id", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  private val mmDhash = QueryDef(
+    "mm_image_dhash",
+    Some("""
+      WITH px AS (
+        SELECT d.doc_id, tx.x, ty.y,
+          ((d.doc_id % 50) * 11 + tx.x * tx.x * ((d.doc_id % 50) + 1)
+            + ty.y * 7) % 256 AS gray
+        FROM documents d
+        CROSS JOIN range(5) tx(x)
+        CROSS JOIN range(8) ty(y)),
+      bits AS (
+        SELECT a.doc_id, a.y, a.x,
+          CAST(CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS BIGINT) AS bit
+        FROM px a
+        JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        WHERE a.x < 4),
+      h AS (
+        SELECT doc_id,
+          CAST(list_reduce(list(bit ORDER BY y, x),
+                           (acc, v) -> acc * 2 + v) AS BIGINT) AS dhash
+        FROM bits GROUP BY doc_id),
+      g AS (SELECT dhash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+            FROM h GROUP BY dhash)
+      SELECT h.doc_id, h.dhash, g.keeper_id, g.n_copies
+      FROM h JOIN g USING (dhash)
+      ORDER BY h.doc_id"""),
+    (s, dir) => imageDhashFrame(s, dir, cols = 4, rows = 8),
+    benchBuild = Some((s, dir) => imageDhashFrame(s, dir, cols = 8, rows = 8)))
+
   /** Real header decode end-to-end: bytes are BUILT from doc_id-derived
     * formulas and PARSED back by [[parseMediaMeta]]; the oracle computes
     * the formulas directly, so any parser/builder bug breaks the hash
@@ -498,5 +598,5 @@ object MultimodalOps extends QueryModule {
         .orderBy(col("doc_id"), col("frame_idx")))
 
   override val defs: Seq[QueryDef] =
-    Seq(mmBinary, mmFeatures, mmDecode, mmImage, mmResize, mmFrames)
+    Seq(mmBinary, mmFeatures, mmDecode, mmDhash, mmImage, mmResize, mmFrames)
 }
