@@ -295,5 +295,112 @@ object CorpusPipeline {
     benchBuild = Some((s, dir) =>
       curate(s, T(s, dir, "documents"))._2.orderBy(col("stage"))))
 
-  val defs: Seq[QueryDef] = Seq(curateQuery)
+  // ---------------------------------------------------------------------
+  // Per-document feature snapshot
+  // ---------------------------------------------------------------------
+
+  /** The materialized per-document FEATURE TABLE a curation system trains
+    * its filters on: every per-doc scalar the individual `ta_`/`cp_` queries
+    * compute — length, quality ratios, language-ID, PII density, in-doc
+    * repetition, fingerprint — plus the corpus-RELATIVE features (exact-dup
+    * group size/keeper, per-language quality percentile) and the resulting
+    * keep decision, one row per document.
+    *
+    * Shape at 100 TB: all scalar features come from ONE corpus scan (pure
+    * codegen projection — the text column is dropped before anything
+    * shuffles), then exactly two narrow shuffles: a window over the 16-byte
+    * fingerprint for dup stats and a per-language window for the quality
+    * percentile. Nothing joins back to the text; downstream consumers read
+    * this snapshot, not the corpus.
+    */
+  def featureSnapshot(docs: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nChars = length(col("text"))
+    val nTokens = TextOps.tokenCount(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val sEn = TextOps.occurrences(col("text"), " the ") + TextOps.occurrences(col("text"), " a ")
+    val sDe = TextOps.occurrences(col("text"), " der ") + TextOps.occurrences(col("text"), " und ")
+    val sEs = TextOps.occurrences(col("text"), " el ") + TextOps.occurrences(col("text"), " y ")
+    val nPii = TextOps.piiPatterns
+      .map { case (_, p) => regexp_count(col("text"), lit(p)).cast(LongType) }
+      .reduce(_ + _)
+    val toks = DedupOps.tokens(col("text"))
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      nChars.cast(LongType).as("n_chars"),
+      nTokens.as("n_tokens"),
+      (nPunct / nChars).as("punct_ratio"),
+      (TextOps.occurrences(col("text"), " the ") / nTokens).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), " ", "")) / nTokens).as("mean_token_len"),
+      when(sEn >= sDe && sEn >= sEs, "en")
+        .when(sDe >= sEs, "de")
+        .otherwise("es").as("predicted_lang"),
+      nPii.as("n_pii"),
+      CorpusPrepOps.dupTokenFrac(toks).as("dup_token_frac"),
+      md5(normText(col("text"))).as("fingerprint"))
+    val wFp = Window.partitionBy(col("fingerprint"))
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("punct_ratio").asc, col("doc_id").asc)
+    base
+      .withColumn("dup_count", count(lit(1)).over(wFp))
+      .withColumn("is_exact_keeper", col("doc_id") === min(col("doc_id")).over(wFp))
+      .withColumn("quality_pr", percent_rank().over(wLang))
+      .withColumn("keep",
+        col("is_exact_keeper") && col("quality_pr") <= 0.9 &&
+          col("n_tokens") >= t.minTokens &&
+          col("dup_token_frac") <= t.maxDupTokenFrac)
+  }
+
+  private def snapshotOracle(t: Thresholds): String = {
+    val piiSum = TextOps.piiPatterns
+      .map { case (_, p) => s"len(regexp_extract_all(text, '$p'))" }
+      .mkString("\n          + ")
+    s"""
+      WITH scored AS (
+        SELECT doc_id, lang, source,
+          length(text) AS n_chars,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+          length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+            / length(text) AS punct_ratio,
+          ((length(text) - length(replace(text, ' the ', ''))) / 5)
+            / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+          length(replace(text, ' ', ''))
+            / len(string_split_regex(trim(text), '\\s+')) AS mean_token_len,
+          (length(text) - length(replace(text, ' the ', ''))) / 5
+            + (length(text) - length(replace(text, ' a ', ''))) / 3 AS s_en,
+          (length(text) - length(replace(text, ' der ', ''))) / 5
+            + (length(text) - length(replace(text, ' und ', ''))) / 5 AS s_de,
+          (length(text) - length(replace(text, ' el ', ''))) / 4
+            + (length(text) - length(replace(text, ' y ', ''))) / 3 AS s_es,
+          $piiSum AS n_pii,
+          (len(ws) - len(list_distinct(ws))) / len(ws) AS dup_token_frac,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM (SELECT *,
+                string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+              FROM documents)),
+      win AS (
+        SELECT *,
+          CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_es THEN 'de'
+               ELSE 'es' END AS predicted_lang,
+          count(*) OVER (PARTITION BY fingerprint) AS dup_count,
+          doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_exact_keeper,
+          percent_rank() OVER (PARTITION BY lang
+                               ORDER BY punct_ratio ASC, doc_id ASC) AS quality_pr
+        FROM scored)
+      SELECT doc_id, lang, source, n_chars, n_tokens, punct_ratio,
+        stopword_ratio, mean_token_len, predicted_lang, n_pii,
+        dup_token_frac, fingerprint, dup_count, is_exact_keeper, quality_pr,
+        (is_exact_keeper AND quality_pr <= 0.9 AND n_tokens >= ${t.minTokens}
+          AND dup_token_frac <= ${t.maxDupTokenFrac}) AS keep
+      FROM win
+      ORDER BY doc_id"""
+  }
+
+  private val snapshotQuery = QueryDef(
+    "corpus_feature_snapshot",
+    Some(snapshotOracle(Thresholds())),
+    (s, dir) => featureSnapshot(T(s, dir, "documents")).orderBy(col("doc_id")))
+
+  val defs: Seq[QueryDef] = Seq(curateQuery, snapshotQuery)
 }

@@ -70,4 +70,52 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(counts("pii_scrubbed") >= 1)
     } else assert(counts("pii_scrubbed") == 0)
   }
+
+  test("feature snapshot: one row per doc, one keeper per dup group, keep implies keeper") {
+    // the testdata corpus has near-dups but no EXACT dups — plant one: a
+    // case/whitespace-mangled copy must land in the same fingerprint group
+    val base = T(spark, sf0001, "documents")
+    val docs = base.unionByName(
+      base.filter($"doc_id" === 3)
+        .withColumn("doc_id", lit(100001L))
+        .withColumn("text", upper(concat(lit("  "), $"text"))))
+    val snap = CorpusPipeline.featureSnapshot(docs).cache()
+    try {
+      assert(snap.count() == docs.count(), "one row per document")
+      // every fingerprint group has exactly one keeper, and it is min(doc_id)
+      val perGroup = snap.groupBy($"fingerprint")
+        .agg(
+          sum(when($"is_exact_keeper", 1L).otherwise(0L)).as("n_keepers"),
+          count(lit(1)).as("n"),
+          max($"dup_count").as("dc"), min($"dup_count").as("dc2"))
+        .collect()
+      assert(perGroup.forall(_.getAs[Long]("n_keepers") == 1L))
+      assert(perGroup.forall(r =>
+        r.getAs[Long]("dc") == r.getAs[Long]("n") &&
+          r.getAs[Long]("dc2") == r.getAs[Long]("n")))
+      assert(perGroup.exists(_.getAs[Long]("n") > 1L),
+        "the corpus has planted exact dups; at least one group must show them")
+      // keep decisions only ever select keepers
+      assert(snap.filter($"keep" && !$"is_exact_keeper").isEmpty)
+      // per-lang percentile is a true percent_rank: max 1.0, min 0.0 per lang
+      val pr = snap.groupBy($"lang")
+        .agg(min($"quality_pr").as("lo"), max($"quality_pr").as("hi"))
+        .collect()
+      assert(pr.forall(r => r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 1.0))
+    } finally snap.unpersist()
+  }
+
+  test("feature snapshot plan: text never shuffles; two window exchanges only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so EnsureRequirements' exchanges are visible in the tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try CorpusPipeline.featureSnapshot(T(spark, sf0001, "documents"))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 2, s"expected the 2 window shuffles, got ${shuffles.size}")
+    assert(shuffles.forall(!_.child.schema.fieldNames.contains("text")),
+      "the text column must be projected away before any exchange")
+  }
 }
