@@ -55,19 +55,33 @@ object ManifestTable {
   private def dataDir(base: String) = new Path(base, "data")
   private def vdir(v: Int) = f"v$v%05d"
 
-  /** Highest committed snapshot, if the table exists. */
-  def currentSnapshot(spark: SparkSession, basePath: String): Option[Snapshot] = {
+  /** All committed manifest versions, ascending (empty if none). */
+  def versions(spark: SparkSession, basePath: String): Seq[Int] = {
     val md = manifestDir(basePath)
     val f = fs(spark, md)
-    if (!f.exists(md)) return None
-    val versions = f.listStatus(md).toSeq
+    if (!f.exists(md)) return Seq.empty
+    f.listStatus(md).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.matches("v\\d+\\.txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
-    if (versions.isEmpty) return None
-    val v = versions.max
+      .sorted
+  }
+
+  /** Highest committed snapshot, if the table exists. */
+  def currentSnapshot(spark: SparkSession, basePath: String): Option[Snapshot] =
+    versions(spark, basePath).lastOption.flatMap(snapshotAt(spark, basePath, _))
+
+  /** The snapshot a specific manifest version committed — TIME TRAVEL.
+    * Valid as long as [[vacuum]]'s `retainVersions` still covers the
+    * version (the Delta/Iceberg contract: vacuum trades history for
+    * space). None if that manifest was never written or was vacuumed. */
+  def snapshotAt(spark: SparkSession, basePath: String, version: Int): Option[Snapshot] = {
+    val md = manifestDir(basePath)
+    val f = fs(spark, md)
+    val p = new Path(md, s"${vdir(version)}.txt")
+    if (!f.exists(p)) return None
     val body = {
-      val in = f.open(new Path(md, f"v$v%05d.txt"))
+      val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
@@ -75,7 +89,7 @@ object ManifestTable {
       val Array(year, dir) = line.split("\t", 2)
       year.toInt -> dir
     }.toMap
-    Some(Snapshot(v, parts))
+    Some(Snapshot(version, parts))
   }
 
   /** Current table contents as a DataFrame with `part_year` restored.
@@ -84,6 +98,19 @@ object ManifestTable {
   def read(spark: SparkSession, basePath: String): DataFrame = {
     val snap = currentSnapshot(spark, basePath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $basePath"))
+    readSnapshot(spark, basePath, snap)
+  }
+
+  /** Read the table AS OF a committed version (time travel). */
+  def readAt(spark: SparkSession, basePath: String, version: Int): DataFrame = {
+    val snap = snapshotAt(spark, basePath, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version of $basePath does not exist (never committed, or vacuumed)"))
+    readSnapshot(spark, basePath, snap)
+  }
+
+  private def readSnapshot(spark: SparkSession, basePath: String,
+      snap: Snapshot): DataFrame = {
     val dd = dataDir(basePath)
     snap.parts.toSeq.sortBy(_._1).map { case (year, dir) =>
       spark.read.parquet(new Path(dd, s"$dir/part_year=$year").toString)
@@ -145,26 +172,73 @@ object ManifestTable {
     require(f.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
   }
 
-  /** Delete data dirs no manifest ≤ current references — crashed stages
-    * and superseded versions. Returns the number of dirs removed. Safe
-    * only when no reader is pinned to an old snapshot (same contract as
-    * any snapshot-store vacuum). */
-  def vacuum(spark: SparkSession, basePath: String): Int = {
+  /** Small-file compaction: rewrite any partition whose file count
+    * exceeds what `targetFileRows` calls for, and commit the result as a
+    * new version — the maintenance job every streaming-ingested table
+    * needs (per-batch merges leave one small file set per batch; scan
+    * cost degrades with open()-per-file, not bytes). Untouched partitions
+    * carry forward with zero data movement; the rewrite becomes visible
+    * in ONE manifest flip, and the pre-compaction version stays
+    * time-travel-readable until [[vacuum]]. Row counts are the sizing
+    * proxy here (the testdata rows are uniform); a production build would
+    * size on bytes from the file statuses — same loop, same commit.
+    * Returns the number of partitions rewritten (0 = already compact,
+    * no commit). */
+  def compact(spark: SparkSession, basePath: String,
+      targetFileRows: Long = 4L * 1000 * 1000): Int = {
     val snap = currentSnapshot(spark, basePath).getOrElse(return 0)
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
+    val next = snap.version + 1
+    // driver loop over PARTITIONS (bounded: years), not files
+    val plans = snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
+      val pdir = new Path(dd, s"$dir/part_year=$y")
+      val nFiles = f.listStatus(pdir)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      val rows = spark.read.parquet(pdir.toString).count()
+      val want = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+      if (nFiles > want) Some((y, dir, want)) else None
+    }
+    if (plans.isEmpty) return 0
+    plans.foreach { case (y, dir, want) =>
+      spark.read.parquet(new Path(dd, s"$dir/part_year=$y").toString)
+        .repartition(want)
+        .write.mode("overwrite")
+        .parquet(new Path(dd, s"${vdir(next)}/part_year=$y").toString)
+    }
+    val parts = snap.parts ++ plans.map { case (y, _, _) => y -> vdir(next) }
+    commit(spark, basePath, Staged(Snapshot(next, parts)))
+    plans.size
+  }
+
+  /** Delete data dirs no RETAINED manifest references — crashed stages
+    * and superseded versions past the history window. `retainVersions`
+    * (≥1) is how many trailing manifests stay readable: 1 keeps only the
+    * current snapshot (no time travel), N keeps [[readAt]] working for the
+    * last N versions — the standard vacuum-trades-history-for-space
+    * contract. Returns the number of data dirs removed. Safe only when no
+    * reader is pinned to a vacuumed snapshot. */
+  def vacuum(spark: SparkSession, basePath: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val vs = versions(spark, basePath)
+    if (vs.isEmpty) return 0
+    val retained = vs.takeRight(retainVersions)
+    val dd = dataDir(basePath)
+    val f = fs(spark, dd)
     if (!f.exists(dd)) return 0
-    val live: Set[String] = snap.parts.values.toSet
+    val live: Set[String] = retained
+      .flatMap(snapshotAt(spark, basePath, _))
+      .flatMap(_.parts.values).toSet
     val removed = f.listStatus(dd).toSeq.filter { st =>
       st.isDirectory && !live.contains(st.getPath.getName)
     }
     removed.foreach(st => f.delete(st.getPath, true))
-    // superseded manifests: everything below the current version
+    // superseded manifests: everything below the retention window
     val md = manifestDir(basePath)
     f.listStatus(md).toSeq.foreach { st =>
       val n = st.getPath.getName
       if (n.matches("v\\d+\\.txt") &&
-          n.stripPrefix("v").stripSuffix(".txt").toInt < snap.version)
+          n.stripPrefix("v").stripSuffix(".txt").toInt < retained.head)
         f.delete(st.getPath, false)
     }
     removed.size

@@ -92,4 +92,69 @@ class ManifestTableSpec extends SparkSpec {
     assert(scans.size == 1,
       s"expected the 2022/2024 branches constant-folded away, got ${scans.size} scans")
   }
+
+  test("time travel: readAt sees each version's rows; vacuum retention bounds history") {
+    val base = Files.createTempDirectory("manifest4").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0), ("k2", "2024-05-02", 20.0))),
+      base, keys, "date")
+    assert(ManifestTable.versions(spark, base) == Seq(1, 2))
+    assert(asMap(ManifestTable.readAt(spark, base, 1)) ==
+      Map(("k1", "2023-03-01") -> 10.0),
+      "version 1 must replay the pre-update state")
+    assert(asMap(ManifestTable.readAt(spark, base, 2)) ==
+      asMap(ManifestTable.read(spark, base)))
+
+    // retain both versions: readAt(1) survives vacuum
+    ManifestTable.vacuum(spark, base, retainVersions = 2)
+    assert(asMap(ManifestTable.readAt(spark, base, 1)) ==
+      Map(("k1", "2023-03-01") -> 10.0))
+
+    // retain only current: version 1 is gone, current unchanged
+    ManifestTable.vacuum(spark, base, retainVersions = 1)
+    assert(ManifestTable.snapshotAt(spark, base, 1).isEmpty)
+    intercept[IllegalStateException](ManifestTable.readAt(spark, base, 1))
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k1", "2023-03-01") -> 11.0, ("k2", "2024-05-02") -> 20.0))
+  }
+
+  test("compaction shrinks file counts atomically and never changes rows") {
+    val base = Files.createTempDirectory("manifest5").toString + "/fact"
+    val keys = Seq("id", "date")
+    // simulate the many-small-files state a streaming writer leaves: AQE
+    // coalescing off so the merge's 32 shuffle partitions write one small
+    // file each non-empty task
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val rows = (1 to 12).map(i => (s"k$i", f"2023-01-$i%02d", i.toDouble))
+    try rows.grouped(3).foreach(g =>
+      ManifestTable.mergeInto(spark, frame(g), base, keys, "date"))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val before = asMap(ManifestTable.read(spark, base))
+    val vBefore = ManifestTable.currentSnapshot(spark, base).get.version
+
+    val dd = new org.apache.hadoop.fs.Path(base, "data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(): Int = {
+      val dir = ManifestTable.currentSnapshot(spark, base).get.parts(2023)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dd, s"$dir/part_year=2023"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(nFiles() > 1, "merge batches should have left multiple files")
+
+    val rewritten = ManifestTable.compact(spark, base, targetFileRows = 1000000)
+    assert(rewritten == 1, "exactly the 2023 partition needed compaction")
+    assert(nFiles() == 1, "compaction must bin-pack to the target file count")
+    assert(ManifestTable.currentSnapshot(spark, base).get.version == vBefore + 1,
+      "compaction is a normal manifest commit")
+    assert(asMap(ManifestTable.read(spark, base)) == before,
+      "compaction must be row-invisible")
+    // pre-compaction version stays time-travel-readable until vacuumed
+    assert(asMap(ManifestTable.readAt(spark, base, vBefore)) == before)
+    // second pass is a no-op: already compact, no new commit
+    assert(ManifestTable.compact(spark, base, targetFileRows = 1000000) == 0)
+    assert(ManifestTable.currentSnapshot(spark, base).get.version == vBefore + 1)
+  }
 }
