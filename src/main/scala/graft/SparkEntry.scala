@@ -26,7 +26,8 @@ object SparkEntry {
     SimilarityOps,
     MultimodalOps)
 
-  private def extraDefs: Seq[QueryDef] = CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange)
+  private def extraDefs: Seq[QueryDef] =
+    CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange, graft.etl.ZOrderLayout.f18)
 
   lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs) ++ extraDefs

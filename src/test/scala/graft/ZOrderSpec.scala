@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.T
+import graft.etl.ZOrderLayout
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the Morton key is bit-exact, and the clustered layout
+  * measurably prunes file scans on BOTH dimensions where a linear sort
+  * prunes only one. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton key matches hand-computed bit interleaves") {
+    // x=3 (11b) spreads to 101b=5; y=1 spreads to 1, shifted = 2; 5|2=7
+    // x=5 (101b) spreads to 10001b=17; y=0 -> 17
+    // x=0, y=3 -> spread(3)=5, <<1 = 10
+    // x=65535,y=65535 -> all 32 bits set
+    val rows = Seq((3L, 1L), (5L, 0L), (0L, 3L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrderLayout.interleave16($"x", $"y").as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(7L, 17L, 10L, 0xFFFFFFFFL))
+  }
+
+  test("morton key is bijective on the 16-bit grid") {
+    val df = spark.range(0, 4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    val distinctZ = df.select(ZOrderLayout.interleave16($"x", $"y")).distinct().count()
+    assert(distinctZ == 4096, "every (x,y) pair must get a unique key")
+  }
+
+  test("z-ordered layout prunes both dimensions; linear sort prunes only its own") {
+    val line = T(spark, "/root/testdata/sf0.01", "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val tmp = Files.createTempDirectory("zorder").toString
+    val zPath = s"$tmp/z"
+    val linPath = s"$tmp/linear"
+    val nFiles = 16
+
+    // grid-normalize so partkey (0..2000) and suppkey (0..100) carry
+    // equal weight in the interleave
+    ZOrderLayout.writeZOrdered(line,
+      ZOrderLayout.gridBucket($"l_partkey", 2000),
+      ZOrderLayout.gridBucket($"l_suppkey", 100),
+      zPath, nFiles)
+    line.repartitionByRange(nFiles, $"l_partkey")
+      .sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(linPath)
+
+    // 1/8-of-domain range filters on each dimension
+    val (zPart, zTotal) = ZOrderLayout.candidateFiles(spark, zPath, "l_partkey", 500, 749)
+    val (zSupp, _) = ZOrderLayout.candidateFiles(spark, zPath, "l_suppkey", 40, 51)
+    val (linPart, linTotal) = ZOrderLayout.candidateFiles(spark, linPath, "l_partkey", 500, 749)
+    val (linSupp, _) = ZOrderLayout.candidateFiles(spark, linPath, "l_suppkey", 40, 51)
+
+    assert(zTotal == nFiles && linTotal == nFiles)
+    assert(linPart <= 4, s"linear layout must prune its own sort key hard, opened $linPart")
+    assert(linSupp == nFiles,
+      "a suppkey filter over the partkey-sorted layout must open every file")
+    assert(zPart <= 10, s"z-order must prune partkey filters, opened $zPart/$zTotal")
+    assert(zSupp <= 10, s"z-order must prune suppkey filters, opened $zSupp/$zTotal")
+    assert(zSupp < linSupp,
+      "the whole point: the second dimension prunes under z-order, not under linear sort")
+
+    // layout is a pure reorder: same rows either way
+    val a = spark.read.parquet(zPath).agg(count(lit(1)), sum($"l_orderkey")).head()
+    val b = spark.read.parquet(linPath).agg(count(lit(1)), sum($"l_orderkey")).head()
+    assert(a == b)
+  }
+}
