@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.T
+import graft.etl.TextIndex
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** The persisted inverted index must answer BM25 queries exactly like
+  * the corpus recompute, with the corpus-side tables read in place. */
+class TextIndexSpec extends SparkSpec {
+
+  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val terms = Seq("spark", "join", "window")
+
+  test("served BM25 equals the corpus recompute row for row") {
+    val docs = T(spark, sf0001, "documents")
+    try {
+      TextIndex.build(spark, docs, "tispec_idx")
+      val served = TextIndex.search(spark, "tispec_idx", terms).collect().toSeq
+      assert(served.nonEmpty, "search returned nothing — vacuous test")
+      val recomputed = TextOps.bm25(docs, terms).collect().toSeq
+      assert(served == recomputed,
+        "served and recomputed BM25 must agree on rows AND order")
+
+      // unknown terms: empty result, no error
+      assert(TextIndex.search(spark, "tispec_idx", Seq("zzzznotaword")).isEmpty)
+
+      // corpus tables never shuffle before their first join; the df
+      // aggregate rides the token bucketing with no exchange at all
+      withConf("spark.sql.adaptive.enabled" -> "false") {
+        val p = TextIndex.search(spark, "tispec_idx", terms)
+        PlanChecks.assertCorpusInPlace(p, "tispec_idx", expectedScans = 4)
+        assert(p.collect().toSeq == served)
+      }
+    } finally
+      Seq("tispec_idx_postings", "tispec_idx_doclens", "tispec_idx_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
