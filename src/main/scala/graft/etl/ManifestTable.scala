@@ -183,9 +183,17 @@ object ManifestTable {
     * proxy here (the testdata rows are uniform); a production build would
     * size on bytes from the file statuses — same loop, same commit.
     * Returns the number of partitions rewritten (0 = already compact,
-    * no commit). */
+    * no commit).
+    *
+    * `clusterBy` turns compaction into the OPTIMIZE-plus-cluster job the
+    * lakehouse engines pair (Delta `OPTIMIZE ... ZORDER BY`): every
+    * partition is rewritten range-partitioned + sorted on the given keys
+    * (e.g. a [[ZOrderLayout.interleave16]] Morton key), so the same
+    * atomic flip that fixes file counts also installs file-level
+    * min/max locality for data skipping. */
   def compact(spark: SparkSession, basePath: String,
-      targetFileRows: Long = 4L * 1000 * 1000): Int = {
+      targetFileRows: Long = 4L * 1000 * 1000,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Int = {
     val snap = currentSnapshot(spark, basePath).getOrElse(return 0)
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
@@ -197,13 +205,19 @@ object ManifestTable {
         .count(_.getPath.getName.endsWith(".parquet"))
       val rows = spark.read.parquet(pdir.toString).count()
       val want = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
-      if (nFiles > want) Some((y, dir, want)) else None
+      // a clustering request rewrites every partition: the layout is the
+      // point, not just the file count
+      if (nFiles > want || clusterBy.nonEmpty) Some((y, dir, want)) else None
     }
     if (plans.isEmpty) return 0
     plans.foreach { case (y, dir, want) =>
-      spark.read.parquet(new Path(dd, s"$dir/part_year=$y").toString)
-        .repartition(want)
-        .write.mode("overwrite")
+      val src = spark.read.parquet(new Path(dd, s"$dir/part_year=$y").toString)
+      val arranged =
+        if (clusterBy.nonEmpty)
+          src.repartitionByRange(want, clusterBy: _*)
+            .sortWithinPartitions(clusterBy: _*)
+        else src.repartition(want)
+      arranged.write.mode("overwrite")
         .parquet(new Path(dd, s"${vdir(next)}/part_year=$y").toString)
     }
     val parts = snap.parts ++ plans.map { case (y, _, _) => y -> vdir(next) }

@@ -69,6 +69,44 @@ object TextIndex {
     t
   }
 
+  /** Incremental refresh: index `newDocs` without touching the existing
+    * postings — the per-batch maintenance job ([[MinhashIndex.append]]
+    * shape). Postings and doc lengths append with the same bucket spec,
+    * so readers keep the bucketed distribution and probes stay
+    * corpus-exchange-free; the stats row is recomputed from the doclens
+    * table (one scan of a doc-count-sized frame, exact arithmetic —
+    * NEVER folded incrementally, which would change the division's
+    * operands and break bit-parity with the recompute path). Caller
+    * contract: `newDocs` must not already be indexed and the append must
+    * run exactly once per accepted batch — drive it from a committed
+    * batch log; a blind re-run duplicates postings. */
+  def append(s: SparkSession, newDocs: DataFrame, name: String,
+      nBuckets: Int = 32): Unit = {
+    val t = tables(name)
+    val tf = newDocs
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds two appends; small (batch-sized)
+    try {
+      tf.select(col("token"), col("doc_id"), col("tf"))
+        .repartition(nBuckets, col("token"))
+        .write.mode("append")
+        .bucketBy(nBuckets, "token").sortBy("token")
+        .format("parquet").saveAsTable(t.postings)
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .repartition(nBuckets, col("doc_id"))
+        .write.mode("append")
+        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(t.doclens)
+    } finally tf.unpersist(blocking = false)
+    s.table(t.doclens)
+      .agg(
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").format("parquet").saveAsTable(t.stats)
+  }
+
   /** BM25 top-k served from the index — value-identical to
     * [[TextOps.bm25]] recomputed over the corpus (TextIndexSpec asserts
     * row-for-row equality; the declared query's oracle replays the

@@ -157,4 +157,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.compact(spark, base, targetFileRows = 1000000) == 0)
     assert(ManifestTable.currentSnapshot(spark, base).get.version == vBefore + 1)
   }
+
+  test("clustered compaction installs range-disjoint file layout atomically") {
+    val base = Files.createTempDirectory("manifest6").toString + "/fact"
+    val rows = (1 to 12).map(i => (s"k$i", f"2023-01-$i%02d", i.toDouble))
+    ManifestTable.mergeInto(spark, frame(rows), base, Seq("id", "date"), "date")
+    val before = asMap(ManifestTable.read(spark, base))
+
+    // 12 rows, 4 per file => 3 clustered files even though 1 file is
+    // "compact enough": a clustering request always rewrites
+    val n = ManifestTable.compact(spark, base,
+      targetFileRows = 4, clusterBy = Seq($"v"))
+    assert(n == 1)
+    assert(asMap(ManifestTable.read(spark, base)) == before)
+
+    val dir = ManifestTable.currentSnapshot(spark, base).get.parts(2023)
+    val pdir = s"$base/data/$dir/part_year=2023"
+    val stats = graft.etl.ZOrderLayout.fileStats(spark, pdir, "v")
+      .collect().map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .sortBy(_._1)
+    assert(stats.length == 3, s"expected 3 clustered files, got ${stats.length}")
+    assert(stats.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo },
+      s"file v-ranges must be disjoint after clustering: ${stats.toSeq}")
+  }
 }

@@ -44,4 +44,28 @@ class TextIndexSpec extends SparkSpec {
       Seq("tispec_idx_postings", "tispec_idx_doclens", "tispec_idx_stats")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("append maintains the index: search equals full rebuild, still exchange-free") {
+    val docs = T(spark, sf0001, "documents")
+    val batch = col("doc_id") % 3 === 0
+    try {
+      TextIndex.build(spark, docs.filter(!batch), "tispec_app")
+      TextIndex.append(spark, docs.filter(batch), "tispec_app")
+      val appended = TextIndex.search(spark, "tispec_app", terms).collect().toSeq
+      TextIndex.build(spark, docs, "tispec_full")
+      val full = TextIndex.search(spark, "tispec_full", terms).collect().toSeq
+      assert(appended.nonEmpty && appended == full,
+        "appended index must answer exactly like a full rebuild")
+      // bucketing survives the append
+      withConf("spark.sql.adaptive.enabled" -> "false") {
+        PlanChecks.assertCorpusInPlace(
+          TextIndex.search(spark, "tispec_app", terms), "tispec_app",
+          expectedScans = 4)
+      }
+    } finally
+      Seq("tispec_app", "tispec_full").foreach { n =>
+        Seq(s"${n}_postings", s"${n}_doclens", s"${n}_stats")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+  }
 }
