@@ -99,9 +99,10 @@ object CorpusStream {
     * equi-join + exact-Jaccard verify, never all-pairs); (3) survivors
     * land in `keptDir/batch_id=N` (overwrite by batch id + own-batch
     * exclusion in the probe = idempotent replay, same protocol as the
-    * semantic twin). At index-worthy corpus sizes, step (2)'s kept-set
-    * signatures should come from a persisted [[graft.etl.MinhashIndex]]
-    * maintained by `append` per committed batch instead of re-deriving. */
+    * semantic twin). At index-worthy corpus sizes use
+    * [[minhashDedupStreamIndexed]]: same decisions (spec-asserted), with
+    * step (2) served from the persisted [[graft.etl.MinhashIndex]] the
+    * stream itself maintains, instead of re-shingling the kept set. */
   def minhashDedupStream(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, keptDir: String, checkpointDir: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
@@ -135,6 +136,72 @@ object CorpusStream {
       } else keepers
     survivors.write.mode("overwrite")
       .parquet(s"$keptDir/batch_id=$batchId")
+  }
+
+  /** [[minhashDedupStream]] with the kept-set probe served from the
+    * PERSISTED band index ([[graft.etl.MinhashIndex]]) instead of
+    * re-deriving signatures from every kept document each micro-batch —
+    * the form that holds at index-worthy corpus sizes, where the kept
+    * set is years of accepted documents and re-shingling it per batch is
+    * the dominant cost. Per micro-batch:
+    *
+    *  1. within-batch transitive collapse (identical to the recompute
+    *     form);
+    *  2. survivors probe the index — a (band, bucket) equi-join reading
+    *     the corpus tables in place (MinhashIndexSpec asserts the plan);
+    *     self-id pairs are filtered so a checkpoint REPLAY of a batch
+    *     whose survivors were already appended still selects the same
+    *     survivors (a doc is trivially jaccard-1 with its indexed self);
+    *  3. survivors land in `keptDir/batch_id=N` (overwrite = idempotent)
+    *     and are APPENDED to the index exactly once, guarded by a
+    *     per-batch marker file. A crash strictly inside the append window
+    *     (after some index writes, before the marker) leaves a partially
+    *     appended batch — the recovery there is the index rebuild job,
+    *     the same committed-batch-log contract
+    *     [[graft.etl.MinhashIndex.append]] documents; every other crash
+    *     point replays cleanly (spec-injected). */
+  def minhashDedupStreamIndexed(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, keptDir: String, checkpointDir: String,
+      idxName: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashDedupBatchIndexed(spark, batch, keptDir, idxName, batchId, threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  private[graft] def minhashDedupBatchIndexed(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      keptDir: String, idxName: String, batchId: Long,
+      threshold: Double): Unit = {
+    import graft.etl.MinhashIndex
+    val losers = DedupOps.minhashComponents(spark, batch, threshold)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val keepers = batch.join(losers, Seq("doc_id"), "left_anti")
+    val haveIndex = spark.catalog.tableExists(s"${idxName}_banded")
+    val survivors =
+      if (haveIndex) {
+        val dupOfKept = MinhashIndex
+          .incrementalPairs(spark, keepers, idxName, threshold)
+          .filter(col("doc_old") =!= col("doc_new")) // replay: self-pairs
+          .select(col("doc_new").as("doc_id")).distinct()
+        keepers.join(dupOfKept, Seq("doc_id"), "left_anti")
+      } else keepers
+    survivors.write.mode("overwrite")
+      .parquet(s"$keptDir/batch_id=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(keptDir, s"_indexed_batch_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      // re-read the COMMITTED survivors so the indexed rows are exactly
+      // what readers of the kept set see
+      val accepted = spark.read.parquet(s"$keptDir/batch_id=$batchId")
+      if (haveIndex) MinhashIndex.append(spark, accepted, idxName)
+      else MinhashIndex.build(spark, accepted, idxName)
+      fs.create(marker, true).close()
+    }
   }
 
   /** Apply the stateless stages + stateful exact dedup to a streaming

@@ -204,6 +204,71 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == keptIds, "a replayed micro-batch must be a no-op")
   }
 
+  test("indexed streaming minhash dedup: same kept set, index stays rebuild-equivalent") {
+    val src = Files.createTempDirectory("mhi_src").toString + "/data"
+    val cp = Files.createTempDirectory("mhi_cp").toString
+    val kept = Files.createTempDirectory("mhi_kept").toString + "/kept"
+    val idx = "mhistream_idx"
+    def doc(id: Long, text: String) = (id, text, "en", "srcA", text.length.toLong)
+    def words(tag: String, n: Int) = (1 to n).map(k => s"${tag}_$k").mkString(" ")
+    try {
+      val batch1 = (1L to 10L).map(i => doc(i, words(s"b$i", 12)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      batch1.write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        graft.streaming.CorpusStream.minhashDedupStreamIndexed(spark,
+          spark.readStream.schema(schema).parquet(src), kept, cp, idx)
+          .awaitTermination()
+      }
+      run()
+      val fresh = words("f", 12)
+      val batch2 = Seq(
+        doc(100L, words("b1", 11) + " changed"), // near-dup of kept doc 1
+        doc(101L, fresh),
+        doc(102L, fresh.replace("f_12", "altered")), // within-batch near-dup
+        doc(103L, words("g", 12)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      batch2.write.mode("append").parquet(src)
+      run()
+      val keptIds = spark.read.parquet(kept)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      // identical decisions to the recompute-probe stream / batch twin
+      val all = batch1.unionByName(batch2)
+      val losers = graft.operators.DedupOps.minhashComponents(spark, all)
+        .filter($"component" =!= $"doc_id").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(keptIds == all.select($"doc_id").collect().map(_.getLong(0)).toSet -- losers)
+
+      // the index holds exactly the kept docs — answers like a rebuild
+      val sizes = spark.table(s"${idx}_sizes").select($"doc_id")
+        .collect().map(_.getLong(0))
+      assert(sizes.toSet == keptIds && sizes.length == keptIds.size,
+        "index rows must be the kept docs, no duplicates")
+
+      // crash replay AFTER the index append (worst benign window): same
+      // kept set, no duplicate index rows
+      val commits = new java.io.File(cp, "commits")
+      val last = commits.listFiles().map(_.getName)
+        .filter(_.forall(_.isDigit)).map(_.toInt).max
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      run()
+      val again = spark.read.parquet(kept)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == keptIds, "replayed micro-batch must keep the same set")
+      val sizesAgain = spark.table(s"${idx}_sizes").select($"doc_id")
+        .collect().map(_.getLong(0))
+      assert(sizesAgain.length == keptIds.size,
+        "the marker must stop a replay from double-appending the index")
+    } finally
+      Seq(s"${idx}_banded", s"${idx}_shingles", s"${idx}_sizes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("whitespace-variant copies share flags: stream and batch keep the same fp set") {
     // Doc 1 fails the punct-ratio cut on NORMALIZED text; doc 2 is the
     // same content padded with extra whitespace — under raw-text flags its
