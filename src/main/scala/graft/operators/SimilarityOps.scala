@@ -32,6 +32,15 @@ object SimilarityOps extends QueryModule {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** DuckDB replay of [[dot]]/[[cosine]]: the same left-to-right
+    * list_reduce fold the declared oracles inline — factored for
+    * composites that embed cosine inside a larger query. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, x) -> acc + x)"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
   /** Brute-force cosine top-k (exact): query side broadcast, codegen
     * cosine, per-query ranking window with deterministic tie-break. The
     * ground truth every ANN path's recall is measured against. */

@@ -573,7 +573,51 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** Hybrid retrieval — the RAG-serving composition: BM25 keyword
+    * candidates reranked by embedding cosine against an anchor vector
+    * (vec_id 0 stands in for the encoded query; in production the query
+    * encoder supplies it). The lexical stage bounds the candidate set, so
+    * the semantic stage is O(k) however big the corpus: candidates
+    * broadcast into the embeddings join (big side streams), the anchor is
+    * one broadcast row, and the rerank window ranks k rows (cheap by
+    * construction — the deliberate small-cardinality global window).
+    * Every scalar reuses an already-bit-exact primitive (BM25 fold,
+    * cosine fold), so the whole composite hash-matches. */
+  private val taHybrid = QueryDef(
+    "ta_hybrid_retrieval",
+    Some(s"""
+      WITH bm AS ($bm25Oracle),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT bm.doc_id, bm.bm25, bm.n_terms_hit,
+          ${SimilarityOps.cosineSql("q.qv", "CAST(e.embedding AS DOUBLE[])")}
+            AS cosine_sim
+        FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id, q)
+      SELECT doc_id, bm25, n_terms_hit, cosine_sim,
+        ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id ASC) AS hybrid_rank
+      FROM scored
+      ORDER BY hybrid_rank"""),
+    (s, dir) => {
+      import s.implicits._
+      val cand = bm25(T(s, dir, "documents"), Seq("spark", "join", "window"))
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast(ArrayType(DoubleType)).as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"cosine_sim".desc, $"doc_id".asc)
+      broadcast(cand)
+        .join(emb.select($"vec_id".as("doc_id"),
+          $"embedding".cast(ArrayType(DoubleType)).as("ev")), "doc_id")
+        .crossJoin(broadcast(q))
+        .select($"doc_id", $"bm25", $"n_terms_hit",
+          graft.functions.CosineSimilarity.cosineNative(s, $"qv", $"ev")
+            .as("cosine_sim"))
+        .withColumn("hybrid_rank", row_number().over(w))
+        .orderBy($"hybrid_rank")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
-      taBigramLm, taLmScore, taBm25, taBm25Indexed, taSimpson)
+      taBigramLm, taLmScore, taBm25, taBm25Indexed, taSimpson, taHybrid)
 }
