@@ -54,6 +54,19 @@ object ZOrderLayout {
   def interleave16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Inverse of [[spread16]]: collapse even-position bits back to a
+    * 16-bit value (mirror masks, shifting right). */
+  private def compact16(c: Column): Column =
+    Seq((1, 0x33333333L), (2, 0x0F0F0F0FL), (4, 0x00FF00FFL), (8, 0xFFFFL))
+      .foldLeft(c.bitwiseAND(lit(0x55555555L))) { case (x, (s, m)) =>
+        x.bitwiseOR(shiftright(x, s)).bitwiseAND(lit(m))
+      }
+
+  /** Recover (x, y) from a Morton key — the round-trip proof that the
+    * key loses nothing ([[ZOrderSpec]] checks it over the full grid). */
+  def deinterleave16(z: Column): (Column, Column) =
+    (compact16(z), compact16(shiftright(z, 1)))
+
   /** DuckDB replay of [[spread16]] — same shifts, same masks. */
   def spreadSql(e: String): String =
     spreadSteps.foldLeft(s"($e & 65535)") { case (x, (s, m)) =>

@@ -461,6 +461,88 @@ object CorpusPrepOps extends QueryModule {
         (col("cum_tokens") / col("total_tokens")).as("coverage"))
   }
 
+  /** Per-source distribution drift: the chi-square statistic of each
+    * source's token distribution against the corpus expectation, over
+    * the top-`k` global vocabulary — the "did feed X start sending
+    * different content" monitor a corpus-versioning pipeline alarms on
+    * (the drift sibling of [[diversityReport]]'s composition metrics).
+    *
+    * Numeric policy: the contingency table is exact BIGINT counts; each
+    * cell's expectation row·col/grand is computed in doubles (exact
+    * while products stay inside 2^53 — true by construction here, and a
+    * sketch/sampled table is the 100 TB form anyway), and the per-source
+    * sum of the K cell contributions folds in sorted token order —
+    * bounded K, deterministic order, so the statistic hash-matches.
+    *
+    * Shape at scale: one token count (map-side combinable) + distributed
+    * top-K for the vocabulary (broadcast afterwards — K rows), one
+    * (source, token) count over vocab hits, then aggregates of a
+    * sources×K table. Nothing corpus-sized shuffles twice. */
+  def domainDrift(documents: DataFrame, k: Int = 50): DataFrame = {
+    val tok = documents
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"))
+    val st = tok.join(broadcast(vocab), "token")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = st.groupBy(col("source")).agg(sum(col("o")).as("row_total"))
+    val colT = st.groupBy(col("token")).agg(sum(col("o")).as("col_total"))
+    val grand = st.agg(sum(col("o")).as("grand_total"))
+    val e = col("row_total").cast(DoubleType) * col("col_total") / col("grand_total")
+    st.join(rowT, "source")
+      .join(broadcast(colT), "token")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("token"), col("row_total"),
+        ((col("o") - e) * (col("o") - e) / e).as("contrib"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("row_total")).as("n_vocab_tokens"),
+        count(lit(1)).as("k_cells"),
+        array_sort(collect_list(struct(col("token"), col("contrib")))).as("cs"))
+      .select(col("source"), col("n_vocab_tokens"), col("k_cells"),
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("contrib"))
+          .as("chi2"))
+      .orderBy(col("source"))
+  }
+
+  private val cpDrift = QueryDef(
+    "cp_domain_drift",
+    Some("""
+      WITH tok AS (
+        SELECT source,
+          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS n FROM tok GROUP BY token
+          ORDER BY n DESC, token ASC LIMIT 50)),
+      st AS (
+        SELECT source, token, count(*) AS o
+        FROM tok JOIN vocab USING (token)
+        GROUP BY source, token),
+      rowt AS (SELECT source, CAST(sum(o) AS BIGINT) AS row_total FROM st GROUP BY source),
+      colt AS (SELECT token, CAST(sum(o) AS BIGINT) AS col_total FROM st GROUP BY token),
+      grand AS (SELECT CAST(sum(o) AS BIGINT) AS grand_total FROM st),
+      cells AS (
+        SELECT st.source, st.token, rowt.row_total,
+          (st.o - CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
+            * (st.o - CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
+            / (CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
+            AS contrib
+        FROM st JOIN rowt USING (source) JOIN colt USING (token), grand)
+      SELECT source,
+        max(row_total) AS n_vocab_tokens,
+        count(*) AS k_cells,
+        list_reduce(list(contrib ORDER BY token), (a, x) -> a + x) AS chi2
+      FROM cells
+      GROUP BY source
+      ORDER BY source"""),
+    (s, dir) => domainDrift(T(s, dir, "documents")))
+
   private val cpVocab = QueryDef(
     "cp_vocab_topk",
     Some("""
@@ -739,5 +821,5 @@ object CorpusPrepOps extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
       cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
-      cpDupRate, cpQualityPct, cpHashSplit)
+      cpDupRate, cpQualityPct, cpHashSplit, cpDrift)
 }

@@ -23,11 +23,23 @@ class ZOrderSpec extends SparkSpec {
     assert(rows.toSeq == Seq(7L, 17L, 10L, 0xFFFFFFFFL))
   }
 
-  test("morton key is bijective on the 16-bit grid") {
+  test("morton key is bijective on the 16-bit grid and round-trips exactly") {
     val df = spark.range(0, 4096)
       .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
     val distinctZ = df.select(ZOrderLayout.interleave16($"x", $"y")).distinct().count()
     assert(distinctZ == 4096, "every (x,y) pair must get a unique key")
+    val (dx, dy) = ZOrderLayout.deinterleave16(
+      ZOrderLayout.interleave16($"x", $"y"))
+    val broken = df.select($"x", $"y", dx.as("rx"), dy.as("ry"))
+      .filter($"x" =!= $"rx" || $"y" =!= $"ry")
+    assert(broken.isEmpty, "deinterleave must invert interleave exactly")
+    // and at the domain edges
+    val edges = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L), (32768L, 1L))
+      .toDF("x", "y")
+    val (ex, ey) = ZOrderLayout.deinterleave16(
+      ZOrderLayout.interleave16($"x", $"y"))
+    assert(edges.select($"x", $"y", ex.as("rx"), ey.as("ry"))
+      .filter($"x" =!= $"rx" || $"y" =!= $"ry").isEmpty)
   }
 
   test("z-ordered layout prunes both dimensions; linear sort prunes only its own") {
