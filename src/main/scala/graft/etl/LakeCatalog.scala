@@ -84,5 +84,24 @@ object LakeCatalog {
     spark.catalog.setCurrentDatabase(db)
   }
 
+  /** Collect table + column statistics into the catalog — what turns
+    * Catalyst's cost-based optimizer on for REGISTERED tables. Without
+    * column stats a filter's output is estimated at input size, so a
+    * selective dim-side predicate still plans a sort-merge join; with
+    * them CBO estimates the filtered cardinality and picks a broadcast
+    * join on its own, no hint (CatalogStatsSpec proves the flip on the
+    * executed plan). At 100 TB this is the Glue-crawler/ANALYZE step of
+    * any warehouse deployment: run it per table refresh, and join
+    * strategy stops depending on hand-placed hints. */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(q).mkString(", "))
+    else
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
+
   private def q(id: String) = "`" + id.replace("`", "``") + "`"
 }
