@@ -28,11 +28,13 @@ import org.apache.spark.sql.functions._
   * (per-batch appends of the accepted docs' rows), amortized across
   * probes; [[build]] here is the full-rebuild form of that job.
   *
-  * The shingle table stores shingle STRINGS so the verify stage is
-  * value-identical to the recompute pipeline (and its DuckDB oracle); a
-  * production deployment would store 8-byte shingle hashes instead —
-  * intersection counts are identical absent 64-bit collisions — cutting
-  * the index to a fraction of corpus bytes.
+  * The shingle table stores shingle STRINGS by default so the verify
+  * stage is value-identical to the recompute pipeline (and its DuckDB
+  * oracle); `hashedShingles = true` stores 8-byte xxhash64 values
+  * instead — intersection counts are identical absent 64-bit collisions
+  * (spec-asserted pair-for-pair), cutting the index to a fraction of
+  * corpus bytes. Bench probes the hashed form (the production layout);
+  * Verify rebuilds and checks the string form against the oracle.
   */
 object MinhashIndex {
 
@@ -41,20 +43,43 @@ object MinhashIndex {
   def tables(name: String): Tables =
     Tables(s"${name}_banded", s"${name}_shingles", s"${name}_sizes")
 
+  /** The production storage form: 8-byte shingle hashes instead of
+    * shingle strings, same column name so every downstream join is
+    * unchanged. Intersection counts — and therefore the final Jaccard
+    * pairs — are identical absent 64-bit collisions (spec-asserted
+    * pair-for-pair on the testdata), and the index shrinks to a
+    * fraction of corpus bytes: at 100 TB the shingle table is the
+    * index's dominant cost, and it stops carrying text. */
+  private def hashShingleCol(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
+  /** Whether `name` was built with `hashedShingles = true` — probes
+    * adapt from the STORED schema, so callers never pass the flag
+    * twice. */
+  def isHashed(s: SparkSession, name: String): Boolean =
+    s.table(tables(name).shingles).schema("shingle").dataType ==
+      org.apache.spark.sql.types.LongType
+
   /** Full rebuild of the index over `corpus` (must carry doc_id, text).
     * Drops + recreates the three tables; the shingle table is written
     * first and the signature derived from the STORED rows, so the three
     * artifacts are consistent even if the corpus frame is
-    * non-deterministic under recompute. */
+    * non-deterministic under recompute. (In hashed mode signatures must
+    * derive from the string shingles — the stored hashes can't be
+    * re-hashed into h1/h2 — so the one shingle frame feeds both writes
+    * inside this job instead.) */
   def build(s: SparkSession, corpus: DataFrame, name: String,
       numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
-      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): Tables = {
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed)),
+      hashedShingles: Boolean = false): Tables = {
     val t = tables(name)
     Seq(t.banded, t.shingles, t.sizes).foreach(dropTable(s, _))
     val sh = DedupOps.shingleRows(corpus)
-    writeBucketed(sh, t.shingles, nBuckets, append = false, "doc_id", "shingle")
+    writeBucketed(if (hashedShingles) hashShingleCol(sh) else sh,
+      t.shingles, nBuckets, append = false, "doc_id", "shingle")
     val sig = DedupOps
-      .minhashSigFromShingles(s.table(t.shingles), numPerms, hashFn)
+      .minhashSigFromShingles(
+        if (hashedShingles) sh else s.table(t.shingles), numPerms, hashFn)
       .persist() // one row per doc; consumed by two writes below
     try {
       writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
@@ -78,10 +103,13 @@ object MinhashIndex {
       numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): Unit = {
     val t = tables(name)
+    val hashed = isHashed(s, name) // match the built mode, never mix
     val sh = DedupOps.shingleRows(newDocs)
-    writeBucketed(sh, t.shingles, nBuckets, append = true, "doc_id", "shingle")
+    writeBucketed(if (hashed) hashShingleCol(sh) else sh,
+      t.shingles, nBuckets, append = true, "doc_id", "shingle")
     val sig = DedupOps.minhashSigFromShingles(
-      s.table(t.shingles).join(
+      if (hashed) sh
+      else s.table(t.shingles).join(
         newDocs.select(col("doc_id")).distinct(), "doc_id"),
       numPerms, hashFn).persist()
     try {
@@ -132,9 +160,12 @@ object MinhashIndex {
     val t = tables(name)
     val shNew = DedupOps.shingleRows(batch)
     val sigNew = DedupOps.minhashSigFromShingles(shNew, numPerms, hashFn)
+    // the batch side mirrors the STORED shingle form (strings or 8-byte
+    // hashes — read from the schema), so the verify join key matches
+    val shNewJ = if (isHashed(s, name)) hashShingleCol(shNew) else shNew
     // corpus-side frames are bucketed table reads: the candidate join,
     // the shingle verify join, and the sizes join all read them in place
-    DedupOps.crossPairs(shNew, sigNew,
+    DedupOps.crossPairs(shNewJ, sigNew,
       DedupOps.bandedBuckets(sigNew, numPerms, bands, hashFn),
       s.table(t.shingles), s.table(t.banded), s.table(t.sizes), threshold)
   }

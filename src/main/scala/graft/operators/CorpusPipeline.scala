@@ -312,6 +312,12 @@ object CorpusPipeline {
     * fingerprint for dup stats and a per-language window for the quality
     * percentile. Nothing joins back to the text; downstream consumers read
     * this snapshot, not the corpus.
+    *
+    * The per-language percent_rank sorts each language partition — the
+    * exact, oracle-replayable form. At 100 TB swap it for the
+    * approx_percentile cut documented at `cp_quality_percentile` (one
+    * broadcast scalar per language + a stateless comparison, no sort);
+    * every other feature is already sort-free.
     */
   def featureSnapshot(docs: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
     import org.apache.spark.sql.expressions.Window

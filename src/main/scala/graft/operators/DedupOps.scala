@@ -787,8 +787,11 @@ object DedupOps extends QueryModule {
       graft.etl.MinhashIndex.incrementalPairs(s,
         T(s, dir, "documents").filter(newBatch), "mh_idx_b")),
     benchSetup = Some((s, dir) =>
+      // production storage: 8-byte hashed shingles (pair-identical to
+      // the string form absent collisions, spec-asserted)
       graft.etl.MinhashIndex.build(s,
-        T(s, dir, "documents").filter(!newBatch), "mh_idx_b")))
+        T(s, dir, "documents").filter(!newBatch), "mh_idx_b",
+        hashedShingles = true)))
 
   /** Shared-passage (boilerplate) coverage — the n-gram-granular form of
     * exact-substring dedup (Lee et al., "Deduplicating Training Data

@@ -91,6 +91,47 @@ class MinhashIndexSpec extends SparkSpec {
       }
   }
 
+  test("hashed-shingle index answers pair-for-pair like the string index") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    try {
+      MinhashIndex.build(spark, docs.filter(!isNew), "mhspec_str")
+      MinhashIndex.build(spark, docs.filter(!isNew), "mhspec_hash",
+        hashedShingles = true)
+      assert(!MinhashIndex.isHashed(spark, "mhspec_str"))
+      assert(MinhashIndex.isHashed(spark, "mhspec_hash"))
+      // the production layout stores longs, not text
+      assert(spark.table("mhspec_hash_shingles").schema("shingle").dataType ==
+        org.apache.spark.sql.types.LongType)
+
+      val strPairs = MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_str")
+        .collect().toSeq
+      val hashPairs = MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_hash")
+        .collect().toSeq
+      assert(strPairs.nonEmpty, "probe found no pairs — vacuous test")
+      assert(hashPairs.toSet == strPairs.toSet,
+        "hashed shingles must not change any pair or any jaccard value")
+
+      // append respects the built mode; probes stay corpus-exchange-free
+      MinhashIndex.append(spark, docs.filter(isNew), "mhspec_hash")
+      assert(spark.table("mhspec_hash_shingles").schema("shingle").dataType ==
+        org.apache.spark.sql.types.LongType)
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        assertCorpusInPlace(
+          MinhashIndex.incrementalPairs(spark,
+            docs.filter(isNew).limit(5), "mhspec_hash"),
+          "mhspec_hash")
+      }
+    } finally
+      Seq("mhspec_str", "mhspec_hash").foreach { n =>
+        Seq(s"${n}_banded", s"${n}_shingles", s"${n}_sizes")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+  }
+
   private def assertCorpusInPlace(p: org.apache.spark.sql.DataFrame,
       idxName: String): Unit =
     PlanChecks.assertCorpusInPlace(p, idxName, expectedScans = 3)
