@@ -76,6 +76,44 @@ object HttpSource {
     BronzeIngest.fromJsonPayloads(spark, pages.result())
   }
 
+  /** Bulk HTTP at scale: fan a URL LIST out across the cluster — each
+    * partition builds ONE client (`transportFactory` runs on the
+    * executor, the [[graft.operators.MultimodalOps]] per-partition
+    * decoder-init pattern) and fetches its URLs serially; payloads are
+    * parsed WHERE THEY LAND (`spark.read.json` over the distributed
+    * body dataset), so response bytes never funnel through the driver.
+    * This is the distributed shape next-link pagination can't have:
+    * use [[fetchJsonPaged]] to walk the link chain once, collect the
+    * page URLs, then fan the bulk re-fetch/refresh out here.
+    * `parallelism` bounds concurrent connections against the API —
+    * politeness is a cluster-wide budget, not per-task luck.
+    *
+    * Raw payloads LAND (parquet under `landingDir`) before parsing, and
+    * the returned frame reads from the landing zone: every request runs
+    * exactly once (Spark actions re-execute lazy pipelines — an unlanded
+    * fetch would hit the API once for schema inference and again per
+    * action, spec-counted), and the raw bytes stay replayable after a
+    * parser fix — the bronze-layer contract. */
+  def fetchJsonFanout(spark: SparkSession, urls: Seq[String],
+      landingDir: String,
+      headers: Map[String, String] = Map.empty,
+      transportFactory: () => Transport = () => javaHttpTransport,
+      parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    val hdrs = headers // serialize the map, not `this`
+    spark.createDataset(urls)
+      .repartition(math.max(1, math.min(parallelism, urls.size)))
+      .mapPartitions { it =>
+        val t = transportFactory() // one client per partition
+        it.map(u => t(Request(u, hdrs)))
+      }
+      .toDF("payload")
+      .write.mode("overwrite").parquet(landingDir)
+    // parquet, not text: payloads may contain newlines
+    spark.read.json(
+      spark.read.parquet(landingDir).select("payload").as[String])
+  }
+
   /** `info.next`-style link extraction (Jackson ships with Spark):
     * returns the string at the given path unless null/absent/empty. */
   def jsonStringAt(path: String*): String => Option[String] = { body =>

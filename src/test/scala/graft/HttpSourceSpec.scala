@@ -99,4 +99,33 @@ class HttpSourceSpec extends SparkSpec {
       }
     } finally server.stop(0)
   }
+
+  test("URL fan-out fetches on executors, one client per partition") {
+    val clientInits = spark.sparkContext.longAccumulator("clientInits")
+    val fetches = spark.sparkContext.longAccumulator("fetches")
+    // deterministic fake transport: the payload is derived from the URL;
+    // the factory runs where the partition runs
+    val factory: () => HttpSource.Transport = () => {
+      clientInits.add(1)
+      req => {
+        fetches.add(1)
+        val id = req.url.split("/").last.toInt
+        s"""{"id": $id, "name": "item_$id", "auth": "${req.headers.getOrElse("x-signature", "")}"}"""
+      }
+    }
+    val urls = (1 to 40).map(i => s"http://api.example/item/$i")
+    val landing = java.nio.file.Files.createTempDirectory("fanout").toString + "/raw"
+    val df = HttpSource.fetchJsonFanout(spark, urls, landing,
+      Map("x-signature" -> "sig"), factory, parallelism = 8)
+    assert(df.count() == 40)
+    assert(df.select(sum(col("id"))).head().getLong(0) == (1 to 40).sum)
+    assert(df.filter(col("auth") === "sig").count() == 40,
+      "headers must travel to the executor-side requests")
+    assert(fetches.value == 40,
+      "every URL fetched EXACTLY once — actions must replay from the landing zone, not the API")
+    assert(clientInits.value == 8,
+      s"one transport per partition, got ${clientInits.value}")
+    // the raw payloads landed for replay/quarantine
+    assert(spark.read.parquet(landing).count() == 40)
+  }
 }
