@@ -520,8 +520,8 @@ object SimilarityOps extends QueryModule {
     * the "looks alike, isn't" pairs a contrastive or reranker trainer
     * wants. Same plan shape as the brute-force top-k (anchors broadcast,
     * codegen cosine, per-anchor window) plus the label-mismatch predicate
-    * pushed below the ranking; at scale the candidate set would come from
-    * the LSH/IVF paths instead of the cross join, identically reranked. */
+    * pushed below the ranking; the scale form is [[hardNegativesAnn]] —
+    * LSH candidates, identically reranked, recall spec-bounded. */
   private val simHardNeg = QueryDef(
     "sim_hard_negatives",
     Some("""
@@ -570,6 +570,43 @@ object SimilarityOps extends QueryModule {
           $"neighbor_label", $"cosine_sim")
         .orderBy($"q_id", $"rank")
     })
+
+  /** Hard negatives at scale: the SAME label-mismatch + rerank, but
+    * candidates come from the LSH sign-bucket join instead of the cross
+    * join — anchors only ever meet corpus vectors they share a bucket
+    * with, so cost is O(candidates) not O(anchors × corpus). Approximate
+    * exactly like any ANN path (recall vs the exact miner is
+    * spec-bounded on the clustered testdata); every pair that IS
+    * returned carries the same exact cosine and ordering as the exact
+    * form. */
+  def hardNegativesAnn(s: SparkSession, embeddings: DataFrame,
+      anchors: DataFrame, topK: Int = 3, tables: Int = 16,
+      planesPerTable: Int = 4, dims: Int = 64, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val tablePlanes = lshPlanes(tables, planesPerTable, dims, seed)
+    val corpus = embeddings.select($"vec_id", $"label", asDouble($"embedding").as("v"))
+    val q = anchors.select($"vec_id".as("q_id"), $"label".as("q_label"),
+      asDouble($"embedding").as("qv"))
+    val cands = signBuckets(corpus, "vec_id", tablePlanes)
+      .join(broadcast(signBuckets(
+        q.select($"q_id", $"qv".as("v")), "q_id", tablePlanes)), Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
+    cands
+      .join(broadcast(q), "q_id")
+      .join(corpus.select($"vec_id".as("neighbor_id"),
+        $"label".as("neighbor_label"), $"v"), "neighbor_id")
+      .filter($"neighbor_label" =!= $"q_label")
+      .select($"q_id", $"q_label", $"neighbor_id", $"neighbor_label",
+        CosineSimilarity.cosineNative(s, $"qv", $"v").as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"q_id", $"q_label", $"rank", $"neighbor_id",
+        $"neighbor_label", $"cosine_sim")
+      .orderBy($"q_id", $"rank")
+  }
 
   /** Symmetric per-vector int8 quantization — the compression step an
     * ANN index runs before sharding billions of embeddings (4x smaller

@@ -129,6 +129,35 @@ class CorpusPrepSpec extends SparkSpec {
     byAnchor.values.foreach(rs => assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)))
   }
 
+  test("ANN hard negatives: same invariants, bounded recall vs the exact miner") {
+    import graft.operators.SimilarityOps
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val anchors = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val ann = SimilarityOps.hardNegativesAnn(spark, emb, anchors).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("neighbor_label"))
+      assert(r.getAs[Int]("rank") <= 3)
+    }
+    // recall of the exact miner's pairs on the clustered testdata
+    val exact = SparkEntry.queries("sim_hard_negatives")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = ann
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN hard-negative recall $recall too low")
+    // every pair the ANN path DOES return scores identically to exact
+    val exactScores = SparkEntry.queries("sim_hard_negatives")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine_sim")).toMap
+    ann.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      exactScores.get(k).foreach(s =>
+        assert(s == r.getAs[Double]("cosine_sim"), "rerank must be the exact cosine"))
+    }
+  }
+
   test("domainMix: shares sum to 1 and weights rebalance to uniform") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = CorpusPrepOps.domainMix(docs).collect()
