@@ -13,9 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * loopback fixture server. Fetching happens on the DRIVER by design —
   * an API snapshot is one payload, not a distributed dataset; the data
   * becomes distributed the moment it enters `spark.read.json`. (Bulk
-  * HTTP sources that need per-partition fetch would instead map a frame
-  * of URLs through `mapPartitions` with a per-partition client — not this
-  * operator's shape.)
+  * HTTP sources that need per-partition fetch use [[fetchJsonFanout]] —
+  * a URL frame through `mapPartitions` with a per-partition client.)
   */
 object HttpSource {
 
@@ -58,7 +57,7 @@ object HttpSource {
     * `api/characters.json`), land ALL pages as one DataFrame.
     * `maxPages` bounds a server that links pages in a cycle. Fetching
     * is sequential on the driver — next-link pagination is inherently
-    * serial; a URL-list fan-out would be the distributed shape. */
+    * serial; [[fetchJsonFanout]] is the distributed URL-list shape. */
   def fetchJsonPaged(spark: SparkSession, first: Request,
       nextUrl: String => Option[String],
       transport: Transport = javaHttpTransport,

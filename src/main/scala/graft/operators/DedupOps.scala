@@ -721,9 +721,9 @@ object DedupOps extends QueryModule {
     * ingestion pipeline runs per batch. The cross-corpus restriction is
     * applied INSIDE the band-bucket join (pairPredicate), so within-batch
     * and within-corpus pairs never reach the verify stage. At 100 TB the
-    * corpus-side signatures/buckets would be a persisted index rather
-    * than recomputed — the query pins the join/verify semantics that
-    * index serves. */
+    * corpus-side signatures/buckets come from the persisted
+    * [[graft.etl.MinhashIndex]] (`dd_incremental_indexed`) — this query
+    * pins the join/verify semantics that index serves. */
   private def incrementalPairs(s: SparkSession, docs: DataFrame,
       hashFn: (Column, Int) => Column): DataFrame = {
     val isNew: Column => Column = id => id % 10 === 0
