@@ -767,6 +767,71 @@ object CorpusPrepOps extends QueryModule {
       ORDER BY source"""),
     (s, dir) => domainMix(T(s, dir, "documents")).orderBy(col("source")))
 
+  /** ACT on the mix report: downsample over-represented sources to the
+    * uniform token target with a deterministic content-hash keep rule —
+    * the data-mixing step that turns [[domainMix]]'s weights into an
+    * actual rebalanced corpus. keep_prob = min(1, uniform_weight):
+    * sources above target keep a hash-selected fraction, sources below
+    * keep everything (downsampling can't upsample — that's epoch
+    * weighting at training time). The keep decision hashes the
+    * NORMALIZED content ([[CorpusPipeline.normText]]), so duplicate
+    * variants co-decide, reruns are stable, and no RNG state exists
+    * anywhere. Shape at scale: the mix report is a broadcast (one row
+    * per source); the keep rule is a stateless map over the corpus. */
+  def domainRebalance(documents: DataFrame): DataFrame = {
+    val mix = domainMix(documents)
+      .select(col("source"),
+        least(lit(1.0), col("uniform_weight")).as("keep_prob"))
+    val bucket = pmod(
+      DedupOps.md5Hash32(graft.operators.CorpusPipeline.normText(col("text"))),
+      lit(1000000L))
+    documents
+      .join(broadcast(mix), "source")
+      .select(col("source"), col("keep_prob"),
+        TextOps.tokenCount(col("text")).as("n_toks"),
+        (bucket / lit(1000000.0) < col("keep_prob")).as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("keep_prob")).as("keep_prob"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val cpRebalance = QueryDef(
+    "cp_domain_rebalance",
+    Some("""
+      WITH t AS (
+        SELECT source, text,
+          len(string_split_regex(trim(text), '\s+')) AS n_toks
+        FROM documents),
+      tot AS (
+        SELECT CAST(sum(n_toks) AS BIGINT) AS corpus_tokens,
+          count(DISTINCT source) AS n_sources
+        FROM t),
+      mix AS (
+        SELECT source,
+          least(1.0::DOUBLE,
+            (CAST(1 AS DOUBLE) / n_sources)
+              / (CAST(sum(n_toks) AS BIGINT) / corpus_tokens)) AS keep_prob
+        FROM t, tot
+        GROUP BY source, corpus_tokens, n_sources),
+      marked AS (
+        SELECT t.source, mix.keep_prob, t.n_toks,
+          (('0x' || substr(md5(lower(trim(regexp_replace(t.text, '\s+', ' ', 'g')))), 25, 8))::UBIGINT::BIGINT
+             % 1000000) / 1000000.0 < mix.keep_prob AS keep
+        FROM t JOIN mix USING (source))
+      SELECT source,
+        max(keep_prob) AS keep_prob,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM marked
+      GROUP BY source
+      ORDER BY source"""),
+    (s, dir) => domainRebalance(T(s, dir, "documents")))
+
   // ---------------------------------------------------------------------
   // Deterministic train/val/test split
   // ---------------------------------------------------------------------
@@ -821,5 +886,5 @@ object CorpusPrepOps extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
       cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
-      cpDupRate, cpQualityPct, cpHashSplit, cpDrift)
+      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance)
 }

@@ -158,6 +158,26 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("domainRebalance: under-target sources keep everything, over-target shrink toward target") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusPrepOps.domainRebalance(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val p = r.getAs[Double]("keep_prob")
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      assert(p > 0.0 && p <= 1.0)
+      if (p == 1.0) assert(kept == n, "at-or-under-target sources must keep every doc")
+      else assert(kept <= n)
+    }
+    // downsampling must actually fire for at least one source on this corpus
+    assert(out.exists(r => r.getAs[Double]("keep_prob") < 1.0 &&
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+    // deterministic: a rerun decides identically
+    val again = CorpusPrepOps.domainRebalance(docs).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("domainMix: shares sum to 1 and weights rebalance to uniform") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = CorpusPrepOps.domainMix(docs).collect()
