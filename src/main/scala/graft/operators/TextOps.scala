@@ -617,7 +617,60 @@ object TextOps extends QueryModule {
         .orderBy($"hybrid_rank")
     })
 
+  /** Wordlist (blocklist) filtering — the C4-style safety stage: count
+    * exact-token blocklist hits per document, their density, and the
+    * keep decision. Token-exact matching (join on exploded tokens, the
+    * blocklist broadcast), NOT substring matching — the classic
+    * wordlist-filter false-positive ("class" containing "ass") is a
+    * token-boundary bug, not a policy choice. The list itself is a
+    * parameter; the declared instance uses neutral stand-in terms from
+    * the synthetic corpus so the oracle exercises real hit counts. */
+  def blocklistScore(documents: DataFrame, blocklist: Seq[String],
+      maxDensity: Double = 0.1): DataFrame = {
+    val bl = documents.sparkSession
+      .createDataset(blocklist)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("t")
+    val hits = documents
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("t"))
+      .join(broadcast(bl), Seq("t"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nHits = coalesce(col("n_hits"), lit(0L))
+    documents
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        nHits.as("n_hits"),
+        (nHits / col("n_tokens")).as("hit_density"),
+        (nHits / col("n_tokens") <= maxDensity).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val taBlocklist = QueryDef(
+    "ta_blocklist_filter",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+        FROM documents),
+      lens AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM tok WHERE t IN ('merge', 'spill')
+        GROUP BY doc_id)
+      SELECT lens.doc_id, lens.n_tokens,
+        coalesce(hits.n_hits, 0) AS n_hits,
+        coalesce(hits.n_hits, 0) / lens.n_tokens AS hit_density,
+        coalesce(hits.n_hits, 0) / lens.n_tokens <= 0.1 AS keep
+      FROM lens LEFT JOIN hits USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) => blocklistScore(T(s, dir, "documents"), Seq("merge", "spill")))
+
   override val defs: Seq[QueryDef] =
     Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
-      taBigramLm, taLmScore, taBm25, taBm25Indexed, taSimpson, taHybrid)
+      taBigramLm, taLmScore, taBm25, taBm25Indexed, taSimpson, taHybrid,
+      taBlocklist)
 }
