@@ -120,13 +120,22 @@ object GraftProperties extends Properties("graft") {
       // containing it (dropDuplicates picks one candidate within a
       // batch, so assert membership, not a specific pick)
       val allKeys = batches.flatten.map(keyOf).toSet
+      // (c) maintenance is row-invisible under ANY merge history:
+      // clustered compaction + vacuum never change what readers see
+      graft.etl.ManifestTable.compact(spark, base, targetFileRows = 4,
+        clusterBy = Seq(org.apache.spark.sql.functions.col("v")))
+      graft.etl.ManifestTable.vacuum(spark, base)
+      val afterMaint = graft.etl.ManifestTable.read(spark, base)
+        .select($"id", $"date".cast("string"), $"v")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       got.map(_._1).toSet == allKeys &&
         got.length == allKeys.size &&
         got.forall { case (key, v) =>
           batches.reverse.find(_.exists(keyOf(_) == key))
             .get.collect { case r if keyOf(r) == key => r._3 }
             .contains(v)
-        }
+        } &&
+        afterMaint.sorted.sameElements(got.sorted)
     }
   }
 
