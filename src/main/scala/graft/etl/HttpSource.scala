@@ -88,10 +88,13 @@ object HttpSource {
     * politeness is a cluster-wide budget, not per-task luck.
     *
     * Raw payloads LAND (parquet under `landingDir`) before parsing, and
-    * the returned frame reads from the landing zone: every request runs
-    * exactly once (Spark actions re-execute lazy pipelines — an unlanded
-    * fetch would hit the API once for schema inference and again per
-    * action, spec-counted), and the raw bytes stay replayable after a
+    * the returned frame reads from the landing zone: downstream ACTIONS
+    * never re-hit the API (an unlanded fetch would, once for schema
+    * inference and again per action — spec-counted). Task-level
+    * at-most-once is Spark's to break: a retried or speculated task
+    * re-fetches its partition's URLs, so run fetch jobs with speculation
+    * off and treat the GETs as idempotent — the same caveat as any
+    * side-effecting foreachPartition. Raw bytes stay replayable after a
     * parser fix — the bronze-layer contract. */
   def fetchJsonFanout(spark: SparkSession, urls: Seq[String],
       landingDir: String,

@@ -95,12 +95,15 @@ object LakeCatalog {
     * strategy stops depending on hand-placed hints. */
   def analyze(spark: SparkSession, table: String,
       columns: Seq[String] = Nil): Unit = {
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    // quote each dotted part, same convention as registerExternalTable —
+    // a hyphenated/keyword table name must survive the refresh loop too
+    val qt = table.split('.').map(q).mkString(".")
+    spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS")
     if (columns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+      spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS FOR COLUMNS " +
         columns.map(q).mkString(", "))
     else
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS FOR ALL COLUMNS")
   }
 
   private def q(id: String) = "`" + id.replace("`", "``") + "`"

@@ -66,27 +66,31 @@ object MinhashIndex {
     * artifacts are consistent even if the corpus frame is
     * non-deterministic under recompute. (In hashed mode signatures must
     * derive from the string shingles — the stored hashes can't be
-    * re-hashed into h1/h2 — so the one shingle frame feeds both writes
-    * inside this job instead.) */
+    * re-hashed into h1/h2 — so the string shingle frame is PERSISTED for
+    * the duration of the build and both writes read that one
+    * evaluation, preserving the same consistency invariant.) */
   def build(s: SparkSession, corpus: DataFrame, name: String,
       numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed)),
       hashedShingles: Boolean = false): Tables = {
     val t = tables(name)
     Seq(t.banded, t.shingles, t.sizes).foreach(dropTable(s, _))
-    val sh = DedupOps.shingleRows(corpus)
-    writeBucketed(if (hashedShingles) hashShingleCol(sh) else sh,
-      t.shingles, nBuckets, append = false, "doc_id", "shingle")
-    val sig = DedupOps
-      .minhashSigFromShingles(
-        if (hashedShingles) sh else s.table(t.shingles), numPerms, hashFn)
-      .persist() // one row per doc; consumed by two writes below
+    val sh0 = DedupOps.shingleRows(corpus)
+    val sh = if (hashedShingles) sh0.persist() else sh0
     try {
-      writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
-        nBuckets, append = false, "doc_id")
-      writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
-        t.banded, nBuckets, append = false, "band", "bucket")
-    } finally sig.unpersist(blocking = false)
+      writeBucketed(if (hashedShingles) hashShingleCol(sh) else sh,
+        t.shingles, nBuckets, append = false, "doc_id", "shingle")
+      val sig = DedupOps
+        .minhashSigFromShingles(
+          if (hashedShingles) sh else s.table(t.shingles), numPerms, hashFn)
+        .persist() // one row per doc; consumed by two writes below
+      try {
+        writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
+          nBuckets, append = false, "doc_id")
+        writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
+          t.banded, nBuckets, append = false, "band", "bucket")
+      } finally sig.unpersist(blocking = false)
+    } finally if (hashedShingles) sh.unpersist(blocking = false)
     t
   }
 
@@ -104,20 +108,23 @@ object MinhashIndex {
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): Unit = {
     val t = tables(name)
     val hashed = isHashed(s, name) // match the built mode, never mix
-    val sh = DedupOps.shingleRows(newDocs)
-    writeBucketed(if (hashed) hashShingleCol(sh) else sh,
-      t.shingles, nBuckets, append = true, "doc_id", "shingle")
-    val sig = DedupOps.minhashSigFromShingles(
-      if (hashed) sh
-      else s.table(t.shingles).join(
-        newDocs.select(col("doc_id")).distinct(), "doc_id"),
-      numPerms, hashFn).persist()
+    val sh0 = DedupOps.shingleRows(newDocs)
+    val sh = if (hashed) sh0.persist() else sh0
     try {
-      writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
-        nBuckets, append = true, "doc_id")
-      writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
-        t.banded, nBuckets, append = true, "band", "bucket")
-    } finally sig.unpersist(blocking = false)
+      writeBucketed(if (hashed) hashShingleCol(sh) else sh,
+        t.shingles, nBuckets, append = true, "doc_id", "shingle")
+      val sig = DedupOps.minhashSigFromShingles(
+        if (hashed) sh
+        else s.table(t.shingles).join(
+          newDocs.select(col("doc_id")).distinct(), "doc_id"),
+        numPerms, hashFn).persist()
+      try {
+        writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
+          nBuckets, append = true, "doc_id")
+        writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
+          t.banded, nBuckets, append = true, "band", "bucket")
+      } finally sig.unpersist(blocking = false)
+    } finally if (hashed) sh.unpersist(blocking = false)
   }
 
   /** Full-rebuild drop: DROP TABLE clears only THIS session's catalog —

@@ -467,6 +467,10 @@ object CorpusPrepOps extends QueryModule {
     * different content" monitor a corpus-versioning pipeline alarms on
     * (the drift sibling of [[diversityReport]]'s composition metrics).
     *
+    * The table is the FULL sources × top-K grid (zero-observed cells
+    * included at their expectation) so every source sums the same K
+    * cells and a dropped common token — the loudest drift — counts.
+    *
     * Numeric policy: the contingency table is exact BIGINT counts; each
     * cell's expectation row·col/grand is computed in doubles (exact
     * while products stay inside 2^53 — true by construction here, and a
@@ -486,9 +490,19 @@ object CorpusPrepOps extends QueryModule {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
       .select(col("token"))
-    val st = tok.join(broadcast(vocab), "token")
+    val observed = tok.join(broadcast(vocab), "token")
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("o"))
+    // the FULL sources × vocab grid: a source that never emits a top-K
+    // token still owes that cell its expectation (contribution = E) — the
+    // largest drift signal is exactly a dropped common token, and
+    // omitting zero-observed cells would understate it and make chi2
+    // non-comparable across sources (different cell counts)
+    val st = documents.select(col("source")).distinct()
+      .crossJoin(broadcast(vocab))
+      .join(observed, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        coalesce(col("o"), lit(0L)).as("o"))
     val rowT = st.groupBy(col("source")).agg(sum(col("o")).as("row_total"))
     val colT = st.groupBy(col("token")).agg(sum(col("o")).as("col_total"))
     val grand = st.agg(sum(col("o")).as("grand_total"))
@@ -520,10 +534,16 @@ object CorpusPrepOps extends QueryModule {
         SELECT token FROM (
           SELECT token, count(*) AS n FROM tok GROUP BY token
           ORDER BY n DESC, token ASC LIMIT 50)),
-      st AS (
+      observed AS (
         SELECT source, token, count(*) AS o
         FROM tok JOIN vocab USING (token)
         GROUP BY source, token),
+      st AS (
+        SELECT g.source, g.token, coalesce(observed.o, 0) AS o
+        FROM (SELECT s.source, v.token
+              FROM (SELECT DISTINCT source FROM documents) s
+              CROSS JOIN vocab v) g
+        LEFT JOIN observed USING (source, token)),
       rowt AS (SELECT source, CAST(sum(o) AS BIGINT) AS row_total FROM st GROUP BY source),
       colt AS (SELECT token, CAST(sum(o) AS BIGINT) AS col_total FROM st GROUP BY token),
       grand AS (SELECT CAST(sum(o) AS BIGINT) AS grand_total FROM st),

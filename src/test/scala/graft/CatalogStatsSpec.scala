@@ -12,15 +12,6 @@ import org.apache.spark.sql.functions._
 class CatalogStatsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private def joinNodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val executed = df.queryExecution.executedPlan
     val plan = executed match {

@@ -8,16 +8,6 @@ import org.apache.spark.sql.functions._
 class LshIndexSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("indexed search equals lshAnn recompute, corpus side exchange-free") {
     val emb = graft.core.T(spark, sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)

@@ -15,16 +15,6 @@ class MinhashIndexSpec extends SparkSpec {
 
   private val isNew = col("doc_id") % 10 === 0
 
-  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("indexed probe equals the recompute pipeline, corpus side exchange-free") {
     val docs = graft.core.T(spark, sf0001, "documents")
     try {

@@ -9,15 +9,6 @@ import org.apache.spark.sql.functions._
   * the corpus recompute, with the corpus-side tables read in place. */
 class TextIndexSpec extends SparkSpec {
 
-  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private val terms = Seq("spark", "join", "window")
 
   test("served BM25 equals the corpus recompute row for row") {

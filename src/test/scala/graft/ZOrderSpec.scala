@@ -50,11 +50,12 @@ class ZOrderSpec extends SparkSpec {
     val linPath = s"$tmp/linear"
     val nFiles = 16
 
-    // grid-normalize so partkey (0..2000) and suppkey (0..100) carry
-    // equal weight in the interleave
+    // grid-normalize so partkey (0..2000 inclusive) and suppkey (0..100
+    // inclusive) carry equal weight in the interleave; maxExclusive is
+    // max+1 so the max-valued rows stay inside the 2^8 grid
     ZOrderLayout.writeZOrdered(line,
-      ZOrderLayout.gridBucket($"l_partkey", 2000),
-      ZOrderLayout.gridBucket($"l_suppkey", 100),
+      ZOrderLayout.gridBucket($"l_partkey", 2001),
+      ZOrderLayout.gridBucket($"l_suppkey", 101),
       zPath, nFiles)
     line.repartitionByRange(nFiles, $"l_partkey")
       .sortWithinPartitions($"l_partkey")
