@@ -81,4 +81,35 @@ class ZOrderSpec extends SparkSpec {
     val b = spark.read.parquet(linPath).agg(count(lit(1)), sum($"l_orderkey")).head()
     assert(a == b)
   }
+
+  test("events fact z-ordered by (day, user): time-sorted layouts can't prune user filters") {
+    // THE canonical lakehouse case: an event log everyone queries by
+    // time ranges AND by user. Time-sorted files prune only time.
+    val ev = graft.operators.EventOps.events(spark, "/root/testdata/sf0.01")
+      .select($"event_id", $"user_id",
+        datediff($"ts", to_date(lit("2024-01-01"))).cast("long").as("day"))
+    val tmp = Files.createTempDirectory("zorder_ev").toString
+    val zPath = s"$tmp/z"
+    val linPath = s"$tmp/by_time"
+    val nFiles = 16
+
+    ZOrderLayout.writeZOrdered(ev,
+      ZOrderLayout.gridBucket($"day", 30),
+      ZOrderLayout.gridBucket($"user_id", 150),
+      zPath, nFiles)
+    ev.repartitionByRange(nFiles, $"day")
+      .sortWithinPartitions($"day")
+      .write.mode("overwrite").parquet(linPath)
+
+    // ~4-day window and ~1/8 user slice
+    val (zDay, zTotal) = ZOrderLayout.candidateFiles(spark, zPath, "day", 10, 13)
+    val (zUser, _) = ZOrderLayout.candidateFiles(spark, zPath, "user_id", 40, 57)
+    val (linDay, _) = ZOrderLayout.candidateFiles(spark, linPath, "day", 10, 13)
+    val (linUser, _) = ZOrderLayout.candidateFiles(spark, linPath, "user_id", 40, 57)
+    assert(zTotal == nFiles)
+    assert(linDay <= 4, s"time-sorted layout must prune time filters, opened $linDay")
+    assert(linUser == nFiles, "user filter over time-sorted files opens everything")
+    assert(zDay <= 10 && zUser <= 10,
+      s"z-order must prune BOTH dims: day $zDay/$zTotal, user $zUser/$zTotal")
+  }
 }
