@@ -507,11 +507,17 @@ object CorpusPrepOps extends QueryModule {
     val colT = st.groupBy(col("token")).agg(sum(col("o")).as("col_total"))
     val grand = st.agg(sum(col("o")).as("grand_total"))
     val e = col("row_total").cast(DoubleType) * col("col_total") / col("grand_total")
+    // a source with row_total = 0 (none of the top-K vocabulary at all)
+    // has e = 0 in every cell; 0/0 would make its chi2 NULL and a drift
+    // alarm would skip it. Standard practice: zero-expectation cells
+    // contribute 0 — the alarm for such a source is n_vocab_tokens = 0,
+    // which stays visible in the output.
     st.join(rowT, "source")
       .join(broadcast(colT), "token")
       .crossJoin(broadcast(grand))
       .select(col("source"), col("token"), col("row_total"),
-        ((col("o") - e) * (col("o") - e) / e).as("contrib"))
+        when(e === 0.0, lit(0.0))
+          .otherwise((col("o") - e) * (col("o") - e) / e).as("contrib"))
       .groupBy(col("source"))
       .agg(
         max(col("row_total")).as("n_vocab_tokens"),
@@ -549,10 +555,12 @@ object CorpusPrepOps extends QueryModule {
       grand AS (SELECT CAST(sum(o) AS BIGINT) AS grand_total FROM st),
       cells AS (
         SELECT st.source, st.token, rowt.row_total,
-          (st.o - CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
-            * (st.o - CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
-            / (CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
-            AS contrib
+          CASE WHEN CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total = 0
+               THEN 0.0::DOUBLE
+               ELSE (st.o - CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
+                 * (st.o - CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
+                 / (CAST(rowt.row_total AS DOUBLE) * colt.col_total / grand.grand_total)
+          END AS contrib
         FROM st JOIN rowt USING (source) JOIN colt USING (token), grand)
       SELECT source,
         max(row_total) AS n_vocab_tokens,

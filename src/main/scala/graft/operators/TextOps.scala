@@ -627,9 +627,13 @@ object TextOps extends QueryModule {
     * the synthetic corpus so the oracle exercises real hit counts. */
   def blocklistScore(documents: DataFrame, blocklist: Seq[String],
       maxDensity: Double = 0.1): DataFrame = {
+    // normalize the LIST the same way the tokens are normalized
+    // (DedupOps.tokens lowercases) — a mixed-case blocklist entry must
+    // not silently never match
     val bl = documents.sparkSession
       .createDataset(blocklist)(org.apache.spark.sql.Encoders.STRING)
-      .toDF("t")
+      .toDF("raw")
+      .select(lower(trim(col("raw"))).as("t"))
     val hits = documents
       .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("t"))
       .join(broadcast(bl), Seq("t"), "left_semi")

@@ -178,6 +178,32 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("blocklist matching is case-insensitive on the list side") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "the MERGE ran a merge", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.blocklistScore(docs, Seq("Merge")).collect()
+    assert(out.head.getAs[Long]("n_hits") == 2L,
+      "a mixed-case blocklist entry must match the lowercased tokens")
+  }
+
+  test("domainDrift: a source with zero vocabulary overlap gets chi2 0, not NULL") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    // a source whose tokens can never enter the global top-50
+    val alien = Seq((100001L, "zzqx1 zzqx2 zzqx3 zzqx4", "xx", "alien_feed", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // k = 20 < the corpus's distinct-token count, so the alien's
+    // count-1 tokens cannot enter the vocabulary
+    val out = CorpusPrepOps.domainDrift(base.unionByName(alien), k = 20).collect()
+    val row = out.find(_.getAs[String]("source") == "alien_feed").get
+    assert(!row.isNullAt(row.fieldIndex("chi2")), "chi2 must not be NULL")
+    assert(row.getAs[Double]("chi2") == 0.0)
+    assert(row.getAs[Long]("n_vocab_tokens") == 0L,
+      "the zero-overlap alarm is n_vocab_tokens = 0")
+    // every source sums the same K cells — statistics stay comparable
+    assert(out.map(_.getAs[Long]("k_cells")).distinct.length == 1)
+  }
+
   test("domainMix: shares sum to 1 and weights rebalance to uniform") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = CorpusPrepOps.domainMix(docs).collect()
