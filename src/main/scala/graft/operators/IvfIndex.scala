@@ -108,6 +108,26 @@ object IvfIndex {
   def writeIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** Per-batch index maintenance: assign `newVecs` to the EXISTING
+    * centroids and append their rows to the on-disk lists — no
+    * retraining, the [[graft.etl.MinhashIndex.append]] /
+    * [[graft.etl.LshIndex.append]] shape for the IVF family. Appending
+    * under `partitionBy(cluster_id)` adds files only to the touched
+    * list directories, so probes keep their partition pruning. The
+    * standard IVF maintenance trade applies: centroids drift as the
+    * distribution shifts, so production retrains (full [[buildIndex]])
+    * on a slow cadence while appends run per batch; recall between
+    * retrains degrades only as far as the drift does (spec asserts
+    * append == rebuild-with-same-centroids exactly). Caller contract:
+    * run once per committed batch — a replay duplicates list rows. */
+  def appendIndex(s: SparkSession, newVecs: DataFrame, centroids: DataFrame,
+      path: String): Unit = {
+    import s.implicits._
+    val vecs = newVecs.select($"vec_id", asDouble($"embedding").as("v"))
+    assign(s, vecs, centroids)
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+  }
+
   /** ANN search against the ON-DISK index: the probed cluster ids are
     * collected first (driver-small — |queries| × nprobe ints) so they
     * reach the scan as LITERAL partition filters; Catalyst then prunes

@@ -85,6 +85,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(avg >= 0.8, s"quantized IVF lost too much: avg overlap@5 = $avg")
   }
 
+  test("appendIndex: append equals rebuild with the same centroids; pruning survives") {
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val batch = emb.filter($"vec_id" % 3 === 0)
+    val (index, centroids) = IvfIndex.buildIndex(spark, corpus, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_app").toString + "/index"
+    IvfIndex.writeIndex(index, path)
+    IvfIndex.appendIndex(spark, batch, centroids, path)
+    val queries = emb.filter($"vec_id" < 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val appended = IvfIndex.searchIndexDir(spark, path, centroids, queries,
+        topK = 5, nprobe = 2).collect().toSeq
+      // rebuild the FULL index against the same (corpus-trained) centroids
+      val full = IvfIndex.assign(spark,
+        emb.select($"vec_id", $"embedding".cast("array<double>").as("v")), centroids)
+      val fullPath = java.nio.file.Files.createTempDirectory("ivf_full").toString + "/index"
+      IvfIndex.writeIndex(full, fullPath)
+      val rebuilt = IvfIndex.searchIndexDir(spark, fullPath, centroids, queries,
+        topK = 5, nprobe = 2).collect().toSeq
+      assert(appended.nonEmpty && appended == rebuilt,
+        "appended index must answer exactly like a rebuild over the same centroids")
+      // appended files land inside cluster dirs: pruning still applies
+      val scanned = graft.etl.LakeLayout.selectedPartitions(
+        IvfIndex.searchIndexDir(spark, path, centroids, queries, topK = 5, nprobe = 2))
+      assert(scanned.nonEmpty && scanned.head <= 3 * 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("avg-trained and exact-trained IVF agree on recall (bench-vs-verify bound)") {
     // Bench times the avg-trained variant of the exact-trained declared
     // queries (the sanctioned scalar swap); this bounds how far the two
