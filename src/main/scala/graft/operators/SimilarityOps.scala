@@ -281,6 +281,68 @@ object SimilarityOps extends QueryModule {
       lshAnn(s, emb, emb.filter(col("vec_id") < 10))
     })
 
+  /** DuckDB replay of [[hardNegativesAnn]]: the sim_lsh_ann pipeline
+    * with labels carried through and the mismatch filter applied at the
+    * rerank — same emitted plane literals, same exact-integer buckets,
+    * same ordered cosine folds. */
+  private def hardNegAnnOracle(topK: Int, tables: Int, planesPerTable: Int,
+      dims: Int, seed: Long): String = {
+    val planes = lshPlanes(tables, planesPerTable, dims, seed)
+    val planeRows = planes.zipWithIndex.flatMap { case (ps, t) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        val w = 1L << (planesPerTable - 1 - i)
+        s"($t, $w, [${p.map(_.toString).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n          ")
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 20),
+      planes(tbl, pw, p) AS (VALUES
+          $planeRows),
+      cb AS (
+        SELECT e.vec_id, pl.tbl,
+          SUM(CASE WHEN ${dot("pl.p", "e.v")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.tbl),
+      qb AS (
+        SELECT q.q_id, pl.tbl,
+          SUM(CASE WHEN ${dot("pl.p", "q.qv")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM q CROSS JOIN planes pl
+        GROUP BY q.q_id, pl.tbl),
+      cands AS (
+        SELECT DISTINCT qb.q_id, cb.vec_id AS neighbor_id
+        FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE cb.vec_id <> qb.q_id),
+      rer AS (
+        SELECT c.q_id, q.q_label, c.neighbor_id, e.label AS neighbor_label,
+          ${cosine("q.qv", "e.v")} AS cosine_sim
+        FROM cands c
+        JOIN q ON q.q_id = c.q_id
+        JOIN e ON e.vec_id = c.neighbor_id
+        WHERE e.label <> q.q_label),
+      ranked AS (
+        SELECT q_id, q_label, neighbor_id, neighbor_label, cosine_sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM rer)
+      SELECT q_id, q_label, rank, neighbor_id, neighbor_label, cosine_sim
+      FROM ranked WHERE rank <= $topK
+      ORDER BY q_id, rank"""
+  }
+
+  private val simHardNegAnn = QueryDef(
+    "sim_hard_negatives_ann",
+    Some(hardNegAnnOracle(topK = 3, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      hardNegativesAnn(s, emb, emb.filter(col("vec_id") < 20))
+    })
+
   /** The same ANN search served from a PERSISTED bucket index
     * ([[graft.etl.LshIndex]]) instead of re-bucketing the corpus per
     * query — the serving shape. The oracle is sim_lsh_ann's replay
@@ -1061,6 +1123,6 @@ object SimilarityOps extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
-      simAnnRecall, simHardNeg, simQuantize, simQuantTopK, simIvfQuant,
-      simSemDedup)
+      simAnnRecall, simHardNeg, simHardNegAnn, simQuantize, simQuantTopK,
+      simIvfQuant, simSemDedup)
 }
