@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** Persisted index hyperparameters — written once at build time,
+  * READ (not re-supplied) by every append/probe. Banding and plane
+  * parameters used to be caller-supplied defaults on every call; a
+  * probe or append run with parameters differing from the build
+  * silently yielded empty or wrong candidate sets. Now the build is
+  * the only place the parameters enter: maintenance and serving read
+  * them from the `_meta` table, and the one parameter that cannot be
+  * persisted (a custom hash FUNCTION) is pinned by a persisted
+  * identifier that [[validate]] checks — a mismatch is an error, not
+  * an empty result.
+  *
+  * One tiny key/value table per index family (`<name>_meta`), written
+  * with the index and registered in the same catalog, so the
+  * parameters survive the cross-session metastore round trip with the
+  * tables they describe (`graft.CatalogRoundTrip`).
+  */
+object IndexMeta {
+
+  def table(name: String): String = s"${name}_meta"
+
+  def write(s: SparkSession, name: String,
+      params: Map[String, String]): Unit = {
+    import s.implicits._
+    MinhashIndex.dropTable(s, table(name))
+    params.toSeq.sorted.toDF("key", "value")
+      .coalesce(1) // a handful of rows; one file
+      .write.format("parquet").saveAsTable(table(name))
+  }
+
+  def read(s: SparkSession, name: String): Map[String, String] = {
+    require(s.catalog.tableExists(table(name)),
+      s"index '$name' has no ${table(name)} table — built by an older " +
+        "build, or the build crashed before its meta write; rebuild it")
+    s.table(table(name)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Require caller-supplied values to match the build's. Used for the
+    * non-persistable parameters (hash-function identity); everything
+    * persistable is read from [[read]] instead of validated. */
+  def validate(s: SparkSession, name: String,
+      expected: (String, String)*): Unit = {
+    val stored = read(s, name)
+    expected.foreach { case (k, v) =>
+      require(stored.get(k).contains(v),
+        s"index '$name' was built with $k=${stored.getOrElse(k, "<absent>")} " +
+          s"but the caller passed $k=$v — probing with mismatched " +
+          "parameters yields wrong candidates, refusing")
+    }
+  }
+}
