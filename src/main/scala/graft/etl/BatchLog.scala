@@ -30,6 +30,16 @@ import org.apache.spark.sql.SparkSession
   * (`src/lambdas/ingest/ingestStreamateModelPerformance.py:72-87`);
   * at 100 TB the check must be per-BATCH metadata, never a per-row
   * lookup.
+  *
+  * Mechanics (probed on Spark 4.1 datasource tables before this design
+  * was committed): `partitionBy(batch) + bucketBy` `saveAsTable` works,
+  * appends under the same partition+bucket spec work, `ALTER TABLE ...
+  * DROP IF EXISTS PARTITION` removes the partition's ROWS (a re-append
+  * restores exactly the appended rows, no residue), and a grouped plan
+  * on the bucket keys stays exchange-free with the partition column
+  * present — so batch-tagging costs probes nothing. A staging table +
+  * `ALTER TABLE ... RENAME TO` swap preserves data through the rename
+  * (the compaction path relies on this).
   */
 object BatchLog {
 
@@ -45,10 +55,17 @@ object BatchLog {
   }
 
   /** Default log location for a catalog-table index: a sibling of the
-    * index tables' warehouse dirs (travels with them). */
+    * index tables' warehouse dirs (travels with them). The name gets
+    * the same charset gate as batch ids — it becomes a filesystem path
+    * component and (via [[IndexMeta]]) a SQL identifier. */
   def logDir(s: SparkSession, indexName: String): Path =
     new Path(s.sessionState.conf.warehousePath,
-      s"${indexName.toLowerCase}__batchlog")
+      s"${sanitize(indexName).toLowerCase}__batchlog")
+
+  /** Log location for a directory-backed index (IVF lists): inside the
+    * index dir, underscore-prefixed so parquet readers ignore it — the
+    * log travels with the data it describes. */
+  def logDirAt(indexPath: String): Path = new Path(indexPath, "_batchlog")
 
   private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -70,8 +87,23 @@ object BatchLog {
       // lost a race with another finisher of the SAME batch: fine iff
       // the marker is there now
       require(f.exists(dst), s"batch log commit failed: $dst")
-      f.delete(tmp, false)
     }
+    // unconditional: no-op after a clean rename, clears the orphan a
+    // crash between create and rename left on a prior attempt
+    f.delete(tmp, false)
+  }
+
+  /** The whole exactly-once discipline in one shape: NO-OP when the
+    * batch is already committed, purge-then-append when it isn't,
+    * marker-commit last. Every crash point replays to the same final
+    * state. Returns true when the append actually ran. */
+  def runOnce(s: SparkSession, dir: Path, batchId: String)(
+      purge: => Unit)(append: => Unit): Boolean = {
+    if (isCommitted(s, dir, batchId)) return false
+    purge
+    append
+    commit(s, dir, batchId)
+    true
   }
 
   /** All committed batch ids (drives compaction's "fold only committed

@@ -20,22 +20,39 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexMeta {
 
-  def table(name: String): String = s"${name}_meta"
+  def table(name: String): String = s"${BatchLog.sanitize(name)}_meta"
 
+  private def stageTable(name: String): String = s"${table(name)}__new"
+
+  /** Replace the meta table via stage-then-swap (the [[ManifestTable]]
+    * commit discipline on catalog tables): the replacement is durable
+    * under `_meta__new` BEFORE the old table drops, so no crash point
+    * loses both copies — the drop→rename window leaves `_meta` absent
+    * but `_meta__new` complete, and [[read]] heals it by finishing the
+    * rename. */
   def write(s: SparkSession, name: String,
       params: Map[String, String]): Unit = {
     import s.implicits._
-    MinhashIndex.dropTable(s, table(name))
+    val tgt = table(name)
+    val stage = stageTable(name)
+    MinhashIndex.dropTable(s, stage)
     params.toSeq.sorted.toDF("key", "value")
       .coalesce(1) // a handful of rows; one file
-      .write.format("parquet").saveAsTable(table(name))
+      .write.format("parquet").saveAsTable(stage)
+    MinhashIndex.dropTable(s, tgt)
+    s.sql(s"ALTER TABLE $stage RENAME TO $tgt") // data follows the name
   }
 
   def read(s: SparkSession, name: String): Map[String, String] = {
-    require(s.catalog.tableExists(table(name)),
-      s"index '$name' has no ${table(name)} table — built by an older " +
+    val tgt = table(name)
+    // a crash between write()'s drop and rename leaves only the staged
+    // copy — complete by construction, so finish the swap here
+    if (!s.catalog.tableExists(tgt) && s.catalog.tableExists(stageTable(name)))
+      s.sql(s"ALTER TABLE ${stageTable(name)} RENAME TO $tgt")
+    require(s.catalog.tableExists(tgt),
+      s"index '$name' has no $tgt table — built by an older " +
         "build, or the build crashed before its meta write; rebuild it")
-    s.table(table(name)).collect()
+    s.table(tgt).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
   }
 

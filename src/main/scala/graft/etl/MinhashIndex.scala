@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * ingestion pipeline maintains so per-batch near-dup probes never
   * recompute the corpus (the reference's per-record dedup check,
   * `src/lambdas/ingest/ingestStreamateModelPerformance.py:72-142`, is the
-  * degenerate one-row form of this probe). Three bucketed tables:
+  * degenerate one-row form of this probe). Three tables, each
+  * partitioned by `batch_id` and bucketed on its join keys:
   *
   *  - `<name>_banded(doc_id, band, bucket)` bucketed by (band, bucket):
   *    the LSH candidate index. A probe shuffles only its OWN banded rows
   *    (batch-sized) to the index's bucketing; the corpus side is read in
   *    place with zero exchange (MinhashIndexSpec asserts this on the
-  *    executed plan).
+  *    executed plan — the batch partition column does not cost the
+  *    bucketed distribution, probed before commit, see [[BatchLog]]).
   *  - `<name>_shingles(doc_id, shingle)` bucketed by (doc_id, shingle):
   *    the exact-Jaccard verify side — intersection counts join candidate
   *    pairs here, again corpus-exchange-free.
@@ -24,9 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the bucketed layout is the entire point: the corpus never
   * moves. Probe cost is O(batch) shuffle + colocated reads of the index
-  * buckets the batch actually touches. Index refresh is an offline job
-  * (per-batch appends of the accepted docs' rows), amortized across
-  * probes; [[build]] here is the full-rebuild form of that job.
+  * buckets the batch actually touches. Index refresh is [[append]], run
+  * once per accepted batch and EXACTLY-ONCE BY CONSTRUCTION: rows are
+  * batch-partition-tagged and every append is driven through the
+  * committed [[BatchLog]] — a replayed append is a no-op, a crashed one
+  * purges its partial partition and converges on retry. Hyperparameters
+  * (permutations, bands, buckets) persist in an [[IndexMeta]] table at
+  * build time; maintenance and probes READ them instead of trusting
+  * callers to re-supply the same values.
   *
   * The shingle table stores shingle STRINGS by default so the verify
   * stage is value-identical to the recompute pipeline (and its DuckDB
@@ -42,6 +49,19 @@ object MinhashIndex {
 
   def tables(name: String): Tables =
     Tables(s"${name}_banded", s"${name}_shingles", s"${name}_sizes")
+
+  /** Batch partition value a full rebuild writes under (sorts before
+    * timestamp-style ids; same charset gate as real ids). */
+  val BuildBatchId = "00000-build"
+
+  /** [[IndexMeta]] identity of the default seeded-xxhash64 permutation
+    * hash. Callers swapping `hashFn` must pass a distinct id at build
+    * AND probe — the mismatch check is what turns "silently empty
+    * candidates" into an error. */
+  val DefaultHashFnId = "xxh64-seed"
+
+  private def defaultHashFn: (Column, Int) => Column =
+    (c, seed) => xxhash64(c, lit(seed))
 
   /** The production storage form: 8-byte shingle hashes instead of
     * shingle strings, same column name so every downstream join is
@@ -60,72 +80,119 @@ object MinhashIndex {
     s.table(tables(name).shingles).schema("shingle").dataType ==
       org.apache.spark.sql.types.LongType
 
+  /** An index table minus its maintenance tag — what every join and
+    * signature derivation consumes. A projection right after the scan
+    * keeps the bucketed distribution (plan-asserted in spec). */
+  private def stored(s: SparkSession, table: String): DataFrame =
+    s.table(table).drop("batch_id")
+
   /** Full rebuild of the index over `corpus` (must carry doc_id, text).
-    * Drops + recreates the three tables; the shingle table is written
-    * first and the signature derived from the STORED rows, so the three
-    * artifacts are consistent even if the corpus frame is
-    * non-deterministic under recompute. (In hashed mode signatures must
-    * derive from the string shingles — the stored hashes can't be
-    * re-hashed into h1/h2 — so the string shingle frame is PERSISTED for
-    * the duration of the build and both writes read that one
-    * evaluation, preserving the same consistency invariant.) */
+    * Drops + recreates the three tables, resets the batch log (a rebuild
+    * re-establishes what "already appended" means), persists the
+    * hyperparameters ([[IndexMeta]]) BEFORE any data lands — a crashed
+    * build either lacks the banded table (rebuild) or is complete but
+    * uncommitted (an append of `buildBatchId` purges and converges), and
+    * maintenance never runs against parameters it can't read. The
+    * initial rows are tagged `buildBatchId`, committed to the log last.
+    *
+    * The shingle table is written first and the signature derived from
+    * the STORED rows, so the three artifacts are consistent even if the
+    * corpus frame is non-deterministic under recompute. (In hashed mode
+    * signatures must derive from the string shingles — the stored hashes
+    * can't be re-hashed into h1/h2 — so the string shingle frame is
+    * PERSISTED for the duration of the build and both writes read that
+    * one evaluation, preserving the same consistency invariant.) */
   def build(s: SparkSession, corpus: DataFrame, name: String,
       numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
-      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed)),
-      hashedShingles: Boolean = false): Tables = {
+      hashFn: (Column, Int) => Column = defaultHashFn,
+      hashedShingles: Boolean = false,
+      hashFnId: String = DefaultHashFnId,
+      buildBatchId: String = BuildBatchId): Tables = {
     val t = tables(name)
     Seq(t.banded, t.shingles, t.sizes).foreach(dropTable(s, _))
+    val log = BatchLog.logDir(s, name)
+    BatchLog.reset(s, log)
+    IndexMeta.write(s, name, Map(
+      "num_perms" -> numPerms.toString,
+      "bands" -> bands.toString,
+      "n_buckets" -> nBuckets.toString,
+      "hash_fn" -> hashFnId,
+      "hashed_shingles" -> hashedShingles.toString))
     val sh0 = DedupOps.shingleRows(corpus)
     val sh = if (hashedShingles) sh0.persist() else sh0
     try {
       writeBucketed(if (hashedShingles) hashShingleCol(sh) else sh,
-        t.shingles, nBuckets, append = false, "doc_id", "shingle")
+        t.shingles, nBuckets, append = false, buildBatchId, "doc_id", "shingle")
       val sig = DedupOps
         .minhashSigFromShingles(
-          if (hashedShingles) sh else s.table(t.shingles), numPerms, hashFn)
+          if (hashedShingles) sh else stored(s, t.shingles), numPerms, hashFn)
         .persist() // one row per doc; consumed by two writes below
       try {
         writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
-          nBuckets, append = false, "doc_id")
+          nBuckets, append = false, buildBatchId, "doc_id")
         writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
-          t.banded, nBuckets, append = false, "band", "bucket")
+          t.banded, nBuckets, append = false, buildBatchId, "band", "bucket")
       } finally sig.unpersist(blocking = false)
     } finally if (hashedShingles) sh.unpersist(blocking = false)
+    BatchLog.commit(s, log, buildBatchId)
     t
   }
 
   /** Incremental refresh: append `newDocs`' rows to the three tables —
     * the per-batch maintenance job that keeps probes cheap (accepted
     * batch docs enter the corpus index without any rebuild). Appending
-    * with the SAME bucket spec adds one file set per bucket; readers
-    * keep the bucketed distribution, so probes stay corpus-exchange-free
-    * (spec-asserted post-append). Caller contract: `newDocs` must not
-    * already be indexed, and the append must run exactly once per
-    * accepted batch — drive it from a committed batch log (the
-    * [[ManifestTable]] pattern); a blind re-run duplicates index rows. */
+    * with the SAME bucket spec adds one file set per bucket per batch;
+    * readers keep the bucketed distribution, so probes stay
+    * corpus-exchange-free (spec-asserted post-append).
+    *
+    * Exactly-once is enforced, not requested: `batchId` is checked
+    * against the committed [[BatchLog]] (replay → no-op), any partial
+    * rows a crashed prior attempt left are dropped via their batch
+    * partition before re-appending, and the marker commits only after
+    * all three tables landed. Permutation/band/bucket parameters come
+    * from the build's [[IndexMeta]]; `hashFnId` must match the build's
+    * (checked — a silent mismatch would corrupt every future probe). */
   def append(s: SparkSession, newDocs: DataFrame, name: String,
-      numPerms: Int = 32, bands: Int = 8, nBuckets: Int = 32,
-      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): Unit = {
+      batchId: String,
+      hashFn: (Column, Int) => Column = defaultHashFn,
+      hashFnId: String = DefaultHashFnId): Unit = {
     val t = tables(name)
-    val hashed = isHashed(s, name) // match the built mode, never mix
-    val sh0 = DedupOps.shingleRows(newDocs)
-    val sh = if (hashed) sh0.persist() else sh0
-    try {
-      writeBucketed(if (hashed) hashShingleCol(sh) else sh,
-        t.shingles, nBuckets, append = true, "doc_id", "shingle")
-      val sig = DedupOps.minhashSigFromShingles(
-        if (hashed) sh
-        else s.table(t.shingles).join(
-          newDocs.select(col("doc_id")).distinct(), "doc_id"),
-        numPerms, hashFn).persist()
+    BatchLog.runOnce(s, BatchLog.logDir(s, name), batchId) {
+      Seq(t.shingles, t.sizes, t.banded)
+        .foreach(dropBatchPartition(s, _, batchId))
+    } {
+      IndexMeta.validate(s, name, "hash_fn" -> hashFnId)
+      val meta = IndexMeta.read(s, name)
+      val numPerms = meta("num_perms").toInt
+      val bands = meta("bands").toInt
+      val nBuckets = meta("n_buckets").toInt
+      val hashed = isHashed(s, name) // match the built mode, never mix
+      val sh0 = DedupOps.shingleRows(newDocs)
+      val sh = if (hashed) sh0.persist() else sh0
       try {
-        writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
-          nBuckets, append = true, "doc_id")
-        writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
-          t.banded, nBuckets, append = true, "band", "bucket")
-      } finally sig.unpersist(blocking = false)
-    } finally if (hashed) sh.unpersist(blocking = false)
+        writeBucketed(if (hashed) hashShingleCol(sh) else sh,
+          t.shingles, nBuckets, append = true, batchId, "doc_id", "shingle")
+        val sig = DedupOps.minhashSigFromShingles(
+          if (hashed) sh
+          else stored(s, t.shingles).join(
+            newDocs.select(col("doc_id")).distinct(), "doc_id"),
+          numPerms, hashFn).persist()
+        try {
+          writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
+            nBuckets, append = true, batchId, "doc_id")
+          writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
+            t.banded, nBuckets, append = true, batchId, "band", "bucket")
+        } finally sig.unpersist(blocking = false)
+      } finally if (hashed) sh.unpersist(blocking = false)
+    }
   }
+
+  /** Drop one batch's rows from an index table — a metadata-cheap
+    * `DROP PARTITION`, the purge arm of the exactly-once protocol. */
+  private def dropBatchPartition(s: SparkSession, table: String,
+      batchId: String): Unit =
+    s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+      s"(batch_id='${BatchLog.sanitize(batchId)}')")
 
   /** Full-rebuild drop: DROP TABLE clears only THIS session's catalog —
     * with the default in-memory catalog a fresh JVM doesn't know the
@@ -142,11 +209,16 @@ object MinhashIndex {
 
   /** Repartition to the bucket spec before writing so each task owns
     * whole buckets — without it every task writes a file per bucket and
-    * the table shatters into tasks×buckets small files. */
-  private def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-      append: Boolean, cols: String*): Unit =
-    df.repartition(nBuckets, cols.map(col): _*)
+    * the table shatters into tasks×buckets small files. Rows carry the
+    * writing batch's partition tag, the handle [[append]]'s purge and
+    * [[graft.etl.IndexCompaction]] fold by. (private[graft]: specs use
+    * it to plant the partial rows a crashed append leaves behind.) */
+  private[graft] def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      append: Boolean, batchId: String, cols: String*): Unit =
+    df.withColumn("batch_id", lit(BatchLog.sanitize(batchId)))
+      .repartition(nBuckets, cols.map(col): _*)
       .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("batch_id")
       .bucketBy(nBuckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .format("parquet")
@@ -157,13 +229,21 @@ object MinhashIndex {
     * against the banded index; exact-Jaccard verify restricts to
     * candidates and joins the stored shingle/size tables. All pairs are
     * cross-corpus by construction (the two sides are different frames),
-    * so no pair predicate is needed. Semantically identical to
-    * [[DedupOps.minhashNearDups]] with the cross-corpus pairPredicate —
-    * MinhashIndexSpec asserts row-for-row equality, and the declared
-    * query's DuckDB oracle replays the recompute form. */
+    * so no pair predicate is needed. Banding parameters come from the
+    * build's [[IndexMeta]] — a probe cannot disagree with the index it
+    * probes — and `hashFnId` is checked the same way as in [[append]].
+    * Semantically identical to [[DedupOps.minhashNearDups]] with the
+    * cross-corpus pairPredicate — MinhashIndexSpec asserts row-for-row
+    * equality, and the declared query's DuckDB oracle replays the
+    * recompute form. */
   def incrementalPairs(s: SparkSession, batch: DataFrame, name: String,
-      threshold: Double = 0.5, numPerms: Int = 32, bands: Int = 8,
-      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+      threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column = defaultHashFn,
+      hashFnId: String = DefaultHashFnId): DataFrame = {
+    IndexMeta.validate(s, name, "hash_fn" -> hashFnId)
+    val meta = IndexMeta.read(s, name)
+    val numPerms = meta("num_perms").toInt
+    val bands = meta("bands").toInt
     val t = tables(name)
     val shNew = DedupOps.shingleRows(batch)
     val sigNew = DedupOps.minhashSigFromShingles(shNew, numPerms, hashFn)
@@ -174,6 +254,7 @@ object MinhashIndex {
     // the shingle verify join, and the sizes join all read them in place
     DedupOps.crossPairs(shNewJ, sigNew,
       DedupOps.bandedBuckets(sigNew, numPerms, bands, hashFn),
-      s.table(t.shingles), s.table(t.banded), s.table(t.sizes), threshold)
+      stored(s, t.shingles), stored(s, t.banded), stored(s, t.sizes),
+      threshold)
   }
 }

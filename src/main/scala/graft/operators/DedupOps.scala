@@ -779,9 +779,9 @@ object DedupOps extends QueryModule {
     (s, dir) => {
       val docs = T(s, dir, "documents")
       graft.etl.MinhashIndex.build(s, docs.filter(!newBatch), "mh_idx_v",
-        hashFn = portableSeededHash)
+        hashFn = portableSeededHash, hashFnId = "md5-portable")
       graft.etl.MinhashIndex.incrementalPairs(s, docs.filter(newBatch),
-        "mh_idx_v", hashFn = portableSeededHash)
+        "mh_idx_v", hashFn = portableSeededHash, hashFnId = "md5-portable")
     },
     benchBuild = Some((s, dir) =>
       graft.etl.MinhashIndex.incrementalPairs(s,

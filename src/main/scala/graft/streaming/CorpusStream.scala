@@ -153,13 +153,12 @@ object CorpusStream {
     *     whose survivors were already appended still selects the same
     *     survivors (a doc is trivially jaccard-1 with its indexed self);
     *  3. survivors land in `keptDir/batch_id=N` (overwrite = idempotent)
-    *     and are APPENDED to the index exactly once, guarded by a
-    *     per-batch marker file. A crash strictly inside the append window
-    *     (after some index writes, before the marker) leaves a partially
-    *     appended batch — the recovery there is the index rebuild job,
-    *     the same committed-batch-log contract
-    *     [[graft.etl.MinhashIndex.append]] documents; every other crash
-    *     point replays cleanly (spec-injected). */
+    *     and enter the index through [[graft.etl.MinhashIndex.append]]'s
+    *     committed [[graft.etl.BatchLog]]: a replayed batch is a no-op,
+    *     and a crash strictly inside the append window (after some index
+    *     writes, before the log commit) purges its partial
+    *     batch-partition rows and converges on retry — every crash
+    *     point replays to the same final state (spec-injected). */
   def minhashDedupStreamIndexed(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, keptDir: String, checkpointDir: String,
       idxName: String, threshold: Double = 0.5)
@@ -176,7 +175,7 @@ object CorpusStream {
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       keptDir: String, idxName: String, batchId: Long,
       threshold: Double): Unit = {
-    import graft.etl.MinhashIndex
+    import graft.etl.{BatchLog, MinhashIndex}
     val losers = DedupOps.minhashComponents(spark, batch, threshold)
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"))
@@ -192,15 +191,19 @@ object CorpusStream {
       } else keepers
     survivors.write.mode("overwrite")
       .parquet(s"$keptDir/batch_id=$batchId")
-    val marker = new org.apache.hadoop.fs.Path(keptDir, s"_indexed_batch_$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    // index maintenance rides MinhashIndex's committed batch log: a
+    // replayed micro-batch is a no-op, a crashed append purges its
+    // partial partition on retry. The first batch BUILDS the index under
+    // its own batch id, so a replay straddling the build is also a no-op
+    // (and a crash mid-build converges through the append's purge arm —
+    // for the first batch, build content == append content).
+    val bid = s"b$batchId"
+    if (!BatchLog.isCommitted(spark, BatchLog.logDir(spark, idxName), bid)) {
       // re-read the COMMITTED survivors so the indexed rows are exactly
       // what readers of the kept set see
       val accepted = spark.read.parquet(s"$keptDir/batch_id=$batchId")
-      if (haveIndex) MinhashIndex.append(spark, accepted, idxName)
-      else MinhashIndex.build(spark, accepted, idxName)
-      fs.create(marker, true).close()
+      if (haveIndex) MinhashIndex.append(spark, accepted, idxName, bid)
+      else MinhashIndex.build(spark, accepted, idxName, buildBatchId = bid)
     }
   }
 

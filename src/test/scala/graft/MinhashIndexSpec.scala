@@ -55,7 +55,7 @@ class MinhashIndexSpec extends SparkSpec {
     try {
       // build over two thirds of the corpus, append the rest per-batch
       MinhashIndex.build(spark, corpus.filter(col("doc_id") % 3 =!= 0), "mhspec_app")
-      MinhashIndex.append(spark, corpus.filter(col("doc_id") % 3 === 0), "mhspec_app")
+      MinhashIndex.append(spark, corpus.filter(col("doc_id") % 3 === 0), "mhspec_app", "b1")
       val probe = MinhashIndex
         .incrementalPairs(spark, docs.filter(isNew), "mhspec_app")
         .collect().toSeq
@@ -104,7 +104,7 @@ class MinhashIndexSpec extends SparkSpec {
         "hashed shingles must not change any pair or any jaccard value")
 
       // append respects the built mode; probes stay corpus-exchange-free
-      MinhashIndex.append(spark, docs.filter(isNew), "mhspec_hash")
+      MinhashIndex.append(spark, docs.filter(isNew), "mhspec_hash", "b1")
       assert(spark.table("mhspec_hash_shingles").schema("shingle").dataType ==
         org.apache.spark.sql.types.LongType)
       withConf(
@@ -120,6 +120,97 @@ class MinhashIndexSpec extends SparkSpec {
         Seq(s"${n}_banded", s"${n}_shingles", s"${n}_sizes")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
+  }
+
+  test("append is exactly-once: replay is a no-op, a crashed partial converges") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    val corpus = docs.filter(!isNew)
+    val batch1 = corpus.filter(col("doc_id") % 3 === 0)
+    val batch2 = corpus.filter(col("doc_id") % 3 === 1)
+    def counts(n: String) = {
+      val t = MinhashIndex.tables(n)
+      (spark.table(t.banded).count(), spark.table(t.shingles).count(),
+        spark.table(t.sizes).count())
+    }
+    try {
+      MinhashIndex.build(spark, corpus.filter(col("doc_id") % 3 === 2), "mhspec_once")
+      MinhashIndex.append(spark, batch1, "mhspec_once", "b1")
+      val after1 = counts("mhspec_once")
+      val probe1 = MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_once")
+        .collect().toSeq
+      assert(probe1.nonEmpty, "probe found no pairs — vacuous test")
+
+      // a BLIND re-run of the same batch (checkpoint replay, retried
+      // job) must change nothing — rows or probe results
+      MinhashIndex.append(spark, batch1, "mhspec_once", "b1")
+      assert(counts("mhspec_once") == after1,
+        "a replayed append must not duplicate index rows")
+      assert(MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_once")
+        .collect().toSeq.toSet == probe1.toSet)
+
+      // crash injection: a prior attempt of b2 wrote ONLY the shingle
+      // table, then died before the log commit. The retry must purge the
+      // partial partition and converge to exactly a clean append's state.
+      val t = MinhashIndex.tables("mhspec_once")
+      MinhashIndex.writeBucketed(
+        graft.operators.DedupOps.shingleRows(batch2.limit(7)),
+        t.shingles, 32, append = true, "b2", "doc_id", "shingle")
+      assert(counts("mhspec_once")._2 > after1._2,
+        "injection must actually leave partial rows")
+      MinhashIndex.append(spark, batch2, "mhspec_once", "b2")
+      // reference state: the same three batches appended without a crash
+      MinhashIndex.build(spark, corpus.filter(col("doc_id") % 3 === 2), "mhspec_ref")
+      MinhashIndex.append(spark, batch1, "mhspec_ref", "b1")
+      MinhashIndex.append(spark, batch2, "mhspec_ref", "b2")
+      assert(counts("mhspec_once") == counts("mhspec_ref"),
+        "crashed-then-retried append must converge to the clean state")
+      assert(MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_once")
+        .collect().toSeq.toSet ==
+        MinhashIndex
+          .incrementalPairs(spark, docs.filter(isNew), "mhspec_ref")
+          .collect().toSeq.toSet)
+    } finally
+      Seq("mhspec_once", "mhspec_ref").foreach { n =>
+        Seq(s"${n}_banded", s"${n}_shingles", s"${n}_sizes", s"${n}_meta")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+  }
+
+  test("probe or append with a mismatched hash function is an error, not empty results") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    try {
+      // non-default banding persists in _meta; the probe reads it back
+      // instead of trusting call-site defaults (16 perms / 4 bands here —
+      // a probe silently assuming 32/8 would derive disjoint buckets)
+      MinhashIndex.build(spark, docs.filter(!isNew), "mhspec_meta",
+        numPerms = 16, bands = 4)
+      val probe = MinhashIndex
+        .incrementalPairs(spark, docs.filter(isNew), "mhspec_meta")
+        .collect().toSeq
+      val recompute = graft.operators.DedupOps
+        .minhashNearDups(spark, docs, numPerms = 16, bands = 4,
+          pairPredicate = (a, b) => (a % 10 === 0) =!= (b % 10 === 0))
+        .count()
+      assert(probe.nonEmpty && probe.size == recompute,
+        "probe must pick up the build's persisted banding parameters")
+      val e = intercept[IllegalArgumentException] {
+        MinhashIndex.incrementalPairs(spark, docs.filter(isNew),
+          "mhspec_meta", hashFnId = "md5-portable")
+      }
+      assert(e.getMessage.contains("hash_fn"),
+        s"expected the IndexMeta mismatch message, got: ${e.getMessage}")
+      val e2 = intercept[IllegalArgumentException] {
+        MinhashIndex.append(spark, docs.filter(isNew), "mhspec_meta", "bx",
+          hashFnId = "md5-portable")
+      }
+      assert(e2.getMessage.contains("hash_fn"))
+    } finally
+      Seq("mhspec_meta_banded", "mhspec_meta_shingles", "mhspec_meta_sizes",
+        "mhspec_meta_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   private def assertCorpusInPlace(p: org.apache.spark.sql.DataFrame,
