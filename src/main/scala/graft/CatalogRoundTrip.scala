@@ -72,6 +72,31 @@ object CatalogRoundTrip {
     s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     println(s"[catalog] session2 probed session1's bucketed minhash index " +
       s"exchange-free: pairs=${pairs.length}")
+    // the hyperparameter table travels with the index — session 2's
+    // probe above already READ it (incrementalPairs takes no banding
+    // params); assert it explicitly, and that a mismatched hash id is
+    // an error here too
+    require(s2.catalog.tableExists("mh_rt_meta"),
+      "session 2 must see the _meta table written by session 1's build")
+    require(graft.etl.IndexMeta.read(s2, "mh_rt")("bands") == "8")
+    val metaErr =
+      try { graft.etl.MinhashIndex.incrementalPairs(s2, batch2, "mh_rt",
+        hashFnId = "md5-portable"); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("hash_fn") }
+    require(metaErr, "cross-session param mismatch must be an error")
+    // exactly-once survives the session boundary too: session 2 appends
+    // a batch, and a blind replay (new JVM tomorrow, same batch id) is a
+    // no-op because the committed batch log lives in the warehouse
+    val sizesBefore = s2.table("mh_rt_sizes").count()
+    val appendBatch = batch2.limit(3)
+    graft.etl.MinhashIndex.append(s2, appendBatch, "mh_rt", "rt-b1")
+    val sizesAfter = s2.table("mh_rt_sizes").count()
+    require(sizesAfter > sizesBefore, "append must add the batch's rows")
+    graft.etl.MinhashIndex.append(s2, appendBatch, "mh_rt", "rt-b1")
+    require(s2.table("mh_rt_sizes").count() == sizesAfter,
+      "a replayed append in a later session must be a no-op")
+    println(s"[catalog] session2 appended batch rt-b1 exactly once " +
+      s"(sizes $sizesBefore -> $sizesAfter, replay no-op), meta intact")
     s2.catalog.setCurrentDatabase("lake")
     val joined = s2.sql(
       """SELECT r.r_name, COUNT(*) AS n

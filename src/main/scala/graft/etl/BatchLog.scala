@@ -43,6 +43,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BatchLog {
 
+  /** Batch partition value a full index rebuild writes under (sorts
+    * before timestamp-style ids; same charset gate as real ids). */
+  val BuildId = "00000-build"
+
   /** Batch ids become partition values, file names, and literals in a
     * DROP PARTITION statement — restrict to a charset that is safe in
     * all three. */

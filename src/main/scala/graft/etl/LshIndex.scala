@@ -21,12 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *    rerank fetches only CANDIDATE vectors from it, again in place.
   *
   * Probe cost is O(queries) shuffle + colocated reads of the touched
-  * buckets; the corpus never moves. Refresh per ingest batch appends
-  * with the same bucket spec (the [[MinhashIndex.append]] discipline
-  * and caveats apply verbatim: drive appends from a committed batch
-  * log). Planes are seeded and deterministic ([[SimilarityOps.lshPlanes]]),
-  * so index and probe always agree on the bucketing — and the DuckDB
-  * oracle replays it from emitted literals, making the indexed query
+  * buckets; the corpus never moves. Refresh per ingest batch is
+  * [[append]], exactly-once by construction ([[MinhashIndex.append]]'s
+  * committed-[[BatchLog]] protocol verbatim: batch-partition-tagged
+  * rows, no-op replay, purge-then-append recovery). The plane
+  * parameters persist in [[IndexMeta]] at build time and every
+  * append/search READS them — an index and its probes can no longer
+  * disagree on the bucketing, which previously returned silently empty
+  * candidate sets. Planes themselves are seeded and deterministic
+  * ([[SimilarityOps.lshPlanes]]), so the persisted (tables, planes,
+  * dims, seed) tuple reconstructs them exactly — and the DuckDB oracle
+  * replays them from emitted literals, making the indexed query
   * hash-checkable end to end. */
 object LshIndex {
 
@@ -35,64 +40,85 @@ object LshIndex {
   def tables(name: String): Tables =
     Tables(s"${name}_buckets", s"${name}_vectors")
 
+  private def planesFromMeta(meta: Map[String, String]) =
+    SimilarityOps.lshPlanes(meta("tables").toInt,
+      meta("planes_per_table").toInt, meta("dims").toInt,
+      meta("seed").toLong)
+
   def build(s: SparkSession, embeddings: DataFrame, name: String,
       tables0: Int = 16, planesPerTable: Int = 4, dims: Int = 64,
-      seed: Long = 42L, nBuckets: Int = 32): Tables = {
+      seed: Long = 42L, nBuckets: Int = 32,
+      buildBatchId: String = BatchLog.BuildId): Tables = {
     val t = tables(name)
     Seq(t.buckets, t.vectors).foreach(MinhashIndex.dropTable(s, _))
-    val corpus = embeddings.select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    corpus.repartition(nBuckets, col("vec_id"))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
-      .format("parquet").saveAsTable(t.vectors)
-    val planes = SimilarityOps.lshPlanes(tables0, planesPerTable, dims, seed)
-    SimilarityOps.signBuckets(s.table(t.vectors), "vec_id", planes)
-      .repartition(nBuckets, col("tbl"), col("bucket"))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "tbl", "bucket").sortBy("tbl", "bucket")
-      .format("parquet").saveAsTable(t.buckets)
+    val log = BatchLog.logDir(s, name)
+    BatchLog.reset(s, log)
+    IndexMeta.write(s, name, Map(
+      "tables" -> tables0.toString,
+      "planes_per_table" -> planesPerTable.toString,
+      "dims" -> dims.toString,
+      "seed" -> seed.toString,
+      "n_buckets" -> nBuckets.toString))
+    writeBatch(s,
+      embeddings.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v")),
+      t, SimilarityOps.lshPlanes(tables0, planesPerTable, dims, seed),
+      nBuckets, append = false, buildBatchId)
+    BatchLog.commit(s, log, buildBatchId)
     t
   }
 
   /** Incremental refresh: append a batch's vectors and buckets under the
-    * same bucket spec — probes stay corpus-exchange-free. Same
-    * exactly-once contract as [[MinhashIndex.append]]: drive from a
-    * committed batch log; a blind re-run duplicates index rows. */
+    * same bucket spec — probes stay corpus-exchange-free. Exactly-once
+    * via the committed [[BatchLog]]; plane parameters come from the
+    * build's [[IndexMeta]], never from the caller. */
   def append(s: SparkSession, embeddings: DataFrame, name: String,
-      tables0: Int = 16, planesPerTable: Int = 4, dims: Int = 64,
-      seed: Long = 42L, nBuckets: Int = 32): Unit = {
+      batchId: String): Unit = {
     val t = tables(name)
-    val batch = embeddings.select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    batch.repartition(nBuckets, col("vec_id"))
-      .write.mode("append")
-      .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
-      .format("parquet").saveAsTable(t.vectors)
-    val planes = SimilarityOps.lshPlanes(tables0, planesPerTable, dims, seed)
-    SimilarityOps.signBuckets(
-        s.table(t.vectors).join(batch.select(col("vec_id")), "vec_id"),
-        "vec_id", planes)
-      .repartition(nBuckets, col("tbl"), col("bucket"))
-      .write.mode("append")
-      .bucketBy(nBuckets, "tbl", "bucket").sortBy("tbl", "bucket")
-      .format("parquet").saveAsTable(t.buckets)
+    BatchLog.runOnce(s, BatchLog.logDir(s, name), batchId) {
+      Seq(t.vectors, t.buckets)
+        .foreach(MinhashIndex.dropBatchPartition(s, _, batchId))
+    } {
+      val meta = IndexMeta.read(s, name)
+      writeBatch(s,
+        embeddings.select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v")),
+        t, planesFromMeta(meta), meta("n_buckets").toInt,
+        append = true, batchId)
+    }
+  }
+
+  /** One batch's vectors + sign-buckets, batch-tagged and bucketed. The
+    * bucket rows derive from the STORED vectors just written, so the two
+    * tables stay consistent under a non-deterministic input frame. */
+  private def writeBatch(s: SparkSession, batch: DataFrame, t: Tables,
+      planes: Seq[Seq[Seq[Double]]], nBuckets: Int, append: Boolean,
+      batchId: String): Unit = {
+    MinhashIndex.writeBucketed(batch, t.vectors, nBuckets, append,
+      batchId, "vec_id")
+    val storedBatch = s.table(t.vectors)
+      .filter(col("batch_id") === BatchLog.sanitize(batchId))
+      .drop("batch_id")
+    MinhashIndex.writeBucketed(
+      SimilarityOps.signBuckets(storedBatch, "vec_id", planes),
+      t.buckets, nBuckets, append, batchId, "tbl", "bucket")
   }
 
   /** ANN search against the persisted index — same candidates, same
     * rerank, same results as [[SimilarityOps.lshAnn]] (spec-asserted and
-    * oracle-replayed), with the corpus side read in place. */
+    * oracle-replayed), with the corpus side read in place. The plane
+    * parameters are READ from the index's [[IndexMeta]] — a probe cannot
+    * bucket differently from the build. */
   def search(s: SparkSession, queries: DataFrame, name: String,
-      topK: Int = 5, tables0: Int = 16, planesPerTable: Int = 4,
-      dims: Int = 64, seed: Long = 42L): DataFrame = {
+      topK: Int = 5): DataFrame = {
     import s.implicits._
     val t = tables(name)
-    val planes = SimilarityOps.lshPlanes(tables0, planesPerTable, dims, seed)
+    val planes = planesFromMeta(IndexMeta.read(s, name))
     val q = queries.select($"vec_id".as("q_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("qv"))
     val qb = SimilarityOps.signBuckets(
       q.select($"q_id", $"qv".as("v")), "q_id", planes)
-    val cands = s.table(t.buckets)
+    val cands = MinhashIndex.stored(s, t.buckets)
       .join(broadcast(qb), Seq("tbl", "bucket"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"))
@@ -100,7 +126,8 @@ object LshIndex {
     val w = Window.partitionBy($"q_id").orderBy($"cosine_sim".desc, $"neighbor_id".asc)
     cands
       .join(broadcast(q), "q_id")
-      .join(s.table(t.vectors).withColumnRenamed("vec_id", "neighbor_id"),
+      .join(MinhashIndex.stored(s, t.vectors)
+          .withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id")
       .select($"q_id", $"neighbor_id",
         CosineSimilarity.cosineNative(s, $"qv", $"v").as("cosine_sim"))

@@ -50,9 +50,8 @@ object MinhashIndex {
   def tables(name: String): Tables =
     Tables(s"${name}_banded", s"${name}_shingles", s"${name}_sizes")
 
-  /** Batch partition value a full rebuild writes under (sorts before
-    * timestamp-style ids; same charset gate as real ids). */
-  val BuildBatchId = "00000-build"
+  /** Batch partition value a full rebuild writes under. */
+  val BuildBatchId: String = BatchLog.BuildId
 
   /** [[IndexMeta]] identity of the default seeded-xxhash64 permutation
     * hash. Callers swapping `hashFn` must pass a distinct id at build
@@ -83,7 +82,7 @@ object MinhashIndex {
   /** An index table minus its maintenance tag — what every join and
     * signature derivation consumes. A projection right after the scan
     * keeps the bucketed distribution (plan-asserted in spec). */
-  private def stored(s: SparkSession, table: String): DataFrame =
+  private[etl] def stored(s: SparkSession, table: String): DataFrame =
     s.table(table).drop("batch_id")
 
   /** Full rebuild of the index over `corpus` (must carry doc_id, text).
@@ -189,7 +188,7 @@ object MinhashIndex {
 
   /** Drop one batch's rows from an index table — a metadata-cheap
     * `DROP PARTITION`, the purge arm of the exactly-once protocol. */
-  private def dropBatchPartition(s: SparkSession, table: String,
+  private[etl] def dropBatchPartition(s: SparkSession, table: String,
       batchId: String): Unit =
     s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
       s"(batch_id='${BatchLog.sanitize(batchId)}')")

@@ -1,9 +1,10 @@
 package graft.etl
 
-import graft.operators.{DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+
+import graft.operators.{DedupOps, TextOps}
 
 /** Persisted inverted text index — the search-serving artifact for BM25
   * retrieval, so per-query probes never re-tokenize the corpus (the same
@@ -23,13 +24,17 @@ import org.apache.spark.sql.types.DoubleType
   *  - `<name>_stats(n_docs, avgdl)` — one row, computed with the exact
   *    arithmetic the recompute path uses (integer token sum, one double
   *    division) so served scores are bit-identical to recomputed ones.
+  *    Refreshed stage-then-swap: the replacement is durable before the
+  *    old row drops, and [[search]] heals the one crash window left.
   *
   * At 100 TB: probe cost is O(matching postings), not O(corpus) — the
   * index read is pruned to the query's terms by pushed filters and
   * bucket pruning, and nothing corpus-sized ever shuffles. Maintenance
-  * is the usual trade: [[build]] is the offline rebuild; per-batch
-  * append would add (token, doc_id, tf) rows for accepted docs and fold
-  * the stats row, the [[MinhashIndex.append]] shape.
+  * is [[append]], exactly-once by construction: postings and doc-length
+  * rows are batch-partition-tagged and driven through the committed
+  * [[BatchLog]] — a replayed append is a no-op, a crashed one purges its
+  * partial partition and converges on retry ([[MinhashIndex.append]]'s
+  * protocol verbatim).
   */
 object TextIndex {
 
@@ -38,73 +43,102 @@ object TextIndex {
   def tables(name: String): Tables =
     Tables(s"${name}_postings", s"${name}_doclens", s"${name}_stats")
 
-  /** Full rebuild over `corpus` (must carry doc_id, text). */
+  private def termFrequencies(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("token"))
+    .groupBy(col("doc_id"), col("token"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** Full rebuild over `corpus` (must carry doc_id, text). Resets the
+    * batch log, persists `n_buckets` in [[IndexMeta]] before any data
+    * lands, tags the initial rows `buildBatchId`, commits the log
+    * marker last — same crash-convergence story as
+    * [[MinhashIndex.build]]. */
   def build(s: SparkSession, corpus: DataFrame, name: String,
-      nBuckets: Int = 32): Tables = {
+      nBuckets: Int = 32,
+      buildBatchId: String = BatchLog.BuildId): Tables = {
     val t = tables(name)
     Seq(t.postings, t.doclens, t.stats).foreach(MinhashIndex.dropTable(s, _))
-    val tf = corpus
-      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    tf.select(col("token"), col("doc_id"), col("tf"))
-      .repartition(nBuckets, col("token"))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "token").sortBy("token")
-      .format("parquet").saveAsTable(t.postings)
-    // doc lengths from the STORED postings so the artifacts stay
-    // consistent even under a non-deterministic corpus frame
-    val dl = s.table(t.postings)
-      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    dl.repartition(nBuckets, col("doc_id"))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(t.doclens)
-    // EXACTLY the recompute path's arithmetic: integer sum, one division
-    s.table(t.doclens)
-      .agg(
-        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
-        count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").format("parquet").saveAsTable(t.stats)
+    val log = BatchLog.logDir(s, name)
+    BatchLog.reset(s, log)
+    IndexMeta.write(s, name, Map("n_buckets" -> nBuckets.toString))
+    writeBatch(s, termFrequencies(corpus), t, nBuckets,
+      append = false, buildBatchId)
+    refreshStats(s, t)
+    BatchLog.commit(s, log, buildBatchId)
     t
   }
 
   /** Incremental refresh: index `newDocs` without touching the existing
-    * postings — the per-batch maintenance job ([[MinhashIndex.append]]
-    * shape). Postings and doc lengths append with the same bucket spec,
-    * so readers keep the bucketed distribution and probes stay
-    * corpus-exchange-free; the stats row is recomputed from the doclens
-    * table (one scan of a doc-count-sized frame, exact arithmetic —
-    * NEVER folded incrementally, which would change the division's
-    * operands and break bit-parity with the recompute path). Caller
-    * contract: `newDocs` must not already be indexed and the append must
-    * run exactly once per accepted batch — drive it from a committed
-    * batch log; a blind re-run duplicates postings. */
+    * postings — the per-batch maintenance job. Postings and doc lengths
+    * append with the same bucket spec, so readers keep the bucketed
+    * distribution and probes stay corpus-exchange-free; the stats row is
+    * recomputed from the doclens table (one scan of a doc-count-sized
+    * frame, exact arithmetic — NEVER folded incrementally, which would
+    * change the division's operands and break bit-parity with the
+    * recompute path). Exactly-once is enforced by the committed
+    * [[BatchLog]]: a replay is a no-op, a crashed attempt purges its
+    * batch partitions and converges on retry, and the marker commits
+    * only after the appends AND the stats refresh landed. */
   def append(s: SparkSession, newDocs: DataFrame, name: String,
-      nBuckets: Int = 32): Unit = {
+      batchId: String): Unit = {
     val t = tables(name)
-    val tf = newDocs
-      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist() // feeds two appends; small (batch-sized)
-    try {
-      tf.select(col("token"), col("doc_id"), col("tf"))
-        .repartition(nBuckets, col("token"))
-        .write.mode("append")
-        .bucketBy(nBuckets, "token").sortBy("token")
-        .format("parquet").saveAsTable(t.postings)
-      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .repartition(nBuckets, col("doc_id"))
-        .write.mode("append")
-        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-        .format("parquet").saveAsTable(t.doclens)
-    } finally tf.unpersist(blocking = false)
-    s.table(t.doclens)
+    BatchLog.runOnce(s, BatchLog.logDir(s, name), batchId) {
+      Seq(t.postings, t.doclens)
+        .foreach(MinhashIndex.dropBatchPartition(s, _, batchId))
+    } {
+      val nBuckets = IndexMeta.read(s, name)("n_buckets").toInt
+      writeBatch(s, termFrequencies(newDocs), t, nBuckets,
+        append = true, batchId)
+      refreshStats(s, t)
+    }
+  }
+
+  /** One batch's postings + doc lengths, batch-tagged and bucketed.
+    * Doc lengths derive from the STORED postings partition just written,
+    * so the two tables stay consistent even under a non-deterministic
+    * input frame — and nothing corpus-sized is ever cached. */
+  private def writeBatch(s: SparkSession, tf: DataFrame, t: Tables,
+      nBuckets: Int, append: Boolean, batchId: String): Unit = {
+    MinhashIndex.writeBucketed(
+      tf.select(col("token"), col("doc_id"), col("tf")),
+      t.postings, nBuckets, append, batchId, "token")
+    val storedBatch = s.table(t.postings)
+      .filter(col("batch_id") === BatchLog.sanitize(batchId))
+    MinhashIndex.writeBucketed(
+      storedBatch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      t.doclens, nBuckets, append, batchId, "doc_id")
+  }
+
+  /** EXACTLY the recompute path's arithmetic: integer sum, one division.
+    * Derived from the STORED doclens so served scores match recomputed
+    * ones bit-for-bit. */
+  private def statsFrame(s: SparkSession, t: Tables): DataFrame =
+    MinhashIndex.stored(s, t.doclens)
       .agg(
         (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
         count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").format("parquet").saveAsTable(t.stats)
+
+  /** Stats refresh without the overwrite crash window: the replacement
+    * row is durable under `_stats__new` BEFORE the old table drops (the
+    * [[IndexMeta.write]] discipline). A crash between drop and rename
+    * leaves only the staged copy; [[search]] finishes the swap. */
+  private def refreshStats(s: SparkSession, t: Tables): Unit = {
+    val stage = s"${t.stats}__new"
+    MinhashIndex.dropTable(s, stage)
+    statsFrame(s, t).write.format("parquet").saveAsTable(stage)
+    MinhashIndex.dropTable(s, t.stats)
+    s.sql(s"ALTER TABLE $stage RENAME TO ${t.stats}")
+  }
+
+  /** The stats row, healing an interrupted [[refreshStats]] swap; the
+    * final fallback recomputes from doclens with the identical
+    * expression, so a served score can never drift. */
+  private def readStats(s: SparkSession, t: Tables): DataFrame = {
+    val stage = s"${t.stats}__new"
+    if (!s.catalog.tableExists(t.stats) && s.catalog.tableExists(stage))
+      s.sql(s"ALTER TABLE $stage RENAME TO ${t.stats}")
+    if (s.catalog.tableExists(t.stats)) s.table(t.stats)
+    else statsFrame(s, t)
   }
 
   /** BM25 top-k served from the index — value-identical to
@@ -114,12 +148,13 @@ object TextIndex {
   def search(s: SparkSession, name: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     val t = tables(name)
-    val post = s.table(t.postings).filter(col("token").isin(queryTerms: _*))
+    val post = MinhashIndex.stored(s, t.postings)
+      .filter(col("token").isin(queryTerms: _*))
     val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = post
       .join(broadcast(df), "token")
-      .join(s.table(t.doclens), "doc_id")
-      .crossJoin(broadcast(s.table(t.stats)))
+      .join(MinhashIndex.stored(s, t.doclens), "doc_id")
+      .crossJoin(broadcast(readStats(s, t)))
       .select(col("doc_id"), col("token"),
         TextOps.bm25ScoreExpr(col("tf"), col("df"), col("dl"),
           col("n_docs"), col("avgdl"), k1, b).as("score"))

@@ -100,32 +100,56 @@ object IvfIndex {
     (assign(s, vecs, centroids), centroids)
   }
 
-  /** Persist the inverted lists partitioned BY cluster — the on-disk
-    * layout that turns a probe into a partition-pruned scan: a query
-    * touching `nprobe` of `k` lists reads nprobe directories, not the
-    * index ([[graft.etl.LakeLayout]] pattern, spec-proved via
-    * `selectedPartitions`). */
-  def writeIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  /** Persist the inverted lists partitioned by (batch, cluster) — the
+    * on-disk layout that turns a probe into a partition-pruned scan: a
+    * query touching `nprobe` of `k` lists reads the nprobe cluster
+    * directories of each batch, not the index ([[graft.etl.LakeLayout]]
+    * pattern, spec-proved via `selectedPartitions`). The batch level is
+    * the maintenance handle: [[appendIndex]] purges/replays by batch
+    * directory, driven by the committed [[graft.etl.BatchLog]] living
+    * (underscore-hidden) inside the index dir. The overwrite clears any
+    * previous log with the previous data; the build's own rows commit
+    * under `buildBatchId` last. */
+  def writeIndex(index: DataFrame, path: String,
+      buildBatchId: String = graft.etl.BatchLog.BuildId): Unit = {
+    val s = index.sparkSession
+    index
+      .withColumn("batch_id", lit(graft.etl.BatchLog.sanitize(buildBatchId)))
+      .write.mode("overwrite")
+      .partitionBy("batch_id", "cluster_id").parquet(path)
+    graft.etl.BatchLog.commit(s, graft.etl.BatchLog.logDirAt(path), buildBatchId)
+  }
 
   /** Per-batch index maintenance: assign `newVecs` to the EXISTING
     * centroids and append their rows to the on-disk lists — no
     * retraining, the [[graft.etl.MinhashIndex.append]] /
     * [[graft.etl.LshIndex.append]] shape for the IVF family. Appending
-    * under `partitionBy(cluster_id)` adds files only to the touched
-    * list directories, so probes keep their partition pruning. The
-    * standard IVF maintenance trade applies: centroids drift as the
-    * distribution shifts, so production retrains (full [[buildIndex]])
-    * on a slow cadence while appends run per batch; recall between
-    * retrains degrades only as far as the drift does (spec asserts
-    * append == rebuild-with-same-centroids exactly). Caller contract:
-    * run once per committed batch — a replay duplicates list rows. */
+    * under the batch partition adds files only to this batch's list
+    * directories, so probes keep their partition pruning. The standard
+    * IVF maintenance trade applies: centroids drift as the distribution
+    * shifts, so production retrains (full [[buildIndex]]) on a slow
+    * cadence while appends run per batch; recall between retrains
+    * degrades only as far as the drift does (spec asserts append ==
+    * rebuild-with-same-centroids exactly). Exactly-once is enforced by
+    * the index's committed [[graft.etl.BatchLog]]: a replayed batch is
+    * a no-op, a crashed append deletes its partial batch directory and
+    * converges on retry. */
   def appendIndex(s: SparkSession, newVecs: DataFrame, centroids: DataFrame,
-      path: String): Unit = {
+      path: String, batchId: String): Unit = {
+    import graft.etl.BatchLog
     import s.implicits._
-    val vecs = newVecs.select($"vec_id", asDouble($"embedding").as("v"))
-    assign(s, vecs, centroids)
-      .write.mode("append").partitionBy("cluster_id").parquet(path)
+    BatchLog.runOnce(s, BatchLog.logDirAt(path), batchId) {
+      val part = new org.apache.hadoop.fs.Path(path,
+        s"batch_id=${BatchLog.sanitize(batchId)}")
+      val fs = part.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(part)) fs.delete(part, true)
+    } {
+      val vecs = newVecs.select($"vec_id", asDouble($"embedding").as("v"))
+      assign(s, vecs, centroids)
+        .withColumn("batch_id", lit(BatchLog.sanitize(batchId)))
+        .write.mode("append").partitionBy("batch_id", "cluster_id")
+        .parquet(path)
+    }
   }
 
   /** ANN search against the ON-DISK index: the probed cluster ids are

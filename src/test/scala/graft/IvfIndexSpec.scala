@@ -91,7 +91,7 @@ class IvfIndexSpec extends SparkSpec {
     val (index, centroids) = IvfIndex.buildIndex(spark, corpus, k = 8, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("ivf_app").toString + "/index"
     IvfIndex.writeIndex(index, path)
-    IvfIndex.appendIndex(spark, batch, centroids, path)
+    IvfIndex.appendIndex(spark, batch, centroids, path, "b1")
     val queries = emb.filter($"vec_id" < 3)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -106,10 +106,26 @@ class IvfIndexSpec extends SparkSpec {
         topK = 5, nprobe = 2).collect().toSeq
       assert(appended.nonEmpty && appended == rebuilt,
         "appended index must answer exactly like a rebuild over the same centroids")
-      // appended files land inside cluster dirs: pruning still applies
+      // a blind replay of the same batch is a no-op (committed batch log)
+      val rows = spark.read.parquet(path).count()
+      IvfIndex.appendIndex(spark, batch, centroids, path, "b1")
+      assert(spark.read.parquet(path).count() == rows,
+        "a replayed append must not duplicate list rows")
+      // a crashed prior attempt (partial batch dir, no log commit)
+      // converges on retry instead of double-counting
+      IvfIndex.assign(spark,
+          batch.limit(5).select($"vec_id", $"embedding".cast("array<double>").as("v")),
+          centroids)
+        .withColumn("batch_id", lit("b2"))
+        .write.mode("append").partitionBy("batch_id", "cluster_id").parquet(path)
+      IvfIndex.appendIndex(spark, batch.limit(10), centroids, path, "b2")
+      assert(spark.read.parquet(path).count() == rows + 10,
+        "retry after a crash must purge the partial batch dir first")
+      // appended files land inside per-batch cluster dirs: pruning still
+      // applies, bounded by batches x queries x nprobe leaf partitions
       val scanned = graft.etl.LakeLayout.selectedPartitions(
         IvfIndex.searchIndexDir(spark, path, centroids, queries, topK = 5, nprobe = 2))
-      assert(scanned.nonEmpty && scanned.head <= 3 * 2)
+      assert(scanned.nonEmpty && scanned.head <= 3 * (3 * 2))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -41,7 +41,7 @@ class LshIndexSpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 10)
     try {
       LshIndex.build(spark, emb.filter($"vec_id" % 3 =!= 0), "lshspec_app")
-      LshIndex.append(spark, emb.filter($"vec_id" % 3 === 0), "lshspec_app")
+      LshIndex.append(spark, emb.filter($"vec_id" % 3 === 0), "lshspec_app", "b1")
       val appended = LshIndex.search(spark, queries, "lshspec_app")
         .collect().map(_.toSeq).toSet
       LshIndex.build(spark, emb, "lshspec_full")
@@ -49,6 +49,16 @@ class LshIndexSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(appended.nonEmpty && appended == full,
         "appended index must answer exactly like a full rebuild")
+      // a blind replay of the same batch is a no-op: row counts and
+      // search results unchanged (the committed-batch-log contract)
+      val counts = (spark.table("lshspec_app_buckets").count(),
+        spark.table("lshspec_app_vectors").count())
+      LshIndex.append(spark, emb.filter($"vec_id" % 3 === 0), "lshspec_app", "b1")
+      assert((spark.table("lshspec_app_buckets").count(),
+        spark.table("lshspec_app_vectors").count()) == counts,
+        "a replayed append must not duplicate index rows")
+      assert(LshIndex.search(spark, queries, "lshspec_app")
+        .collect().map(_.toSeq).toSet == appended)
       withConf(
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {

@@ -41,12 +41,33 @@ class TextIndexSpec extends SparkSpec {
     val batch = col("doc_id") % 3 === 0
     try {
       TextIndex.build(spark, docs.filter(!batch), "tispec_app")
-      TextIndex.append(spark, docs.filter(batch), "tispec_app")
+      TextIndex.append(spark, docs.filter(batch), "tispec_app", "b1")
       val appended = TextIndex.search(spark, "tispec_app", terms).collect().toSeq
       TextIndex.build(spark, docs, "tispec_full")
       val full = TextIndex.search(spark, "tispec_full", terms).collect().toSeq
       assert(appended.nonEmpty && appended == full,
         "appended index must answer exactly like a full rebuild")
+      // a blind replay of the same batch is a no-op: row counts, the
+      // stats row, and search results unchanged
+      val counts = (spark.table("tispec_app_postings").count(),
+        spark.table("tispec_app_doclens").count())
+      TextIndex.append(spark, docs.filter(batch), "tispec_app", "b1")
+      assert((spark.table("tispec_app_postings").count(),
+        spark.table("tispec_app_doclens").count()) == counts,
+        "a replayed append must not duplicate postings")
+      assert(TextIndex.search(spark, "tispec_app", terms).collect().toSeq
+        == appended)
+      // stats refresh is stage-then-swap: search survives the one crash
+      // window (stats dropped, staged copy present) by healing the swap
+      spark.sql("DROP TABLE IF EXISTS tispec_app_stats__healtest")
+      spark.sql(
+        "CREATE TABLE tispec_app_stats__healtest AS SELECT * FROM tispec_app_stats")
+      spark.sql("ALTER TABLE tispec_app_stats__healtest RENAME TO tispec_app_stats__new")
+      spark.sql("DROP TABLE tispec_app_stats")
+      assert(TextIndex.search(spark, "tispec_app", terms).collect().toSeq
+        == appended, "search must heal an interrupted stats swap")
+      assert(spark.catalog.tableExists("tispec_app_stats"),
+        "healing must complete the rename")
       // bucketing survives the append
       withConf("spark.sql.adaptive.enabled" -> "false") {
         PlanChecks.assertCorpusInPlace(
