@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-committed, date-partitioned parquet table — the ATOMIC
   * multi-partition merge [[graft.streaming.StreamingIngest.mergeIntoDatePartitioned]]
@@ -15,7 +16,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <base>/data/v00007/part_year=2023/...   # written by commit 7
   *   <base>/data/v00003/part_year=2022/...   # untouched since commit 3
-  *   <base>/_manifests/v00007.txt            # "2023\tv00007" / "2022\tv00003"
+  *   <base>/_manifests/v00007.txt            # "#schema\t{...}" + "2023\tv00007" / "2022\tv00003"
   * }}}
   *
   * Protocol (single writer; the snapshot/manifest shape is the public
@@ -23,7 +24,10 @@ import org.apache.spark.sql.functions._
   *  1. STAGE: write the merged rows of every TOUCHED partition under a
   *     fresh `data/v<N>/` root — one distributed partitioned write.
   *     Nothing references these dirs yet; a crash leaves invisible
-  *     garbage for [[vacuum]], never a mixed table.
+  *     garbage, never a mixed table (the NEXT successful merge of the
+  *     same version number overwrites it — [[vacuum]] deliberately
+  *     leaves above-current version dirs alone, so an in-flight stage
+  *     can never be deleted out from under its writer).
   *  2. COMMIT: write the new manifest (touched partitions → v<N>,
   *     untouched → their previous dirs, carried forward without any data
   *     movement) to a dot-tmp file, then ONE rename to
@@ -31,6 +35,16 @@ import org.apache.spark.sql.functions._
   *     readers resolve the highest manifest and see all-old or all-new.
   *     On S3-like stores without atomic rename this step needs a commit
   *     lock/service, exactly as Delta documents — same caveat, same fix.
+  *
+  * SCHEMA EVOLUTION: each manifest records its snapshot's data schema
+  * (one `#schema` header line). A merge whose batch adds columns widens
+  * the recorded schema (old partitions read as null there — the
+  * crawler-inferred drifting-schema case the reference's Glue catalog
+  * produces, `data-lake-stack.yml:218-276`, `BronzeIngestUsers.py:71`);
+  * a batch missing columns gets them as nulls. Readers and merges read
+  * every partition dir WITH the recorded schema, so old and new dirs
+  * align by construction — and time travel returns each version under
+  * the schema IT recorded, not today's.
   *
   * Readers ([[read]]) union the manifest's partition dirs, restoring
   * `part_year` as a literal per branch — Catalyst constant-folds a
@@ -40,9 +54,11 @@ import org.apache.spark.sql.functions._
   */
 object ManifestTable {
 
-  /** One committed table state: manifest version + partition → data dir
-    * (relative to `<base>/data/`). */
-  final case class Snapshot(version: Int, parts: Map[Int, String])
+  /** One committed table state: manifest version, partition → data dir
+    * (relative to `<base>/data/`), and the data schema this version
+    * recorded (None only for pre-evolution manifests). */
+  final case class Snapshot(version: Int, parts: Map[Int, String],
+      schema: Option[StructType] = None)
 
   /** Staged-but-uncommitted merge: everything COMMIT needs. Package-
     * private so specs can crash-inject between stage and commit. */
@@ -54,6 +70,7 @@ object ManifestTable {
   private def manifestDir(base: String) = new Path(base, "_manifests")
   private def dataDir(base: String) = new Path(base, "data")
   private def vdir(v: Int) = f"v$v%05d"
+  private val SchemaHeader = "#schema\t"
 
   /** All committed manifest versions, ascending (empty if none). */
   def versions(spark: SparkSession, basePath: String): Seq[Int] = {
@@ -85,11 +102,15 @@ object ManifestTable {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-    val parts = body.linesIterator.filter(_.nonEmpty).map { line =>
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    val schema = lines.find(_.startsWith(SchemaHeader))
+      .map(l => DataType.fromJson(l.stripPrefix(SchemaHeader))
+        .asInstanceOf[StructType])
+    val parts = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(year, dir) = line.split("\t", 2)
       year.toInt -> dir
     }.toMap
-    Some(Snapshot(version, parts))
+    Some(Snapshot(version, parts, schema))
   }
 
   /** Current table contents as a DataFrame with `part_year` restored.
@@ -109,14 +130,47 @@ object ManifestTable {
     readSnapshot(spark, basePath, snap)
   }
 
+  /** Every partition dir read WITH the snapshot's recorded schema:
+    * dirs written before a column existed surface it as null, and time
+    * travel returns the schema the version recorded. Legacy manifests
+    * (no header) fall back to per-dir inference + permissive union. */
   private def readSnapshot(spark: SparkSession, basePath: String,
       snap: Snapshot): DataFrame = {
     val dd = dataDir(basePath)
     snap.parts.toSeq.sortBy(_._1).map { case (year, dir) =>
-      spark.read.parquet(new Path(dd, s"$dir/part_year=$year").toString)
+      readPart(spark, dd, dir, year, snap.schema)
         .withColumn("part_year", lit(year))
-    }.reduceLeft(_.unionByName(_))
+    }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
+
+  private def readPart(spark: SparkSession, dd: Path, dir: String,
+      year: Int, schema: Option[StructType]): DataFrame = {
+    val rdr = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    rdr.parquet(new Path(dd, s"$dir/part_year=$year").toString)
+  }
+
+  /** The union of previous and batch columns, previous order first —
+    * how the table schema evolves. A column present in both must agree
+    * on type (silent coercion would corrupt, so it refuses). */
+  private def mergeSchemas(prev: StructType, batch: StructType): StructType = {
+    batch.fields.foreach { bf =>
+      prev.fields.find(_.name == bf.name).foreach { pf =>
+        require(pf.dataType == bf.dataType,
+          s"column ${bf.name} changed type ${pf.dataType} -> ${bf.dataType}; " +
+            "schema evolution adds/removes columns, it never retypes them")
+      }
+    }
+    StructType(prev.fields ++
+      batch.fields.filterNot(bf => prev.fieldNames.contains(bf.name)))
+  }
+
+  /** `df` reshaped to exactly `schema`'s columns: present columns pass
+    * through, absent ones become typed nulls. */
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
 
   /** Keyed upsert of `batch` with one atomic commit. Reads only the
     * partitions the batch touches, stages their merged rows under a new
@@ -135,6 +189,17 @@ object ManifestTable {
     val prev = currentSnapshot(spark, basePath)
     val next = prev.map(_.version + 1).getOrElse(1)
     val batchD = batch.dropDuplicates(keys)
+    // evolve: previous columns + any new batch columns; both merge sides
+    // align to the merged shape (missing columns = typed nulls)
+    val schema = prev match {
+      case Some(snap) =>
+        val prevSchema = snap.schema.getOrElse {
+          // legacy manifest: infer from the current dirs once
+          readSnapshot(spark, basePath, snap).drop("part_year").schema
+        }
+        mergeSchemas(prevSchema, batchD.schema)
+      case None => batchD.schema
+    }
     val years = batchD.select(year(col(dateCol)).as("y")).distinct()
       .collect().map(_.getInt(0)).toSeq // driver-small: distinct years in the batch
     val dd = dataDir(basePath)
@@ -142,11 +207,17 @@ object ManifestTable {
       case Some(snap) =>
         val existing = years.flatMap(y => snap.parts.get(y).map(y -> _))
         val baseSub = existing.map { case (y, dir) =>
-          spark.read.parquet(new Path(dd, s"$dir/part_year=$y").toString)
-        }.reduceLeftOption(_.unionByName(_))
+          readPart(spark, dd, dir, y, snap.schema)
+        }.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
         baseSub match {
-          case Some(b) => MergeService.upsert(b, batchD, keys).drop("merge_action")
-          case None    => batchD
+          case Some(b) =>
+            // columns the batch never carried keep their base values on
+            // matched rows (Delta updateAll semantics), instead of being
+            // nulled by the aligned frame
+            MergeService.upsert(align(b, schema), align(batchD, schema), keys,
+                carryBase = schema.fieldNames.toSet -- batchD.columns)
+              .drop("merge_action")
+          case None => align(batchD, schema)
         }
       case None => batchD
     }
@@ -155,7 +226,7 @@ object ManifestTable {
       .parquet(new Path(dd, vdir(next)).toString)
     val carried = prev.map(_.parts).getOrElse(Map.empty) --
       years // untouched partitions carry their old dirs forward
-    Staged(Snapshot(next, carried ++ years.map(_ -> vdir(next))))
+    Staged(Snapshot(next, carried ++ years.map(_ -> vdir(next)), Some(schema)))
   }
 
   private[graft] def commit(spark: SparkSession, basePath: String,
@@ -163,8 +234,10 @@ object ManifestTable {
     val md = manifestDir(basePath)
     val f = fs(spark, md)
     f.mkdirs(md)
-    val body = staged.snapshot.parts.toSeq.sorted
-      .map { case (y, dir) => s"$y\t$dir" }.mkString("\n")
+    val header = staged.snapshot.schema.toSeq
+      .map(s => s"$SchemaHeader${s.json}")
+    val body = (header ++ staged.snapshot.parts.toSeq.sorted
+      .map { case (y, dir) => s"$y\t$dir" }).mkString("\n")
     val tmp = new Path(md, s".tmp-${vdir(staged.snapshot.version)}.txt")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -173,17 +246,16 @@ object ManifestTable {
   }
 
   /** Small-file compaction: rewrite any partition whose file count
-    * exceeds what `targetFileRows` calls for, and commit the result as a
+    * exceeds what `targetFileBytes` calls for, and commit the result as a
     * new version — the maintenance job every streaming-ingested table
     * needs (per-batch merges leave one small file set per batch; scan
     * cost degrades with open()-per-file, not bytes). Untouched partitions
     * carry forward with zero data movement; the rewrite becomes visible
     * in ONE manifest flip, and the pre-compaction version stays
-    * time-travel-readable until [[vacuum]]. Row counts are the sizing
-    * proxy here (the testdata rows are uniform); a production build would
-    * size on bytes from the file statuses — same loop, same commit.
-    * Returns the number of partitions rewritten (0 = already compact,
-    * no commit).
+    * time-travel-readable until [[vacuum]]. Sizing comes from the file
+    * statuses the planning loop already lists — planning never scans a
+    * row. Returns the number of partitions rewritten (0 = already
+    * compact, no commit).
     *
     * `clusterBy` turns compaction into the OPTIMIZE-plus-cluster job the
     * lakehouse engines pair (Delta `OPTIMIZE ... ZORDER BY`): every
@@ -192,26 +264,29 @@ object ManifestTable {
     * atomic flip that fixes file counts also installs file-level
     * min/max locality for data skipping. */
   def compact(spark: SparkSession, basePath: String,
-      targetFileRows: Long = 4L * 1000 * 1000,
+      targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Int = {
     val snap = currentSnapshot(spark, basePath).getOrElse(return 0)
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
     val next = snap.version + 1
-    // driver loop over PARTITIONS (bounded: years), not files
+    // driver loop over PARTITIONS (bounded: years), not files; sizing
+    // from listStatus metadata only
     val plans = snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
       val pdir = new Path(dd, s"$dir/part_year=$y")
-      val nFiles = f.listStatus(pdir)
-        .count(_.getPath.getName.endsWith(".parquet"))
-      val rows = spark.read.parquet(pdir.toString).count()
-      val want = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+      val parquets = f.listStatus(pdir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val bytes = parquets.map(_.getLen).sum
+      val want = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       // a clustering request rewrites every partition: the layout is the
       // point, not just the file count
-      if (nFiles > want || clusterBy.nonEmpty) Some((y, dir, want)) else None
+      if (parquets.length > want || clusterBy.nonEmpty) Some((y, dir, want))
+      else None
     }
     if (plans.isEmpty) return 0
     plans.foreach { case (y, dir, want) =>
-      val src = spark.read.parquet(new Path(dd, s"$dir/part_year=$y").toString)
+      val src = readPart(spark, dd, dir, y, snap.schema)
       val arranged =
         if (clusterBy.nonEmpty)
           src.repartitionByRange(want, clusterBy: _*)
@@ -221,22 +296,28 @@ object ManifestTable {
         .parquet(new Path(dd, s"${vdir(next)}/part_year=$y").toString)
     }
     val parts = snap.parts ++ plans.map { case (y, _, _) => y -> vdir(next) }
-    commit(spark, basePath, Staged(Snapshot(next, parts)))
+    commit(spark, basePath, Staged(Snapshot(next, parts, snap.schema)))
     plans.size
   }
 
-  /** Delete data dirs no RETAINED manifest references — crashed stages
-    * and superseded versions past the history window. `retainVersions`
-    * (≥1) is how many trailing manifests stay readable: 1 keeps only the
-    * current snapshot (no time travel), N keeps [[readAt]] working for the
-    * last N versions — the standard vacuum-trades-history-for-space
-    * contract. Returns the number of data dirs removed. Safe only when no
-    * reader is pinned to a vacuumed snapshot. */
+  /** Delete data dirs no RETAINED manifest references — superseded
+    * versions past the history window and stale crashed stages.
+    * `retainVersions` (≥1) is how many trailing manifests stay readable:
+    * 1 keeps only the current snapshot (no time travel), N keeps
+    * [[readAt]] working for the last N versions — the standard
+    * vacuum-trades-history-for-space contract. Dirs ABOVE the latest
+    * committed version are never touched: that is where a concurrent
+    * merge stages, and deleting it would yank a commit's data out from
+    * under it (such dirs are recycled by the next merge's overwrite of
+    * the same version number instead). Returns the number of data dirs
+    * removed. Safe only when no reader is pinned to a vacuumed
+    * snapshot. */
   def vacuum(spark: SparkSession, basePath: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val vs = versions(spark, basePath)
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(retainVersions)
+    val maxCommitted = vs.last
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
     if (!f.exists(dd)) return 0
@@ -244,7 +325,9 @@ object ManifestTable {
       .flatMap(snapshotAt(spark, basePath, _))
       .flatMap(_.parts.values).toSet
     val removed = f.listStatus(dd).toSeq.filter { st =>
-      st.isDirectory && !live.contains(st.getPath.getName)
+      val n = st.getPath.getName
+      st.isDirectory && !live.contains(n) &&
+        n.matches("v\\d+") && n.stripPrefix("v").toInt <= maxCommitted
     }
     removed.foreach(st => f.delete(st.getPath, true))
     // superseded manifests: everything below the retention window

@@ -32,9 +32,16 @@ object MergeService {
     * (`ingestStreamateModelPerformance.py:121-123`); inserted rows keep
     * the incoming value, untouched rows keep the stored one. The clock is
     * a Column so callers inject a deterministic literal in tests
-    * (`current_timestamp()` in production). */
+    * (`current_timestamp()` in production).
+    *
+    * `carryBase` names columns whose MATCHED rows keep the BASE value
+    * instead of the update's — how [[ManifestTable]]'s schema evolution
+    * treats columns the batch never carried (the Delta `updateAll`
+    * semantics: a source without the column leaves the target's values
+    * alone, rather than nulling them). */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
-      stamp: Option[(String, Column)] = None): DataFrame = {
+      stamp: Option[(String, Column)] = None,
+      carryBase: Set[String] = Set.empty): DataFrame = {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     stamp.foreach { case (c, _) =>
@@ -49,7 +56,10 @@ object MergeService {
     val outCols =
       keys.map(k => coalesce(col(s"b.$k"), col(s"u.$k")).as(k)) ++
         base.columns.filterNot(keys.contains).toSeq.map { c =>
-          val carried = when(uKey.isNotNull, col(s"u.$c")).otherwise(col(s"b.$c"))
+          val carried =
+            if (carryBase(c))
+              when(bKey.isNotNull, col(s"b.$c")).otherwise(col(s"u.$c"))
+            else when(uKey.isNotNull, col(s"u.$c")).otherwise(col(s"b.$c"))
           stamp match {
             case Some((sc, clock)) if sc == c =>
               when(bKey.isNotNull && uKey.isNotNull, clock).otherwise(carried).as(c)

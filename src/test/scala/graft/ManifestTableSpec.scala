@@ -144,7 +144,7 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(nFiles() > 1, "merge batches should have left multiple files")
 
-    val rewritten = ManifestTable.compact(spark, base, targetFileRows = 1000000)
+    val rewritten = ManifestTable.compact(spark, base, targetFileBytes = 1L << 30)
     assert(rewritten == 1, "exactly the 2023 partition needed compaction")
     assert(nFiles() == 1, "compaction must bin-pack to the target file count")
     assert(ManifestTable.currentSnapshot(spark, base).get.version == vBefore + 1,
@@ -154,7 +154,7 @@ class ManifestTableSpec extends SparkSpec {
     // pre-compaction version stays time-travel-readable until vacuumed
     assert(asMap(ManifestTable.readAt(spark, base, vBefore)) == before)
     // second pass is a no-op: already compact, no new commit
-    assert(ManifestTable.compact(spark, base, targetFileRows = 1000000) == 0)
+    assert(ManifestTable.compact(spark, base, targetFileBytes = 1L << 30) == 0)
     assert(ManifestTable.currentSnapshot(spark, base).get.version == vBefore + 1)
   }
 
@@ -164,10 +164,16 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.mergeInto(spark, frame(rows), base, Seq("id", "date"), "date")
     val before = asMap(ManifestTable.read(spark, base))
 
-    // 12 rows, 4 per file => 3 clustered files even though 1 file is
-    // "compact enough": a clustering request always rewrites
+    // target a third of the current bytes => 3 clustered files even
+    // though 1 file is "compact enough": a clustering request always
+    // rewrites (sizing reads listStatus metadata, never rows)
+    val dir0 = ManifestTable.currentSnapshot(spark, base).get.parts(2023)
+    val pdir0 = new org.apache.hadoop.fs.Path(s"$base/data/$dir0/part_year=2023")
+    val fs0 = pdir0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs0.listStatus(pdir0)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val n = ManifestTable.compact(spark, base,
-      targetFileRows = 4, clusterBy = Seq($"v"))
+      targetFileBytes = totalBytes / 3 + 1, clusterBy = Seq($"v"))
     assert(n == 1)
     assert(asMap(ManifestTable.read(spark, base)) == before)
 
@@ -179,5 +185,75 @@ class ManifestTableSpec extends SparkSpec {
     assert(stats.length == 3, s"expected 3 clustered files, got ${stats.length}")
     assert(stats.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo },
       s"file v-ranges must be disjoint after clustering: ${stats.toSeq}")
+  }
+
+  test("schema evolution: added columns widen, old partitions read null, time travel keeps old schema") {
+    val base = Files.createTempDirectory("manifest7").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2022-05-02", 20.0))),
+      base, keys, "date")
+    // v2's batch GAINS a column (the crawler-inferred drifting schema
+    // case) and touches only 2023 — 2022 carries forward untouched
+    val widened = Seq(("k3", "2023-04-01", 30.0, "src9"))
+      .toDF("id", "date", "v", "origin").withColumn("date", to_date($"date"))
+    ManifestTable.mergeInto(spark, widened, base, keys, "date")
+    val now = ManifestTable.read(spark, base)
+    assert(now.columns.toSeq == Seq("id", "date", "v", "origin", "part_year"),
+      s"widened schema must span every partition, got ${now.columns.toSeq}")
+    val byId = now.select($"id", $"origin").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map("k1" -> None, "k2" -> None, "k3" -> Some("src9")),
+      "pre-evolution rows surface the new column as null — including the carried-forward 2022 dir")
+    // time travel: v1 returns the schema IT recorded
+    assert(ManifestTable.readAt(spark, base, 1).columns.toSeq ==
+      Seq("id", "date", "v", "part_year"))
+    // v3's batch is MISSING columns: matched rows KEEP their base values
+    // there (Delta updateAll semantics), inserted rows get nulls, and the
+    // columns survive in the table schema
+    val narrow = Seq(("k1", "2023-03-01"), ("k4", "2023-09-09"))
+      .toDF("id", "date").withColumn("date", to_date($"date"))
+    ManifestTable.mergeInto(spark, narrow, base, keys, "date")
+    val v3 = ManifestTable.read(spark, base)
+    assert(v3.columns.toSeq == Seq("id", "date", "v", "origin", "part_year"))
+    val k1 = v3.filter($"id" === "k1").collect().head
+    assert(k1.getDouble(k1.fieldIndex("v")) == 10.0,
+      "an update missing a column must preserve the base value, not null it")
+    val k4 = v3.filter($"id" === "k4").collect().head
+    assert(k4.isNullAt(k4.fieldIndex("v")),
+      "an insert missing a column lands as null")
+    // a retype is refused, never coerced
+    val retyped = Seq(("k9", "2023-06-01", "not-a-double"))
+      .toDF("id", "date", "v").withColumn("date", to_date($"date"))
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.mergeInto(spark, retyped, base, keys, "date"))
+    assert(e.getMessage.contains("never retypes"))
+  }
+
+  test("vacuum never touches a staged-but-uncommitted version; its commit then succeeds") {
+    val base = Files.createTempDirectory("manifest8").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0))), base, keys, "date")
+    // a concurrent merge has STAGED version 3 but not yet committed
+    val staged = ManifestTable.stage(spark,
+      frame(Seq(("k2", "2024-01-01", 30.0))), base, keys, "date")
+    assert(staged.snapshot.version == 3)
+    val dd = new org.apache.hadoop.fs.Path(base, "data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dd, "v00003")))
+    // vacuum with minimum retention: v1's dir goes, the staged v3 dir
+    // (above the latest committed manifest) MUST survive
+    ManifestTable.vacuum(spark, base, retainVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dd, "v00001")),
+      "superseded version dir should be vacuumed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dd, "v00003")),
+      "vacuum must not delete an in-flight staged version")
+    // the in-flight merge commits fine after the vacuum
+    ManifestTable.commit(spark, base, staged)
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k1", "2023-03-01") -> 11.0, ("k2", "2024-01-01") -> 30.0))
   }
 }

@@ -122,7 +122,7 @@ object GraftProperties extends Properties("graft") {
       val allKeys = batches.flatten.map(keyOf).toSet
       // (c) maintenance is row-invisible under ANY merge history:
       // clustered compaction + vacuum never change what readers see
-      graft.etl.ManifestTable.compact(spark, base, targetFileRows = 4,
+      graft.etl.ManifestTable.compact(spark, base, targetFileBytes = 2048,
         clusterBy = Seq(org.apache.spark.sql.functions.col("v")))
       graft.etl.ManifestTable.vacuum(spark, base)
       val afterMaint = graft.etl.ManifestTable.read(spark, base)
