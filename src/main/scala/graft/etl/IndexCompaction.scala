@@ -1,0 +1,128 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file maintenance for the batch-partitioned bucketed index
+  * tables ([[MinhashIndex]], [[TextIndex]], [[LshIndex]]): every
+  * [[BatchLog]]-committed append adds one file set per bucket, so a
+  * daily-ingest index accretes ~1 file/bucket/batch forever and scan
+  * cost degrades with open()-per-file. Compaction folds all COMMITTED
+  * batch partitions into a single fresh build partition — one file per
+  * bucket again — via a staging table and an `ALTER TABLE RENAME` swap
+  * (data follows the name; mechanics probed before this design was
+  * committed, see [[BatchLog]]).
+  *
+  * Correctness properties:
+  *  - only committed batches fold: a crashed append's orphan partition
+  *    (its batch id absent from the log) is EXCLUDED and disappears in
+  *    the swap — exactly the rows no reader should ever have seen. If
+  *    that batch later retries, its purge finds nothing and the append
+  *    lands normally.
+  *  - the batch log is NOT touched: committed markers persist as
+  *    tombstones, so a very late replay of a long-folded batch is still
+  *    a no-op (purging the marker would let the replay re-append rows
+  *    the fold already carries). One empty marker file per batch ever
+  *    accepted is the price — bounded and cheap.
+  *  - the swap is two catalog ops (drop, rename) with the replacement
+  *    data durable first. The one crash window (dropped, not yet
+  *    renamed) leaves the staged table complete; [[heal]] finishes the
+  *    rename and runs at the start of every compaction — a probe in
+  *    that window fails LOUDLY (table not found), never silently wrong.
+  *  - probes are plan-identical afterwards: the staged write uses the
+  *    same partition+bucket+sort spec, so the exchange-free corpus-side
+  *    reads survive (spec re-asserts the executed plans).
+  */
+object IndexCompaction {
+
+  private def stageName(table: String) = s"${table}__compact"
+
+  /** Rename `stage` to `table`, then re-register its partitions:
+    * `ALTER TABLE RENAME` moves a managed table's directory but the
+    * catalog's partition entries keep their OLD locations, so a scan of
+    * the renamed table silently reads zero rows until the partitions
+    * are recovered from the moved files (measured: 32 files on disk,
+    * count() == 0). */
+  private def renameSwap(s: SparkSession, stage: String, table: String): Unit = {
+    s.sql(s"ALTER TABLE $stage RENAME TO $table")
+    s.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+  }
+
+  /** Finish an interrupted swap: the staged table is complete by
+    * construction, so if the target is gone, rename completes the
+    * compaction; if both exist, the stage is a dead leftover. */
+  def heal(s: SparkSession, table: String): Unit = {
+    val stage = stageName(table)
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(stage)) {
+      s.sql(s"ALTER TABLE $stage RENAME TO $table")
+      // the healed target may be partitioned (fold path) or not (stats
+      // row) — recover only when there are partitions to re-register
+      if (s.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .partitionColumnNames.nonEmpty)
+        s.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    }
+  }
+
+  /** Parquet file count across a table's partitions — the maintenance
+    * trigger (compact when it drifts far above the bucket count), from
+    * listStatus metadata only. */
+  def fileCount(s: SparkSession, table: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    if (fs.exists(root)) walk(root) else 0
+  }
+
+  /** Fold `table`'s committed batch partitions into one fresh
+    * [[BatchLog.BuildId]] partition with one file per bucket.
+    *
+    * The read runs with bucketed scanning OFF: a bucketed scan claims to
+    * already satisfy the writer's hash distribution, Catalyst elides the
+    * pre-write exchange, and each (size-coalesced, bucket-MIXED) read
+    * task then writes one file per bucket it happens to hold — the
+    * 1-file-per-bucket goal silently becomes tasks×buckets (measured: 61
+    * files for 32 buckets). A plain scan forces the exchange, aligning
+    * tasks to buckets exactly. */
+  private[etl] def fold(s: SparkSession, table: String,
+      committed: Set[String], nBuckets: Int,
+      bucketCols: Seq[String]): Unit = {
+    heal(s, table)
+    val stage = stageName(table)
+    MinhashIndex.dropTable(s, stage)
+    // exclusion list = partitions present but not committed (tiny: only
+    // crashed-and-never-retried appends), so the filter never carries
+    // the full committed history into the plan
+    val partIds = s.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).stripPrefix("batch_id="))
+    val orphans = partIds.filterNot(committed).toSeq
+    val bucketedRead = "spark.sql.sources.bucketing.enabled"
+    val prev = s.conf.get(bucketedRead, "true")
+    s.conf.set(bucketedRead, "false")
+    try {
+      val live = s.table(table)
+      val folded = (if (orphans.isEmpty) live
+        else live.filter(!col("batch_id").isin(orphans: _*)))
+        .drop("batch_id")
+      MinhashIndex.writeBucketed(folded, stage, nBuckets,
+        append = false, BatchLog.BuildId, bucketCols: _*)
+    } finally s.conf.set(bucketedRead, prev)
+    MinhashIndex.dropTable(s, table)
+    renameSwap(s, stage, table)
+  }
+
+  /** Compact every table of a catalog-backed index family. `tables`
+    * pairs each table with its bucket columns; `nBuckets` comes from the
+    * family's [[IndexMeta]]. */
+  private[etl] def compactFamily(s: SparkSession, name: String,
+      tables: Seq[(String, Seq[String])]): Unit = {
+    val nBuckets = IndexMeta.read(s, name)("n_buckets").toInt
+    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+    tables.foreach { case (t, cols) => fold(s, t, committed, nBuckets, cols) }
+  }
+}

@@ -88,6 +88,16 @@ object LshIndex {
     }
   }
 
+  /** Fold all committed batch partitions back to one file per bucket
+    * ([[IndexCompaction]] swap protocol). Searches are row- and
+    * plan-identical afterwards. */
+  def compact(s: SparkSession, name: String): Unit = {
+    val t = tables(name)
+    IndexCompaction.compactFamily(s, name, Seq(
+      t.vectors -> Seq("vec_id"),
+      t.buckets -> Seq("tbl", "bucket")))
+  }
+
   /** One batch's vectors + sign-buckets, batch-tagged and bucketed. The
     * bucket rows derive from the STORED vectors just written, so the two
     * tables stay consistent under a non-deterministic input frame. */

@@ -186,6 +186,18 @@ object MinhashIndex {
     }
   }
 
+  /** Fold all committed batch partitions back to one file per bucket —
+    * run when [[IndexCompaction.fileCount]] drifts far above the bucket
+    * count. Probes are row- and plan-identical afterwards
+    * (spec-asserted); see [[IndexCompaction]] for the swap protocol. */
+  def compact(s: SparkSession, name: String): Unit = {
+    val t = tables(name)
+    IndexCompaction.compactFamily(s, name, Seq(
+      t.shingles -> Seq("doc_id", "shingle"),
+      t.sizes -> Seq("doc_id"),
+      t.banded -> Seq("band", "bucket")))
+  }
+
   /** Drop one batch's rows from an index table — a metadata-cheap
     * `DROP PARTITION`, the purge arm of the exactly-once protocol. */
   private[etl] def dropBatchPartition(s: SparkSession, table: String,

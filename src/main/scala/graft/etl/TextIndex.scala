@@ -93,6 +93,16 @@ object TextIndex {
     }
   }
 
+  /** Fold all committed batch partitions back to one file per bucket
+    * ([[IndexCompaction]] swap protocol; stats is one row and never
+    * needs it). Searches are row- and plan-identical afterwards. */
+  def compact(s: SparkSession, name: String): Unit = {
+    val t = tables(name)
+    IndexCompaction.compactFamily(s, name, Seq(
+      t.postings -> Seq("token"),
+      t.doclens -> Seq("doc_id")))
+  }
+
   /** One batch's postings + doc lengths, batch-tagged and bucketed.
     * Doc lengths derive from the STORED postings partition just written,
     * so the two tables stay consistent even under a non-deterministic
