@@ -87,10 +87,17 @@ object HttpSource {
     * `parallelism` bounds concurrent connections against the API —
     * politeness is a cluster-wide budget, not per-task luck.
     *
-    * Raw payloads LAND (parquet under `landingDir`) before parsing, and
-    * the returned frame reads from the landing zone: downstream ACTIONS
-    * never re-hit the API (an unlanded fetch would, once for schema
-    * inference and again per action — spec-counted). Task-level
+    * Raw payloads LAND (parquet under `landingDir/run=<runId>/`) before
+    * parsing, and the returned frame reads from THIS run's landing
+    * partition: downstream ACTIONS never re-hit the API (an unlanded
+    * fetch would, once for schema inference and again per action —
+    * spec-counted). Each run writes a fresh `run=` partition instead of
+    * overwriting the zone, so a refresh never destroys the raw bytes a
+    * prior run's readers (or a post-mortem) depend on — the whole zone
+    * stays one partitioned parquet read, and a duplicate runId fails
+    * loudly rather than silently merging two fetches. An empty URL list
+    * short-circuits to an empty frame: no API traffic, no empty parquet
+    * directory that schema inference can't read back. Task-level
     * at-most-once is Spark's to break: a retried or speculated task
     * re-fetches its partition's URLs, so run fetch jobs with speculation
     * off and treat the GETs as idempotent — the same caveat as any
@@ -100,9 +107,12 @@ object HttpSource {
       landingDir: String,
       headers: Map[String, String] = Map.empty,
       transportFactory: () => Transport = () => javaHttpTransport,
-      parallelism: Int = 32): DataFrame = {
+      parallelism: Int = 32,
+      runId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     import spark.implicits._
+    if (urls.isEmpty) return spark.emptyDataFrame
     val hdrs = headers // serialize the map, not `this`
+    val runDir = s"$landingDir/run=$runId"
     spark.createDataset(urls)
       .repartition(math.max(1, math.min(parallelism, urls.size)))
       .mapPartitions { it =>
@@ -110,10 +120,10 @@ object HttpSource {
         it.map(u => t(Request(u, hdrs)))
       }
       .toDF("payload")
-      .write.mode("overwrite").parquet(landingDir)
+      .write.mode("errorifexists").parquet(runDir)
     // parquet, not text: payloads may contain newlines
     spark.read.json(
-      spark.read.parquet(landingDir).select("payload").as[String])
+      spark.read.parquet(runDir).select("payload").as[String])
   }
 
   /** `info.next`-style link extraction (Jackson ships with Spark):

@@ -128,4 +128,41 @@ class HttpSourceSpec extends SparkSpec {
     // the raw payloads landed for replay/quarantine
     assert(spark.read.parquet(landing).count() == 40)
   }
+
+  test("fan-out runs land side by side: a refresh never clobbers prior raw bytes") {
+    val factory: () => HttpSource.Transport = () => { req =>
+      s"""{"id": ${req.url.split("/").last.toInt}}"""
+    }
+    val landing = java.nio.file.Files.createTempDirectory("fanout2").toString + "/raw"
+    val urls = (1 to 5).map(i => s"http://api.example/item/$i")
+    HttpSource.fetchJsonFanout(spark, urls, landing,
+      transportFactory = factory, runId = "r1")
+    val refresh = HttpSource.fetchJsonFanout(spark, urls, landing,
+      transportFactory = factory, runId = "r2")
+    assert(refresh.count() == 5, "the returned frame is THIS run's payloads only")
+    // both runs' raw bytes remain, one partitioned zone
+    val zone = spark.read.parquet(landing)
+    assert(zone.count() == 10)
+    assert(zone.select("run").distinct().count() == 2,
+      "each run is its own landing partition")
+    // a duplicate run id is an error, never a silent merge
+    intercept[Exception] {
+      HttpSource.fetchJsonFanout(spark, urls, landing,
+        transportFactory = factory, runId = "r1")
+    }
+  }
+
+  test("empty URL list short-circuits: no fetches, no unreadable landing dir") {
+    val fetches = spark.sparkContext.longAccumulator("noFetches")
+    val factory: () => HttpSource.Transport = () => { req =>
+      fetches.add(1); "{}"
+    }
+    val landing = java.nio.file.Files.createTempDirectory("fanout3").toString + "/raw"
+    val df = HttpSource.fetchJsonFanout(spark, Seq.empty, landing,
+      transportFactory = factory)
+    assert(df.count() == 0)
+    assert(fetches.value == 0)
+    assert(!new java.io.File(landing).exists(),
+      "an empty fetch must not leave a landing dir schema inference chokes on")
+  }
 }
