@@ -27,6 +27,31 @@ class SurfaceCountSpec extends AnyFunSuite {
     assert(scale.contains(expected), s"SCALE.md must state '$expected'")
   }
 
+  test("SCALE.md's bench paragraph quotes the newest driver bench run") {
+    // claims-vs-measurements hygiene, round-7 lesson: the doc quoted a
+    // stale round's total while a newer BENCH_r*.json sat beside it.
+    // Pin the quoted total (and its round number) to the newest file —
+    // a new driver bench lands, this fails, the doc gets re-anchored.
+    val benches = new java.io.File(".").listFiles()
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    assume(benches.nonEmpty, "no driver bench artifacts present")
+    val newest = benches.last
+    val body = scala.io.Source.fromFile(newest, "UTF-8").mkString
+    // the bench line sits inside the artifact's "tail" string, quotes
+    // escaped — match both the raw and embedded forms
+    val total = """\\?"metric\\?":\\?"total\\?",\\?"value\\?":([0-9.]+)""".r
+      .findFirstMatchIn(body).map(_.group(1).toDouble)
+    assert(total.isDefined, s"${newest.getName} has no parseable total")
+    val round = newest.getName.stripPrefix("BENCH_r")
+      .stripSuffix(".json").toInt
+    val scale = scala.io.Source.fromFile("SCALE.md", "UTF-8").mkString
+    assert(scale.contains(f"${total.get}%.1f s total"),
+      s"SCALE.md must quote ${newest.getName}'s total " +
+        f"('${total.get}%.1f s total') — it quotes a stale run")
+    assert(scale.contains(s"round $round driver run"),
+      s"SCALE.md's bench header must name round $round (the newest run)")
+  }
+
   test("the rows-only set is exactly the two documented exceptions") {
     val rowsOnlyNames = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnlyNames ==
