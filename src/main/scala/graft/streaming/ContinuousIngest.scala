@@ -1,0 +1,169 @@
+package graft.streaming
+
+import graft.etl.{BatchLog, ManifestTable, MinhashIndex}
+import graft.operators.{CorpusPipeline, DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The END-TO-END continuous-ingest composition — the system the parts
+  * built in rounds 6–8 imply, assembled: a documents stream is gated,
+  * near-dup-checked against the accumulated corpus, merged atomically
+  * into a manifest-committed table, indexed exactly-once, and
+  * periodically compacted/vacuumed — one `foreachBatch` body, each leg
+  * riding the consistency protocol it already owns.
+  *
+  * Per micro-batch (all stages deterministic functions of the batch, so
+  * an at-least-once replay recomputes the same decisions):
+  *
+  *  1. GATES — PII scrub first (nothing downstream ever sees raw PII),
+  *     then quality + repetition predicates
+  *     ([[CorpusPipeline.qualityFilter]]/[[CorpusPipeline.repetitionFilter]]),
+  *     the C4-style token-exact blocklist ([[TextOps.blocklistScore]]),
+  *     and within-batch exact dedup (min doc_id per fingerprint).
+  *  2. NEAR-DUP — within-batch transitive collapse to min-id keepers
+  *     ([[DedupOps.minhashComponents]]), then survivors probe the
+  *     persisted corpus index ([[MinhashIndex.incrementalPairs]] — a
+  *     (band, bucket) equi-join reading the corpus tables in place,
+  *     never a corpus recompute). Self-id pairs are filtered so a
+  *     replay that already appended this batch still selects the same
+  *     survivors. Cross-batch EXACT duplicates need no separate state:
+  *     a byte-identical copy of an accepted doc is Jaccard-1 with it
+  *     and drops here (every gated doc has ≥ minTokens ≥ shingle-size
+  *     tokens, so shingles always exist).
+  *  3. MERGE — accepted docs land via [[ManifestTable.mergeInto]]: one
+  *     atomic manifest flip, readers see all-old or all-new. The merge
+  *     is a keyed upsert, so replaying it with the same rows converges
+  *     to the same table content (a replay burns a version number,
+  *     never duplicates a row).
+  *  4. INDEX — the same accepted frame enters the corpus index through
+  *     [[MinhashIndex.append]]'s committed [[BatchLog]]: replay is a
+  *     no-op, a crash mid-append purges its partial batch partition and
+  *     converges on retry. The first non-empty batch BUILDS the index
+  *     under its own batch id (build content == append content for it).
+  *  5. MAINTENANCE — every `compactEvery` batches: manifest small-file
+  *     compaction + history vacuum, and index compaction back to one
+  *     file per bucket ([[MinhashIndex.compact]]'s staging-table swap).
+  *     Maintenance never changes visible rows (spec-asserted here and
+  *     in ManifestTableSpec/IndexCompactionSpec), so it is safe at any
+  *     crash point — a half-done compaction is invisible until its own
+  *     atomic commit.
+  *
+  * Crash-point audit (every arrow is a spec-injected scenario in
+  * ContinuousIngestSpec):
+  *   - before MERGE: replay recomputes the same survivors → same merge.
+  *   - between MERGE and INDEX: merge replays idempotently (upsert of
+  *     identical rows), index append then runs once.
+  *   - inside INDEX append: [[BatchLog]] purge arm drops the partial
+  *     batch partition, re-appends, converges.
+  *   - after INDEX commit, before checkpoint commit: probe sees the
+  *     batch's own indexed rows — self-pairs filtered, survivors
+  *     unchanged; merge idempotent; append is a logged no-op.
+  *
+  * At 100 TB this shape is the point: per-batch cost is O(batch) gates
+  * + an index probe that shuffles only the batch, the corpus moves only
+  * in O(touched partitions) merges, and the heavyweight corrections
+  * (compaction) amortize over `compactEvery` batches behind atomic
+  * swaps. The reference's ingest lambda
+  * (`src/lambdas/ingest/ingestStreamateModelPerformance.py:72-142`)
+  * does the same accept-dedup-land loop one record at a time against
+  * DynamoDB; here every leg is a distributed job and the dedup check is
+  * an indexed join, not a per-row lookup.
+  */
+object ContinuousIngest {
+
+  /** Everything the per-batch body needs. `dateCol` must exist in the
+    * stream schema and be part of `keys` (the [[ManifestTable]]
+    * partition invariant). `compactEvery = 0` disables maintenance. */
+  final case class Config(
+      corpusPath: String,
+      indexName: String,
+      keys: Seq[String] = Seq("doc_id", "doc_date"),
+      dateCol: String = "doc_date",
+      blocklist: Seq[String] = Nil,
+      maxBlocklistDensity: Double = 0.1,
+      thresholds: CorpusPipeline.Thresholds = CorpusPipeline.Thresholds(),
+      nearDupThreshold: Double = 0.5,
+      compactEvery: Int = 0,
+      retainVersions: Int = 2)
+
+  /** Start the composed pipeline over a streaming documents frame
+    * (schema: `documents` + the config's date column). AvailableNow +
+    * checkpoint: incremental across restarts, exactly-once effects by
+    * the protocol audit above. */
+  def start(spark: SparkSession, docs: DataFrame, checkpointDir: String,
+      cfg: Config): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, cfg)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Stages 1–2: the deterministic accept decision for one batch given
+    * the current index state. Package-private so the spec can replay
+    * it standalone when simulating crashes. */
+  private[graft] def accepted(spark: SparkSession, batch: DataFrame,
+      cfg: Config): DataFrame = {
+    val t = cfg.thresholds
+    val scrubbed = batch.withColumn("text", TextOps.scrubPii(col("text")))
+    val quality = CorpusPipeline.repetitionFilter(
+      CorpusPipeline.qualityFilter(scrubbed, t), t)
+    val safe =
+      if (cfg.blocklist.isEmpty) quality
+      else {
+        val keep = TextOps
+          .blocklistScore(quality, cfg.blocklist, cfg.maxBlocklistDensity)
+          .filter(col("keep")).select(col("doc_id"))
+        quality.join(keep, Seq("doc_id"), "left_semi")
+      }
+    val deduped = CorpusPipeline.exactDedup(safe)
+    val losers = DedupOps
+      .minhashComponents(spark, deduped, cfg.nearDupThreshold)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val keepers = deduped.join(losers, Seq("doc_id"), "left_anti")
+    if (spark.catalog.tableExists(s"${cfg.indexName}_banded")) {
+      val dupOfCorpus = MinhashIndex
+        .incrementalPairs(spark, keepers, cfg.indexName, cfg.nearDupThreshold)
+        .filter(col("doc_old") =!= col("doc_new")) // replay: indexed self
+        .select(col("doc_new").as("doc_id")).distinct()
+      keepers.join(dupOfCorpus, Seq("doc_id"), "left_anti")
+    } else keepers
+  }
+
+  /** Stages 3–5 for one micro-batch. Public shape of the foreachBatch
+    * body; package-private so the spec can crash-inject between legs. */
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, cfg: Config): Unit = {
+    val bid = s"b$batchId"
+    val log = BatchLog.logDir(spark, cfg.indexName)
+    val accept = accepted(spark, batch, cfg).persist() // merge + index read it
+    try {
+      if (accept.count() > 0) {
+        ManifestTable.mergeInto(spark, accept, cfg.corpusPath, cfg.keys,
+          cfg.dateCol)
+        if (!BatchLog.isCommitted(spark, log, bid)) {
+          if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
+            MinhashIndex.append(spark, accept, cfg.indexName, bid)
+          else
+            MinhashIndex.build(spark, accept, cfg.indexName, buildBatchId = bid)
+        }
+      }
+    } finally accept.unpersist(blocking = false)
+    if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0)
+      maintain(spark, cfg)
+  }
+
+  /** The periodic maintenance leg — row-invisible by construction, safe
+    * to run (or crash out of) at any point between batches. */
+  private[graft] def maintain(spark: SparkSession, cfg: Config): Unit = {
+    if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
+      ManifestTable.compact(spark, cfg.corpusPath)
+      ManifestTable.vacuum(spark, cfg.corpusPath, cfg.retainVersions)
+    }
+    if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
+      MinhashIndex.compact(spark, cfg.indexName)
+  }
+}
