@@ -1,0 +1,42 @@
+package graft
+
+import graft.streaming.ContinuousIngest
+
+/** Runnable entry point for the composed continuous-ingest pipeline —
+  * the non-test caller of [[graft.streaming.ContinuousIngest]]. Points a
+  * parquet-directory documents stream (schema: `documents` + a DATE
+  * `doc_date` column) at a manifest-committed corpus and its MinHash
+  * index, with periodic compaction/vacuum:
+  *
+  * {{{
+  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir>"
+  * }}}
+  *
+  * Each invocation drains everything new in `srcDir` (AvailableNow) and
+  * exits; re-running resumes from the checkpoint. Crash anywhere —
+  * including between the merge and the index append — and the next run
+  * converges (ContinuousIngestSpec injects each seam). On a cluster the
+  * same object runs with a `master` the deployment sets and a durable
+  * checkpoint dir.
+  */
+object ContinuousIngestMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir>")
+    val Array(src, corpus, index, checkpoint) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = spark.read.parquet(src).schema
+    val q = ContinuousIngest.start(spark,
+      spark.readStream.schema(schema).parquet(src),
+      checkpoint,
+      ContinuousIngest.Config(corpusPath = corpus, indexName = index,
+        compactEvery = 8))
+    q.awaitTermination()
+    println(s"[ingest] drained $src into $corpus (index: $index)")
+    spark.stop()
+  }
+}

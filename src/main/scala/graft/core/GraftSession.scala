@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   *  - UTC + ANSI off: Athena-permissive cast/overflow semantics
   *    (SURVEY §7.4) and oracle parity.
-  *  - `nanosAsLong`: the events table stores parquet TIMESTAMP(NANOS),
-  *    which Spark's vectorized reader rejects; reading as raw nanos lets
-  *    [[graft.operators.EventOps.events]] rebuild a lossless µs timestamp.
+  *  - `nanosAsLong`: some testdata generations store events.ts as parquet
+  *    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; reading
+  *    as raw nanos lets [[graft.operators.EventOps.events]] rebuild a
+  *    lossless µs timestamp. Harmless when the column ships as
+  *    TIMESTAMP(MICROS) — the loader branches on the arrived type.
   *  - GraftExtensions: registers `cosine_sim` and the DimBroadcastRule.
   *
   * Callers append deployment-specific settings (master cores, shuffle

@@ -33,14 +33,76 @@ final case class QueryDef(
 
 trait QueryModule { def defs: Seq[QueryDef] }
 
-/** Testdata table loader. Tables are single parquet files per TESTDATA.md. */
+/** Testdata table loader. Tables are single parquet files per TESTDATA.md.
+  *
+  * Every load is checked against a per-table column contract — the
+  * round-8 lesson: the testdata's `events.ts` physical encoding changed
+  * between rounds and the first symptom was 18 queries dying deep inside
+  * analysis with a raw `DATATYPE_MISMATCH`. The contract turns the next
+  * drift into ONE error naming the table, the column, what arrived, and
+  * what the engine can absorb. Columns whose loaders adapt (timestamps
+  * that have shipped as raw nanos, µs-timestamp, and NTZ; keys that have
+  * shipped int32 and int64) admit the full set they handle; everything
+  * else is pinned exact.
+  */
 object T {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val str: Set[DataType] = Set(StringType)
+  private val dbl: Set[DataType] = Set(DoubleType)
+  /** Integer keys have shipped both widths across testdata generations. */
+  private val key: Set[DataType] = Set(IntegerType, LongType)
+  /** Event-time encodings the adaptive loaders absorb (raw-nanos LONG,
+    * µs TIMESTAMP, NTZ, or plain DATE). */
+  private val ts: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType, DateType)
+
+  private val contracts: Map[String, Seq[(String, Set[DataType])]] = Map(
+    "region" -> Seq("r_regionkey" -> key, "r_name" -> str),
+    "nation" -> Seq("n_nationkey" -> key, "n_name" -> str,
+      "n_regionkey" -> key),
+    "customer" -> Seq("c_custkey" -> key, "c_name" -> str,
+      "c_nationkey" -> key, "c_acctbal" -> dbl, "c_mktsegment" -> str),
+    "supplier" -> Seq("s_suppkey" -> key, "s_name" -> str,
+      "s_nationkey" -> key, "s_acctbal" -> dbl),
+    "part" -> Seq("p_partkey" -> key, "p_name" -> str, "p_brand" -> str,
+      "p_type" -> str, "p_size" -> key, "p_retailprice" -> dbl),
+    "orders" -> Seq("o_orderkey" -> key, "o_custkey" -> key,
+      "o_orderstatus" -> str, "o_totalprice" -> dbl, "o_orderdate" -> ts,
+      "o_orderpriority" -> str),
+    "lineitem" -> Seq("l_orderkey" -> key, "l_partkey" -> key,
+      "l_suppkey" -> key, "l_linenumber" -> key, "l_quantity" -> dbl,
+      "l_extendedprice" -> dbl, "l_discount" -> dbl, "l_tax" -> dbl,
+      "l_returnflag" -> str, "l_linestatus" -> str, "l_shipdate" -> ts),
+    "events" -> Seq("event_id" -> key, "ts" -> ts, "user_id" -> key,
+      "event_type" -> str, "value" -> dbl, "props" -> str),
+    "documents" -> Seq("doc_id" -> key, "text" -> str, "lang" -> str,
+      "source" -> str, "n_chars" -> key),
+    "embeddings" -> Seq("vec_id" -> key,
+      "embedding" -> Set[DataType](ArrayType(FloatType), ArrayType(FloatType, containsNull = false)),
+      "label" -> key))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    contracts.get(name).foreach(_.foreach { case (c, admissible) =>
+      df.schema.find(_.name == c) match {
+        case None => throw new IllegalStateException(
+          s"table $name: expected column '$c' is missing " +
+            s"(arrived: ${df.schema.fieldNames.mkString(", ")}) — " +
+            "the testdata's schema drifted; update the loader contract")
+        case Some(f) if !admissible.contains(f.dataType) =>
+          throw new IllegalStateException(
+            s"$name.$c arrived as ${f.dataType.simpleString}; this engine " +
+              s"absorbs ${admissible.map(_.simpleString).mkString("/")} — " +
+              "the testdata's physical schema drifted; adapt the loader " +
+              "(see EventOps.events for the pattern)")
+        case _ => ()
+      }
+    })
+    df
+  }
 }
 
 /** Helpers shared by all operator modules.

@@ -122,7 +122,17 @@ object IndexCompaction {
   private[etl] def compactFamily(s: SparkSession, name: String,
       tables: Seq[(String, Seq[String])]): Unit = {
     val nBuckets = IndexMeta.read(s, name)("n_buckets").toInt
-    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+    val log = BatchLog.logDir(s, name)
+    // The fold writes its output under [[BatchLog.BuildId]], but a build
+    // that ran under a CUSTOM batch id (ContinuousIngest builds under the
+    // triggering micro-batch's id) never committed that name — so a
+    // SECOND compaction would classify the first's folded partition as an
+    // uncommitted orphan and fold the whole index to empty. Commit the
+    // fold's own output id up front (idempotent; appends never use the
+    // reserved id, so the marker can't legitimize foreign rows). A crash
+    // after this commit but before any swap leaves the old tables intact.
+    BatchLog.commit(s, log, BatchLog.BuildId)
+    val committed = BatchLog.committed(s, log)
     tables.foreach { case (t, cols) => fold(s, t, committed, nBuckets, cols) }
   }
 }

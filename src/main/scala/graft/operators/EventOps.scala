@@ -13,15 +13,29 @@ import org.apache.spark.sql.types._
   */
 object EventOps extends QueryModule {
 
-  /** events loader — the testdata stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects. The session (built via
-    * [[graft.core.GraftSession]]) reads it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and this loader rebuilds a
-    * TimestampType column; the values are µs-granular so `ns div 1000`
-    * is lossless. No session conf is mutated here. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    T(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events loader — schema-adaptive on the physical encoding of `ts`.
+    * The testdata has shipped it two ways across generations: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects, so the
+    * session's `spark.sql.legacy.parquet.nanosAsLong` surfaces it as a raw
+    * nanos LONG that we rebuild — µs-granular values make `ns div 1000`
+    * lossless) and parquet TIMESTAMP(MICROS) (read natively as
+    * TIMESTAMP_NTZ or TIMESTAMP). Branching on the arrived type instead of
+    * assuming one encoding means a testdata regeneration can't break every
+    * downstream events query at analysis time. The session timezone is
+    * pinned UTC, so the NTZ→TZ cast is value-preserving. No session conf
+    * is mutated here. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = T(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType                           => timestamp_micros(expr("ts div 1000"))
+      case TimestampType                      => col("ts")
+      case TimestampNTZType                   => col("ts").cast(TimestampType)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other; expected LONG (raw nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+    raw.withColumn("ts", ts)
+  }
 
   /** F4: ISO day-of-week (Mon=1..Sun=7). Presto's `day_of_week` vs Spark's
     * Sun-first `dayofweek` — SURVEY §7.4 item 1. `weekday()+1` closes it. */

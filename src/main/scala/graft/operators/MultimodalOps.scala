@@ -84,6 +84,48 @@ object MultimodalOps extends QueryModule {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Oracle-portable per-dimension feature: hex chars 25–32 of
+    * md5(payload ++ ":" ++ dim), parsed base-16 — same construction as
+    * [[DedupOps]]' portable minhash permutations, so DuckDB replays it
+    * as `('0x' || substr(md5(s || ':' || dim), 25, 8))::UBIGINT`.
+    * Integer-valued on purpose: the correctness gate hashes formatted
+    * values, and integers cannot drift in formatting where floats can. */
+  def portableFeature(md: java.security.MessageDigest,
+      payload: Array[Byte], dim: Int): Long = {
+    md.reset()
+    md.update(payload)
+    md.update(s":$dim".getBytes("UTF-8"))
+    val digest = md.digest()
+    // low 4 bytes of the 16-byte digest = hex chars 25..32, as unsigned
+    java.lang.Integer.toUnsignedLong(
+      java.nio.ByteBuffer.wrap(digest, 12, 4).getInt)
+  }
+
+  /** The declared feature-extract pipeline: one (doc_id, dim, feature)
+    * row per dimension, digest state initialized once per partition —
+    * the exact batch shape a real per-partition model decoder has. */
+  def extractFeaturesPortable(media: DataFrame, dims: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dim", LongType),
+      StructField("feature", LongType)))
+    val rdd = media
+      .select(col("doc_id"), col("media"))
+      .repartition(col("doc_id")) // spread skewed media rows
+      .rdd
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val id = r.getAs[Long]("doc_id")
+          (0 until dims).iterator
+            .map(d => Row(id, d.toLong, portableFeature(md, bytes, d)))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** ======== REAL decode (no stub) ========
     * Byte-level media HEADER decode needs no external library, so this
     * part is real: PNG IHDR (big-endian dims after the 8-byte
@@ -516,16 +558,28 @@ object MultimodalOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
-  /** Feature extraction pipeline (stubbed decode) — rows-only check; the
-    * spec asserts shape + determinism. */
+  /** Feature extraction pipeline — the mapPartitions decode shape with an
+    * ORACLE-CHECKABLE feature: each dimension is the low-32-bit md5 of
+    * (payload bytes ++ ":dim"), an integer "quantized embedding" DuckDB
+    * replays from the media generator formula. The per-partition
+    * iterator, decoder-state init, and byte-level digest over the REAL
+    * binary column are exactly the production pipeline shape; only the
+    * ML model behind [[decodeStub]] remains environment-stubbed (no
+    * media runtime in this container), and the hash-match now proves the
+    * payload assembly and batching end-to-end instead of a rows-only
+    * count. */
   private val mmFeatures = QueryDef(
     "mm_feature_extract",
-    None,
+    Some("""
+      SELECT d.doc_id, t.dim,
+        ('0x' || substr(md5('IMG:' || d.lang || ':' || d.text || ':' ||
+           CAST(t.dim AS VARCHAR)), 25, 8))::UBIGINT::BIGINT AS feature
+      FROM documents d CROSS JOIN range(16) t(dim)
+      ORDER BY doc_id, dim"""),
     (s, dir) => {
       import s.implicits._
-      extractFeatures(withSyntheticMedia(T(s, dir, "documents")))
-        .select($"doc_id", size($"features").as("dims"), $"n_bytes")
-        .orderBy($"doc_id")
+      extractFeaturesPortable(withSyntheticMedia(T(s, dir, "documents")))
+        .orderBy($"doc_id", $"dim")
     })
 
   /** Bytes per synthetic raw-video frame (fixed-size ASCII payload, so

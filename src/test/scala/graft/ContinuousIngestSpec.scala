@@ -1,0 +1,161 @@
+package graft
+
+import graft.etl.{BatchLog, ManifestTable, MinhashIndex}
+import graft.streaming.ContinuousIngest
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end spec for the composed continuous-ingest pipeline — the
+  * round-7 definition of done: N micro-batches through
+  * gates→near-dup→merge→index→compact/vacuum with crashes injected at
+  * the protocol seams, then corpus AND index asserted equal to a
+  * from-scratch batch rebuild.
+  *
+  * Doc geometry: 16 distinct tokens per doc — passes every gate
+  * (n_tokens 16 ≥ 10; top-2gram frac 1/15 ≤ 0.09; dup-token frac 0) —
+  * and a one-word edit gives trigram Jaccard 11/17 ≈ 0.65 ≥ the 0.5
+  * near-dup threshold, so dup/fresh decisions are unambiguous.
+  */
+class ContinuousIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val idx = "ci_idx"
+  private val rebuilt = "ci_rebuild"
+  private val day = java.sql.Date.valueOf("2024-01-15")
+
+  private def words(tag: String, n: Int) =
+    (1 to n).map(k => s"${tag}_$k").mkString(" ")
+  private def doc(id: Long, text: String) =
+    (id, text, "en", "srcA", text.length.toLong, day)
+  private def frame(rows: Seq[(Long, String, String, String, Long, java.sql.Date)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date")
+
+  test("continuous ingest: gates, cross-batch dedup, crash seams, rebuild equivalence") {
+    val src = Files.createTempDirectory("ci_src").toString + "/data"
+    val cp = Files.createTempDirectory("ci_cp").toString
+    val corpus = Files.createTempDirectory("ci_corpus").toString + "/corpus"
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = idx,
+      compactEvery = 2)
+
+    def corpusIds(): Set[Long] = ManifestTable.read(spark, corpus)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    def indexIds(): Seq[Long] = spark.table(s"${idx}_sizes")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+
+    try {
+      // ---- batch 1: ten mutually-distinct docs, all accepted; index built
+      val batch1 = frame((1L to 10L).map(i => doc(i, words(s"b$i", 16))))
+      batch1.write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+      run()
+      assert(corpusIds() == (1L to 10L).toSet)
+      assert(indexIds().sorted == (1L to 10L).toSeq,
+        "index holds exactly the accepted docs")
+
+      // ---- batch 2: every rejection path at once
+      val fresh = words("f", 16)
+      val batch2 = frame(Seq(
+        doc(100L, words("b1", 15) + " changed"), // near-dup of corpus doc 1
+        doc(101L, fresh),                        // fresh, kept
+        doc(102L, fresh.replace("f_16", "altered")), // within-batch near-dup
+        doc(103L, words("b2", 16)),              // byte-copy of corpus doc 2
+        doc(104L, words("g", 16))))              // fresh, kept
+      batch2.write.mode("append").parquet(src)
+      run() // batch id 1 → maintenance fires ((1+1) % 2 == 0)
+      val after2 = (1L to 10L).toSet + 101L + 104L
+      assert(corpusIds() == after2,
+        "corpus near-dup, within-batch near-dup and byte-copy all rejected")
+      assert(indexIds().sorted == after2.toSeq.sorted,
+        "index tracks the corpus exactly, post-compaction")
+
+      // ---- crash seam 1: checkpoint commit lost AFTER all effects —
+      // the whole micro-batch replays with the same content; merge must
+      // upsert idempotently and the index append must be a logged no-op
+      val commits = new java.io.File(cp, "commits")
+      val last = commits.listFiles().map(_.getName)
+        .filter(_.forall(_.isDigit)).map(_.toInt).max
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      run()
+      assert(corpusIds() == after2, "replayed micro-batch is a corpus no-op")
+      assert(indexIds().sorted == after2.toSeq.sorted,
+        "replayed append must not duplicate index rows")
+
+      // ---- crash seam 2: died between MERGE and INDEX. Simulate the
+      // first attempt by hand (merge lands, index append never runs, the
+      // stream checkpoint never commits), then let the stream replay the
+      // batch: accept decisions recompute identically (the probe reads
+      // the INDEX, which the crashed attempt never touched), the merge
+      // replays as an idempotent upsert, the append then runs once.
+      val batch3 = frame(Seq(
+        doc(200L, words("h", 16)),               // fresh, kept
+        doc(201L, words("g", 15) + " changed"))) // near-dup of corpus doc 104
+      val acc3 = ContinuousIngest.accepted(spark, frame(Seq(
+        doc(200L, words("h", 16)), doc(201L, words("g", 15) + " changed"))), cfg)
+      assert(acc3.select($"doc_id").collect().map(_.getLong(0)).toSet == Set(200L))
+      ManifestTable.mergeInto(spark, acc3, corpus, cfg.keys, cfg.dateCol) // then: crash
+      batch3.write.mode("append").parquet(src)
+      run()
+      val after3 = after2 + 200L
+      assert(corpusIds() == after3, "merge replay converges, no duplicate rows")
+      assert(ManifestTable.read(spark, corpus).count() == after3.size,
+        "no (doc_id, doc_date) row duplicated by the double merge")
+      assert(indexIds().sorted == after3.toSeq.sorted,
+        "index append ran exactly once despite the replayed merge")
+
+      // ---- crash seam 3: died INSIDE a future batch's index append —
+      // plant partial rows under the batch id the next micro-batch will
+      // use; the append's purge arm must drop them before re-appending.
+      val nextBid = s"b${last + 2}" // batch3 replayed as id last+1
+      MinhashIndex.writeBucketed(
+        Seq((9999L, 1L)).toDF("doc_id", "n_sh"),
+        s"${idx}_sizes", nBuckets = 32, append = true, nextBid, "doc_id")
+      val batch4 = frame(Seq(doc(300L, words("k", 16))))
+      batch4.write.mode("append").parquet(src)
+      run()
+      val after4 = after3 + 300L
+      assert(corpusIds() == after4)
+      val finalIdx = indexIds()
+      assert(!finalIdx.contains(9999L),
+        "partial rows from the crashed append attempt must be purged")
+      assert(finalIdx.sorted == after4.toSeq.sorted)
+
+      // ---- from-scratch rebuild equivalence: a batch rebuild of the
+      // index over the final corpus must agree with the incrementally
+      // maintained one, table for table (modulo the batch_id tag).
+      MinhashIndex.build(spark, ManifestTable.read(spark, corpus), rebuilt)
+      def rows(table: String, cols: String*): Set[Seq[Any]] =
+        spark.table(table).select(cols.map(col): _*)
+          .collect().map(_.toSeq).toSet
+      assert(rows(s"${idx}_sizes", "doc_id", "n_sh") ==
+        rows(s"${rebuilt}_sizes", "doc_id", "n_sh"))
+      assert(rows(s"${idx}_banded", "doc_id", "band", "bucket") ==
+        rows(s"${rebuilt}_banded", "doc_id", "band", "bucket"))
+      assert(rows(s"${idx}_shingles", "doc_id", "shingle") ==
+        rows(s"${rebuilt}_shingles", "doc_id", "shingle"))
+      // and the maintained index answers a probe exactly like the rebuild
+      val probe = frame(Seq(doc(400L, words("b5", 15) + " changed")))
+      val viaMaintained = MinhashIndex
+        .incrementalPairs(spark, probe, idx)
+        .select($"doc_old", $"doc_new").collect().map(_.toSeq).toSet
+      val viaRebuild = MinhashIndex
+        .incrementalPairs(spark, probe, rebuilt)
+        .select($"doc_old", $"doc_new").collect().map(_.toSeq).toSet
+      assert(viaMaintained == viaRebuild && viaMaintained.nonEmpty,
+        "probe answers must be identical against maintained and rebuilt index")
+    } finally {
+      Seq(idx, rebuilt).foreach { n =>
+        Seq(s"${n}_banded", s"${n}_shingles", s"${n}_sizes", s"${n}_meta")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+  }
+}

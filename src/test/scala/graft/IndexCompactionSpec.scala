@@ -64,6 +64,31 @@ class IndexCompactionSpec extends SparkSpec {
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS icspec_mh$sfx"))
   }
 
+  test("re-compaction keeps the folded rows even when the build used a custom batch id") {
+    // Regression (round 9): ContinuousIngest builds the index under the
+    // triggering micro-batch's id, so BatchLog.BuildId was never in the
+    // committed log. The first compact folded every row into a BuildId
+    // partition; the SECOND compact then classified that partition as an
+    // uncommitted orphan and folded the index to empty — total data loss
+    // on a routine maintenance re-run. compactFamily now commits its own
+    // output id before folding.
+    val docs = graft.core.T(spark, sf0001, "documents")
+    try {
+      MinhashIndex.build(spark, docs.filter(!isNew), "icspec_rc",
+        buildBatchId = "b0")
+      val t = MinhashIndex.tables("icspec_rc")
+      val rows = spark.table(t.sizes).count()
+      assert(rows > 0)
+      MinhashIndex.compact(spark, "icspec_rc")
+      assert(spark.table(t.sizes).count() == rows, "first compact lossless")
+      MinhashIndex.compact(spark, "icspec_rc")
+      assert(spark.table(t.sizes).count() == rows,
+        "re-compaction must not orphan its own previous fold output")
+    } finally
+      Seq("_banded", "_shingles", "_sizes", "_meta")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS icspec_rc$sfx"))
+  }
+
   test("text + lsh indexes: compaction is search-invisible") {
     val docs = graft.core.T(spark, sf0001, "documents")
     val emb = graft.core.T(spark, sf0001, "embeddings")

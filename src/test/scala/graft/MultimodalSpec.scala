@@ -29,6 +29,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("portable features: JVM digest path equals the SQL md5 recompute") {
+    // The declared mm_feature_extract runs the mapPartitions decoder; its
+    // DuckDB oracle replays md5 over the generator string. Cross-check the
+    // JVM MessageDigest path against Spark's own md5 expression on the
+    // REAL binary column — same construction, independent implementations.
+    val viaJvm = MultimodalOps.extractFeaturesPortable(media)
+      .orderBy($"doc_id", $"dim").collect().map(_.toSeq).toSeq
+    val viaSql = media
+      .select($"doc_id", $"media",
+        explode(sequence(lit(0L), lit(15L))).as("dim"))
+      .select($"doc_id", $"dim",
+        conv(substring(md5(concat($"media",
+          encode(concat(lit(":"), $"dim".cast("string")), "utf-8"))), 25, 8),
+          16, 10).cast("long").as("feature"))
+      .orderBy($"doc_id", $"dim").collect().map(_.toSeq).toSeq
+    assert(viaJvm.length == 500 * 16)
+    assert(viaJvm == viaSql)
+  }
+
   test("decode stub distinguishes different payloads") {
     val a = MultimodalOps.decodeStub("payload-a".getBytes, 8).toSeq
     val b = MultimodalOps.decodeStub("payload-b".getBytes, 8).toSeq

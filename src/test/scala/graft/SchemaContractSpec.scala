@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.T
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The loader-level schema contract (round-8 lesson: environment drift
+  * surfaced as 18 analysis errors deep in a bench tail; now it's one
+  * error at load naming table, column, arrived vs absorbable types). */
+class SchemaContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all ten live testdata tables satisfy their contracts") {
+    T.names.foreach(n => T(spark, sf0001, n)) // any violation throws
+  }
+
+  test("a mis-typed column fails at load with a named, actionable error") {
+    val dir = Files.createTempDirectory("contract").toString
+    Seq((1L, "t", "en", "s", "not-a-number"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException](T(spark, dir, "documents"))
+    assert(e.getMessage.contains("documents.n_chars"))
+    assert(e.getMessage.contains("string"))
+  }
+
+  test("a missing column fails at load naming the column") {
+    val dir = Files.createTempDirectory("contract2").toString
+    Seq((1L, "t")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException](T(spark, dir, "documents"))
+    assert(e.getMessage.contains("'lang'") || e.getMessage.contains("lang"))
+    assert(e.getMessage.contains("documents"))
+  }
+
+  test("admissible drift loads clean: events.ts as raw LONG passes the contract") {
+    val dir = Files.createTempDirectory("contract3").toString
+    Seq((1L, 1705276800000000000L, 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(T(spark, dir, "events").count() == 1)
+  }
+}
