@@ -84,21 +84,22 @@ object T {
       "embedding" -> Set[DataType](ArrayType(FloatType), ArrayType(FloatType, containsNull = false)),
       "label" -> key))
 
+  /** Only PRESENT columns are type-checked: a missing column already
+    * fails analysis with a clear "column not found" naming it, and specs
+    * legitimately load narrow fixtures carrying only the columns they
+    * exercise. The dangerous drift class is a column that exists under a
+    * DIFFERENT physical type — that one surfaces as a cryptic
+    * DATATYPE_MISMATCH deep inside a downstream plan unless caught here. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     contracts.get(name).foreach(_.foreach { case (c, admissible) =>
-      df.schema.find(_.name == c) match {
-        case None => throw new IllegalStateException(
-          s"table $name: expected column '$c' is missing " +
-            s"(arrived: ${df.schema.fieldNames.mkString(", ")}) — " +
-            "the testdata's schema drifted; update the loader contract")
-        case Some(f) if !admissible.contains(f.dataType) =>
+      df.schema.find(_.name == c).foreach { f =>
+        if (!admissible.contains(f.dataType))
           throw new IllegalStateException(
             s"$name.$c arrived as ${f.dataType.simpleString}; this engine " +
               s"absorbs ${admissible.map(_.simpleString).mkString("/")} — " +
               "the testdata's physical schema drifted; adapt the loader " +
               "(see EventOps.events for the pattern)")
-        case _ => ()
       }
     })
     df

