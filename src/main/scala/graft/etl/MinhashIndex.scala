@@ -160,8 +160,8 @@ object MinhashIndex {
       Seq(t.shingles, t.sizes, t.banded)
         .foreach(dropBatchPartition(s, _, batchId))
     } {
-      IndexMeta.validate(s, name, "hash_fn" -> hashFnId)
-      val meta = IndexMeta.read(s, name)
+      val meta = IndexMeta.read(s, name) // one read serves check + params
+      IndexMeta.validateIn(meta, name, "hash_fn" -> hashFnId)
       val numPerms = meta("num_perms").toInt
       val bands = meta("bands").toInt
       val nBuckets = meta("n_buckets").toInt
@@ -251,8 +251,8 @@ object MinhashIndex {
       threshold: Double = 0.5,
       hashFn: (Column, Int) => Column = defaultHashFn,
       hashFnId: String = DefaultHashFnId): DataFrame = {
-    IndexMeta.validate(s, name, "hash_fn" -> hashFnId)
-    val meta = IndexMeta.read(s, name)
+    val meta = IndexMeta.read(s, name) // one read serves check + params
+    IndexMeta.validateIn(meta, name, "hash_fn" -> hashFnId)
     val numPerms = meta("num_perms").toInt
     val bands = meta("bands").toInt
     val t = tables(name)
