@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.{BatchLog, ManifestTable, MinhashIndex}
+import graft.etl.{BatchLog, LshIndex, ManifestTable, MinhashIndex, TextIndex}
 import graft.operators.{CorpusPipeline, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     no-op, a crash mid-append purges its partial batch partition and
   *     converges on retry. The first non-empty batch BUILDS the index
   *     under its own batch id (build content == append content for it).
+  *     When configured, the SERVING artifacts ride along: a BM25
+  *     postings index ([[TextIndex.append]]) and an LSH ANN index over
+  *     the stream's embedding column ([[LshIndex.append]]), each behind
+  *     its own batch log — three appends, no transaction needed, every
+  *     crash point replays to convergence leg by leg.
   *  5. MAINTENANCE — every `compactEvery` batches: manifest small-file
   *     compaction + history vacuum, and index compaction back to one
   *     file per bucket ([[MinhashIndex.compact]]'s staging-table swap).
@@ -74,7 +79,16 @@ object ContinuousIngest {
 
   /** Everything the per-batch body needs. `dateCol` must exist in the
     * stream schema and be part of `keys` (the [[ManifestTable]]
-    * partition invariant). `compactEvery = 0` disables maintenance. */
+    * partition invariant). `compactEvery = 0` disables maintenance.
+    *
+    * `textIndexName` / `annIndexName` opt the batch into maintaining the
+    * OTHER serving artifacts a training-data pipeline keeps warm: a BM25
+    * postings index over accepted text and an LSH ANN index over an
+    * embedding column (`embeddingCol`, dim `annDims`, must be present in
+    * the stream schema when `annIndexName` is set). Each family rides
+    * its own committed [[BatchLog]], so the three appends form no
+    * transaction and need none: any crash point replays to convergence
+    * leg by leg (the already-committed legs no-op, the rest run once). */
   final case class Config(
       corpusPath: String,
       indexName: String,
@@ -85,7 +99,11 @@ object ContinuousIngest {
       thresholds: CorpusPipeline.Thresholds = CorpusPipeline.Thresholds(),
       nearDupThreshold: Double = 0.5,
       compactEvery: Int = 0,
-      retainVersions: Int = 2)
+      retainVersions: Int = 2,
+      textIndexName: Option[String] = None,
+      annIndexName: Option[String] = None,
+      embeddingCol: String = "embedding",
+      annDims: Int = 64)
 
   /** Start the composed pipeline over a streaming documents frame
     * (schema: `documents` + the config's date column). AvailableNow +
@@ -139,7 +157,7 @@ object ContinuousIngest {
       batchId: Long, cfg: Config): Unit = {
     val bid = s"b$batchId"
     val log = BatchLog.logDir(spark, cfg.indexName)
-    val accept = accepted(spark, batch, cfg).persist() // merge + index read it
+    val accept = accepted(spark, batch, cfg).persist() // merge + indexes read it
     try {
       if (accept.count() > 0) {
         ManifestTable.mergeInto(spark, accept, cfg.corpusPath, cfg.keys,
@@ -149,6 +167,22 @@ object ContinuousIngest {
             MinhashIndex.append(spark, accept, cfg.indexName, bid)
           else
             MinhashIndex.build(spark, accept, cfg.indexName, buildBatchId = bid)
+        }
+        // Optional serving artifacts, each exactly-once behind its OWN
+        // batch log (TextIndex/LshIndex.append are runOnce internally —
+        // a replay that already committed a leg no-ops it individually).
+        cfg.textIndexName.foreach { tn =>
+          if (spark.catalog.tableExists(s"${tn}_postings"))
+            TextIndex.append(spark, accept, tn, bid)
+          else TextIndex.build(spark, accept, tn, buildBatchId = bid)
+        }
+        cfg.annIndexName.foreach { an =>
+          val vecs = accept.select(col("doc_id").as("vec_id"),
+            col(cfg.embeddingCol).as("embedding"))
+          if (spark.catalog.tableExists(s"${an}_buckets"))
+            LshIndex.append(spark, vecs, an, bid)
+          else LshIndex.build(spark, vecs, an, dims = cfg.annDims,
+            buildBatchId = bid)
         }
       }
     } finally accept.unpersist(blocking = false)
@@ -165,5 +199,11 @@ object ContinuousIngest {
     }
     if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
       MinhashIndex.compact(spark, cfg.indexName)
+    cfg.textIndexName
+      .filter(tn => spark.catalog.tableExists(s"${tn}_postings"))
+      .foreach(TextIndex.compact(spark, _))
+    cfg.annIndexName
+      .filter(an => spark.catalog.tableExists(s"${an}_buckets"))
+      .foreach(LshIndex.compact(spark, _))
   }
 }

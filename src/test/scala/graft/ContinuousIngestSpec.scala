@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{BatchLog, ManifestTable, MinhashIndex}
+import graft.etl.{BatchLog, LshIndex, ManifestTable, MinhashIndex, TextIndex}
 import graft.streaming.ContinuousIngest
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
@@ -156,6 +156,90 @@ class ContinuousIngestSpec extends SparkSpec {
         Seq(s"${n}_banded", s"${n}_shingles", s"${n}_sizes", s"${n}_meta")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
+    }
+  }
+
+  test("multi-index ingest: BM25 and ANN artifacts stay rebuild-equivalent through crashes") {
+    val src = Files.createTempDirectory("cim_src").toString + "/data"
+    val cp = Files.createTempDirectory("cim_cp").toString
+    val corpus = Files.createTempDirectory("cim_corpus").toString + "/corpus"
+    val (mh, ti, ann) = ("cim_mh", "cim_ti", "cim_ann")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      compactEvery = 2, textIndexName = Some(ti), annIndexName = Some(ann),
+      annDims = 8)
+    // deterministic 8-dim embedding per doc id
+    def emb(id: Long): Array[Float] =
+      Array.tabulate(8)(k => ((id * 31 + k * 7) % 13 - 6).toFloat)
+    def docE(id: Long, text: String) =
+      (id, text, "en", "srcA", text.length.toLong, day, emb(id))
+    def frameE(rows: Seq[(Long, String, String, String, Long, java.sql.Date, Array[Float])]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date", "embedding")
+
+    try {
+      val batch1 = frameE((1L to 10L).map(i => docE(i, words(s"b$i", 16))))
+      batch1.write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+      run()
+      // batch 2: one corpus near-dup (rejected) + two fresh docs, then a
+      // crash-replay of the whole micro-batch (checkpoint commit lost
+      // AFTER all three index appends — the worst benign seam: every leg
+      // must no-op individually on its own batch log)
+      val batch2 = frameE(Seq(
+        docE(100L, words("b1", 15) + " changed"),
+        docE(101L, words("f", 16)),
+        docE(102L, words("g", 16))))
+      batch2.write.mode("append").parquet(src)
+      run() // maintenance fires: all three families compact
+      val commits = new java.io.File(cp, "commits")
+      val last = commits.listFiles().map(_.getName)
+        .filter(_.forall(_.isDigit)).map(_.toInt).max
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      run()
+      val expect = (1L to 10L).toSet + 101L + 102L
+      val corpusDf = ManifestTable.read(spark, corpus)
+      assert(corpusDf.select($"doc_id").collect().map(_.getLong(0)).toSet == expect)
+
+      // BM25: the maintained index must answer EXACTLY like a fresh
+      // build over the final corpus — postings, doc lengths, AND the
+      // global stats row (doc count, avgdl) all have to agree or the
+      // scores drift.
+      TextIndex.build(spark, corpusDf, "cim_ti_rb")
+      val terms = Seq("b1_1", "f_3", "changed", "g_16")
+      val served = TextIndex.search(spark, ti, terms)
+        .collect().map(_.toSeq).toSet
+      val rebuilt = TextIndex.search(spark, "cim_ti_rb", terms)
+        .collect().map(_.toSeq).toSet
+      assert(served.nonEmpty && served == rebuilt,
+        "BM25 scores must be bit-identical to a from-scratch rebuild")
+
+      // ANN: same for the LSH index (buckets + vectors + plane params).
+      LshIndex.build(spark,
+        corpusDf.select($"doc_id".as("vec_id"), $"embedding"),
+        "cim_ann_rb", dims = 8)
+      val queries = frameE(Seq(docE(500L, words("q", 16)), docE(501L, words("r", 16))))
+        .select($"doc_id".as("vec_id"), $"embedding")
+      val servedAnn = LshIndex.search(spark, queries, ann)
+        .collect().map(_.toSeq).toSet
+      val rebuiltAnn = LshIndex.search(spark, queries, "cim_ann_rb")
+        .collect().map(_.toSeq).toSet
+      assert(servedAnn.nonEmpty && servedAnn == rebuiltAnn,
+        "ANN results must be identical to a from-scratch rebuild")
+    } finally {
+      (Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta") ++
+        Seq(ti, "cim_ti_rb").flatMap(n =>
+          Seq(s"${n}_postings", s"${n}_doclens", s"${n}_stats", s"${n}_meta")) ++
+        Seq(ann, "cim_ann_rb").flatMap(n =>
+          Seq(s"${n}_buckets", s"${n}_vectors", s"${n}_meta")))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }
