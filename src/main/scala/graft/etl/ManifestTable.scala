@@ -149,6 +149,79 @@ object ManifestTable {
     rdr.parquet(new Path(dd, s"$dir/part_year=$year").toString)
   }
 
+  /** Row-level CHANGES between two committed versions — the CDC feed an
+    * incremental downstream consumer (index maintainer, materialized
+    * aggregate, replication) reads instead of re-diffing the full table.
+    * One row per changed key with `change` ∈ insert/update/delete plus
+    * the row's values (new side; old side for deletes) and `part_year`.
+    *
+    * At 100 TB the manifest IS the changelog index: a version only
+    * rewrites the partitions its merge touched, every other partition
+    * carries its previous dir pointer forward — so this compares ONLY
+    * partitions whose dir pointer moved between the two manifests and
+    * never opens the rest. Cost is O(changed partitions), the same reads
+    * the producing merge made. A compaction rewrites pointers without
+    * changing rows; diffing across one reads the rewritten partitions
+    * and correctly yields zero rows. Valid while [[vacuum]]'s retention
+    * still covers `fromVersion` (the [[readAt]] contract); use
+    * `fromVersion = 0` for "everything since the table began".
+    *
+    * Both sides align to the NEWER version's recorded schema (evolution:
+    * a column added between the versions reads as null on the old side,
+    * so its first real value reports as an update). */
+  def changes(spark: SparkSession, basePath: String,
+      fromVersion: Int, toVersion: Int, keys: Seq[String]): DataFrame = {
+    require(fromVersion >= 0 && fromVersion < toVersion,
+      s"need 0 <= fromVersion < toVersion, got $fromVersion..$toVersion")
+    val to = snapshotAt(spark, basePath, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"version $toVersion of $basePath does not exist (never committed, or vacuumed)"))
+    val from: Option[Snapshot] =
+      if (fromVersion == 0) None
+      else Some(snapshotAt(spark, basePath, fromVersion).getOrElse(
+        throw new IllegalStateException(
+          s"version $fromVersion of $basePath does not exist (never committed, or vacuumed)")))
+    val schema = to.schema.getOrElse(
+      readSnapshot(spark, basePath, to).drop("part_year").schema)
+    val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
+    val dd = dataDir(basePath)
+    // a year participates iff its dir pointer moved (or appeared/vanished)
+    val years = (to.parts.keySet ++ from.map(_.parts.keySet).getOrElse(Set.empty))
+      .filter(y => to.parts.get(y) != from.flatMap(_.parts.get(y)))
+      .toSeq.sorted
+    def side(snap: Option[Snapshot], y: Int): DataFrame =
+      snap.flatMap(s => s.parts.get(y).map(dir =>
+        align(readPart(spark, dd, dir, y, s.schema), schema))).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val diffs = years.map { y =>
+      val packed = (df: DataFrame, tag: String) => df.select(
+        keys.map(col) ++ Seq(struct(nonKeys.map(col): _*).as(s"__$tag"),
+          lit(true).as(s"__in_$tag")): _*)
+      packed(side(Some(to), y), "n")
+        .join(packed(side(from, y), "o"), keys, "full_outer")
+        .withColumn("change",
+          when(col("__in_o").isNull, "insert")
+            .when(col("__in_n").isNull, "delete")
+            .when(!(col("__n") <=> col("__o")), "update"))
+        .filter(col("change").isNotNull) // unchanged rows (compaction) drop
+        .withColumn("__v", coalesce(col("__n"), col("__o")))
+        .select(Seq(col("change"), lit(y).as("part_year")) ++
+          keys.map(col) ++ nonKeys.map(c => col(s"__v.$c").as(c)): _*)
+    }
+    diffs.reduceOption(_.unionByName(_)).getOrElse {
+      val outSchema = StructType(
+        Seq(org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("part_year",
+            org.apache.spark.sql.types.IntegerType)) ++
+          schema.fields.filter(f => keys.contains(f.name)) ++
+          schema.fields.filterNot(f => keys.contains(f.name)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+  }
+
   /** The union of previous and batch columns, previous order first —
     * how the table schema evolves. A column present in both must agree
     * on type (silent coercion would corrupt, so it refuses). */

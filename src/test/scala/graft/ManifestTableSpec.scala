@@ -121,6 +121,62 @@ class ManifestTableSpec extends SparkSpec {
       ("k1", "2023-03-01") -> 11.0, ("k2", "2024-05-02") -> 20.0))
   }
 
+  test("changes(): version diff reads only moved partitions and classifies rows") {
+    val base = Files.createTempDirectory("manifest_cdc").toString + "/fact"
+    val keys = Seq("id", "date")
+    // v1: two partitions (2023, 2024)
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0))),
+      base, keys, "date")
+    // v2: touches ONLY 2023 — one update, one insert
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0), ("k9", "2023-09-09", 90.0))),
+      base, keys, "date")
+
+    // since the beginning: everything is an insert
+    val fromZero = ManifestTable.changes(spark, base, 0, 1, keys)
+    assert(fromZero.select($"change").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    assert(fromZero.count() == 2)
+
+    val d12 = ManifestTable.changes(spark, base, 1, 2, keys)
+    val rows = d12.select($"change", $"id", $"v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set(("update", "k1", 11.0), ("insert", "k9", 90.0)),
+      s"diff must be exactly the touched rows, got $rows")
+
+    // O(changed partitions): the diff's scans must never open the
+    // untouched 2024 partition's files
+    val scanned = d12.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(!_.contains("part_year=2024")),
+      s"untouched partition was read: ${scanned.filter(_.contains("2024"))}")
+
+    // a re-merge of identical content commits v3 but changes nothing:
+    // the diff across it is empty (same for compaction's pointer moves)
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0))), base, keys, "date")
+    assert(ManifestTable.changes(spark, base, 2, 3, keys).isEmpty,
+      "identical-content merge must diff to zero rows")
+    ManifestTable.compact(spark, base)
+    val v4 = ManifestTable.versions(spark, base).max
+    if (v4 > 3)
+      assert(ManifestTable.changes(spark, base, 3, v4, keys).isEmpty,
+        "compaction moves pointers but must diff to zero rows")
+
+    // schema evolution across the diff window: the added column's first
+    // real value reports as an update against the old side's null
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k2", "2024-05-02", 20.0)))
+        .withColumn("note", lit("fresh")),
+      base, keys, "date")
+    val v5 = ManifestTable.versions(spark, base).max
+    val evo = ManifestTable.changes(spark, base, v4, v5, keys)
+    val evoRows = evo.select($"change", $"id", $"note").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(evoRows == Set(("update", "k2", "fresh")),
+      s"evolved column's first value must report as update, got $evoRows")
+  }
+
   test("compaction shrinks file counts atomically and never changes rows") {
     val base = Files.createTempDirectory("manifest5").toString + "/fact"
     val keys = Seq("id", "date")
