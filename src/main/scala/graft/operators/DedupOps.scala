@@ -929,11 +929,10 @@ object DedupOps extends QueryModule {
   def ngramNovelty(documents: DataFrame, n: Int = 8,
       measuredSalt: Boolean = false,
       gramHash: Column => Column = md5): DataFrame = {
-    val toksDf = documents
+    def gramsFrom(docs: DataFrame) = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast(LongType).as("n_tokens"))
-    val gramsRaw = toksDf
       .filter(col("n_tokens") >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), (col("n_tokens") - n).cast(IntegerType)))
@@ -942,11 +941,25 @@ object DedupOps extends QueryModule {
         gramHash(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
           .as("gram_h"))
       .distinct()
+    val toksDf = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tokens"))
+    val gramsRaw = gramsFrom(documents)
     def firstDocOf(g: DataFrame) =
       g.groupBy(col("gram_h")).agg(min(col("doc_id")).as("first_doc"))
     val buckets =
       if (measuredSalt)
-        Salting.suggestBuckets(gramsRaw, Seq("gram_h"),
+        // measure skew on a DOC-sampled gram frame: the explode is the
+        // query's expensive part, and suggestBuckets is its own action
+        // (AQE exchange reuse cannot span actions), so measuring on the
+        // full frame would pay the whole corpus explode twice. Sampling
+        // documents BEFORE exploding keeps the measurement pass at ~10%
+        // of one explode; the factor is a hot/total ratio, preserved in
+        // expectation under uniform doc sampling.
+        Salting.suggestBuckets(
+          gramsFrom(documents.sample(withReplacement = false, 0.1, seed = 42L)),
+          Seq("gram_h"),
           documents.sparkSession.sparkContext.defaultParallelism)
       else 1
     val joined =

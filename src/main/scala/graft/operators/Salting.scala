@@ -52,10 +52,24 @@ object Salting {
     * occupies (hot / (total / parallelism)), clamped to [1, maxBuckets].
     * 1 means "don't salt" — salting un-skewed data just adds a second
     * aggregate for nothing. The measurement is itself a keyed count —
-    * map-side combinable, safe on the skewed input. */
+    * map-side combinable, safe on the skewed input.
+    *
+    * `sampleFraction < 1` measures on a seeded uniform row sample: the
+    * factor is the RATIO hot/(total/parallelism), and both numerator and
+    * denominator scale by the sampling fraction, so the estimate is
+    * unbiased — while the measurement pass stops costing a full
+    * evaluation of `df`. That matters when `df` is itself expensive
+    * (e.g. an exploded n-gram frame: measuring on the full frame would
+    * compute the explode TWICE, once to measure and once to run — a
+    * whole extra corpus pass at 100 TB). Only large factors matter, and
+    * those are exactly the ones a sample resolves reliably; noise around
+    * the clamp floor just toggles 1↔2, which is harmless either way. */
   def suggestBuckets(df: DataFrame, keys: Seq[String], parallelism: Int,
-      maxBuckets: Int = 64): Int = {
-    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      maxBuckets: Int = 64, sampleFraction: Double = 1.0): Int = {
+    val measured =
+      if (sampleFraction < 1.0) df.sample(withReplacement = false, sampleFraction, seed = 42L)
+      else df
+    val r = measured.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("hot"), sum(col("n")).as("total"))
       .head()
     if (r.isNullAt(0)) 1

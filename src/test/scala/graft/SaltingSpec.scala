@@ -43,6 +43,14 @@ class SaltingSpec extends SparkSpec {
     val uniform = (1 to 1000).map(i => (s"k${i % 100}", i.toLong)).toDF("k", "v")
     assert(Salting.suggestBuckets(uniform, Seq("k"), parallelism = 8) == 1,
       "uniform input must not salt")
+    // sampled measurement: the factor is a ratio, so it survives sampling
+    // — a strongly-skewed input must still salt, and close to the full
+    // measurement's factor (the estimate is unbiased; tolerance for noise)
+    val sbSampled = Salting.suggestBuckets(skewed, Seq("k"), parallelism = 8,
+      sampleFraction = 0.1)
+    assert(sbSampled > 1, s"sampled measurement must still see the skew")
+    assert(math.abs(sbSampled - sb) <= math.max(2, sb / 2),
+      s"sampled factor $sbSampled too far from full measurement $sb")
     def sums(df: org.apache.spark.sql.DataFrame) =
       Salting.autoSaltedSum(df, Seq("k"), "v", saltBy = "v", parallelism = 8)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
