@@ -54,6 +54,52 @@ object IncrementalGold {
     RefreshReport(from, Some(maxDate), n)
   }
 
+  /** Version-bookmark refresh over a MANIFEST-TABLE bronze — closes the
+    * date bookmark's blind spot: `dateCol > bookmark` only sees new
+    * dates, so a late merge that rewrites an OLD partition's rows (the
+    * upsert path's whole purpose) never reaches gold. Here the bookmark
+    * is the manifest VERSION, [[ManifestTable.changes]] yields the rows
+    * that actually changed since it — reading only partitions whose
+    * manifest pointer moved — and gold re-aggregates the FULL bronze
+    * rows of just the affected dates (grain = date, so a date recomputes
+    * from all its rows; changed rows alone can't rebuild an aggregate).
+    * Late updates and deletes correct gold on the next refresh; a crash
+    * between merge and bookmark re-processes the same dates
+    * idempotently (same grain argument as [[refresh]]).
+    *
+    * At 100 TB: the change scan is O(partitions touched since the
+    * bookmark), the re-aggregation is O(affected dates' rows) —
+    * independent of bronze size, driven entirely by what actually
+    * changed. */
+  def refreshFromManifest(spark: SparkSession, bronzePath: String,
+      goldPath: String, bookmarkPath: String, dateCol: String,
+      bronzeKeys: Seq[String], goldKeys: Seq[String],
+      aggregate: DataFrame => DataFrame): RefreshReport = {
+    require(goldKeys.contains(dateCol),
+      s"gold merge key $goldKeys must contain the grain date column $dateCol — " +
+        "that is what makes re-processing idempotent instead of double-counting")
+    val from = readBookmark(spark, bookmarkPath)
+    val fromV = from.map(_.toInt).getOrElse(0)
+    val toV = ManifestTable.currentSnapshot(spark, bronzePath)
+      .map(_.version).getOrElse(return RefreshReport(from, from, 0L))
+    if (toV <= fromV) return RefreshReport(from, from, 0L)
+    val affected = ManifestTable
+      .changes(spark, bronzePath, fromV, toV, bronzeKeys)
+      .select(col(dateCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq // driver-small: distinct DATES
+    if (affected.isEmpty) { // pointer moves with identical rows (compaction)
+      writeBookmark(spark, bookmarkPath, toV.toString)
+      return RefreshReport(from, Some(toV.toString), 0L)
+    }
+    val delta = ManifestTable.read(spark, bronzePath)
+      .filter(col(dateCol).cast("string").isin(affected: _*))
+    val up = aggregate(delta)
+    val n = up.count()
+    StreamingIngest.mergeIntoParquet(spark, up, goldPath, goldKeys)
+    writeBookmark(spark, bookmarkPath, toV.toString)
+    RefreshReport(from, Some(toV.toString), n)
+  }
+
   private def readBookmark(spark: SparkSession, path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

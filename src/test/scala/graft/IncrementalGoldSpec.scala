@@ -61,6 +61,63 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(goldNow() == full)
   }
 
+  test("version-bookmark refresh catches the late update a date bookmark misses") {
+    val root = Files.createTempDirectory("inc_gold_v").toString
+    val bronze = s"$root/bronze"
+    val gold = s"$root/gold"
+    val bm = s"$root/bookmark"
+    val bronzeKeys = Seq("event_id", "day")
+    def rows(day: String, evs: Seq[(Long, String, Long)]) =
+      evs.map { case (id, u, a) => (id, u, java.sql.Date.valueOf(day), a) }
+        .toDF("event_id", "user", "day", "amount")
+    def refresh() = IncrementalGold.refreshFromManifest(spark, bronze, gold,
+      bm, "day", bronzeKeys, Seq("user", "day"), goldAgg)
+    def goldNow() = spark.read.parquet(gold)
+      .select($"user", $"day".cast("string"), $"n_events", $"total")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // v1: two days of events in the bronze manifest table
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-01", Seq((1L, "u1", 10L), (2L, "u1", 5L), (3L, "u2", 7L)))
+        .unionAll(rows("2024-01-02", Seq((4L, "u1", 1L)))),
+      bronze, bronzeKeys, "day")
+    val r1 = refresh()
+    assert(r1.newBookmark.contains("1") && r1.rowsUpserted == 3L)
+    assert(goldNow() == Set(
+      ("u1", "2024-01-01", 2L, 15L), ("u2", "2024-01-01", 1L, 7L),
+      ("u1", "2024-01-02", 1L, 1L)))
+
+    // v2: a LATE UPDATE rewrites an OLD day's event (amount 10 -> 100).
+    // `day > bookmark` sees nothing here — the version bookmark must.
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-01", Seq((1L, "u1", 100L))), bronze, bronzeKeys, "day")
+    val r2 = refresh()
+    assert(r2.fromExclusive.contains("1") && r2.newBookmark.contains("2"))
+    assert(goldNow() == Set(
+      ("u1", "2024-01-01", 2L, 105L), // corrected by the late update
+      ("u2", "2024-01-01", 1L, 7L),
+      ("u1", "2024-01-02", 1L, 1L)),
+      "gold must re-aggregate the updated day from its full bronze rows")
+
+    // no new version -> no-op; identical-content merge -> bookmark
+    // advances, zero rows re-aggregated
+    val r3 = refresh()
+    assert(r3.rowsUpserted == 0L && r3.newBookmark.contains("2"))
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-01", Seq((1L, "u1", 100L))), bronze, bronzeKeys, "day")
+    val r4 = refresh()
+    assert(r4.rowsUpserted == 0L && r4.newBookmark.contains("3"),
+      "identical-content merge must advance the bookmark without work")
+
+    // crash between merge and bookmark: rerun re-processes the same
+    // window idempotently (delete the bookmark to simulate the loss)
+    new java.io.File(bm).delete()
+    val r5 = refresh()
+    assert(r5.fromExclusive.isEmpty && goldNow().size == 3,
+      "full re-process must converge to the same gold state")
+  }
+
   test("date column must be part of the gold grain") {
     val ex = intercept[IllegalArgumentException] {
       IncrementalGold.refresh(spark, "/nope", "/nope2", "/nope3", "day",
