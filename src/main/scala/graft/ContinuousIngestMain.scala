@@ -9,8 +9,12 @@ import graft.streaming.ContinuousIngest
   * index, with periodic compaction/vacuum:
   *
   * {{{
-  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir>"
+  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir> [textIndexName [annIndexName]]"
   * }}}
+  *
+  * The optional trailing names switch on the BM25 postings index and
+  * the LSH ANN index (the latter requires an `embedding` column in the
+  * stream schema).
   *
   * Each invocation drains everything new in `srcDir` (AvailableNow) and
   * exits; re-running resumes from the checkpoint. Crash anywhere —
@@ -21,22 +25,29 @@ import graft.streaming.ContinuousIngest
   */
 object ContinuousIngestMain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4,
-      "usage: ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir>")
-    val Array(src, corpus, index, checkpoint) = args
+    require(args.length >= 4 && args.length <= 6,
+      "usage: ContinuousIngestMain <srcDir> <corpusPath> <indexName> " +
+        "<checkpointDir> [textIndexName [annIndexName]]")
+    val Array(src, corpus, index, checkpoint) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val schema = spark.read.parquet(src).schema
+    val t0 = System.nanoTime()
     val q = ContinuousIngest.start(spark,
       spark.readStream.schema(schema).parquet(src),
       checkpoint,
       ContinuousIngest.Config(corpusPath = corpus, indexName = index,
-        compactEvery = 8))
+        compactEvery = 8,
+        textIndexName = args.lift(4),
+        annIndexName = args.lift(5)))
     q.awaitTermination()
-    println(s"[ingest] drained $src into $corpus (index: $index)")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = graft.etl.ManifestTable.read(spark, corpus).count()
+    println(f"[ingest] drained $src into $corpus (index: $index): " +
+      f"corpus now $n rows, ${secs}%.1f s this run")
     spark.stop()
   }
 }
