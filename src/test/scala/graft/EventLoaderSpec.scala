@@ -68,8 +68,9 @@ class EventLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("events.ts"))
   }
 
-  test("the live testdata loads and matches DuckDB-visible values") {
-    // Smoke against the real file: rows exist and ts is µs-granular UTC.
+  test("the live testdata loads with a normalized TimestampType ts") {
+    // Smoke against the real file (value-level parity vs DuckDB is the
+    // driver correctness gate's job — every ev_* oracle covers it).
     val ev = EventOps.events(spark, sf0001)
     assert(ev.count() > 0)
     assert(ev.schema("ts").dataType == TimestampType)
