@@ -54,10 +54,19 @@ object T {
   private val dbl: Set[DataType] = Set(DoubleType)
   /** Integer keys have shipped both widths across testdata generations. */
   private val key: Set[DataType] = Set(IntegerType, LongType)
-  /** Event-time encodings the adaptive loaders absorb (raw-nanos LONG,
-    * µs TIMESTAMP, NTZ, or plain DATE). */
-  private val ts: Set[DataType] =
+  /** `events.ts` encodings `EventOps.events` absorbs (raw-nanos LONG, µs
+    * TIMESTAMP, NTZ, or plain DATE → midnight UTC). The contract and the
+    * loader must agree EXACTLY — an encoding admitted here but not
+    * branched there would pass the load check and then throw downstream,
+    * which is the drift class this contract exists to catch. */
+  private val eventTs: Set[DataType] =
     Set(LongType, TimestampType, TimestampNTZType, DateType)
+  /** Date-valued columns (`o_orderdate`, `l_shipdate`) have NO adaptive
+    * loader: queries apply `to_date()`/`year()` directly, which analyze
+    * fine on DATE/TIMESTAMP/NTZ but fail on a raw integer — so LongType
+    * is NOT admissible here, unlike `events.ts`. */
+  private val dateLike: Set[DataType] =
+    Set(DateType, TimestampType, TimestampNTZType)
 
   private val contracts: Map[String, Seq[(String, Set[DataType])]] = Map(
     "region" -> Seq("r_regionkey" -> key, "r_name" -> str),
@@ -70,13 +79,15 @@ object T {
     "part" -> Seq("p_partkey" -> key, "p_name" -> str, "p_brand" -> str,
       "p_type" -> str, "p_size" -> key, "p_retailprice" -> dbl),
     "orders" -> Seq("o_orderkey" -> key, "o_custkey" -> key,
-      "o_orderstatus" -> str, "o_totalprice" -> dbl, "o_orderdate" -> ts,
+      "o_orderstatus" -> str, "o_totalprice" -> dbl,
+      "o_orderdate" -> dateLike,
       "o_orderpriority" -> str),
     "lineitem" -> Seq("l_orderkey" -> key, "l_partkey" -> key,
       "l_suppkey" -> key, "l_linenumber" -> key, "l_quantity" -> dbl,
       "l_extendedprice" -> dbl, "l_discount" -> dbl, "l_tax" -> dbl,
-      "l_returnflag" -> str, "l_linestatus" -> str, "l_shipdate" -> ts),
-    "events" -> Seq("event_id" -> key, "ts" -> ts, "user_id" -> key,
+      "l_returnflag" -> str, "l_linestatus" -> str,
+      "l_shipdate" -> dateLike),
+    "events" -> Seq("event_id" -> key, "ts" -> eventTs, "user_id" -> key,
       "event_type" -> str, "value" -> dbl, "props" -> str),
     "documents" -> Seq("doc_id" -> key, "text" -> str, "lang" -> str,
       "source" -> str, "n_chars" -> key),

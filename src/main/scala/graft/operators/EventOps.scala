@@ -30,9 +30,10 @@ object EventOps extends QueryModule {
       case LongType                           => timestamp_micros(expr("ts div 1000"))
       case TimestampType                      => col("ts")
       case TimestampNTZType                   => col("ts").cast(TimestampType)
+      case DateType                           => col("ts").cast(TimestampType) // midnight UTC (session TZ pinned)
       case other =>
         throw new IllegalStateException(
-          s"events.ts arrived as $other; expected LONG (raw nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+          s"events.ts arrived as $other; expected LONG (raw nanos), TIMESTAMP, TIMESTAMP_NTZ, or DATE")
     }
     raw.withColumn("ts", ts)
   }

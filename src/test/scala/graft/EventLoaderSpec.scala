@@ -59,6 +59,16 @@ class EventLoaderSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("DATE encoding loads as midnight-UTC timestamps") {
+    // The fourth encoding the T() contract admits; day-granular by
+    // definition, so the loader yields each event's date at 00:00 UTC.
+    val got = roundTrip(c => timestamp_micros(c), DateType)
+    val midnights = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us / 86400000000L * 86400000000L)
+    }
+    assert(got == midnights)
+  }
+
   test("an unrecognized ts type fails with a named, actionable error") {
     val dir = writeDir()
     base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -34,6 +34,31 @@ class SchemaContractSpec extends SparkSpec {
     assert(T(spark, dir, "documents").count() == 1)
   }
 
+  test("inadmissible drift: o_orderdate as raw LONG is rejected at load") {
+    // Unlike events.ts there is no adaptive loader for order dates —
+    // queries call to_date()/year() directly, so a raw integer must fail
+    // HERE with a named error, not deep inside analysis.
+    val dir = Files.createTempDirectory("contract4").toString
+    Seq((1L, 2L, "O", 10.0, 1705276800000000000L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val e = intercept[IllegalStateException](T(spark, dir, "orders"))
+    assert(e.getMessage.contains("orders.o_orderdate"))
+    assert(e.getMessage.contains("bigint"))
+  }
+
+  test("admissible drift: events.ts as DATE passes contract AND loader") {
+    // Contract/loader agreement on the fourth encoding (the round-9
+    // advice found the contract admitting DATE while the loader threw).
+    val dir = Files.createTempDirectory("contract5").toString
+    Seq((1L, java.sql.Date.valueOf("2024-01-15"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(T(spark, dir, "events").count() == 1)
+    assert(graft.operators.EventOps.events(spark, dir).count() == 1)
+  }
+
   test("admissible drift loads clean: events.ts as raw LONG passes the contract") {
     val dir = Files.createTempDirectory("contract3").toString
     Seq((1L, 1705276800000000000L, 2L, "click", 1.0, "{}"))
