@@ -14,27 +14,34 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Layout:
   * {{{
-  *   <base>/data/v00007/part_year=2023/...   # written by commit 7
-  *   <base>/data/v00003/part_year=2022/...   # untouched since commit 3
-  *   <base>/_manifests/v00007.txt            # "#schema\t{...}" + "2023\tv00007" / "2022\tv00003"
+  *   <base>/data/v00007-4f2a91c0/part_year=2023/...  # staged+committed by writer of commit 7
+  *   <base>/data/v00003-0b7de215/part_year=2022/...  # untouched since commit 3
+  *   <base>/_manifests/v00007.txt   # "#schema\t{...}" + "2023\tv00007-4f2a91c0" / "2022\tv00003-0b7de215"
   * }}}
   *
-  * Protocol (single writer; the snapshot/manifest shape is the public
-  * Iceberg/Delta design, re-derived on raw Hadoop FS):
+  * Protocol (optimistic concurrency; the snapshot/manifest shape is the
+  * public Iceberg/Delta design, re-derived on raw Hadoop FS):
   *  1. STAGE: write the merged rows of every TOUCHED partition under a
-  *     fresh `data/v<N>/` root — one distributed partitioned write.
-  *     Nothing references these dirs yet; a crash leaves invisible
-  *     garbage, never a mixed table (the NEXT successful merge of the
-  *     same version number overwrites it — [[vacuum]] deliberately
-  *     leaves above-current version dirs alone, so an in-flight stage
-  *     can never be deleted out from under its writer).
-  *  2. COMMIT: write the new manifest (touched partitions → v<N>,
+  *     fresh `data/v<N>-<token>/` root — one distributed partitioned
+  *     write. The per-attempt token means concurrent stagers of the same
+  *     next version NEVER share a dir, so neither can clobber the
+  *     other's staged files. Nothing references these dirs yet; a crash
+  *     leaves invisible garbage, never a mixed table ([[vacuum]] removes
+  *     stage dirs once a later commit raises the committed ceiling past
+  *     their version, and leaves above-ceiling dirs alone so an
+  *     in-flight stage can never be deleted out from under its writer).
+  *  2. COMMIT: re-read the committed ceiling; if it reached the staged
+  *     version, another writer won the race — abort loudly with
+  *     [[ConcurrentCommitException]] (re-stage against the new snapshot
+  *     to retry) instead of last-write-wins losing their update. Then
+  *     write the new manifest (touched partitions → v<N>-<token>,
   *     untouched → their previous dirs, carried forward without any data
   *     movement) to a dot-tmp file, then ONE rename to
   *     `_manifests/v<N>.txt`. A file rename is atomic on HDFS/POSIX —
   *     readers resolve the highest manifest and see all-old or all-new.
-  *     On S3-like stores without atomic rename this step needs a commit
-  *     lock/service, exactly as Delta documents — same caveat, same fix.
+  *     On S3-like stores without atomic rename the rename step needs a
+  *     commit lock/service, exactly as Delta documents — same caveat,
+  *     same fix.
   *
   * SCHEMA EVOLUTION: each manifest records its snapshot's data schema
   * (one `#schema` header line). A merge whose batch adds columns widens
@@ -54,6 +61,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object ManifestTable {
 
+  /** A commit lost the optimistic-concurrency race: another writer
+    * committed at or past the staged version. The staged data dirs are
+    * untouched garbage (vacuumed later); re-stage against the current
+    * snapshot and retry. */
+  final class ConcurrentCommitException(msg: String)
+      extends IllegalStateException(msg)
+
   /** One committed table state: manifest version, partition → data dir
     * (relative to `<base>/data/`), and the data schema this version
     * recorded (None only for pre-evolution manifests). */
@@ -70,6 +84,14 @@ object ManifestTable {
   private def manifestDir(base: String) = new Path(base, "_manifests")
   private def dataDir(base: String) = new Path(base, "data")
   private def vdir(v: Int) = f"v$v%05d"
+  /** Per-attempt stage dir: version prefix + uniqueness token, so two
+    * writers staging the same next version write disjoint dirs. */
+  private def stageVdir(v: Int) =
+    f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+  /** The version a data dir belongs to, for either naming generation
+    * (`v00007` committed-by-compaction-pre-r10 or `v00007-ab12cd34`). */
+  private def dirVersion(n: String): Option[Int] =
+    "^v(\\d+)(?:-[0-9a-f]+)?$".r.findFirstMatchIn(n).map(_.group(1).toInt)
   private val SchemaHeader = "#schema\t"
 
   /** All committed manifest versions, ascending (empty if none). */
@@ -294,12 +316,13 @@ object ManifestTable {
         }
       case None => batchD
     }
+    val stageDir = stageVdir(next)
     touched.withColumn("part_year", year(col(dateCol)))
       .write.mode("overwrite").partitionBy("part_year")
-      .parquet(new Path(dd, vdir(next)).toString)
+      .parquet(new Path(dd, stageDir).toString)
     val carried = prev.map(_.parts).getOrElse(Map.empty) --
       years // untouched partitions carry their old dirs forward
-    Staged(Snapshot(next, carried ++ years.map(_ -> vdir(next)), Some(schema)))
+    Staged(Snapshot(next, carried ++ years.map(_ -> stageDir), Some(schema)))
   }
 
   private[graft] def commit(spark: SparkSession, basePath: String,
@@ -307,15 +330,32 @@ object ManifestTable {
     val md = manifestDir(basePath)
     val f = fs(spark, md)
     f.mkdirs(md)
+    // optimistic-concurrency check: the snapshot this commit staged
+    // against must still be the newest — a writer that committed since
+    // would be silently overwritten by last-write-wins otherwise
+    def conflict(): Nothing = throw new ConcurrentCommitException(
+      s"commit of version ${staged.snapshot.version} under $basePath lost " +
+        "a concurrent-writer race: another manifest was committed after " +
+        "this merge staged — re-stage against the current snapshot and retry")
+    if (versions(spark, basePath).lastOption.exists(_ >= staged.snapshot.version))
+      conflict()
     val header = staged.snapshot.schema.toSeq
       .map(s => s"$SchemaHeader${s.json}")
     val body = (header ++ staged.snapshot.parts.toSeq.sorted
       .map { case (y, dir) => s"$y\t$dir" }).mkString("\n")
-    val tmp = new Path(md, s".tmp-${vdir(staged.snapshot.version)}.txt")
+    val tmp = new Path(md, s".tmp-${stageVdir(staged.snapshot.version)}.txt")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(md, s"${vdir(staged.snapshot.version)}.txt")
-    require(f.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
+    // rename refuses an existing destination on HDFS (FileSystem spec) —
+    // the narrow window between the version re-read and here degrades to
+    // a loud conflict, never a lost update. (On a local FS whose rename
+    // replaces, the re-read check above is the guard; on S3 the commit
+    // lock caveat from the class doc applies.)
+    if (f.exists(dst) || !f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      conflict()
+    }
   }
 
   /** Small-file compaction: rewrite any partition whose file count
@@ -358,6 +398,7 @@ object ManifestTable {
       else None
     }
     if (plans.isEmpty) return 0
+    val stageDir = stageVdir(next)
     plans.foreach { case (y, dir, want) =>
       val src = readPart(spark, dd, dir, y, snap.schema)
       val arranged =
@@ -366,9 +407,9 @@ object ManifestTable {
             .sortWithinPartitions(clusterBy: _*)
         else src.repartition(want)
       arranged.write.mode("overwrite")
-        .parquet(new Path(dd, s"${vdir(next)}/part_year=$y").toString)
+        .parquet(new Path(dd, s"$stageDir/part_year=$y").toString)
     }
-    val parts = snap.parts ++ plans.map { case (y, _, _) => y -> vdir(next) }
+    val parts = snap.parts ++ plans.map { case (y, _, _) => y -> stageDir }
     commit(spark, basePath, Staged(Snapshot(next, parts, snap.schema)))
     plans.size
   }
@@ -381,8 +422,9 @@ object ManifestTable {
     * vacuum-trades-history-for-space contract. Dirs ABOVE the latest
     * committed version are never touched: that is where a concurrent
     * merge stages, and deleting it would yank a commit's data out from
-    * under it (such dirs are recycled by the next merge's overwrite of
-    * the same version number instead). Returns the number of data dirs
+    * under it. Once a later commit raises the ceiling past a crashed or
+    * race-losing stage's version, its dir becomes unreferenced-below-
+    * ceiling and is removed here. Returns the number of data dirs
     * removed. Safe only when no reader is pinned to a vacuumed
     * snapshot. */
   def vacuum(spark: SparkSession, basePath: String, retainVersions: Int = 1): Int = {
@@ -400,7 +442,7 @@ object ManifestTable {
     val removed = f.listStatus(dd).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isDirectory && !live.contains(n) &&
-        n.matches("v\\d+") && n.stripPrefix("v").toInt <= maxCommitted
+        dirVersion(n).exists(_ <= maxCommitted)
     }
     removed.foreach(st => f.delete(st.getPath, true))
     // superseded manifests: everything below the retention window

@@ -299,17 +299,65 @@ class ManifestTableSpec extends SparkSpec {
     assert(staged.snapshot.version == 3)
     val dd = new org.apache.hadoop.fs.Path(base, "data")
     val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dd, "v00003")))
+    val stagedDir = staged.snapshot.parts(2024)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dd, stagedDir)))
     // vacuum with minimum retention: v1's dir goes, the staged v3 dir
     // (above the latest committed manifest) MUST survive
     ManifestTable.vacuum(spark, base, retainVersions = 1)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dd, "v00001")),
+    assert(fs.listStatus(dd).map(_.getPath.getName)
+        .forall(!_.startsWith("v00001")),
       "superseded version dir should be vacuumed")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dd, "v00003")),
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dd, stagedDir)),
       "vacuum must not delete an in-flight staged version")
     // the in-flight merge commits fine after the vacuum
     ManifestTable.commit(spark, base, staged)
     assert(asMap(ManifestTable.read(spark, base)) == Map(
       ("k1", "2023-03-01") -> 11.0, ("k2", "2024-01-01") -> 30.0))
+  }
+
+  test("two interleaved writers: the first commit wins, the loser fails loudly, retry succeeds") {
+    val base = Files.createTempDirectory("manifest9").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+
+    // Writers A and B both stage against v1 → both target version 2,
+    // but in DISJOINT per-attempt data dirs (neither can clobber the
+    // other's staged files — the hazard a shared v00002 dir would have).
+    val stagedA = ManifestTable.stage(spark,
+      frame(Seq(("kA", "2023-06-01", 2.0))), base, keys, "date")
+    val stagedB = ManifestTable.stage(spark,
+      frame(Seq(("kB", "2023-07-01", 3.0))), base, keys, "date")
+    assert(stagedA.snapshot.version == 2 && stagedB.snapshot.version == 2)
+    assert(stagedA.snapshot.parts(2023) != stagedB.snapshot.parts(2023),
+      "concurrent stagers must write disjoint data dirs")
+
+    // A commits first and wins. B's commit must abort with a NAMED
+    // conflict — not silently overwrite A's manifest (lost update).
+    ManifestTable.commit(spark, base, stagedA)
+    val e = intercept[ManifestTable.ConcurrentCommitException](
+      ManifestTable.commit(spark, base, stagedB))
+    assert(e.getMessage.contains("re-stage"))
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k1", "2023-03-01") -> 10.0, ("kA", "2023-06-01") -> 2.0),
+      "the winner's update must be intact after the loser's abort")
+
+    // B retries the standard way — re-stage against the new snapshot —
+    // and lands as version 3 with BOTH updates present: no lost update.
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("kB", "2023-07-01", 3.0))), base, keys, "date")
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k1", "2023-03-01") -> 10.0, ("kA", "2023-06-01") -> 2.0,
+      ("kB", "2023-07-01") -> 3.0))
+
+    // B's abandoned stage dir is below the committed ceiling now —
+    // vacuum clears it; readers unaffected
+    ManifestTable.vacuum(spark, base, retainVersions = 1)
+    val dd = new org.apache.hadoop.fs.Path(base, "data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = ManifestTable.currentSnapshot(spark, base).get.parts.values.toSet
+    assert(fs.listStatus(dd).map(_.getPath.getName).forall(live.contains),
+      "race-loser stage dirs must be vacuumable garbage")
+    assert(asMap(ManifestTable.read(spark, base)).size == 3)
   }
 }
