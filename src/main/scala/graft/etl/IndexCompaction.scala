@@ -91,7 +91,7 @@ object IndexCompaction {
     * tasks to buckets exactly. */
   private[etl] def fold(s: SparkSession, table: String,
       committed: Set[String], nBuckets: Int,
-      bucketCols: Seq[String]): Unit = {
+      bucketCols: Seq[String], foldId: String): Unit = {
     heal(s, table)
     val stage = stageName(table)
     MinhashIndex.dropTable(s, stage)
@@ -110,7 +110,7 @@ object IndexCompaction {
         else live.filter(!col("batch_id").isin(orphans: _*)))
         .drop("batch_id")
       MinhashIndex.writeBucketed(folded, stage, nBuckets,
-        append = false, BatchLog.BuildId, bucketCols: _*)
+        append = false, foldId, bucketCols: _*)
     } finally s.conf.set(bucketedRead, prev)
     MinhashIndex.dropTable(s, table)
     renameSwap(s, stage, table)
@@ -123,16 +123,24 @@ object IndexCompaction {
       tables: Seq[(String, Seq[String])]): Unit = {
     val nBuckets = IndexMeta.read(s, name)("n_buckets").toInt
     val log = BatchLog.logDir(s, name)
-    // The fold writes its output under [[BatchLog.BuildId]], but a build
-    // that ran under a CUSTOM batch id (ContinuousIngest builds under the
-    // triggering micro-batch's id) never committed that name — so a
-    // SECOND compaction would classify the first's folded partition as an
-    // uncommitted orphan and fold the whole index to empty. Commit the
-    // fold's own output id up front (idempotent; appends never use the
-    // reserved id, so the marker can't legitimize foreign rows). A crash
-    // after this commit but before any swap leaves the old tables intact.
-    BatchLog.commit(s, log, BatchLog.BuildId)
+    // The fold's output partition needs a COMMITTED id, or the next
+    // compaction would classify it as an uncommitted orphan and fold the
+    // whole index to empty. It must NOT reuse [[BatchLog.BuildId]]: a
+    // standalone default-id build that crashed mid-write leaves partial
+    // rows under BuildId with no marker — precisely the orphan the fold
+    // exists to exclude — and pre-committing BuildId here would
+    // legitimize those partial rows as committed data. So every
+    // compaction run folds under a FRESH reserved id that nothing else
+    // ever writes, committed up front: the marker can only ever describe
+    // this fold's own complete output (if the fold itself crashes, the
+    // id's partition never reaches a live table — the staged table is
+    // dropped on the next attempt — so the tombstone marker is inert).
+    // Committing BEFORE the swaps means a crash between two tables'
+    // swaps leaves the first table's folded partition already committed.
+    val foldId = s"00000-fold-${java.util.UUID.randomUUID().toString.take(8)}"
+    BatchLog.commit(s, log, foldId)
     val committed = BatchLog.committed(s, log)
-    tables.foreach { case (t, cols) => fold(s, t, committed, nBuckets, cols) }
+    tables.foreach { case (t, cols) =>
+      fold(s, t, committed, nBuckets, cols, foldId) }
   }
 }

@@ -89,6 +89,38 @@ class IndexCompactionSpec extends SparkSpec {
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS icspec_rc$sfx"))
   }
 
+  test("a crashed default-id build's partial rows stay orphans through compaction") {
+    // Round-10 advice: compactFamily used to pre-commit BatchLog.BuildId
+    // itself, which legitimized the partial rows of a standalone
+    // default-id build that crashed before its own marker commit — the
+    // fold then carried a half-built index's rows as committed data.
+    // The fold now stages under a fresh per-run id, so BuildId is only
+    // ever committed by a build that COMPLETED.
+    val docs = graft.core.T(spark, sf0001, "documents")
+    try {
+      MinhashIndex.build(spark, docs.filter(!isNew), "icspec_cb",
+        buildBatchId = "b0")
+      val t = MinhashIndex.tables("icspec_cb")
+      val rows = spark.table(t.shingles).count()
+      // plant the crash artifact: a default-id rebuild wrote SOME shingle
+      // rows under BuildId, then died before committing the marker
+      MinhashIndex.writeBucketed(
+        graft.operators.DedupOps.shingleRows(docs.filter(isNew).limit(5)),
+        t.shingles, 32, append = true, BatchLog.BuildId, "doc_id", "shingle")
+      assert(spark.table(t.shingles).count() > rows)
+
+      MinhashIndex.compact(spark, "icspec_cb")
+
+      assert(spark.table(t.shingles).count() == rows,
+        "the crashed build's uncommitted BuildId rows must be excluded, not folded in")
+      assert(!BatchLog.committed(spark,
+          BatchLog.logDir(spark, "icspec_cb")).contains(BatchLog.BuildId),
+        "compaction must never commit BuildId on a crashed build's behalf")
+    } finally
+      Seq("_banded", "_shingles", "_sizes", "_meta")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS icspec_cb$sfx"))
+  }
+
   test("text + lsh indexes: compaction is search-invisible") {
     val docs = graft.core.T(spark, sf0001, "documents")
     val emb = graft.core.T(spark, sf0001, "embeddings")
