@@ -83,8 +83,20 @@ object IncrementalGold {
     val toV = ManifestTable.currentSnapshot(spark, bronzePath)
       .map(_.version).getOrElse(return RefreshReport(from, from, 0L))
     if (toV <= fromV) return RefreshReport(from, from, 0L)
+    // A bookmarked version that [[ManifestTable.vacuum]] has already
+    // reclaimed cannot be diffed — a consumer refreshing less often than
+    // the producer's retention window (ContinuousIngest vacuums every
+    // few batches) would otherwise throw until someone deleted the
+    // bookmark by hand. The grain makes a full re-aggregation idempotent
+    // (the same guarantee a LOST bookmark leans on), so degrade to
+    // "everything since the table began" and move on — mirroring how the
+    // date-bookmark path degrades gracefully.
+    val diffFrom =
+      if (fromV == 0 ||
+          ManifestTable.snapshotAt(spark, bronzePath, fromV).isDefined) fromV
+      else 0
     val affected = ManifestTable
-      .changes(spark, bronzePath, fromV, toV, bronzeKeys)
+      .changes(spark, bronzePath, diffFrom, toV, bronzeKeys)
       .select(col(dateCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq // driver-small: distinct DATES
     if (affected.isEmpty) { // pointer moves with identical rows (compaction)

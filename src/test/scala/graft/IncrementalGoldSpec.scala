@@ -118,6 +118,49 @@ class IncrementalGoldSpec extends SparkSpec {
       "full re-process must converge to the same gold state")
   }
 
+  test("a vacuumed bookmark version degrades to a full re-aggregation, not a throw") {
+    // The producer (ContinuousIngest) vacuums with a small retention; a
+    // gold consumer refreshing less often than that window finds its
+    // bookmarked version gone. That must degrade exactly like a LOST
+    // bookmark — full idempotent re-aggregation — not an exception that
+    // wedges the consumer until manual intervention.
+    val root = Files.createTempDirectory("inc_gold_vac").toString
+    val bronze = s"$root/bronze"
+    val gold = s"$root/gold"
+    val bm = s"$root/bookmark"
+    val bronzeKeys = Seq("event_id", "day")
+    def rows(day: String, evs: Seq[(Long, String, Long)]) =
+      evs.map { case (id, u, a) => (id, u, java.sql.Date.valueOf(day), a) }
+        .toDF("event_id", "user", "day", "amount")
+    def refresh() = IncrementalGold.refreshFromManifest(spark, bronze, gold,
+      bm, "day", bronzeKeys, Seq("user", "day"), goldAgg)
+    def goldNow() = spark.read.parquet(gold)
+      .select($"user", $"day".cast("string"), $"n_events", $"total")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-01", Seq((1L, "u1", 10L))), bronze, bronzeKeys, "day")
+    assert(refresh().newBookmark.contains("1")) // bookmark pins v1
+
+    // the producer commits two more versions, then vacuums v1 away
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-02", Seq((2L, "u2", 20L))), bronze, bronzeKeys, "day")
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-01", Seq((1L, "u1", 99L))), bronze, bronzeKeys, "day")
+    graft.etl.ManifestTable.vacuum(spark, bronze, retainVersions = 1)
+    assert(graft.etl.ManifestTable.snapshotAt(spark, bronze, 1).isEmpty,
+      "precondition: the bookmarked version must actually be vacuumed")
+
+    val r = refresh()
+    assert(r.newBookmark.contains("3"))
+    assert(goldNow() == Set(
+      ("u1", "2024-01-01", 1L, 99L), ("u2", "2024-01-02", 1L, 20L)),
+      "fallback re-aggregation must land the post-vacuum truth, late update included")
+    // subsequent refresh is a normal incremental no-op again
+    assert(refresh().rowsUpserted == 0L)
+  }
+
   test("date column must be part of the gold grain") {
     val ex = intercept[IllegalArgumentException] {
       IncrementalGold.refresh(spark, "/nope", "/nope2", "/nope3", "day",
