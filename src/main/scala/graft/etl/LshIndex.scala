@@ -98,20 +98,21 @@ object LshIndex {
       t.buckets -> Seq("tbl", "bucket")))
   }
 
-  /** One batch's vectors + sign-buckets, batch-tagged and bucketed. The
-    * bucket rows derive from the STORED vectors just written, so the two
-    * tables stay consistent under a non-deterministic input frame. */
-  private def writeBatch(s: SparkSession, batch: DataFrame, t: Tables,
+  /** One batch's vectors + sign-buckets, batch-tagged and bucketed.
+    * Both writes read ONE persisted evaluation of the batch frame, so
+    * the two tables stay consistent under a non-deterministic input
+    * frame — without the previous write-then-read-back round trip. */
+  private def writeBatch(s: SparkSession, batch0: DataFrame, t: Tables,
       planes: Seq[Seq[Seq[Double]]], nBuckets: Int, append: Boolean,
       batchId: String): Unit = {
-    MinhashIndex.writeBucketed(batch, t.vectors, nBuckets, append,
-      batchId, "vec_id")
-    val storedBatch = s.table(t.vectors)
-      .filter(col("batch_id") === BatchLog.sanitize(batchId))
-      .drop("batch_id")
-    MinhashIndex.writeBucketed(
-      SimilarityOps.signBuckets(storedBatch, "vec_id", planes),
-      t.buckets, nBuckets, append, batchId, "tbl", "bucket")
+    val batch = batch0.persist()
+    try {
+      MinhashIndex.writeBucketed(batch, t.vectors, nBuckets, append,
+        batchId, "vec_id")
+      MinhashIndex.writeBucketed(
+        SimilarityOps.signBuckets(batch, "vec_id", planes),
+        t.buckets, nBuckets, append, batchId, "tbl", "bucket")
+    } finally batch.unpersist(blocking = false)
   }
 
   /** ANN search against the persisted index — same candidates, same

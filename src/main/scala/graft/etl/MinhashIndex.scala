@@ -166,23 +166,26 @@ object MinhashIndex {
       val bands = meta("bands").toInt
       val nBuckets = meta("n_buckets").toInt
       val hashed = isHashed(s, name) // match the built mode, never mix
-      val sh0 = DedupOps.shingleRows(newDocs)
-      val sh = if (hashed) sh0.persist() else sh0
+      // ONE persisted evaluation of the batch's shingles feeds all three
+      // writes — the consistency-under-nondeterminism argument the
+      // hashed branch always used, now applied uniformly. The previous
+      // non-hashed path re-derived signatures by joining the FULL stored
+      // shingle table against the batch's doc ids: an O(corpus) shuffle
+      // per batch (measured 14.5 s of a 28 s incremental batch at sf0.1,
+      // growing with corpus size) for rows the batch frame already has.
+      val sh = DedupOps.shingleRows(newDocs).persist()
       try {
         writeBucketed(if (hashed) hashShingleCol(sh) else sh,
           t.shingles, nBuckets, append = true, batchId, "doc_id", "shingle")
-        val sig = DedupOps.minhashSigFromShingles(
-          if (hashed) sh
-          else stored(s, t.shingles).join(
-            newDocs.select(col("doc_id")).distinct(), "doc_id"),
-          numPerms, hashFn).persist()
+        val sig = DedupOps.minhashSigFromShingles(sh, numPerms, hashFn)
+          .persist()
         try {
           writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
             nBuckets, append = true, batchId, "doc_id")
           writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
             t.banded, nBuckets, append = true, batchId, "band", "bucket")
         } finally sig.unpersist(blocking = false)
-      } finally if (hashed) sh.unpersist(blocking = false)
+      } finally sh.unpersist(blocking = false)
     }
   }
 

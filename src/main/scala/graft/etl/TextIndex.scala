@@ -104,19 +104,22 @@ object TextIndex {
   }
 
   /** One batch's postings + doc lengths, batch-tagged and bucketed.
-    * Doc lengths derive from the STORED postings partition just written,
-    * so the two tables stay consistent even under a non-deterministic
-    * input frame — and nothing corpus-sized is ever cached. */
-  private def writeBatch(s: SparkSession, tf: DataFrame, t: Tables,
+    * Both writes read ONE persisted evaluation of the term-frequency
+    * frame, so the two tables stay consistent even under a
+    * non-deterministic input frame — without the previous write-then-
+    * read-back round trip per batch (MEMORY_AND_DISK persist spills, so
+    * a full-corpus build stays safe too). */
+  private def writeBatch(s: SparkSession, tf0: DataFrame, t: Tables,
       nBuckets: Int, append: Boolean, batchId: String): Unit = {
-    MinhashIndex.writeBucketed(
-      tf.select(col("token"), col("doc_id"), col("tf")),
-      t.postings, nBuckets, append, batchId, "token")
-    val storedBatch = s.table(t.postings)
-      .filter(col("batch_id") === BatchLog.sanitize(batchId))
-    MinhashIndex.writeBucketed(
-      storedBatch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
-      t.doclens, nBuckets, append, batchId, "doc_id")
+    val tf = tf0.persist()
+    try {
+      MinhashIndex.writeBucketed(
+        tf.select(col("token"), col("doc_id"), col("tf")),
+        t.postings, nBuckets, append, batchId, "token")
+      MinhashIndex.writeBucketed(
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        t.doclens, nBuckets, append, batchId, "doc_id")
+    } finally tf.unpersist(blocking = false)
   }
 
   /** EXACTLY the recompute path's arithmetic: integer sum, one division.
