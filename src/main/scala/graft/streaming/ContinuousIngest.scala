@@ -136,7 +136,12 @@ object ContinuousIngest {
           .filter(col("keep")).select(col("doc_id"))
         quality.join(keep, Seq("doc_id"), "left_semi")
       }
-    val deduped = CorpusPipeline.exactDedup(safe)
+    // materialize the gated+exact-deduped batch once: the connected-
+    // components collapse below is ITERATIVE (its own actions), and the
+    // keepers join reads the frame again — without this, the whole
+    // gates subtree re-evaluates per action (measured ~2 s of repeat
+    // work per 500-doc batch at sf0.1)
+    val deduped = CorpusPipeline.exactDedup(safe).localCheckpoint()
     val losers = DedupOps
       .minhashComponents(spark, deduped, cfg.nearDupThreshold)
       .filter(col("component") =!= col("doc_id"))
@@ -155,19 +160,42 @@ object ContinuousIngest {
     * body; package-private so the spec can crash-inject between legs. */
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, cfg: Config): Unit = {
+    val tBatch = System.nanoTime()
+    def stamp(stage: String): Unit =
+      println(f"[ingest] batch $batchId $stage at ${(System.nanoTime() - tBatch) / 1e9}%.1f s")
     val bid = s"b$batchId"
     val log = BatchLog.logDir(spark, cfg.indexName)
-    val accept = accepted(spark, batch, cfg).persist() // merge + indexes read it
+    // one limit-1 job instead of the full gates+dedup+probe pipeline on
+    // an empty drain (measured ~1.1 s of pure job overhead for 0 rows —
+    // the steady-state cost of an idle stream polling on a schedule)
+    if (batch.isEmpty) {
+      if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0)
+        maintain(spark, cfg)
+      return
+    }
+    // localCheckpoint, NOT persist: the accept decision's lineage ends in
+    // a probe of the index tables, so the first index append (or even its
+    // purge DROP PARTITION) invalidates a persisted plan via the table
+    // cache — and every later leg silently re-runs the full
+    // gates+dedup+probe pipeline. Measured at sf0.1: the recompute
+    // repeated ~4x across the legs, tripling the batch. Checkpointing
+    // truncates the lineage to the materialized rows, which no catalog
+    // mutation can invalidate. (Block loss on a cluster fails the micro-
+    // batch, which replays — the normal streaming retry path.)
+    val accept = accepted(spark, batch, cfg).localCheckpoint()
+    stamp("accept decided")
     try {
       if (accept.count() > 0) {
         ManifestTable.mergeInto(spark, accept, cfg.corpusPath, cfg.keys,
           cfg.dateCol)
+        stamp("merged")
         if (!BatchLog.isCommitted(spark, log, bid)) {
           if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
             MinhashIndex.append(spark, accept, cfg.indexName, bid)
           else
             MinhashIndex.build(spark, accept, cfg.indexName, buildBatchId = bid)
         }
+        stamp("minhash indexed")
         // Optional serving artifacts, each exactly-once behind its OWN
         // batch log (TextIndex/LshIndex.append are runOnce internally —
         // a replay that already committed a leg no-ops it individually).
@@ -175,6 +203,7 @@ object ContinuousIngest {
           if (spark.catalog.tableExists(s"${tn}_postings"))
             TextIndex.append(spark, accept, tn, bid)
           else TextIndex.build(spark, accept, tn, buildBatchId = bid)
+          stamp("bm25 indexed")
         }
         cfg.annIndexName.foreach { an =>
           val vecs = accept.select(col("doc_id").as("vec_id"),
@@ -183,11 +212,14 @@ object ContinuousIngest {
             LshIndex.append(spark, vecs, an, bid)
           else LshIndex.build(spark, vecs, an, dims = cfg.annDims,
             buildBatchId = bid)
+          stamp("ann indexed")
         }
       }
     } finally accept.unpersist(blocking = false)
-    if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0)
+    if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0) {
       maintain(spark, cfg)
+      stamp("maintenance done")
+    }
   }
 
   /** The periodic maintenance leg — row-invisible by construction, safe
