@@ -30,11 +30,32 @@ object ContinuousIngestMain {
         "<checkpointDir> [textIndexName [annIndexName]]")
     val Array(src, corpus, index, checkpoint) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // PERSISTENT catalog (Hive metastore on derby beside the corpus):
+    // the index tables are catalog tables, and with the default
+    // in-memory catalog a second JVM run would not see them —
+    // `tableExists` false → the pipeline would quietly REBUILD the index
+    // from the new batch alone, discarding the accumulated corpus index
+    // and skipping the corpus near-dup probe. Cross-run state (corpus
+    // manifest, index warehouse, metastore, batch logs) all lives under
+    // the corpus path's parent, so it travels as one unit.
+    val stateRoot = java.nio.file.Paths.get(corpus).toAbsolutePath.getParent
+    val spark = graft.etl.LakeCatalog.persistentBuilder(
+        s"local[$cpus]", cpus.toInt,
+        warehouseDir = s"$stateRoot/_warehouse",
+        metastoreDir = s"$stateRoot/_metastore")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val schema = spark.read.parquet(src).schema
+    // fail fast with a usage-style message instead of a mid-stream
+    // AnalysisException when srcDir is missing/empty (schema inference
+    // below needs at least one parquet file)
+    val schema = try spark.read.parquet(src).schema catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[ingest] srcDir '$src' has no readable " +
+          s"parquet files — nothing to drain (${e.getErrorClass})")
+        spark.stop()
+        sys.exit(2)
+    }
     val t0 = System.nanoTime()
     val q = ContinuousIngest.start(spark,
       spark.readStream.schema(schema).parquet(src),
@@ -45,7 +66,12 @@ object ContinuousIngestMain {
         annIndexName = args.lift(5)))
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
-    val n = graft.etl.ManifestTable.read(spark, corpus).count()
+    // an empty drain on a brand-new corpus (no rows arrived, or every
+    // doc was gated out) has no committed manifest yet — that's a valid
+    // zero-row outcome, not a summary-time crash
+    val n = graft.etl.ManifestTable.currentSnapshot(spark, corpus)
+      .map(_ => graft.etl.ManifestTable.read(spark, corpus).count())
+      .getOrElse(0L)
     println(f"[ingest] drained $src into $corpus (index: $index): " +
       f"corpus now $n rows, ${secs}%.1f s this run")
     spark.stop()
