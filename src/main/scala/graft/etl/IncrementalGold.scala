@@ -112,7 +112,7 @@ object IncrementalGold {
     RefreshReport(from, Some(toV.toString), n)
   }
 
-  private def readBookmark(spark: SparkSession, path: String): Option[String] = {
+  private[etl] def readBookmark(spark: SparkSession, path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -123,7 +123,7 @@ object IncrementalGold {
     }
   }
 
-  private def writeBookmark(spark: SparkSession, path: String,
+  private[etl] def writeBookmark(spark: SparkSession, path: String,
       value: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

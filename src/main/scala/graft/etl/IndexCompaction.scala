@@ -35,6 +35,36 @@ import org.apache.spark.sql.functions._
   */
 object IndexCompaction {
 
+  /** Row-removal request applied DURING a fold — deletes piggyback on
+    * the rewrite compaction performs anyway, so purging ghost rows costs
+    * no extra pass over the index.
+    *
+    *  - [[Remove]]: drop rows whose id is in `ids` (anti-join) — the
+    *    targeted form, fed by [[ManifestTable.changes]]' delete rows.
+    *  - [[Retain]]: keep only rows whose id is in `ids` (semi-join) —
+    *    the reconciliation form for when the CDC window is gone
+    *    (bookmark vacuumed): `ids` is the LIVE corpus id set, so any
+    *    ghost accumulated for any reason is swept. Idempotent by
+    *    construction either way.
+    *
+    * The frame must be single-column; it is aligned to each table's id
+    * column by position, so one set serves tables that name the id
+    * differently (`doc_id` vs `vec_id`). */
+  sealed trait DeleteSet { def ids: org.apache.spark.sql.DataFrame }
+  final case class Remove(ids: org.apache.spark.sql.DataFrame) extends DeleteSet
+  final case class Retain(ids: org.apache.spark.sql.DataFrame) extends DeleteSet
+
+  private def applyDeleteSet(df: org.apache.spark.sql.DataFrame,
+      idCol: String, ds: DeleteSet): org.apache.spark.sql.DataFrame = {
+    require(ds.ids.columns.length == 1,
+      s"delete set must be a single id column, got ${ds.ids.columns.mkString(",")}")
+    val ids = ds.ids.toDF(idCol)
+    ds match {
+      case Remove(_) => df.join(ids, Seq(idCol), "left_anti")
+      case Retain(_) => df.join(ids, Seq(idCol), "left_semi")
+    }
+  }
+
   private def stageName(table: String) = s"${table}__compact"
 
   /** Rename `stage` to `table`, then re-register its partitions:
@@ -91,7 +121,8 @@ object IndexCompaction {
     * tasks to buckets exactly. */
   private[etl] def fold(s: SparkSession, table: String,
       committed: Set[String], nBuckets: Int,
-      bucketCols: Seq[String], foldId: String): Unit = {
+      bucketCols: Seq[String], foldId: String,
+      deletes: Option[(String, DeleteSet)] = None): Unit = {
     heal(s, table)
     val stage = stageName(table)
     MinhashIndex.dropTable(s, stage)
@@ -106,9 +137,13 @@ object IndexCompaction {
     s.conf.set(bucketedRead, "false")
     try {
       val live = s.table(table)
-      val folded = (if (orphans.isEmpty) live
+      val folded0 = (if (orphans.isEmpty) live
         else live.filter(!col("batch_id").isin(orphans: _*)))
         .drop("batch_id")
+      // deletes ride the rewrite: an anti/semi-join against the (small
+      // or id-column-sized) set — broadcastable, never a corpus shuffle
+      val folded = deletes.fold(folded0) { case (idCol, ds) =>
+        applyDeleteSet(folded0, idCol, ds) }
       MinhashIndex.writeBucketed(folded, stage, nBuckets,
         append = false, foldId, bucketCols: _*)
     } finally s.conf.set(bucketedRead, prev)
@@ -120,7 +155,8 @@ object IndexCompaction {
     * pairs each table with its bucket columns; `nBuckets` comes from the
     * family's [[IndexMeta]]. */
   private[etl] def compactFamily(s: SparkSession, name: String,
-      tables: Seq[(String, Seq[String])]): Unit = {
+      tables: Seq[(String, Seq[String])],
+      deletes: Option[(String, DeleteSet)] = None): Unit = {
     val nBuckets = IndexMeta.read(s, name)("n_buckets").toInt
     val log = BatchLog.logDir(s, name)
     // The fold's output partition needs a COMMITTED id, or the next
@@ -141,6 +177,6 @@ object IndexCompaction {
     BatchLog.commit(s, log, foldId)
     val committed = BatchLog.committed(s, log)
     tables.foreach { case (t, cols) =>
-      fold(s, t, committed, nBuckets, cols, foldId) }
+      fold(s, t, committed, nBuckets, cols, foldId, deletes) }
   }
 }

@@ -1,0 +1,105 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion maintenance for persisted indexes, riding the manifest CDC
+  * feed: documents deleted from a [[ManifestTable]] corpus (via
+  * [[ManifestTable.deleteWhere]] or a shrinking merge) leave GHOST rows
+  * in the MinHash / BM25 / LSH index tables — wasted probe work that
+  * accumulates with every delete, ghost candidates in probe results
+  * (a new doc can be rejected as a near-dup of a document that no
+  * longer exists), and a blocked data-deletion/compliance story. This
+  * object computes WHAT to purge; the families' `compact(deletes)`
+  * overloads apply it during the rewrite compaction performs anyway, so
+  * the purge costs no extra pass over the index.
+  *
+  * Two modes, chosen by what the version bookmark still supports:
+  *
+  *  - CDC ([[IndexCompaction.Remove]]): the bookmarked version is still
+  *    within [[ManifestTable.vacuum]]'s retention, so
+  *    [[ManifestTable.changes]] yields exactly the rows deleted since —
+  *    reading only partitions whose manifest pointer moved. Cost:
+  *    O(changed partitions), independent of corpus size. The delete-id
+  *    frame is typically tiny and broadcast into the folds' anti-joins.
+  *  - RECONCILE ([[IndexCompaction.Retain]]): the bookmark is absent
+  *    (first sync — deletes may predate it) or vacuumed past (consumer
+  *    slower than the producer's retention window). The diff window is
+  *    gone, but the END STATE is still known: the live corpus id set.
+  *    Folds semi-join against it, sweeping every ghost regardless of
+  *    when it appeared. Cost: O(corpus ids) — one column-pruned read,
+  *    paid only on the degraded path, and the folds it feeds rewrite
+  *    the whole index anyway. Mirrors [[IncrementalGold]]'s
+  *    vacuumed-bookmark degrade: full-state fallback, never a throw.
+  *
+  * Both modes are idempotent (re-applying removes nothing new), so the
+  * bookmark may advance strictly AFTER every family applied its set — a
+  * crash mid-apply replays the same purge on the next run. Single
+  * maintainer per (corpus, bookmark) assumed, same as every maintenance
+  * job here.
+  */
+object IndexDeleteSync {
+
+  /** What one sync cycle decided. `mode` ∈ cdc / reconcile / noop (no
+    * version advance, or CDC window had no deletes). `deleteRows` is the
+    * CDC delete-row count (−1 under reconcile: the live-set sweep never
+    * counts ghosts up front). */
+  final case class Report(fromVersion: Int, toVersion: Int, mode: String,
+      deleteRows: Long)
+
+  /** The purge set accumulated since the bookmark, plus the version the
+    * bookmark should advance to once it is applied. None = nothing to do
+    * (no committed corpus, no version advance, or an empty CDC delete
+    * window — the bookmark is advanced here in that last case, since
+    * there is nothing for the caller to apply first). */
+  def pending(spark: SparkSession, corpusPath: String, bookmarkPath: String,
+      keys: Seq[String], idCol: String = "doc_id")
+      : Option[(Int, IndexCompaction.DeleteSet, Report)] = {
+    val toV = ManifestTable.currentSnapshot(spark, corpusPath)
+      .map(_.version).getOrElse(return None)
+    val fromV = IncrementalGold.readBookmark(spark, bookmarkPath)
+      .map(_.toInt).getOrElse(0)
+    if (toV <= fromV) return None
+    val diffable = fromV > 0 &&
+      ManifestTable.snapshotAt(spark, corpusPath, fromV).isDefined
+    if (diffable) {
+      // localCheckpoint: the set feeds one fold PER INDEX TABLE (up to
+      // seven across the three families) — materialize the CDC diff once
+      // instead of re-reading the changed partitions per fold
+      val ids = ManifestTable.changes(spark, corpusPath, fromV, toV, keys)
+        .filter(col("change") === "delete")
+        .select(col(idCol))
+        .localCheckpoint()
+      val n = ids.count() // driver-small action over O(changed partitions)
+      if (n == 0) {
+        // version moved with zero deletes (the common case): advance now,
+        // spare every family the no-op anti-join
+        IncrementalGold.writeBookmark(spark, bookmarkPath, toV.toString)
+        None
+      } else Some((toV, IndexCompaction.Remove(ids),
+        Report(fromV, toV, "cdc", n)))
+    } else
+      Some((toV, IndexCompaction.Retain(
+        ManifestTable.read(spark, corpusPath).select(col(idCol))
+          .localCheckpoint()), // id column only, read once for all folds
+        Report(fromV, toV, "reconcile", -1L)))
+  }
+
+  /** Advance the bookmark — call strictly AFTER every index family has
+    * applied the pending set (idempotence covers a crash before this). */
+  def advance(spark: SparkSession, bookmarkPath: String, toVersion: Int): Unit =
+    IncrementalGold.writeBookmark(spark, bookmarkPath, toVersion.toString)
+
+  /** One full sync cycle: compute the pending set, run `apply` with it
+    * (the caller feeds it to each family's `compact(deletes)` /
+    * `applyDeletes`), then advance the bookmark. */
+  def sync(spark: SparkSession, corpusPath: String, bookmarkPath: String,
+      keys: Seq[String], idCol: String = "doc_id")(
+      apply: IndexCompaction.DeleteSet => Unit): Option[Report] =
+    pending(spark, corpusPath, bookmarkPath, keys, idCol).map {
+      case (toV, ds, report) =>
+        apply(ds)
+        advance(spark, bookmarkPath, toV)
+        report
+    }
+}

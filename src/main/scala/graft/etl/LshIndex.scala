@@ -90,13 +90,26 @@ object LshIndex {
 
   /** Fold all committed batch partitions back to one file per bucket
     * ([[IndexCompaction]] swap protocol). Searches are row- and
-    * plan-identical afterwards. */
-  def compact(s: SparkSession, name: String): Unit = {
+    * plan-identical afterwards.
+    *
+    * `deletes` purges vector ids during the same rewrite — the set's
+    * single column aligns to `vec_id` positionally, so the one
+    * corpus-wide delete feed serves this family too (doc_id == vec_id
+    * under [[graft.streaming.ContinuousIngest]]'s wiring). */
+  def compact(s: SparkSession, name: String,
+      deletes: Option[IndexCompaction.DeleteSet] = None): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.vectors -> Seq("vec_id"),
-      t.buckets -> Seq("tbl", "bucket")))
+      t.buckets -> Seq("tbl", "bucket")),
+      deletes.map("vec_id" -> _))
   }
+
+  /** Remove `ids` (single vec-id column) from both tables — the
+    * targeted deletion-maintenance entry. */
+  def applyDeletes(s: SparkSession, name: String,
+      ids: DataFrame): Unit =
+    compact(s, name, Some(IndexCompaction.Remove(ids)))
 
   /** One batch's vectors + sign-buckets, batch-tagged and bucketed.
     * Both writes read ONE persisted evaluation of the batch frame, so

@@ -358,6 +358,55 @@ object ManifestTable {
     }
   }
 
+  /** Row-level DELETE: remove every row matching `predicate` and commit
+    * the result as one new version — the data-deletion/compliance API a
+    * lakehouse table needs (Delta `DELETE FROM` semantics on the same
+    * stage-then-flip protocol as [[mergeInto]]). Downstream consumers see
+    * the removals as `change = 'delete'` rows in [[changes]] — the feed
+    * [[IndexDeleteSync]] rides to purge ghost rows from persisted
+    * indexes.
+    *
+    * At 100 TB only partitions that actually CONTAIN matching rows are
+    * rewritten: one column-pruned scan locates them (a predicate on
+    * `part_year` prunes that scan too — each manifest branch carries its
+    * year as a plan-time literal), untouched partitions carry their dir
+    * pointers forward with zero data movement, and the flip is atomic
+    * with the same optimistic-concurrency conflict check as any merge.
+    * Returns the number of rows deleted (0 = no commit, no version
+    * burned). A partition deleted to empty keeps an empty dir rather
+    * than vanishing from the manifest — [[changes]] then reports every
+    * row, not a missing partition. */
+  def deleteWhere(spark: SparkSession, basePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val snap = currentSnapshot(spark, basePath).getOrElse(return 0L)
+    // driver-small: one (year, matched-count) row per partition
+    val hits = readSnapshot(spark, basePath, snap)
+      .filter(predicate)
+      .groupBy(col("part_year")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty) return 0L
+    val dd = dataDir(basePath)
+    val next = snap.version + 1
+    val stageDir = stageVdir(next)
+    // pin the schema (legacy manifests infer once) so a partition deleted
+    // to EMPTY — a dir with no parquet files — stays readable afterwards
+    val schema = snap.schema.getOrElse(
+      readSnapshot(spark, basePath, snap).drop("part_year").schema)
+    hits.keys.toSeq.sorted.foreach { y =>
+      val kept = readPart(spark, dd, snap.parts(y), y, Some(schema))
+        .withColumn("part_year", lit(y))
+        .filter(!coalesce(predicate, lit(false)))
+        .drop("part_year")
+      // mode("overwrite") materializes the dir even when zero rows kept,
+      // so the manifest pointer below never dangles
+      kept.write.mode("overwrite")
+        .parquet(new Path(dd, s"$stageDir/part_year=$y").toString)
+    }
+    val parts = snap.parts ++ hits.keys.map(_ -> stageDir)
+    commit(spark, basePath, Staged(Snapshot(next, parts, Some(schema))))
+    hits.values.sum
+  }
+
   /** Small-file compaction: rewrite any partition whose file count
     * exceeds what `targetFileBytes` calls for, and commit the result as a
     * new version — the maintenance job every streaming-ingested table

@@ -192,14 +192,29 @@ object MinhashIndex {
   /** Fold all committed batch partitions back to one file per bucket —
     * run when [[IndexCompaction.fileCount]] drifts far above the bucket
     * count. Probes are row- and plan-identical afterwards
-    * (spec-asserted); see [[IndexCompaction]] for the swap protocol. */
-  def compact(s: SparkSession, name: String): Unit = {
+    * (spec-asserted); see [[IndexCompaction]] for the swap protocol.
+    *
+    * `deletes` purges doc ids during the same rewrite (zero extra pass):
+    * corpus-deleted docs otherwise stay as GHOST rows — wasted probe
+    * work that accumulates, ghost candidates in probe results, and a
+    * blocked data-deletion story. Fed by [[IndexDeleteSync]] from the
+    * manifest CDC feed. */
+  def compact(s: SparkSession, name: String,
+      deletes: Option[IndexCompaction.DeleteSet] = None): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.shingles -> Seq("doc_id", "shingle"),
       t.sizes -> Seq("doc_id"),
-      t.banded -> Seq("band", "bucket")))
+      t.banded -> Seq("band", "bucket")),
+      deletes.map("doc_id" -> _))
   }
+
+  /** Remove `ids` (single doc-id column) from all three tables — the
+    * targeted deletion-maintenance entry ([[compact]] with a delete
+    * set). */
+  def applyDeletes(s: SparkSession, name: String,
+      ids: org.apache.spark.sql.DataFrame): Unit =
+    compact(s, name, Some(IndexCompaction.Remove(ids)))
 
   /** Drop one batch's rows from an index table — a metadata-cheap
     * `DROP PARTITION`, the purge arm of the exactly-once protocol. */

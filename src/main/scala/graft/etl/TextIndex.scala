@@ -95,13 +95,27 @@ object TextIndex {
 
   /** Fold all committed batch partitions back to one file per bucket
     * ([[IndexCompaction]] swap protocol; stats is one row and never
-    * needs it). Searches are row- and plan-identical afterwards. */
-  def compact(s: SparkSession, name: String): Unit = {
+    * needs it). Searches are row- and plan-identical afterwards.
+    *
+    * `deletes` purges doc ids during the same rewrite; the BM25 stats
+    * row is then recomputed from the surviving doclens (doc count and
+    * average length SHRINK — served scores must reflect the corpus that
+    * remains, not the one that was). */
+  def compact(s: SparkSession, name: String,
+      deletes: Option[IndexCompaction.DeleteSet] = None): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.postings -> Seq("token"),
-      t.doclens -> Seq("doc_id")))
+      t.doclens -> Seq("doc_id")),
+      deletes.map("doc_id" -> _))
+    if (deletes.isDefined) refreshStats(s, t)
   }
+
+  /** Remove `ids` (single doc-id column) from postings and doclens and
+    * refresh the stats row — the targeted deletion-maintenance entry. */
+  def applyDeletes(s: SparkSession, name: String,
+      ids: DataFrame): Unit =
+    compact(s, name, Some(IndexCompaction.Remove(ids)))
 
   /** One batch's postings + doc lengths, batch-tagged and bucketed.
     * Both writes read ONE persisted evaluation of the term-frequency

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.{BatchLog, LshIndex, ManifestTable, MinhashIndex, TextIndex}
+import graft.etl.{BatchLog, IndexDeleteSync, LshIndex, ManifestTable, MinhashIndex, TextIndex}
 import graft.operators.{CorpusPipeline, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -222,20 +222,44 @@ object ContinuousIngest {
     }
   }
 
-  /** The periodic maintenance leg — row-invisible by construction, safe
-    * to run (or crash out of) at any point between batches. */
+  /** The periodic maintenance leg — safe to run (or crash out of) at
+    * any point between batches: compaction never changes visible rows,
+    * and the deletion sync is idempotent with its bookmark advanced only
+    * after every family applied (a crash mid-way replays the same
+    * purge).
+    *
+    * Corpus deletions ([[ManifestTable.deleteWhere]]) propagate to the
+    * index families HERE, piggybacking on the compaction rewrite via
+    * [[IndexDeleteSync]] — between maintenance runs a deleted doc's
+    * ghost index rows persist, so a re-submitted copy of it is still
+    * rejected as a near-dup until the next maintenance (conservative,
+    * documented). Ordering: the delete set is computed and applied
+    * BEFORE vacuum, so the CDC diff window the bookmark points into is
+    * never reclaimed out from under the sync. */
   private[graft] def maintain(spark: SparkSession, cfg: Config): Unit = {
-    if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
-      ManifestTable.compact(spark, cfg.corpusPath)
-      ManifestTable.vacuum(spark, cfg.corpusPath, cfg.retainVersions)
-    }
+    val pending =
+      if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
+        ManifestTable.compact(spark, cfg.corpusPath)
+        IndexDeleteSync.pending(spark, cfg.corpusPath,
+          deleteBookmarkPath(cfg), cfg.keys)
+      } else None
+    val ds = pending.map(_._2)
     if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
-      MinhashIndex.compact(spark, cfg.indexName)
+      MinhashIndex.compact(spark, cfg.indexName, ds)
     cfg.textIndexName
       .filter(tn => spark.catalog.tableExists(s"${tn}_postings"))
-      .foreach(TextIndex.compact(spark, _))
+      .foreach(TextIndex.compact(spark, _, ds))
     cfg.annIndexName
       .filter(an => spark.catalog.tableExists(s"${an}_buckets"))
-      .foreach(LshIndex.compact(spark, _))
+      .foreach(LshIndex.compact(spark, _, ds))
+    pending.foreach { case (toV, _, _) =>
+      IndexDeleteSync.advance(spark, deleteBookmarkPath(cfg), toV) }
+    if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty)
+      ManifestTable.vacuum(spark, cfg.corpusPath, cfg.retainVersions)
   }
+
+  /** Where the deletion-sync version bookmark lives: beside the corpus
+    * it describes (underscore-prefixed — parquet readers ignore it). */
+  private[graft] def deleteBookmarkPath(cfg: Config): String =
+    s"${cfg.corpusPath}/_index_delete_bookmark"
 }

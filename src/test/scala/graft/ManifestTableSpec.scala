@@ -360,4 +360,52 @@ class ManifestTableSpec extends SparkSpec {
       "race-loser stage dirs must be vacuumable garbage")
     assert(asMap(ManifestTable.read(spark, base)).size == 3)
   }
+
+  test("deleteWhere removes matching rows atomically; CDC reports deletes; untouched partitions carry") {
+    val base = Files.createTempDirectory("manifest_del").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2023-06-01", 20.0),
+        ("k3", "2024-05-02", 30.0))),
+      base, keys, "date")
+    val snap1 = ManifestTable.currentSnapshot(spark, base).get
+
+    // no-match delete: zero rows, NO version burned
+    assert(ManifestTable.deleteWhere(spark, base, $"v" > 99.0) == 0L)
+    assert(ManifestTable.currentSnapshot(spark, base).get.version ==
+      snap1.version, "a no-op delete must not commit a version")
+
+    // delete one 2023 row: only 2023 rewrites, 2024 carries forward
+    assert(ManifestTable.deleteWhere(spark, base, $"id" === "k1") == 1L)
+    val snap2 = ManifestTable.currentSnapshot(spark, base).get
+    assert(snap2.version == snap1.version + 1)
+    assert(snap2.parts(2024) == snap1.parts(2024),
+      "partition with no matching rows must keep its old data dir")
+    assert(snap2.parts(2023) != snap1.parts(2023))
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k2", "2023-06-01") -> 20.0, ("k3", "2024-05-02") -> 30.0))
+
+    // the CDC feed reports exactly the deleted row, with its old values
+    val cdc = ManifestTable.changes(spark, base, snap1.version, snap2.version, keys)
+      .select($"change", $"id", $"v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(cdc == Set(("delete", "k1", 10.0)),
+      s"delete must surface in changes() with the old row's values, got $cdc")
+
+    // time travel still sees the pre-delete rows
+    assert(asMap(ManifestTable.readAt(spark, base, snap1.version)).size == 3)
+
+    // deleting a partition to EMPTY keeps it readable (schema pinned)
+    assert(ManifestTable.deleteWhere(spark, base, year($"date") === 2024) == 1L)
+    assert(asMap(ManifestTable.read(spark, base)) ==
+      Map(("k2", "2023-06-01") -> 20.0))
+    val snap3 = ManifestTable.currentSnapshot(spark, base).get
+    val cdc2 = ManifestTable.changes(spark, base, snap2.version, snap3.version, keys)
+      .select($"change", $"id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cdc2 == Set(("delete", "k3")))
+
+    // idempotent re-issue: nothing left to match
+    assert(ManifestTable.deleteWhere(spark, base, $"id" === "k1") == 0L)
+  }
 }
