@@ -69,10 +69,18 @@ object ManifestTable {
       extends IllegalStateException(msg)
 
   /** One committed table state: manifest version, partition → data dir
-    * (relative to `<base>/data/`), and the data schema this version
-    * recorded (None only for pre-evolution manifests). */
+    * (relative to `<base>/data/`), the data schema this version
+    * recorded (None only for pre-evolution manifests), plus the
+    * [[ZoneMaps]] file statistics: `fileStats` maps a data-file relpath
+    * to its per-column min/max, `statsUnits` the `dir/part_year=N`
+    * units whose files have been footer-scanned (so a unit that yields
+    * no stats — all-string schema, empty partition — is not rescanned
+    * every commit). Both empty for pre-stats manifests: [[readWhere]]
+    * then prunes nothing and stays correct. */
   final case class Snapshot(version: Int, parts: Map[Int, String],
-      schema: Option[StructType] = None)
+      schema: Option[StructType] = None,
+      fileStats: Map[String, ZoneMaps.FileStats] = Map.empty,
+      statsUnits: Set[String] = Set.empty)
 
   /** Staged-but-uncommitted merge: everything COMMIT needs. Package-
     * private so specs can crash-inject between stage and commit. */
@@ -93,6 +101,8 @@ object ManifestTable {
   private def dirVersion(n: String): Option[Int] =
     "^v(\\d+)(?:-[0-9a-f]+)?$".r.findFirstMatchIn(n).map(_.group(1).toInt)
   private val SchemaHeader = "#schema\t"
+  private val FileStatsHeader = "#filestats\t"
+  private val StatsUnitHeader = "#statsunit\t"
 
   /** All committed manifest versions, ascending (empty if none). */
   def versions(spark: SparkSession, basePath: String): Seq[Int] = {
@@ -132,7 +142,11 @@ object ManifestTable {
       val Array(year, dir) = line.split("\t", 2)
       year.toInt -> dir
     }.toMap
-    Some(Snapshot(version, parts, schema))
+    val fileStats = lines.filter(_.startsWith(FileStatsHeader))
+      .map(l => ZoneMaps.parse(l.stripPrefix(FileStatsHeader))).toMap
+    val units = lines.filter(_.startsWith(StatsUnitHeader))
+      .map(_.stripPrefix(StatsUnitHeader)).toSet
+    Some(Snapshot(version, parts, schema, fileStats, units))
   }
 
   /** Current table contents as a DataFrame with `part_year` restored.
@@ -169,6 +183,96 @@ object ManifestTable {
       year: Int, schema: Option[StructType]): DataFrame = {
     val rdr = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     rdr.parquet(new Path(dd, s"$dir/part_year=$year").toString)
+  }
+
+  /** Zone-map-pruned read: open ONLY the data files whose manifest
+    * min/max stats can satisfy `predicate`, then re-apply the full
+    * predicate — so the result always equals
+    * `read(...).filter(predicate)` while the scan's file set shrinks to
+    * the files that can match. Elimination happens at PLAN time on the
+    * driver from the manifest alone: no footer fetch, no task per
+    * skipped file — the 100 TB win over parquet's own row-group stats,
+    * which only help after every file is opened. Pair with
+    * [[compact]]`(clusterBy = ...)` so file ranges are disjoint and a
+    * selective query opens O(matching files). Files or columns without
+    * recorded stats are always read (pruning is elimination-proof
+    * only); see [[ZoneMaps]] for which predicates and types prune. */
+  def readWhere(spark: SparkSession, basePath: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val snap = currentSnapshot(spark, basePath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $basePath"))
+    val ranges = ZoneMaps.constraintsOf(
+      org.apache.spark.sql.graft.ColumnExpr.expr(predicate))
+    val dd = dataDir(basePath)
+    val f = fs(spark, dd)
+    val perYear = snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
+      // partition elimination on part_year, same domain as file stats
+      val yStats: ZoneMaps.FileStats = Map("part_year" ->
+        ZoneMaps.ColStats(Some((BigDecimal(y), BigDecimal(y))), 0L, 1L))
+      if (!ZoneMaps.mayMatch(yStats, ranges.filter(_._1 == "part_year"))) None
+      else {
+        val unit = s"$dir/part_year=$y"
+        val pdir = new Path(dd, unit)
+        val files =
+          if (f.exists(pdir))
+            f.listStatus(pdir).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+          else Seq.empty
+        val kept = files.filter { p =>
+          snap.fileStats.get(s"$unit/${p.getName}")
+            .forall(st => ZoneMaps.mayMatch(st, ranges))
+        }
+        if (kept.isEmpty) None
+        else {
+          val rdr = snap.schema.map(spark.read.schema(_)).getOrElse(spark.read)
+          Some(rdr.parquet(kept.map(_.toString): _*)
+            .withColumn("part_year", lit(y)))
+        }
+      }
+    }
+    val df = perYear.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val s = snap.schema.getOrElse(
+          readSnapshot(spark, basePath, snap).drop("part_year").schema)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(s.fields :+
+            org.apache.spark.sql.types.StructField("part_year",
+              org.apache.spark.sql.types.IntegerType)))
+      }
+    df.filter(predicate)
+  }
+
+  /** Fill in zone-map stats for `next`: carry lines forward for units
+    * already scanned by `prev`, footer-read the files of units new in
+    * this snapshot. A unit that yields no stats (empty partition,
+    * no stats-typed columns) is still marked scanned so it is never
+    * re-read. Manifest-size note: one line per data file — at very
+    * large file counts the stats belong in a parquet sidecar (Iceberg's
+    * manifest-file design); the text form keeps the protocol
+    * single-file-atomic here. */
+  private def collectStats(spark: SparkSession, basePath: String,
+      next: Snapshot, prev: Option[Snapshot]): Snapshot = {
+    val dd = dataDir(basePath)
+    val f = fs(spark, dd)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val units = next.parts.toSeq.sortBy(_._1)
+      .map { case (y, dir) => s"$dir/part_year=$y" }
+    val covered = prev.map(_.statsUnits).getOrElse(Set.empty)
+    val carried = prev.map(_.fileStats).getOrElse(Map.empty).filter {
+      case (rel, _) => units.exists(u => covered(u) && rel.startsWith(u + "/"))
+    }
+    val fresh = units.filterNot(covered).flatMap { unit =>
+      val pdir = new Path(dd, unit)
+      if (!f.exists(pdir)) Seq.empty
+      else f.listStatus(pdir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .flatMap { p =>
+          val st = ZoneMaps.forFile(conf, p)
+          if (st.isEmpty) None else Some(s"$unit/${p.getName}" -> st)
+        }
+    }.toMap
+    next.copy(fileStats = carried ++ fresh, statsUnits = units.toSet)
   }
 
   /** Row-level CHANGES between two committed versions — the CDC feed an
@@ -339,10 +443,20 @@ object ManifestTable {
         "this merge staged — re-stage against the current snapshot and retry")
     if (versions(spark, basePath).lastOption.exists(_ >= staged.snapshot.version))
       conflict()
-    val header = staged.snapshot.schema.toSeq
+    // zone maps: footer-scan only units NEW in this snapshot; carried
+    // dirs reuse the previous manifest's stats lines verbatim. Cost is
+    // O(files this commit staged) metadata reads — the same touched-set
+    // the merge itself wrote.
+    val snapshot = collectStats(spark, basePath, staged.snapshot,
+      currentSnapshot(spark, basePath))
+    val header = snapshot.schema.toSeq
       .map(s => s"$SchemaHeader${s.json}")
-    val body = (header ++ staged.snapshot.parts.toSeq.sorted
-      .map { case (y, dir) => s"$y\t$dir" }).mkString("\n")
+    val statsLines =
+      snapshot.statsUnits.toSeq.sorted.map(u => s"$StatsUnitHeader$u") ++
+        snapshot.fileStats.toSeq.sortBy(_._1).map { case (rel, st) =>
+          s"$FileStatsHeader${ZoneMaps.render(rel, st)}" }
+    val body = (header ++ snapshot.parts.toSeq.sorted
+      .map { case (y, dir) => s"$y\t$dir" } ++ statsLines).mkString("\n")
     val tmp = new Path(md, s".tmp-${stageVdir(staged.snapshot.version)}.txt")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()

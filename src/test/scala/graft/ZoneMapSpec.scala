@@ -1,0 +1,157 @@
+package graft
+
+import graft.etl.{ManifestTable, ZoneMaps}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Zone-map file skipping on manifest tables: [[ManifestTable.readWhere]]
+  * must ALWAYS return exactly `read(...).filter(p)` (pruning is an
+  * elimination proof, never a semantics change), and after clustered
+  * compaction a selective predicate must open strictly fewer files than
+  * the full scan. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(String, String, Double)]) =
+    rows.toDF("id", "date", "v").withColumn("date", to_date($"date"))
+
+  private def mkTable(prefix: String, rows: Seq[(String, String, Double)]): String = {
+    val base = Files.createTempDirectory(prefix).toString + "/fact"
+    ManifestTable.mergeInto(spark, frame(rows), base, Seq("id", "date"), "date")
+    base
+  }
+
+  private def sameRows(base: String, pred: org.apache.spark.sql.Column): Unit = {
+    val got = ManifestTable.readWhere(spark, base, pred)
+      .select($"id", $"date".cast("string"), $"v").collect().toSet
+    val want = ManifestTable.read(spark, base).filter(pred)
+      .select($"id", $"date".cast("string"), $"v").collect().toSet
+    assert(got == want, s"readWhere diverged from read+filter for $pred")
+  }
+
+  // 2000 rows, v = 0..1999, all in 2023 so clustering (not partitioning)
+  // is what separates the files
+  private def clusteredBase(): String = {
+    val rows = (0 until 2000).map(i => (s"k$i", f"2023-${i % 12 + 1}%02d-15", i.toDouble))
+    val base = mkTable("zm", rows)
+    // small target => several files, range-clustered on v
+    ManifestTable.compact(spark, base, targetFileBytes = 2048,
+      clusterBy = Seq(col("v")))
+    base
+  }
+
+  test("pruned read equals full read + filter, and opens fewer files") {
+    val base = clusteredBase()
+    val pred = $"v" >= 200.0 && $"v" < 400.0
+    sameRows(base, pred)
+    val all = ManifestTable.read(spark, base).inputFiles.length
+    val pruned = ManifestTable.readWhere(spark, base, pred).inputFiles.length
+    assert(all >= 3, s"compaction should have produced several files, got $all")
+    assert(pruned < all,
+      s"selective range over clustered files must skip some: $pruned vs $all")
+    // stats got recorded for every unit of the compacted snapshot
+    val snap = ManifestTable.currentSnapshot(spark, base).get
+    assert(snap.statsUnits.nonEmpty && snap.fileStats.nonEmpty)
+    assert(snap.fileStats.values.forall(_.contains("v")))
+  }
+
+  test("date-typed bounds prune in the epoch-day domain") {
+    val rows = (0 until 1200).map { i =>
+      (s"k$i", f"2023-${i / 100 + 1}%02d-${i % 28 + 1}%02d", i.toDouble)
+    }
+    val base = mkTable("zmdate", rows)
+    ManifestTable.compact(spark, base, targetFileBytes = 2048,
+      clusterBy = Seq(col("date")))
+    val pred = $"date" >= lit(java.sql.Date.valueOf("2023-09-01"))
+    sameRows(base, pred)
+    val all = ManifestTable.read(spark, base).inputFiles.length
+    val pruned = ManifestTable.readWhere(spark, base, pred).inputFiles.length
+    assert(all >= 3 && pruned < all,
+      s"date range over date-clustered files must skip: $pruned vs $all")
+  }
+
+  test("part_year constraints eliminate whole partitions at plan time") {
+    val base = mkTable("zmyear", Seq(
+      ("a", "2022-03-01", 1.0), ("b", "2023-03-01", 2.0), ("c", "2024-03-01", 3.0)))
+    sameRows(base, $"part_year" === 2023)
+    val files = ManifestTable.readWhere(spark, base, $"part_year" === 2023).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("part_year=2023")))
+  }
+
+  test("an all-null column file is provably skippable") {
+    // 2022 has only null v; a v-range predicate must not open it
+    val withNull = Seq(("a", "2022-03-01", 1.0), ("b", "2023-03-01", 7.0))
+      .toDF("id", "date", "v").withColumn("date", to_date($"date"))
+      .withColumn("v", when($"id" === "a", lit(null).cast("double")).otherwise($"v"))
+    val base = Files.createTempDirectory("zmnull").toString + "/fact"
+    ManifestTable.mergeInto(spark, withNull, base, Seq("id", "date"), "date")
+    val pred = $"v" > 0.0
+    sameRows(base, pred)
+    val files = ManifestTable.readWhere(spark, base, pred).inputFiles
+    assert(files.forall(!_.contains("part_year=2022")),
+      "comparisons never match NULL — the all-null partition's file must be skipped")
+  }
+
+  test("a pre-stats manifest prunes nothing but stays correct, then heals") {
+    val base = clusteredBase()
+    // simulate a legacy manifest: strip every stats line in place
+    val snap = ManifestTable.currentSnapshot(spark, base).get
+    val mf = new java.io.File(s"$base/_manifests/v${"%05d".format(snap.version)}.txt")
+    val kept = scala.io.Source.fromFile(mf).getLines()
+      .filterNot(l => l.startsWith("#filestats") || l.startsWith("#statsunit"))
+      .mkString("\n")
+    val w = new java.io.PrintWriter(mf); w.write(kept); w.close()
+
+    // hadoop's LocalFileSystem keeps a .crc sidecar for the manifest;
+    // the in-place rewrite above invalidates it
+    new java.io.File(mf.getParent, s".${mf.getName}.crc").delete()
+
+    val legacy = ManifestTable.currentSnapshot(spark, base).get
+    assert(legacy.fileStats.isEmpty && legacy.statsUnits.isEmpty)
+    val pred = $"v" >= 200.0 && $"v" < 400.0
+    sameRows(base, pred) // zero pruning, same answer
+    assert(ManifestTable.readWhere(spark, base, pred).inputFiles.length ==
+      ManifestTable.read(spark, base).inputFiles.length)
+
+    // any next commit footer-scans the uncovered units: the table heals
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("new", "2023-06-06", 500.0))), base, Seq("id", "date"), "date")
+    val healed = ManifestTable.currentSnapshot(spark, base).get
+    assert(healed.statsUnits.nonEmpty && healed.fileStats.nonEmpty)
+    sameRows(base, pred)
+  }
+
+  test("stats survive merge + deleteWhere and pruning stays exact") {
+    val base = clusteredBase()
+    assert(ManifestTable.deleteWhere(spark, base, $"v" >= 1900.0) == 100L)
+    val pred = $"v" >= 200.0 && $"v" < 400.0
+    sameRows(base, pred)
+    sameRows(base, $"v" >= 1500.0) // range overlapping the deleted tail
+    val snap = ManifestTable.currentSnapshot(spark, base).get
+    // every referenced unit is covered after the delete's commit
+    val units = snap.parts.toSeq.map { case (y, d) => s"$d/part_year=$y" }
+    assert(units.forall(snap.statsUnits.contains))
+  }
+
+  test("constraint extraction honors strictness and IN-lists") {
+    def ranges(c: org.apache.spark.sql.Column) = ZoneMaps.constraintsOf(
+      org.apache.spark.sql.graft.ColumnExpr.expr(c))
+    val st = Map("v" -> ZoneMaps.ColStats(Some((BigDecimal(10), BigDecimal(20))), 0, 5))
+
+    assert(!ZoneMaps.mayMatch(st, ranges($"v" > 20.0)), "strict > max must skip")
+    assert(ZoneMaps.mayMatch(st, ranges($"v" >= 20.0)), ">= max may match")
+    assert(!ZoneMaps.mayMatch(st, ranges($"v" < 10.0)), "strict < min must skip")
+    assert(ZoneMaps.mayMatch(st, ranges($"v" <= 10.0)), "<= min may match")
+    assert(!ZoneMaps.mayMatch(st, ranges($"v" === 25.0)))
+    assert(ZoneMaps.mayMatch(st, ranges($"v" === 15.0)))
+    assert(!ZoneMaps.mayMatch(st, ranges($"v".isin(1.0, 2.0, 5.0))),
+      "IN-list entirely below min must skip")
+    assert(ZoneMaps.mayMatch(st, ranges($"v".isin(1.0, 15.0))))
+    // mirrored literal-first comparison
+    assert(!ZoneMaps.mayMatch(st, ranges(lit(25.0) < $"v")))
+    // an OR tree contributes nothing: conservative keep
+    assert(ZoneMaps.mayMatch(st, ranges($"v" > 30.0 || $"v" < 5.0)))
+    // unknown conjuncts are dropped, known ones still prune
+    assert(!ZoneMaps.mayMatch(st, ranges($"v" > 20.0 && length($"id") > 2)))
+  }
+}
