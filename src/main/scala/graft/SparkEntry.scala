@@ -24,7 +24,8 @@ object SparkEntry {
     CorpusPrepOps,
     DedupOps,
     SimilarityOps,
-    MultimodalOps)
+    MultimodalOps,
+    LakeOps)
 
   private def extraDefs: Seq[QueryDef] =
     CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange, graft.etl.ZOrderLayout.f18)

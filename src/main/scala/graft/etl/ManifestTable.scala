@@ -76,11 +76,15 @@ object ManifestTable {
     * units whose files have been footer-scanned (so a unit that yields
     * no stats — all-string schema, empty partition — is not rescanned
     * every commit). Both empty for pre-stats manifests: [[readWhere]]
-    * then prunes nothing and stays correct. */
+    * then prunes nothing and stays correct. `bloomCols` is the table's
+    * declared [[FileBlooms]] column set (a table property, carried
+    * forward by every commit): newly staged units get a per-file Bloom
+    * sidecar over these columns for plan-time equality pruning. */
   final case class Snapshot(version: Int, parts: Map[Int, String],
       schema: Option[StructType] = None,
       fileStats: Map[String, ZoneMaps.FileStats] = Map.empty,
-      statsUnits: Set[String] = Set.empty)
+      statsUnits: Set[String] = Set.empty,
+      bloomCols: Seq[String] = Nil)
 
   /** Staged-but-uncommitted merge: everything COMMIT needs. Package-
     * private so specs can crash-inject between stage and commit. */
@@ -103,6 +107,7 @@ object ManifestTable {
   private val SchemaHeader = "#schema\t"
   private val FileStatsHeader = "#filestats\t"
   private val StatsUnitHeader = "#statsunit\t"
+  private val BloomColsHeader = "#bloomcols\t"
 
   /** All committed manifest versions, ascending (empty if none). */
   def versions(spark: SparkSession, basePath: String): Seq[Int] = {
@@ -146,7 +151,10 @@ object ManifestTable {
       .map(l => ZoneMaps.parse(l.stripPrefix(FileStatsHeader))).toMap
     val units = lines.filter(_.startsWith(StatsUnitHeader))
       .map(_.stripPrefix(StatsUnitHeader)).toSet
-    Some(Snapshot(version, parts, schema, fileStats, units))
+    val blooms = lines.find(_.startsWith(BloomColsHeader))
+      .map(_.stripPrefix(BloomColsHeader).split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    Some(Snapshot(version, parts, schema, fileStats, units, blooms))
   }
 
   /** Current table contents as a DataFrame with `part_year` restored.
@@ -201,8 +209,14 @@ object ManifestTable {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val snap = currentSnapshot(spark, basePath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $basePath"))
-    val ranges = ZoneMaps.constraintsOf(
-      org.apache.spark.sql.graft.ColumnExpr.expr(predicate))
+    val predExpr = org.apache.spark.sql.graft.ColumnExpr.expr(predicate)
+    val ranges = ZoneMaps.constraintsOf(predExpr)
+    // equality conjuncts probe the FileBlooms sidecars — the elimination
+    // zone maps cannot make (string keys, unclustered high-cardinality
+    // ids). Restricted to this snapshot's declared bloom columns so a
+    // unit's sidecar is only opened when it can actually help.
+    val eqs = FileBlooms.equalitiesOf(predExpr)
+      .filter { case (c, _) => snap.bloomCols.contains(c) }
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
     val perYear = snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
@@ -218,9 +232,14 @@ object ManifestTable {
             f.listStatus(pdir).toSeq.map(_.getPath)
               .filter(_.getName.endsWith(".parquet"))
           else Seq.empty
+        val blooms =
+          if (eqs.isEmpty) Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+          else FileBlooms.load(f, pdir, eqs.keySet)
         val kept = files.filter { p =>
           snap.fileStats.get(s"$unit/${p.getName}")
-            .forall(st => ZoneMaps.mayMatch(st, ranges))
+            .forall(st => ZoneMaps.mayMatch(st, ranges)) &&
+            blooms.get(p.getName)
+              .forall(bs => FileBlooms.mayContain(bs, eqs))
         }
         if (kept.isEmpty) None
         else {
@@ -241,6 +260,59 @@ object ManifestTable {
               org.apache.spark.sql.types.IntegerType)))
       }
     df.filter(predicate)
+  }
+
+  /** Metadata-only aggregate of one column: MIN/MAX/COUNT answered from
+    * the manifest's [[ZoneMaps]] alone — zero data files opened, zero
+    * rows scanned, no Spark job at all. The lakehouse "metadata query"
+    * optimization (Delta and Iceberg both answer these from file stats):
+    * at 100 TB, `SELECT max(ts)` over a manifest table is a driver-side
+    * fold over the manifest lines instead of a full-table scan.
+    *
+    * Sound only when the stats PROVE the answer, so this returns None —
+    * caller falls back to a real scan — unless every parquet file of
+    * every partition has a recorded stats line carrying `column` (a
+    * legacy pre-stats manifest, a file whose footer had no usable stats,
+    * or a column outside the stats domain — strings, NaN-polluted floats
+    * — all disqualify). All-null files participate with no bounds; a
+    * column null in EVERY file yields `bounds = None` with the counts
+    * still exact, mirroring `MIN(col) = NULL` over non-empty input.
+    *
+    * Values are in the stats domain ([[ZoneMaps.ColStats]]): numerics as
+    * themselves, dates as epoch days, timestamps as epoch micros —
+    * convert per the column's type. `rows` is exact COUNT(*) and
+    * `nonNull` exact COUNT(column) for the whole table. */
+  final case class MetaAgg(bounds: Option[(BigDecimal, BigDecimal)],
+      rows: Long, nonNull: Long)
+
+  def statsAgg(spark: SparkSession, basePath: String,
+      column: String): Option[MetaAgg] = {
+    currentSnapshot(spark, basePath).flatMap { snap =>
+      val dd = dataDir(basePath)
+      val f = fs(spark, dd)
+      val perFile: Seq[Option[ZoneMaps.ColStats]] =
+        snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
+          val unit = s"$dir/part_year=$y"
+          val pdir = new Path(dd, unit)
+          val files =
+            if (f.exists(pdir))
+              f.listStatus(pdir).toSeq.map(_.getPath.getName)
+                .filter(_.endsWith(".parquet"))
+            else Seq.empty
+          files.map(name =>
+            snap.fileStats.get(s"$unit/$name").flatMap(_.get(column)))
+        }
+      if (perFile.exists(_.isEmpty)) None // an uncovered file: cannot prove
+      else {
+        val ss = perFile.flatten
+        val bs = ss.flatMap(_.bounds)
+        Some(MetaAgg(
+          bounds =
+            if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max)),
+          rows = ss.map(_.rows).sum,
+          nonNull = ss.map(s => s.rows - s.nulls).sum))
+      }
+    }
   }
 
   /** Fill in zone-map stats for `next`: carry lines forward for units
@@ -273,6 +345,26 @@ object ManifestTable {
         }
     }.toMap
     next.copy(fileStats = carried ++ fresh, statsUnits = units.toSet)
+  }
+
+  /** [[FileBlooms]] sidecars for the units NEWLY staged by this snapshot
+    * (the same new-unit set the zone-map scan uses): one column-pruned
+    * distributed pass per unit, written inside the unit dir so carry-
+    * forward and vacuum need no extra bookkeeping. Pre-existing units
+    * keep the sidecar they were staged with — to backfill a table that
+    * declared bloom columns late, run [[compact]] with `clusterBy` (it
+    * restages every partition). */
+  private def buildBloomSidecars(spark: SparkSession, basePath: String,
+      next: Snapshot, prev: Option[Snapshot]): Unit = {
+    if (next.bloomCols.isEmpty) return
+    val dd = dataDir(basePath)
+    val covered = prev.map(_.statsUnits).getOrElse(Set.empty)
+    next.parts.toSeq.sortBy(_._1)
+      .map { case (y, dir) => s"$dir/part_year=$y" }
+      .filterNot(covered)
+      .foreach { unit =>
+        FileBlooms.build(spark, new Path(dd, unit), next.schema, next.bloomCols)
+      }
   }
 
   /** Row-level CHANGES between two committed versions — the CDC feed an
@@ -375,11 +467,12 @@ object ManifestTable {
     * partitions the batch touches, stages their merged rows under a new
     * version dir, then flips the manifest. */
   def mergeInto(spark: SparkSession, batch: DataFrame, basePath: String,
-      keys: Seq[String], dateCol: String): Unit =
-    commit(spark, basePath, stage(spark, batch, basePath, keys, dateCol))
+      keys: Seq[String], dateCol: String, bloomCols: Seq[String] = Nil): Unit =
+    commit(spark, basePath, stage(spark, batch, basePath, keys, dateCol, bloomCols))
 
   private[graft] def stage(spark: SparkSession, batch: DataFrame,
-      basePath: String, keys: Seq[String], dateCol: String): Staged = {
+      basePath: String, keys: Seq[String], dateCol: String,
+      bloomCols: Seq[String] = Nil): Staged = {
     // Same invariant as the partition-swap path: the merge key must pin
     // the partition column, or an update under a new date would duplicate
     // its old row in a partition this merge never reads.
@@ -426,7 +519,11 @@ object ManifestTable {
       .parquet(new Path(dd, stageDir).toString)
     val carried = prev.map(_.parts).getOrElse(Map.empty) --
       years // untouched partitions carry their old dirs forward
-    Staged(Snapshot(next, carried ++ years.map(_ -> stageDir), Some(schema)))
+    // bloom columns are a table property: once declared they persist, and
+    // any merge may widen the set (new units then index the wider set)
+    val blooms = (prev.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct
+    Staged(Snapshot(next, carried ++ years.map(_ -> stageDir), Some(schema),
+      bloomCols = blooms))
   }
 
   private[graft] def commit(spark: SparkSession, basePath: String,
@@ -446,11 +543,16 @@ object ManifestTable {
     // zone maps: footer-scan only units NEW in this snapshot; carried
     // dirs reuse the previous manifest's stats lines verbatim. Cost is
     // O(files this commit staged) metadata reads — the same touched-set
-    // the merge itself wrote.
-    val snapshot = collectStats(spark, basePath, staged.snapshot,
-      currentSnapshot(spark, basePath))
+    // the merge itself wrote. Bloom sidecars follow the same contract:
+    // one column-pruned pass over newly staged units only.
+    val prevSnap = currentSnapshot(spark, basePath)
+    val snapshot = collectStats(spark, basePath, staged.snapshot, prevSnap)
+    buildBloomSidecars(spark, basePath, snapshot, prevSnap)
     val header = snapshot.schema.toSeq
-      .map(s => s"$SchemaHeader${s.json}")
+      .map(s => s"$SchemaHeader${s.json}") ++
+      (if (snapshot.bloomCols.nonEmpty)
+        Seq(s"$BloomColsHeader${snapshot.bloomCols.mkString(",")}")
+      else Nil)
     val statsLines =
       snapshot.statsUnits.toSeq.sorted.map(u => s"$StatsUnitHeader$u") ++
         snapshot.fileStats.toSeq.sortBy(_._1).map { case (rel, st) =>
@@ -517,7 +619,8 @@ object ManifestTable {
         .parquet(new Path(dd, s"$stageDir/part_year=$y").toString)
     }
     val parts = snap.parts ++ hits.keys.map(_ -> stageDir)
-    commit(spark, basePath, Staged(Snapshot(next, parts, Some(schema))))
+    commit(spark, basePath,
+      Staged(Snapshot(next, parts, Some(schema), bloomCols = snap.bloomCols)))
     hits.values.sum
   }
 
@@ -573,7 +676,8 @@ object ManifestTable {
         .parquet(new Path(dd, s"$stageDir/part_year=$y").toString)
     }
     val parts = snap.parts ++ plans.map { case (y, _, _) => y -> stageDir }
-    commit(spark, basePath, Staged(Snapshot(next, parts, snap.schema)))
+    commit(spark, basePath,
+      Staged(Snapshot(next, parts, snap.schema, bloomCols = snap.bloomCols)))
     plans.size
   }
 

@@ -63,6 +63,18 @@ object ZoneMaps {
 
   private val colName = "^[A-Za-z0-9_]+$".r
 
+  /** Row count of one parquet file from its footer alone — metadata-only,
+    * independent of whether any column has usable stats (the sizing input
+    * for [[FileBlooms]], which must size filters for all-string files
+    * that record no [[ColStats]] at all). */
+  def fileRowCount(conf: Configuration, file: Path): Long = {
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = rdr.getFooter.getBlocks
+      (0 until blocks.size()).map(blocks.get(_).getRowCount).sum
+    } finally rdr.close()
+  }
+
   /** Footer-read one parquet file. Metadata-only: no row pages. */
   def forFile(conf: Configuration, file: Path): FileStats = {
     val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))

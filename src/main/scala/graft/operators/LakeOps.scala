@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.core._
+import graft.etl.ManifestTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Lakehouse data-skipping as DECLARED, oracle-checked queries: the
+  * manifest table's plan-time file pruning ([[graft.etl.ZoneMaps]] min/max
+  * ranges, [[graft.etl.FileBlooms]] equality filters) exercised end to end
+  * against the same DuckDB oracle as any operator — build a manifest table
+  * from the testdata, prune-read it, and the result must hash-match the
+  * plain filter over the source parquet. Correctness of the PRUNED read is
+  * exactly `read().filter(p)` equivalence, which is what the oracle
+  * replays.
+  *
+  * The pruning mechanics themselves (files actually skipped, sidecar
+  * lifecycle, conservative fallbacks) are plan/file-count-asserted in
+  * ZoneMapSpec and FileBloomsSpec; these queries pin the user-visible
+  * contract.
+  */
+object LakeOps extends QueryModule {
+
+  /** Per-variant scratch table path, derived from the sf dir so Verify
+    * (sf0.01) and specs (sf0.001) never share state. */
+  private def lakeDir(sfDir: String, tag: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_lake/${tag}_$safe"
+  }
+
+  private def wipe(s: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** orders → manifest table, clustered-compacted on `o_custkey` with a
+    * small file target so each partition really holds several
+    * range-disjoint files for the zone maps to eliminate between. */
+  private def buildZoneTable(s: SparkSession, dir: String, path: String): Unit = {
+    wipe(s, path)
+    ManifestTable.mergeInto(s, T(s, dir, "orders"), path,
+      keys = Seq("o_orderkey", "o_orderdate"), dateCol = "o_orderdate")
+    ManifestTable.compact(s, path, targetFileBytes = 16L * 1024,
+      clusterBy = Seq(col("o_custkey")))
+  }
+
+  /** S11: zone-map-pruned range scan. The `o_custkey BETWEEN` predicate
+    * intersects the manifest's per-file min/max at PLAN time; after the
+    * clustered compaction the surviving scan opens O(matching files). */
+  private val s11 = QueryDef(
+    "s11_zonemap_pruned_scan",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        CAST(year(o_orderdate) AS INTEGER) AS part_year
+      FROM orders
+      WHERE o_custkey BETWEEN 42 AND 57
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "zm_v")
+      buildZoneTable(s, dir, path)
+      ManifestTable.readWhere(s, path, $"o_custkey".between(42, 57))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.readWhere(s, lakeDir(dir, "zm_b"), $"o_custkey".between(42, 57))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildZoneTable(s, dir, lakeDir(dir, "zm_b"))))
+
+  /** orders + a derived string key → manifest table with a declared bloom
+    * column. The layout is date-partitioned and NOT clustered on the tag,
+    * so min/max ranges overlap everywhere — only the Bloom sidecars can
+    * eliminate files for a point lookup. */
+  private def buildBloomTable(s: SparkSession, dir: String, path: String): Unit = {
+    wipe(s, path)
+    val tagged = T(s, dir, "orders").withColumn("o_okey_tag",
+      concat(lit("ok-"), col("o_orderkey").cast("string")))
+    ManifestTable.mergeInto(s, tagged, path,
+      keys = Seq("o_orderkey", "o_orderdate"), dateCol = "o_orderdate",
+      bloomCols = Seq("o_okey_tag"))
+  }
+
+  /** S12: bloom-pruned point lookup on a string key — the elimination
+    * zone maps structurally cannot make (strings record no bounds, and
+    * an unclustered id spans every file's range anyway). */
+  private val s12 = QueryDef(
+    "s12_bloom_pruned_lookup",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        'ok-' || CAST(o_orderkey AS VARCHAR) AS o_okey_tag,
+        CAST(year(o_orderdate) AS INTEGER) AS part_year
+      FROM orders
+      WHERE o_orderkey IN (7, 731)
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "bl_v")
+      buildBloomTable(s, dir, path)
+      ManifestTable.readWhere(s, path, $"o_okey_tag".isin("ok-7", "ok-731"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_okey_tag",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.readWhere(s, lakeDir(dir, "bl_b"),
+          $"o_okey_tag".isin("ok-7", "ok-731"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_okey_tag",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildBloomTable(s, dir, lakeDir(dir, "bl_b"))))
+
+  /** The metadata-aggregate frame: manifest-stats answer when provable
+    * ([[ManifestTable.statsAgg]] — zero files opened, no Spark job), real
+    * scan when not. Both arms produce the same values by the statsAgg
+    * soundness contract (ZoneMapSpec), so the oracle checks whichever ran. */
+  private def metaAggFrame(s: SparkSession, path: String) = {
+    import s.implicits._
+    ManifestTable.statsAgg(s, path, "o_totalprice") match {
+      case Some(m) =>
+        Seq((m.bounds.map(_._1.toDouble), m.bounds.map(_._2.toDouble),
+          m.rows, m.nonNull))
+          .toDF("min_price", "max_price", "n_rows", "n_price")
+      case None =>
+        ManifestTable.read(s, path).agg(
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"),
+          count(lit(1)).as("n_rows"),
+          count($"o_totalprice").as("n_price"))
+    }
+  }
+
+  /** S13: metadata-only MIN/MAX/COUNT — the whole aggregate answered from
+    * the manifest's zone maps, no data file opened (the Delta/Iceberg
+    * "metadata query" optimization). The oracle replays it as a plain
+    * aggregate over the source table. */
+  private val s13 = QueryDef(
+    "s13_metadata_minmax",
+    Some("""
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+        count(*) AS n_rows, count(o_totalprice) AS n_price
+      FROM orders"""),
+    (s, dir) => {
+      val path = lakeDir(dir, "ma_v")
+      buildZoneTable(s, dir, path)
+      metaAggFrame(s, path)
+    },
+    benchBuild = Some((s, dir) => metaAggFrame(s, lakeDir(dir, "ma_b"))),
+    benchSetup = Some((s, dir) => buildZoneTable(s, dir, lakeDir(dir, "ma_b"))))
+
+  override val defs: Seq[QueryDef] = Seq(s11, s12, s13)
+}

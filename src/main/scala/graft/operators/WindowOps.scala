@@ -162,5 +162,33 @@ object WindowOps extends QueryModule {
         .orderBy($"user_id", $"day")
     })
 
-  override val defs: Seq[QueryDef] = Seq(w1, w2, w3, w4, w5)
+  /** W6 (beyond parity): W1's global ranking on the SCALE path —
+    * [[GlobalRank.withRowNumber]]'s two-phase distributed rank instead of
+    * the single-partition window. Same semantics, same oracle shape as
+    * W1; the plan contains no `WindowExec` at all (GlobalRankSpec
+    * plan-asserts), so the ranked frame may grow with the data without
+    * one task ever holding it whole. */
+  private val w6 = QueryDef(
+    "w6_scalable_ranking",
+    Some("""
+      WITH agg AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, revenue,
+        ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey ASC) AS ranking
+      FROM agg
+      ORDER BY ranking"""),
+    (s, dir) => {
+      import s.implicits._
+      val agg = T(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(H.dbl(sum(H.dec2($"o_totalprice", 14))).as("revenue"))
+      GlobalRank
+        .withRowNumber(agg, "ranking", Seq($"revenue".desc, $"o_custkey".asc))
+        .withColumn("ranking", $"ranking".cast(IntegerType)) // match W1's window type
+        .orderBy($"ranking")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(w1, w2, w3, w4, w5, w6)
 }

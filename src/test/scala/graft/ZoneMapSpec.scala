@@ -154,4 +154,33 @@ class ZoneMapSpec extends SparkSpec {
     // unknown conjuncts are dropped, known ones still prune
     assert(!ZoneMaps.mayMatch(st, ranges($"v" > 20.0 && length($"id") > 2)))
   }
+
+  test("statsAgg answers min/max/count from the manifest alone and tracks deletes") {
+    val base = clusteredBase()
+    val got = ManifestTable.statsAgg(spark, base, "v").get
+    val row = ManifestTable.read(spark, base)
+      .agg(min($"v"), max($"v"), count(lit(1)), count($"v")).head
+    assert(got.bounds.map(_._1.toDouble).contains(row.getDouble(0)))
+    assert(got.bounds.map(_._2.toDouble).contains(row.getDouble(1)))
+    assert(got.rows == row.getLong(2) && got.nonNull == row.getLong(3))
+    // a delete restages its partitions; the commit's stats refresh with it
+    ManifestTable.deleteWhere(spark, base, $"v" < 100.0)
+    val after = ManifestTable.statsAgg(spark, base, "v").get
+    assert(after.bounds.map(_._1.toDouble).contains(100.0))
+    assert(after.rows == 1900L && after.nonNull == 1900L)
+    // unprovable: strings record no stats; absent columns likewise —
+    // the caller's contract is to fall back to a real scan
+    assert(ManifestTable.statsAgg(spark, base, "id").isEmpty)
+    assert(ManifestTable.statsAgg(spark, base, "nope").isEmpty)
+  }
+
+  test("statsAgg: an everywhere-null column keeps exact counts with no bounds") {
+    val rows = (0 until 50).map(i => (s"k$i", "2023-01-15", i.toDouble))
+    val base = Files.createTempDirectory("zmnull").toString + "/fact"
+    ManifestTable.mergeInto(spark,
+      frame(rows).withColumn("w", lit(null).cast("double")),
+      base, Seq("id", "date"), "date")
+    val got = ManifestTable.statsAgg(spark, base, "w").get
+    assert(got.bounds.isEmpty && got.rows == 50L && got.nonNull == 0L)
+  }
 }
