@@ -106,6 +106,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, CosineSimilarity.FUNC_NAME),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(TopKAggregate.FUNC_NAME),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TopKAggregate].getName, TopKAggregate.FUNC_NAME),
+        (exprs: Seq[Expression]) => TopKAggregate(exprs(0), exprs(1), exprs(2))))
     e.injectOptimizerRule(_ => graft.plans.DimBroadcastRule)
   }
 }

@@ -190,5 +190,33 @@ object WindowOps extends QueryModule {
         .orderBy($"ranking")
     })
 
-  override val defs: Seq[QueryDef] = Seq(w1, w2, w3, w4, w5, w6)
+  /** O8 (beyond parity): grouped top-k via the map-side-truncating
+    * [[graft.functions.TopKAggregate]] — shuffle carries ≤ k entries per
+    * (map task, group) instead of every row of every group. The oracle
+    * replays it as the window form it replaces; totality of the order
+    * (price DESC, key ASC) makes the two selections identical. */
+  private val o8 = QueryDef(
+    "o8_grouped_topk",
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+      SELECT o_orderpriority, o_orderkey, o_totalprice
+      FROM ranked WHERE rn <= 3
+      ORDER BY o_orderpriority, o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(graft.functions.TopKAggregate
+          .topK(s, $"o_totalprice", $"o_orderkey", 3).as("top"))
+        .select($"o_orderpriority", explode($"top").as("e"))
+        .select($"o_orderpriority", $"e.id".as("o_orderkey"),
+          $"e.score".as("o_totalprice"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(w1, w2, w3, w4, w5, w6, o8)
 }
