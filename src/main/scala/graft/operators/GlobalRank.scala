@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *
   *  1. range-repartition + sort within partitions on the full ordering —
   *     a distributed sort, each task holds 1/N of the data;
-  *  2. pin the sorted frame (`localCheckpoint`) so the ids below are
-  *     assigned exactly once — task retries or a second action can never
-  *     re-derive different physical row positions;
+  *  2. pin the sorted frame (reliable `checkpoint`) so the ids below are
+  *     assigned exactly once — range-boundary sampling is seeded by the
+  *     RDD id, so a recomputation could place rows differently and a
+  *     second action (or task retry) would silently mismatch the offsets
+  *     collected below. Pinning is CORRECTNESS here, not caching;
   *  3. `monotonically_increasing_id()` encodes (partition, local position)
   *     as `pid << 33 | pos` for rows in sort order — decode both;
   *  4. one tiny aggregation (one row PER PARTITION, not per row) counts
@@ -41,10 +43,14 @@ import org.apache.spark.sql.functions._
   * duplicate full keys the assignment within a tie group is undefined,
   * same as the window form.
   *
-  * Cluster note: `localCheckpoint` stores the pinned partitions on
-  * executor storage; on a multi-node cluster with executor loss in scope,
-  * point `sparkContext.setCheckpointDir` at reliable storage and swap in
-  * `checkpoint()` — the protocol is unchanged.
+  * The pin is a RELIABLE checkpoint (the [[ConnectedComponents]]
+  * pattern, not `localCheckpoint`): it survives executor loss, and it
+  * leaves nothing in `getPersistentRDDs` — every declared query must end
+  * its action cache-clean (OperatorSmokeSpec enforces). A temp
+  * checkpoint dir is provisioned when the session has none; cluster
+  * deployments should `setCheckpointDir` to durable storage. Checkpoint
+  * files live for the returned frame's lifetime (Spark never reclaims
+  * reliable checkpoints itself).
   */
 object GlobalRank {
 
@@ -58,11 +64,15 @@ object GlobalRank {
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_rank_ckpt").toString)
     val sorted = df
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__gr_id", monotonically_increasing_id())
-      .localCheckpoint()
+      .checkpoint()
     val pid = shiftright(col("__gr_id"), PosBits)
     val pos = col("__gr_id").bitwiseAND(lit((1L << PosBits) - 1))
     // driver-small: one (partition, count) row per range partition —

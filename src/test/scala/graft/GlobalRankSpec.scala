@@ -62,6 +62,14 @@ class GlobalRankSpec extends SparkSpec {
     rns shouldBe (1L to 5000L).toArray
   }
 
+  test("leaves no persisted RDDs behind — the pin is a reliable checkpoint, not a cache") {
+    import spark.implicits._
+    val ranked = GlobalRank.withRowNumber(fixture, "rn", Seq($"id".asc), 4)
+    ranked.collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "GlobalRank must not squat on executor memory after its action")
+  }
+
   test("empty input yields an empty ranked frame with the rank column") {
     import spark.implicits._
     val empty = fixture.filter($"id" < 0)
