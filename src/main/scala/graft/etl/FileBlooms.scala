@@ -74,7 +74,8 @@ object FileBlooms {
     * residency is the point, and their total size is bounded by
     * bits-per-row × rows-this-commit-staged. */
   def build(spark: SparkSession, unitDir: Path, schema: Option[StructType],
-      cols: Seq[String], fpp: Double = 0.01): Unit = {
+      cols: Seq[String], fpp: Double = 0.01,
+      knownRows: Map[String, Long] = Map.empty): Unit = {
     val fs = unitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(unitDir)) return
     val files = fs.listStatus(unitDir).toSeq.map(_.getPath)
@@ -87,9 +88,13 @@ object FileBlooms {
     if (present.isEmpty) return
     val kinds: Map[String, Boolean] = present.map(c => // true = string
       c -> (df.schema(c).dataType == StringType)).toMap
+    // sizing: the zone-map scan of the same commit usually already knows
+    // each file's row count (`knownRows`); only files it could not cover
+    // (no stats-domain column at all) pay a footer read here
     val conf = spark.sparkContext.hadoopConfiguration
-    val rowsByFile: Map[String, Long] =
-      files.map(p => p.getName -> ZoneMaps.fileRowCount(conf, p)).toMap
+    val rowsByFile: Map[String, Long] = files.map { p =>
+      p.getName -> knownRows.getOrElse(p.getName, ZoneMaps.fileRowCount(conf, p))
+    }.toMap
     val narrowed = df.select(input_file_name().as("__file") +: present.map(col): _*)
     val perFile = narrowed.rdd
       .mapPartitions { it =>

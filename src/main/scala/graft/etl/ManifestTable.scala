@@ -209,6 +209,14 @@ object ManifestTable {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val snap = currentSnapshot(spark, basePath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $basePath"))
+    prunedFrame(spark, basePath, snap, predicate)
+  }
+
+  /** [[readWhere]]'s engine against an explicit snapshot — shared with
+    * [[deleteWhere]]'s locate pass so point deletes plan through the same
+    * zone-map + bloom elimination as point reads. */
+  private def prunedFrame(spark: SparkSession, basePath: String,
+      snap: Snapshot, predicate: org.apache.spark.sql.Column): DataFrame = {
     val predExpr = org.apache.spark.sql.graft.ColumnExpr.expr(predicate)
     val ranges = ZoneMaps.constraintsOf(predExpr)
     // equality conjuncts probe the FileBlooms sidecars — the elimination
@@ -334,15 +342,20 @@ object ManifestTable {
     val carried = prev.map(_.fileStats).getOrElse(Map.empty).filter {
       case (rel, _) => units.exists(u => covered(u) && rel.startsWith(u + "/"))
     }
-    val fresh = units.filterNot(covered).flatMap { unit =>
+    // one batched footer pass over everything this commit staged —
+    // distributed past a file-count threshold (ZoneMaps.forFiles), so a
+    // wide compaction's commit never serializes on driver metadata RPCs
+    val targets: Seq[(String, Path)] = units.filterNot(covered).flatMap { unit =>
       val pdir = new Path(dd, unit)
       if (!f.exists(pdir)) Seq.empty
       else f.listStatus(pdir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-        .flatMap { p =>
-          val st = ZoneMaps.forFile(conf, p)
-          if (st.isEmpty) None else Some(s"$unit/${p.getName}" -> st)
-        }
+        .map(p => unit -> p)
+    }
+    val scanned = ZoneMaps.forFiles(spark, conf, targets.map(_._2))
+    val fresh = targets.flatMap { case (unit, p) =>
+      val st = scanned(p.toString)
+      if (st.isEmpty) None else Some(s"$unit/${p.getName}" -> st)
     }.toMap
     next.copy(fileStats = carried ++ fresh, statsUnits = units.toSet)
   }
@@ -363,7 +376,13 @@ object ManifestTable {
       .map { case (y, dir) => s"$dir/part_year=$y" }
       .filterNot(covered)
       .foreach { unit =>
-        FileBlooms.build(spark, new Path(dd, unit), next.schema, next.bloomCols)
+        // row counts the zone-map pass just recorded, keyed by file name
+        val known = next.fileStats.collect {
+          case (rel, st) if rel.startsWith(unit + "/") && st.nonEmpty =>
+            rel.substring(unit.length + 1) -> st.head._2.rows
+        }
+        FileBlooms.build(spark, new Path(dd, unit), next.schema,
+          next.bloomCols, knownRows = known)
       }
   }
 
@@ -595,9 +614,11 @@ object ManifestTable {
   def deleteWhere(spark: SparkSession, basePath: String,
       predicate: org.apache.spark.sql.Column): Long = {
     val snap = currentSnapshot(spark, basePath).getOrElse(return 0L)
-    // driver-small: one (year, matched-count) row per partition
-    val hits = readSnapshot(spark, basePath, snap)
-      .filter(predicate)
+    // driver-small: one (year, matched-count) row per partition. The
+    // locate pass rides the SAME zone-map + bloom pruning as readWhere —
+    // a point delete (the compliance case: one doc id out of 100 TB)
+    // opens only the files that can hold the key, not the table.
+    val hits = prunedFrame(spark, basePath, snap, predicate)
       .groupBy(col("part_year")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (hits.isEmpty) return 0L

@@ -75,6 +75,39 @@ object ZoneMaps {
     } finally rdr.close()
   }
 
+  /** Footer-read a batch of parquet files: driver loop while the batch is
+    * small (one metadata RPC each — cheaper than scheduling a job), one
+    * Spark job above the threshold. A compaction restaging a thousand
+    * partitions stages thousands of files; sequential driver footer reads
+    * would serialize the commit on metadata latency, which is exactly the
+    * driver-side-loop smell the rest of the engine avoids. The Hadoop
+    * conf ships as `Writable` bytes (`SerializableConfiguration` is
+    * private[spark]). Keys are full path strings. */
+  def forFiles(spark: org.apache.spark.sql.SparkSession, conf: Configuration,
+      files: Seq[Path]): Map[String, FileStats] = {
+    val DistributeThreshold = 64
+    if (files.lengthCompare(DistributeThreshold) <= 0)
+      files.map(p => p.toString -> forFile(conf, p)).toMap
+    else {
+      val confBytes = {
+        val b = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(b)
+        conf.write(o); o.close(); b.toByteArray
+      }
+      val paths = files.map(_.toString)
+      val slices = math.max(1,
+        math.min(paths.size / 8, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(paths, slices)
+        .mapPartitions { it =>
+          val c = new Configuration(false)
+          c.readFields(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(confBytes)))
+          it.map(p => p -> forFile(c, new Path(p)))
+        }
+        .collect().toMap
+    }
+  }
+
   /** Footer-read one parquet file. Metadata-only: no row pages. */
   def forFile(conf: Configuration, file: Path): FileStats = {
     val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))

@@ -174,6 +174,23 @@ class ZoneMapSpec extends SparkSpec {
     assert(ManifestTable.statsAgg(spark, base, "nope").isEmpty)
   }
 
+  test("forFiles distributes past the file-count threshold and matches the driver path") {
+    val dir = Files.createTempDirectory("zmff").toString + "/t"
+    withConf("spark.sql.files.maxRecordsPerFile" -> "2") {
+      (1 to 200).map(i => (i, i.toDouble)).toDF("a", "b")
+        .repartition(4).write.parquet(dir)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsx = p.getFileSystem(conf)
+    val files = fsx.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(files.size > 64, s"fixture needs >64 files, got ${files.size}")
+    val dist = ZoneMaps.forFiles(spark, conf, files) // job path
+    val solo = files.map(f => f.toString -> ZoneMaps.forFile(conf, f)).toMap
+    assert(dist == solo, "distributed footer scan diverged from the driver loop")
+  }
+
   test("statsAgg: an everywhere-null column keeps exact counts with no bounds") {
     val rows = (0 until 50).map(i => (s"k$i", "2023-01-15", i.toDouble))
     val base = Files.createTempDirectory("zmnull").toString + "/fact"
