@@ -158,5 +158,86 @@ object LakeOps extends QueryModule {
     benchBuild = Some((s, dir) => metaAggFrame(s, lakeDir(dir, "ma_b"))),
     benchSetup = Some((s, dir) => buildZoneTable(s, dir, lakeDir(dir, "ma_b"))))
 
-  override val defs: Seq[QueryDef] = Seq(s11, s12, s13)
+  /** orders → manifest v1, then a keyed price-update merge → v2: the
+    * two-version fixture time travel and CDC read against. The update
+    * batch re-prices every `l_orderkey % 7 = 0` order from its lineitem
+    * sum (the a12 merge shape), carrying the merge-key date from the
+    * base; all other columns ride `MergeService`'s updateAll carry. */
+  private def buildVersioned(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    wipe(s, path)
+    val orders = T(s, dir, "orders")
+    val keys = Seq("o_orderkey", "o_orderdate")
+    ManifestTable.mergeInto(s, orders, path, keys, dateCol = "o_orderdate")
+    val upd = T(s, dir, "lineitem")
+      .filter($"l_orderkey" % 7 === 0)
+      .groupBy($"l_orderkey".as("o_orderkey"))
+      .agg(H.dbl(sum(H.dec2($"l_extendedprice"))).as("o_totalprice"))
+      .join(orders.select($"o_orderkey", $"o_orderdate"), "o_orderkey")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    ManifestTable.mergeInto(s, upd, path, keys, dateCol = "o_orderdate")
+  }
+
+  /** S14: TIME TRAVEL oracle — after the v2 merge rewrote prices,
+    * `readAt(v1)` must still return the original table bit-for-bit,
+    * which is exactly what DuckDB sees reading the source parquet. */
+  private val s14 = QueryDef(
+    "s14_time_travel_read",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "tt14_v")
+      buildVersioned(s, dir, path)
+      ManifestTable.readAt(s, path, 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.readAt(s, lakeDir(dir, "tt14_b"), 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildVersioned(s, dir, lakeDir(dir, "tt14_b"))))
+
+  /** S15: CDC oracle — `changes(v1, v2)` must emit exactly the rows
+    * whose price the merge actually CHANGED (an update that lands the
+    * old value is invisible, by the row-diff contract), which DuckDB
+    * replays as the re-priced join filtered on inequality. Reads only
+    * partitions whose manifest pointer moved (inputFiles-asserted in
+    * ManifestTableSpec); here the oracle pins the emitted rows. */
+  private val s15 = QueryDef(
+    "s15_cdc_changes",
+    Some("""
+      WITH upd AS (
+        SELECT l_orderkey AS o_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS p
+        FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1)
+      SELECT 'update' AS change,
+        CAST(year(b.o_orderdate) AS INTEGER) AS part_year,
+        b.o_orderkey, u.p AS o_totalprice
+      FROM orders b INNER JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE u.p <> b.o_totalprice
+      ORDER BY b.o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "tt15_v")
+      buildVersioned(s, dir, path)
+      ManifestTable.changes(s, path, 1, 2, Seq("o_orderkey", "o_orderdate"))
+        .select($"change", $"part_year", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.changes(s, lakeDir(dir, "tt15_b"), 1, 2,
+          Seq("o_orderkey", "o_orderdate"))
+        .select($"change", $"part_year", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildVersioned(s, dir, lakeDir(dir, "tt15_b"))))
+
+  override val defs: Seq[QueryDef] = Seq(s11, s12, s13, s14, s15)
 }
