@@ -103,7 +103,11 @@ object ContinuousIngest {
       textIndexName: Option[String] = None,
       annIndexName: Option[String] = None,
       embeddingCol: String = "embedding",
-      annDims: Int = 64)
+      annDims: Int = 64,
+      // corpus [[FileBlooms]] columns (e.g. doc_id): point lookups and
+      // point deletes — the data-deletion/compliance path — then open
+      // only the files that can hold the key. Nil = no sidecar cost.
+      bloomCols: Seq[String] = Nil)
 
   /** Start the composed pipeline over a streaming documents frame
     * (schema: `documents` + the config's date column). AvailableNow +
@@ -187,7 +191,7 @@ object ContinuousIngest {
     try {
       if (accept.count() > 0) {
         ManifestTable.mergeInto(spark, accept, cfg.corpusPath, cfg.keys,
-          cfg.dateCol)
+          cfg.dateCol, bloomCols = cfg.bloomCols)
         stamp("merged")
         if (!BatchLog.isCommitted(spark, log, bid)) {
           if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))

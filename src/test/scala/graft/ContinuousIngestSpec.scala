@@ -242,4 +242,37 @@ class ContinuousIngestSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("declared bloom columns ride the streaming merge: point reads and deletes prune") {
+    val src = Files.createTempDirectory("cib_src").toString + "/data"
+    val cp = Files.createTempDirectory("cib_cp").toString
+    val corpus = Files.createTempDirectory("cib_corpus").toString + "/corpus"
+    val mh = "cib_idx"
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      bloomCols = Seq("doc_id"))
+    try {
+      frame((1L to 20L).map(i => doc(i, words(s"cb$i", 16)))).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      ContinuousIngest.start(spark,
+        spark.readStream.schema(schema).parquet(src), cp, cfg)
+        .awaitTermination()
+      val snap = ManifestTable.currentSnapshot(spark, corpus).get
+      assert(snap.bloomCols == Seq("doc_id"),
+        "the config's bloom columns must persist as a table property")
+      val unit = new org.apache.hadoop.fs.Path(
+        s"$corpus/data/${snap.parts.head._2}/part_year=${snap.parts.head._1}")
+      val fsx = unit.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsx.exists(graft.etl.FileBlooms.sidecarPath(unit)),
+        "the streamed merge must build the bloom sidecar")
+      // the compliance path: point read and point delete by doc id
+      assert(ManifestTable.readWhere(spark, corpus, col("doc_id") === 7L)
+        .count() == 1L)
+      assert(ManifestTable.deleteWhere(spark, corpus, col("doc_id") === 7L) == 1L)
+      assert(ManifestTable.read(spark, corpus).filter(col("doc_id") === 7L)
+        .count() == 0L)
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
