@@ -208,6 +208,21 @@ object FileBlooms {
     walk(pred).groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
   }
 
+  /** Do `probes` carry the kind the column's filters were FED? Insert
+    * canonicalizes by the column's type (strings via putString, integers
+    * via putLong), so a probe of the other kind — `stringCol === 7`,
+    * `longCol === "42"`, shapes Spark resolves by coercion — must never
+    * eliminate: the filter was not fed that representation and a miss
+    * proves nothing. The caller drops such constraints (conservative);
+    * [[mayContain]]'s unknown-type fallback stays as the last line. */
+  def soundProbes(colType: DataType, probes: Seq[Probe]): Boolean = colType match {
+    case StringType =>
+      probes.forall(_.values.forall(_.isInstanceOf[String]))
+    case IntegerType | LongType | ShortType | ByteType =>
+      probes.forall(_.values.forall(_.isInstanceOf[java.lang.Long]))
+    case _ => false
+  }
+
   /** Can a file with `filters` contain a row satisfying every probe set?
     * Missing filter or unsupported value: yes (cannot eliminate). */
   def mayContain(filters: Map[String, BloomFilter],

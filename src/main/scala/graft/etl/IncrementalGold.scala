@@ -95,6 +95,19 @@ object IncrementalGold {
       if (fromV == 0 ||
           ManifestTable.snapshotAt(spark, bronzePath, fromV).isDefined) fromV
       else 0
+    if (diffFrom == 0) {
+      // First refresh, or the bookmark outlived the producer's retention
+      // window: a version-0 diff only shows CURRENT rows, so a date whose
+      // rows were all deleted since would be invisible to it. The honest
+      // semantics is the full re-aggregation the grain already makes
+      // idempotent — and it must REPLACE gold, not upsert into it, or
+      // grain groups deleted upstream would survive as stale leftovers.
+      val up = aggregate(ManifestTable.read(spark, bronzePath))
+      val n = up.count()
+      StreamingIngest.replaceParquet(spark, up, goldPath)
+      writeBookmark(spark, bookmarkPath, toV.toString)
+      return RefreshReport(from, Some(toV.toString), n)
+    }
     val affected = ManifestTable
       .changes(spark, bronzePath, diffFrom, toV, bronzeKeys)
       .select(col(dateCol).cast("string")).distinct()
@@ -107,7 +120,11 @@ object IncrementalGold {
       .filter(col(dateCol).cast("string").isin(affected: _*))
     val up = aggregate(delta)
     val n = up.count()
-    StreamingIngest.mergeIntoParquet(spark, up, goldPath, goldKeys)
+    // replace the affected dates wholesale: re-aggregation rebuilds a
+    // date from ALL its bronze rows, so a (key, date) grain whose bronze
+    // rows were deleted yields no row and must DISAPPEAR from gold —
+    // a keyed upsert would leave it standing forever
+    StreamingIngest.replaceDatesParquet(spark, up, goldPath, dateCol, affected)
     writeBookmark(spark, bookmarkPath, toV.toString)
     RefreshReport(from, Some(toV.toString), n)
   }

@@ -112,20 +112,22 @@ object LshIndex {
     compact(s, name, Some(IndexCompaction.Remove(ids)))
 
   /** One batch's vectors + sign-buckets, batch-tagged and bucketed.
-    * Both writes read ONE persisted evaluation of the batch frame, so
-    * the two tables stay consistent under a non-deterministic input
-    * frame — without the previous write-then-read-back round trip. */
+    * Both writes read ONE pinned evaluation of the batch frame
+    * ([[MinhashIndex.pin]]: checkpoint, not persist — lost blocks fail
+    * loudly instead of silently recomputing a non-deterministic frame
+    * into diverging sibling tables) — without the previous
+    * write-then-read-back round trip. */
   private def writeBatch(s: SparkSession, batch0: DataFrame, t: Tables,
       planes: Seq[Seq[Seq[Double]]], nBuckets: Int, append: Boolean,
       batchId: String): Unit = {
-    val batch = batch0.persist()
+    val (batch, release) = MinhashIndex.pin(batch0)
     try {
       MinhashIndex.writeBucketed(batch, t.vectors, nBuckets, append,
         batchId, "vec_id")
       MinhashIndex.writeBucketed(
         SimilarityOps.signBuckets(batch, "vec_id", planes),
         t.buckets, nBuckets, append, batchId, "tbl", "bucket")
-    } finally batch.unpersist(blocking = false)
+    } finally release()
   }
 
   /** ANN search against the persisted index — same candidates, same

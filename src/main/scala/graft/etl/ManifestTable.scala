@@ -218,13 +218,21 @@ object ManifestTable {
   private def prunedFrame(spark: SparkSession, basePath: String,
       snap: Snapshot, predicate: org.apache.spark.sql.Column): DataFrame = {
     val predExpr = org.apache.spark.sql.graft.ColumnExpr.expr(predicate)
-    val ranges = ZoneMaps.constraintsOf(predExpr)
+    // the snapshot schema gates pruning SOUNDNESS: cross-type-family
+    // predicates (a timestamp literal on a date column, a number on a
+    // string key) never eliminate — Spark's own coercion decides them on
+    // the full predicate instead
+    val ranges = ZoneMaps.constraintsOf(predExpr, snap.schema)
     // equality conjuncts probe the FileBlooms sidecars — the elimination
     // zone maps cannot make (string keys, unclustered high-cardinality
-    // ids). Restricted to this snapshot's declared bloom columns so a
-    // unit's sidecar is only opened when it can actually help.
+    // ids). Restricted to this snapshot's declared bloom columns whose
+    // probe values match the column's stored kind.
     val eqs = FileBlooms.equalitiesOf(predExpr)
-      .filter { case (c, _) => snap.bloomCols.contains(c) }
+      .filter { case (c, ps) =>
+        snap.bloomCols.contains(c) &&
+          snap.schema.exists(_.find(_.name == c)
+            .exists(f => FileBlooms.soundProbes(f.dataType, ps)))
+      }
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
     val perYear = snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
@@ -740,6 +748,15 @@ object ManifestTable {
       if (n.matches("v\\d+\\.txt") &&
           n.stripPrefix("v").stripSuffix(".txt").toInt < retained.head)
         f.delete(st.getPath, false)
+      // commit attempts that crashed between tmp-create and rename leave
+      // `.tmp-vNNNNN-<token>.txt` orphans (per-attempt tokens mean no
+      // retry ever overwrites them). At or below the committed ceiling
+      // their rename can never succeed (destination exists) — garbage.
+      // Above the ceiling an attempt may be in flight: left alone, same
+      // contract as stage dirs.
+      "^\\.tmp-v(\\d+)-[0-9a-f]+\\.txt$".r.findFirstMatchIn(n)
+        .map(_.group(1).toInt).filter(_ <= maxCommitted)
+        .foreach(_ => f.delete(st.getPath, false))
     }
     removed.size
   }

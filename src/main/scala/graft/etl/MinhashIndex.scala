@@ -118,21 +118,21 @@ object MinhashIndex {
       "hash_fn" -> hashFnId,
       "hashed_shingles" -> hashedShingles.toString))
     val sh0 = DedupOps.shingleRows(corpus)
-    val sh = if (hashedShingles) sh0.persist() else sh0
+    val (sh, relSh) = if (hashedShingles) pin(sh0) else (sh0, () => ())
     try {
       writeBucketed(if (hashedShingles) hashShingleCol(sh) else sh,
         t.shingles, nBuckets, append = false, buildBatchId, "doc_id", "shingle")
-      val sig = DedupOps
+      // one pinned evaluation per doc row; consumed by two writes below
+      val (sig, relSig) = pin(DedupOps
         .minhashSigFromShingles(
-          if (hashedShingles) sh else stored(s, t.shingles), numPerms, hashFn)
-        .persist() // one row per doc; consumed by two writes below
+          if (hashedShingles) sh else stored(s, t.shingles), numPerms, hashFn))
       try {
         writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
           nBuckets, append = false, buildBatchId, "doc_id")
         writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
           t.banded, nBuckets, append = false, buildBatchId, "band", "bucket")
-      } finally sig.unpersist(blocking = false)
-    } finally if (hashedShingles) sh.unpersist(blocking = false)
+      } finally relSig()
+    } finally relSh()
     BatchLog.commit(s, log, buildBatchId)
     t
   }
@@ -166,26 +166,26 @@ object MinhashIndex {
       val bands = meta("bands").toInt
       val nBuckets = meta("n_buckets").toInt
       val hashed = isHashed(s, name) // match the built mode, never mix
-      // ONE persisted evaluation of the batch's shingles feeds all three
-      // writes — the consistency-under-nondeterminism argument the
-      // hashed branch always used, now applied uniformly. The previous
+      // ONE pinned evaluation of the batch's shingles feeds all three
+      // writes (see [[pin]]: checkpoint, not persist — block loss fails
+      // loudly instead of silently diverging the siblings). The previous
       // non-hashed path re-derived signatures by joining the FULL stored
       // shingle table against the batch's doc ids: an O(corpus) shuffle
       // per batch (measured 14.5 s of a 28 s incremental batch at sf0.1,
       // growing with corpus size) for rows the batch frame already has.
-      val sh = DedupOps.shingleRows(newDocs).persist()
+      val (sh, relSh) = pin(DedupOps.shingleRows(newDocs))
       try {
         writeBucketed(if (hashed) hashShingleCol(sh) else sh,
           t.shingles, nBuckets, append = true, batchId, "doc_id", "shingle")
-        val sig = DedupOps.minhashSigFromShingles(sh, numPerms, hashFn)
-          .persist()
+        val (sig, relSig) = pin(
+          DedupOps.minhashSigFromShingles(sh, numPerms, hashFn))
         try {
           writeBucketed(sig.select(col("doc_id"), col("n_sh")), t.sizes,
             nBuckets, append = true, batchId, "doc_id")
           writeBucketed(DedupOps.bandedBuckets(sig, numPerms, bands, hashFn),
             t.banded, nBuckets, append = true, batchId, "band", "bucket")
-        } finally sig.unpersist(blocking = false)
-      } finally sh.unpersist(blocking = false)
+        } finally relSig()
+      } finally relSh()
     }
   }
 
@@ -242,6 +242,25 @@ object MinhashIndex {
     * writing batch's partition tag, the handle [[append]]'s purge and
     * [[graft.etl.IndexCompaction]] fold by. (private[graft]: specs use
     * it to plant the partial rows a crashed append leaves behind.) */
+  /** Pin one evaluation of `df` for a multi-write sequence whose sibling
+    * tables must agree row-for-row. `persist()` is NOT that guarantee:
+    * an evicted or executor-lost block recomputes, and a
+    * non-deterministic input frame then feeds the later writes DIFFERENT
+    * rows than the earlier ones — silent index divergence.
+    * `localCheckpoint` truncates lineage to materialized rows, so block
+    * loss fails the job loudly (the streaming batch replays; exactly-once
+    * holds by the batch log) instead of diverging. Returns the pinned
+    * frame and a release thunk — `Dataset.unpersist` cannot free a
+    * checkpoint's blocks, so release drops exactly the RDDs pinned since
+    * the call (nesting-safe: each release sees its own baseline). */
+  private[graft] def pin(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val p = df.localCheckpoint()
+    (p, () => (sc.getPersistentRDDs -- before.toSeq)
+      .values.foreach(_.unpersist(blocking = false)))
+  }
+
   private[graft] def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
       append: Boolean, batchId: String, cols: String*): Unit =
     df.withColumn("batch_id", lit(BatchLog.sanitize(batchId)))

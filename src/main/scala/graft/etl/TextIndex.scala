@@ -118,14 +118,14 @@ object TextIndex {
     compact(s, name, Some(IndexCompaction.Remove(ids)))
 
   /** One batch's postings + doc lengths, batch-tagged and bucketed.
-    * Both writes read ONE persisted evaluation of the term-frequency
-    * frame, so the two tables stay consistent even under a
-    * non-deterministic input frame — without the previous write-then-
-    * read-back round trip per batch (MEMORY_AND_DISK persist spills, so
-    * a full-corpus build stays safe too). */
+    * Both writes read ONE pinned evaluation of the term-frequency frame
+    * ([[MinhashIndex.pin]]: checkpoint, not persist — a lost block fails
+    * the job loudly instead of silently recomputing a non-deterministic
+    * frame into diverging sibling tables) — without the previous
+    * write-then-read-back round trip per batch. */
   private def writeBatch(s: SparkSession, tf0: DataFrame, t: Tables,
       nBuckets: Int, append: Boolean, batchId: String): Unit = {
-    val tf = tf0.persist()
+    val (tf, release) = MinhashIndex.pin(tf0)
     try {
       MinhashIndex.writeBucketed(
         tf.select(col("token"), col("doc_id"), col("tf")),
@@ -133,7 +133,7 @@ object TextIndex {
       MinhashIndex.writeBucketed(
         tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
         t.doclens, nBuckets, append, batchId, "doc_id")
-    } finally tf.unpersist(blocking = false)
+    } finally release()
   }
 
   /** EXACTLY the recompute path's arithmetic: integer sum, one division.

@@ -235,8 +235,38 @@ object ZoneMaps {
   /** Conjunctive ranges over literal comparisons in `pred`, in the
     * stats domain. Unrecognized conjuncts are dropped (conservative:
     * less pruning, never wrong). Columns typed outside the stats domain
-    * (strings, arrays) never yield a range. */
-  def constraintsOf(pred: Expression): Map[String, Range] = {
+    * (strings, arrays) never yield a range.
+    *
+    * `schema` (the table's data schema, when the caller has one) gates
+    * SOUNDNESS across type families: the stats domain is per-type —
+    * dates as epoch DAYS, timestamps as epoch MICROS, numerics as
+    * themselves — so a literal from a DIFFERENT family than the column
+    * (a timestamp literal on a DATE column, a number on a timestamp
+    * column) would compare across domains and could eliminate files
+    * that DO match once Spark's own coercion runs. Such conjuncts are
+    * dropped: no pruning, full predicate re-applied, correct result.
+    * Numeric-vs-numeric of any width stays prunable (both engines and
+    * the stats agree in the exact BigDecimal domain). A column absent
+    * from the schema never has stats, so its constraints are harmless —
+    * except the partition column `part_year`, which eliminates whole
+    * partitions and therefore requires a numeric literal. */
+  def constraintsOf(pred: Expression,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Map[String, Range] = {
+    import org.apache.spark.sql.types._
+    def numericT(t: DataType): Boolean = t.isInstanceOf[NumericType]
+    def sound(col: String, l: Literal): Boolean = schema match {
+      case None => true // untyped call sites (specs); readWhere passes one
+      case Some(sch) => sch.find(_.name == col) match {
+        case Some(f) => (f.dataType, l.dataType) match {
+          case (ct, lt) if numericT(ct) && numericT(lt) => true
+          case (DateType, DateType) => true
+          case (TimestampType, TimestampType) => true
+          case (TimestampNTZType, TimestampNTZType) => true
+          case _ => false
+        }
+        case None => col != "part_year" || numericT(l.dataType)
+      }
+    }
     def litVal(l: Literal): Option[BigDecimal] = l.value match {
       case null => None
       case i: java.lang.Integer => Some(BigDecimal(i.intValue))
@@ -276,15 +306,19 @@ object ZoneMaps {
         }
       case And(l, r) => walk(l) ++ walk(r)
       case GreaterThan(a, l: Literal) =>
-        (attr(a) zip litVal(l)).map { case (c, v) => one(c, Some((v, true)), None) }.toSeq
+        (attr(a) zip litVal(l)).collect { case (c, v) if sound(c, l) =>
+          one(c, Some((v, true)), None) }.toSeq
       case GreaterThanOrEqual(a, l: Literal) =>
-        (attr(a) zip litVal(l)).map { case (c, v) => one(c, Some((v, false)), None) }.toSeq
+        (attr(a) zip litVal(l)).collect { case (c, v) if sound(c, l) =>
+          one(c, Some((v, false)), None) }.toSeq
       case LessThan(a, l: Literal) =>
-        (attr(a) zip litVal(l)).map { case (c, v) => one(c, None, Some((v, true))) }.toSeq
+        (attr(a) zip litVal(l)).collect { case (c, v) if sound(c, l) =>
+          one(c, None, Some((v, true))) }.toSeq
       case LessThanOrEqual(a, l: Literal) =>
-        (attr(a) zip litVal(l)).map { case (c, v) => one(c, None, Some((v, false))) }.toSeq
+        (attr(a) zip litVal(l)).collect { case (c, v) if sound(c, l) =>
+          one(c, None, Some((v, false))) }.toSeq
       case EqualTo(a, l: Literal) =>
-        (attr(a) zip litVal(l)).map { case (c, v) =>
+        (attr(a) zip litVal(l)).collect { case (c, v) if sound(c, l) =>
           one(c, Some((v, false)), Some((v, false))) }.toSeq
       // mirrored literal-first forms
       case GreaterThan(l: Literal, a) => walk(LessThan(a, l))
@@ -293,9 +327,10 @@ object ZoneMaps {
       case LessThanOrEqual(l: Literal, a) => walk(GreaterThanOrEqual(a, l))
       case EqualTo(l: Literal, a) => walk(EqualTo(a, l))
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val bds = vs.map(v => litVal(v.asInstanceOf[Literal]))
+        val lits = vs.map(_.asInstanceOf[Literal])
+        val bds = lits.map(litVal)
         if (bds.exists(_.isEmpty)) Seq.empty
-        else attr(a).map(c =>
+        else attr(a).filter(c => lits.forall(sound(c, _))).map(c =>
           one(c, Some((bds.flatten.min, false)), Some((bds.flatten.max, false)))).toSeq
       case _ => Seq.empty
     }

@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -41,7 +41,14 @@ case class TopKAggregate(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAggregate.Buffer] {
+  extends TypedImperativeAggregate[TopKAggregate.Buffer]
+  with ImplicitCastInputTypes {
+
+  // analysis-time contract: the SQL-registered form (`graft_top_k` via
+  // GraftExtensions) coerces int/decimal scores and int ids here instead
+  // of ClassCastException-ing executor-side mid-job
+  // (narrowed to Seq[DataType]: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, IntegerType)
 
   // k must be plan-time constant: buffers of different sizes can't merge
   private lazy val k: Int = kExpr.eval() match {
@@ -129,8 +136,11 @@ object TopKAggregate {
       if (heap.size < k) heap.offer((s, i))
       else {
         val worst = heap.peek()
-        val better = s > worst._1 || (s == worst._1 && i < worst._2)
-        if (better) { heap.poll(); heap.offer((s, i)) }
+        // Double.compare, NOT >/==: IEEE comparison disagrees with the
+        // heap's comparator (and with Spark's sort order) on NaN and
+        // -0.0, and a split decision procedure would corrupt selection
+        val c = java.lang.Double.compare(s, worst._1)
+        if (c > 0 || (c == 0 && i < worst._2)) { heap.poll(); heap.offer((s, i)) }
       }
     }
     def offer(e: (Double, Long)): Unit = offer(e._1, e._2)
@@ -138,7 +148,12 @@ object TopKAggregate {
     def size: Int = heap.size
     def sortedBestFirst: Array[(Double, Long)] = {
       val arr = heap.toArray(Array.empty[(Double, Long)])
-      arr.sortBy { case (s, i) => (-s, i) }
+      // same total order as the heap: score desc (Double.compare, so NaN
+      // ranks greatest like Spark's DESC sort), id asc on ties
+      arr.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        if (c != 0) c > 0 else i1 < i2
+      }
     }
   }
 

@@ -65,9 +65,16 @@ object GlobalRank {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
+    if (sc.getCheckpointDir.isEmpty) {
+      // a driver-local temp dir is only a valid checkpoint target when
+      // driver and executors share a filesystem — refuse loudly on a
+      // cluster rather than fail later with missing-checkpoint reads
+      require(sc.master.startsWith("local"),
+        "GlobalRank needs a reliable checkpoint dir on a cluster: call " +
+          "sparkContext.setCheckpointDir(<durable storage>) first")
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_rank_ckpt").toString)
+    }
     val sorted = df
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)

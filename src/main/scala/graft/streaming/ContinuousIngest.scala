@@ -186,6 +186,7 @@ object ContinuousIngest {
     // truncates the lineage to the materialized rows, which no catalog
     // mutation can invalidate. (Block loss on a cluster fails the micro-
     // batch, which replays — the normal streaming retry path.)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val accept = accepted(spark, batch, cfg).localCheckpoint()
     stamp("accept decided")
     try {
@@ -219,7 +220,17 @@ object ContinuousIngest {
           stamp("ann indexed")
         }
       }
-    } finally accept.unpersist(blocking = false)
+    } finally {
+      // Dataset.unpersist cannot free a localCheckpoint (the checkpoint
+      // RDD never enters the cache manager; only the GC-driven
+      // ContextCleaner would eventually reclaim it) — so a long-lived
+      // stream would pin one block set per BATCH, for both `accept` and
+      // the gates-internal dedup pin inside accepted(). Drop exactly the
+      // RDDs this batch pinned, once every leg's actions are done.
+      // (Single active stream per session — the foreachBatch contract.)
+      (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
+        .values.foreach(_.unpersist(blocking = false))
+    }
     if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0) {
       maintain(spark, cfg)
       stamp("maintenance done")

@@ -156,7 +156,40 @@ object StreamingIngest {
     * [[mergeIntoDatePartitioned]], which rewrites only the partitions the
     * batch touches. */
   def mergeIntoParquet(spark: SparkSession, batch: DataFrame,
-      basePath: String, keys: Seq[String]): Unit = {
+      basePath: String, keys: Seq[String]): Unit =
+    swapIn(spark, basePath) {
+      case Some(base) =>
+        MergeService.upsert(base, batch.dropDuplicates(keys), keys)
+          .drop("merge_action")
+      case None => batch.dropDuplicates(keys)
+    }
+
+  /** Replace the WHOLE table with `df` under the same crash-recovering
+    * swap — the write shape for "rebuilt from scratch" refreshes, where
+    * an upsert would let rows whose upstream source vanished live on. */
+  def replaceParquet(spark: SparkSession, df: DataFrame, basePath: String): Unit =
+    swapIn(spark, basePath)(_ => df)
+
+  /** Replace exactly the rows whose `dateCol` (as string) is in `dates`
+    * with `batch`, keeping every other date untouched — the gold-refresh
+    * write: a re-aggregated date REPLACES its gold rows, so a grain
+    * group deleted upstream disappears instead of surviving as a stale
+    * upsert leftover. */
+  def replaceDatesParquet(spark: SparkSession, batch: DataFrame,
+      basePath: String, dateCol: String, dates: Seq[String]): Unit =
+    swapIn(spark, basePath) {
+      case Some(base) =>
+        base.filter(!col(dateCol).cast("string").isin(dates: _*))
+          .unionByName(batch, allowMissingColumns = true)
+      case None => batch
+    }
+
+  /** The crash-recovering full-rewrite swap shared by the writers above:
+    * recover any interrupted previous swap, build the new contents from
+    * the current base (None = table absent), write them aside, then
+    * aside-swap with recovery markers. */
+  private def swapIn(spark: SparkSession, basePath: String)(
+      contents: Option[DataFrame] => DataFrame): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(basePath + "_tmp")
@@ -165,11 +198,8 @@ object StreamingIngest {
       if (!fs.exists(base)) checkedRename(fs, old, base) // crashed mid-swap
       else fs.delete(old, true) // swap completed; aside copy is garbage
     }
-    val merged =
-      if (fs.exists(base))
-        MergeService.upsert(spark.read.parquet(basePath),
-          batch.dropDuplicates(keys), keys).drop("merge_action")
-      else batch.dropDuplicates(keys)
+    val merged = contents(
+      if (fs.exists(base)) Some(spark.read.parquet(basePath)) else None)
     merged.write.mode("overwrite").parquet(tmp.toString)
     val hadBase = fs.exists(base)
     if (hadBase) checkedRename(fs, base, old)

@@ -111,6 +111,34 @@ class FileBloomsSpec extends SparkSpec {
       .count() shouldBe 1L
   }
 
+  test("a probe of the wrong kind never prunes — coercion shapes stay correct") {
+    import spark.implicits._
+    val base = tmp()
+    // blooms on BOTH the string key and the long value column
+    ManifestTable.mergeInto(spark, fixture(100), base,
+      keys = Seq("sid", "d"), dateCol = "d", bloomCols = Seq("sid", "v"))
+    val all = ManifestTable.read(spark, base)
+    // string literal on the LONG column: the filter was fed putLong, so
+    // mightContainString proves nothing — constraint must drop and the
+    // matching row must survive (Spark casts "37" to 37L)
+    val got = ManifestTable.readWhere(spark, base, $"v" === "37")
+      .collect().map(_.getString(0)).toSeq
+    got shouldBe Seq("k-37")
+    // int literal on the STRING column: same in reverse (coerces to a
+    // numeric compare; no bloom elimination may fire)
+    val got2 = ManifestTable.readWhere(spark, base, $"sid" === 7)
+      .collect().map(_.getString(0)).toSeq
+    got2 shouldBe all.filter($"sid" === 7).collect().map(_.getString(0)).toSeq
+    // and the kind-matched probes still prune as before
+    assert(ManifestTable.readWhere(spark, base, $"v" === 37L).count() == 1L)
+    assert(FileBlooms.soundProbes(org.apache.spark.sql.types.LongType,
+      Seq(FileBlooms.Probe(Seq(java.lang.Long.valueOf(3L))))))
+    assert(!FileBlooms.soundProbes(org.apache.spark.sql.types.LongType,
+      Seq(FileBlooms.Probe(Seq("3")))))
+    assert(!FileBlooms.soundProbes(org.apache.spark.sql.types.StringType,
+      Seq(FileBlooms.Probe(Seq(java.lang.Long.valueOf(3L))))))
+  }
+
   test("equalitiesOf extracts conjunctive = and IN, ignores everything else") {
     import spark.implicits._
     val eqs = FileBlooms.equalitiesOf(ColumnExpr.expr(

@@ -64,10 +64,14 @@ class GlobalRankSpec extends SparkSpec {
 
   test("leaves no persisted RDDs behind — the pin is a reliable checkpoint, not a cache") {
     import spark.implicits._
+    // diff against the session baseline: other suites sharing this
+    // session may legitimately hold pins of their own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val ranked = GlobalRank.withRowNumber(fixture, "rn", Seq($"id".asc), 4)
     ranked.collect()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "GlobalRank must not squat on executor memory after its action")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"GlobalRank must not squat on executor memory after its action: $leaked")
   }
 
   test("empty input yields an empty ranked frame with the rank column") {

@@ -161,6 +161,54 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(refresh().rowsUpserted == 0L)
   }
 
+  test("gold drops grain groups whose bronze rows were deleted — CDC and degrade paths") {
+    val root = Files.createTempDirectory("inc_gold_del").toString
+    val bronze = s"$root/bronze"
+    val gold = s"$root/gold"
+    val bm = s"$root/bookmark"
+    val bronzeKeys = Seq("event_id", "day")
+    def rows(day: String, evs: Seq[(Long, String, Long)]) =
+      evs.map { case (id, u, a) => (id, u, java.sql.Date.valueOf(day), a) }
+        .toDF("event_id", "user", "day", "amount")
+    def refresh() = IncrementalGold.refreshFromManifest(spark, bronze, gold,
+      bm, "day", bronzeKeys, Seq("user", "day"), goldAgg)
+    def goldNow() = spark.read.parquet(gold)
+      .select($"user", $"day".cast("string"), $"n_events", $"total")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    graft.etl.ManifestTable.mergeInto(spark,
+      rows("2024-01-01", Seq((1L, "u1", 10L), (2L, "u2", 7L)))
+        .unionAll(rows("2024-01-02", Seq((3L, "u3", 5L)))),
+      bronze, bronzeKeys, "day")
+    refresh()
+    assert(goldNow().size == 3)
+
+    // CDC path: u2's ONLY bronze event is deleted -> the re-aggregated
+    // day has no (u2, day) row, and the refresh must REMOVE it from
+    // gold, not leave a stale upsert leftover
+    assert(graft.etl.ManifestTable.deleteWhere(spark, bronze,
+      col("event_id") === 2L) == 1L)
+    val r2 = refresh()
+    assert(r2.newBookmark.contains("2"))
+    assert(goldNow() == Set(
+      ("u1", "2024-01-01", 1L, 10L), ("u3", "2024-01-02", 1L, 5L)),
+      "a grain group deleted from bronze must disappear from gold")
+
+    // degrade path: delete ALL of day 2, then vacuum the bookmarked
+    // version away — the full re-aggregation must REPLACE gold, so the
+    // dead date cannot survive (a v0 diff never even lists it)
+    assert(graft.etl.ManifestTable.deleteWhere(spark, bronze,
+      $"day".cast("string") === "2024-01-02") == 1L)
+    graft.etl.ManifestTable.vacuum(spark, bronze, retainVersions = 1)
+    assert(graft.etl.ManifestTable.snapshotAt(spark, bronze, 2).isEmpty,
+      "precondition: the bookmarked version must actually be vacuumed")
+    val r3 = refresh()
+    assert(r3.newBookmark.contains("3"))
+    assert(goldNow() == Set(("u1", "2024-01-01", 1L, 10L)),
+      "the degrade rebuild must drop the fully-deleted date from gold")
+  }
+
   test("date column must be part of the gold grain") {
     val ex = intercept[IllegalArgumentException] {
       IncrementalGold.refresh(spark, "/nope", "/nope2", "/nope3", "day",

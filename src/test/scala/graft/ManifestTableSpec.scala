@@ -408,4 +408,28 @@ class ManifestTableSpec extends SparkSpec {
     // idempotent re-issue: nothing left to match
     assert(ManifestTable.deleteWhere(spark, base, $"id" === "k1") == 0L)
   }
+
+  test("vacuum reclaims orphaned commit tmp files at or below the ceiling") {
+    val base = Files.createTempDirectory("manifest_tmp").toString + "/fact"
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-01-01", 1.0))), base, Seq("id", "date"), "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k2", "2023-02-02", 2.0))), base, Seq("id", "date"), "date")
+    val md = new org.apache.hadoop.fs.Path(s"$base/_manifests")
+    val fsx = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate crashes between tmp-create and rename: per-attempt tokens
+    // mean no retry ever overwrites these
+    val deadBelow = new org.apache.hadoop.fs.Path(md, ".tmp-v00002-deadbeef.txt")
+    val liveAbove = new org.apache.hadoop.fs.Path(md, ".tmp-v00009-deadbeef.txt")
+    Seq(deadBelow, liveAbove).foreach { p =>
+      val o = fsx.create(p, true); o.write("orphan".getBytes("UTF-8")); o.close()
+    }
+    ManifestTable.vacuum(spark, base, retainVersions = 2)
+    assert(!fsx.exists(deadBelow),
+      "an attempt at or below the committed ceiling can never complete — garbage")
+    assert(fsx.exists(liveAbove),
+      "an attempt above the ceiling may be in flight — untouchable")
+    // table unaffected
+    assert(ManifestTable.read(spark, base).count() == 2L)
+  }
 }

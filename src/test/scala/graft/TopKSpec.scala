@@ -75,6 +75,38 @@ class TopKSpec extends SparkSpec {
     t.sortedBestFirst.map(_._2).toSeq shouldBe Seq(5L, 7L)
   }
 
+  test("NaN and -0.0 follow the comparator's total order, not IEEE ==") {
+    // a split decision procedure (IEEE >/== in offer, Double.compare in
+    // the heap) would corrupt selection exactly on these two values
+    val a = new TopKAggregate.Buffer(1)
+    a.offer(0.0, 10L); a.offer(Double.NaN, 5L)
+    val best = a.sortedBestFirst.head
+    assert(best._1.isNaN && best._2 == 5L, "NaN ranks greatest, like DESC sort")
+    val z = new TopKAggregate.Buffer(1)
+    z.offer(-0.0, 5L); z.offer(0.0, 10L)
+    val zb = z.sortedBestFirst.head
+    assert(java.lang.Double.doubleToRawLongBits(zb._1) == 0L && zb._2 == 10L,
+      "0.0 ranks above -0.0 under the total order")
+  }
+
+  test("the SQL-registered form coerces int and decimal scores at analysis time") {
+    import spark.implicits._
+    TopKAggregate.register(spark)
+    fixture.createOrReplaceTempView("tk_fixture")
+    // int score and int-ish id: ImplicitCastInputTypes must insert the
+    // casts — without the contract this ClassCastExceptions mid-job
+    val viaInt = spark.sql(
+      """SELECT g, graft_top_k(CAST(id AS INT), id, 2) AS top
+         FROM tk_fixture GROUP BY g""").collect()
+    assert(viaInt.length == 5 &&
+      viaInt.forall(_.getSeq[org.apache.spark.sql.Row](1).size == 2))
+    val viaDec = spark.sql(
+      """SELECT g, graft_top_k(CAST(score AS DECIMAL(10,2)), id, 3) AS top
+         FROM tk_fixture WHERE score IS NOT NULL GROUP BY g""").collect()
+    assert(viaDec.length == 5)
+    spark.catalog.dropTempView("tk_fixture")
+  }
+
   test("plans as partial+final ObjectHashAggregate — the exchange sits between truncated buffers") {
     import spark.implicits._
     withConf("spark.sql.adaptive.enabled" -> "false") {

@@ -174,6 +174,31 @@ class ZoneMapSpec extends SparkSpec {
     assert(ManifestTable.statsAgg(spark, base, "nope").isEmpty)
   }
 
+  test("cross-type-family predicates never prune — Spark's coercion decides them") {
+    // stats domains differ per type (dates in DAYS, timestamps in
+    // MICROS): a literal from another family must contribute NO
+    // constraint, or files that match after Spark's own cast would be
+    // eliminated and readWhere would silently drop rows
+    val rows = (0 until 100).map(i => (s"k$i", f"2023-${i % 12 + 1}%02d-15", i.toDouble))
+    val base = mkTable("zmx", rows)
+    // timestamp literal on the DATE column: row 2023-03-15 matches after
+    // coercion; a days-vs-micros comparison would prune every file
+    sameRows(base, $"date" === lit(java.sql.Timestamp.valueOf("2023-03-15 00:00:00")))
+    // (a NUMERIC literal on a date column needs no guard: Spark itself
+    // rejects `DATE = INT` at analysis, so pruning is never reached)
+    // numeric-vs-numeric across widths still prunes soundly
+    sameRows(base, $"v" >= 20 && $"v" < 40.5)
+    // and the extractor itself drops the unsound conjunct when given a
+    // schema, keeps it when not
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType)))
+    val pred = org.apache.spark.sql.graft.ColumnExpr.expr(
+      $"d" === lit(java.sql.Timestamp.valueOf("2023-03-15 00:00:00")))
+    assert(ZoneMaps.constraintsOf(pred, Some(sch)).isEmpty)
+    assert(ZoneMaps.constraintsOf(pred, None).nonEmpty)
+  }
+
   test("forFiles distributes past the file-count threshold and matches the driver path") {
     val dir = Files.createTempDirectory("zmff").toString + "/t"
     withConf("spark.sql.files.maxRecordsPerFile" -> "2") {
