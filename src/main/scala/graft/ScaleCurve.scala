@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.T
+
+/** Empirical scaling-curve harness: answers "would this plan survive a
+  * 10× scale-up?" with a measurement instead of an argument.
+  *
+  * The sf0.1 testdata is replicated m× (default m ∈ {1, 3, 10}) with
+  * semantics-preserving remapping — fact keys offset per replica so join
+  * cardinality and group counts scale linearly, dimension tables held
+  * fixed (at 100 TB the fact side grows ~1000×, the dims don't),
+  * document text salted per replica so the corpus' internal duplicate
+  * structure is preserved but replicas are mutually dissimilar (a naive
+  * copy would make every doc a cross-replica near-dup and grow LSH
+  * candidate pairs quadratically — measuring an artifact, not the
+  * engine), and embeddings sign-flipped on a per-replica dim pattern so
+  * replica vectors land far apart in cosine space while norms are
+  * untouched.
+  *
+  * One representative query per operator family is then timed at each
+  * multiplier (same min-of-reps noop-sink protocol as [[Bench]]); the
+  * per-family time ratio vs m=1 is the product. Near-m ratios mean the
+  * family is linear in the data; the indexed-probe family should sit
+  * well BELOW m (probe cost follows matching candidates, not corpus
+  * size). Results land on stdout as one JSON line and in
+  * `target/scalecurve.json`; SCALE.md records the round's run.
+  */
+object ScaleCurve {
+
+  /** Dimension tables pass through unchanged at every multiplier. */
+  val dims: Seq[String] = Seq("region", "nation", "customer", "supplier", "part")
+
+  /** One query per operator family — each reads the standard table files,
+    * so the declared [[SparkEntry]] builders run unmodified against a
+    * replica dir. */
+  val curveQueries: Seq[String] = Seq(
+    "a1_pricing_summary",    // scan + grouped agg
+    "j1_inner_equi_join",    // broadcast dim join + agg
+    "a6_count_distinct",     // expand-based multi-distinct
+    "w3_lag_partitioned",    // partitioned window
+    "o8_grouped_topk",       // map-side-truncating top-k aggregate
+    "dd_exact_dedup",        // hash-group dedup
+    "dd_minhash_lsh",        // shingle → MinHash → banded self-join
+    "sim_cosine_topk",       // brute-force ANN baseline (O(corpus)/query)
+    "sim_lsh_indexed")       // persisted-index ANN probe (sub-linear goal)
+
+  private def span(df: DataFrame, keyCol: String): Long =
+    df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
+
+  private def expand(df: DataFrame, m: Int): DataFrame =
+    df.withColumn("r", explode(sequence(lit(0L), lit(m - 1L))))
+
+  private def offsetKey(df: DataFrame, keyCol: String, keySpan: Long): DataFrame =
+    df.withColumn(keyCol, col(keyCol).cast("long") + col("r") * keySpan)
+
+  /** Pseudo-random sign-flip decision for embedding dim `i` in replica
+    * `r` — multiplicative-hash parity, ~half the dims per replica, with
+    * distinct replicas agreeing on only ~half their flips. */
+  private def flipAt(i: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod((i.cast("long") + 1L) * (r * 2654435761L + 1L), lit(997L)) < 498L
+
+  /** Replicate `srcDir`'s tables m× into `outDir` (same `<table>.parquet`
+    * layout, so `T()` and every declared query work unchanged). File
+    * count scales with m — a real lake's file population grows with its
+    * data; scan parallelism must be part of what the curve measures. */
+  def replicate(spark: SparkSession, srcDir: String, outDir: String, m: Int): Unit = {
+    require(m >= 1, s"multiplier must be >= 1, got $m")
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    dims.foreach(n => write(T(spark, srcDir, n), n, 1))
+    val factParts = math.max(4, 4 * m)
+
+    // orders + lineitem share ONE offset base so the join stays 1:1 per
+    // replica and its cardinality scales exactly ×m.
+    val orders = T(spark, srcDir, "orders")
+    val oSpan = span(orders, "o_orderkey")
+    write(offsetKey(expand(orders, m), "o_orderkey", oSpan).drop("r"),
+      "orders", factParts)
+    write(offsetKey(expand(T(spark, srcDir, "lineitem"), m), "l_orderkey", oSpan)
+      .drop("r"), "lineitem", factParts)
+
+    // events: ids disjoint, users and time range fixed — per-user windows
+    // get ×m denser, which is what a growing event stream does.
+    val events = T(spark, srcDir, "events")
+    write(offsetKey(expand(events, m), "event_id", span(events, "event_id"))
+      .drop("r"), "events", factParts)
+
+    // documents: replica 0 is the original corpus; every other replica
+    // suffixes a replica tag onto EVERY whitespace token, so all shingles
+    // differ across replicas (mutually dissimilar) while the within-replica
+    // duplicate structure is byte-preserved.
+    val docs = T(spark, srcDir, "documents")
+    write(offsetKey(expand(docs, m), "doc_id", span(docs, "doc_id"))
+      .withColumn("text", when(col("r") === 0L, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1#"), col("r").cast("string")))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("r"), "documents", factParts)
+
+    // embeddings: replica r>0 flips the sign of a pseudo-random half of
+    // the dims (multiplicative-hash parity per (dim, replica)) —
+    // norm-preserving, deterministic, and any two distinct replicas of
+    // the same vector have expected cosine ~0 (sign patterns agree on
+    // ~half the mass), so ANN candidate structure scales linearly.
+    val emb = T(spark, srcDir, "embeddings")
+    write(offsetKey(expand(emb, m), "vec_id", span(emb, "vec_id"))
+      .withColumn("embedding", when(col("r") === 0L, col("embedding"))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          (x * when(flipAt(i, col("r")), lit(-1.0d)).otherwise(lit(1.0d)))
+            .cast("float"))))
+      .drop("r"), "embeddings", factParts)
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_REPLICA_OK"),
+      m.toString.getBytes("UTF-8"))
+  }
+
+  /** Reuse an existing replica dir iff its completion marker records the
+    * same multiplier (a partial/failed build never has the marker). */
+  private def replicaReady(outDir: String, m: Int): Boolean = {
+    val p = java.nio.file.Paths.get(outDir, "_REPLICA_OK")
+    java.nio.file.Files.exists(p) &&
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim == m.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val qNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(curveQueries)
+    val root = "target/scalecurve"
+
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    // query name -> multiplier -> min seconds
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[Int, Double]]()
+
+    mults.foreach { m =>
+      val dir =
+        if (m == 1) sfDir
+        else {
+          val d = s"$root/m$m"
+          if (!replicaReady(d, m)) {
+            System.err.println(s"[scalecurve] building ${m}x replica at $d")
+            replicate(spark, sfDir, d, m)
+          }
+          d
+        }
+      qNames.foreach { name =>
+        val fn = SparkEntry.benchQueries(name)
+        SparkEntry.benchSetups.get(name).foreach { setup =>
+          try { setup(spark, dir); cleanup() }
+          catch { case e: Throwable =>
+            System.err.println(s"[scalecurve] $name setup failed at ${m}x: ${e.getMessage}")
+          }
+        }
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[scalecurve] $name failed at ${m}x: ${e.getMessage}")
+              false
+            }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          if (ok) Some(elapsed) else None
+        }
+        val best = if (times.isEmpty) -1.0 else times.min
+        results.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap[Int, Double]()).update(m, best)
+        System.err.println(f"[scalecurve] $name%-22s ${m}%2dx  $best%8.3f s")
+      }
+    }
+
+    def fmt(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qJson = results.map { case (name, byM) =>
+      val cells = byM.map { case (m, s) => s""""$m":${fmt(s)}""" }.mkString(",")
+      val ratio = for {
+        base <- byM.get(mults.head).filter(_ > 0)
+        top <- byM.get(mults.last).filter(_ > 0)
+      } yield fmt(top / base)
+      s""""$name":{$cells${ratio.map(r => s""","ratio":$r""").getOrElse("")}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scalecurve","sf":"$sfDir","mults":[${mults.mkString(",")}],"reps":$reps,"queries":$qJson}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/scalecurve.json"),
+      line.getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}
