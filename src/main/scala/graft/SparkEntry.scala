@@ -24,6 +24,7 @@ object SparkEntry {
     CorpusPrepOps,
     DedupOps,
     SimilarityOps,
+    EmbeddingStatsOps,
     MultimodalOps,
     LakeOps)
 
