@@ -48,6 +48,42 @@ object StreamingIngest {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked streaming sessionization — the streaming twin of the
+    * batch `ev_session_window` query: `session_window(ts, gap)` under a
+    * watermark in APPEND mode, so each session emits exactly once, when
+    * the watermark passes its close (session end + gap). State is one
+    * open session per active (user, gap-window) and is dropped at emit —
+    * watermark-bounded, never corpus-sized; the 100 TB shape for
+    * behavioral sequence building over an endless event stream. Money
+    * math follows the engine's decimal-exact policy ([[graft.core.H]])
+    * so a stream-built session equals its batch twin bit-for-bit. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.core.H
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        H.dbl(sum(H.dec2(col("value")))).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Bounded-state streaming exact dedup: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes it — the
+    * at-scale default when duplicates cluster in time (retries, replays,
+    * at-least-once upstreams), vs [[dedupStream]]'s forever-state
+    * first-seen-wins for bounded key domains. A duplicate arriving
+    * after the watermark expires its key passes through — that is the
+    * contract being bought: O(active window) state on an endless
+    * stream. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** A12 streaming: each micro-batch MERGEs into the keyed silver table.
     * Without Delta on the classpath the merge is read-merge-swap on a
     * parquet dir — same MergeService plan a Delta MERGE degenerates to. */

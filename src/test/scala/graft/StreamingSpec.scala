@@ -327,4 +327,66 @@ class StreamingSpec extends SparkSpec {
     // both must agree the spike is the unique >=2 sigma day
     assert(batchZ.length == 1)
   }
+
+  test("streaming session windows emit once and match the batch sessionization") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = StreamingIngest.sessionAgg(
+        mem.toDF.toDF("ts", "user_id", "value"),
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 1.5),
+      (t("2024-01-01 10:10:00"), 1L, 2.5),  // same session (gap < 30m)
+      (t("2024-01-01 11:30:00"), 1L, 3.0),  // new session
+      (t("2024-01-01 10:05:00"), 2L, 5.0))
+    mem.addData(real: _*)
+    q.processAllAvailable()
+    // watermark advances at batch END; closed sessions emit on the NEXT
+    // batch — two far-future sentinel batches flush all real sessions
+    mem.addData((t("2024-01-03 00:00:00"), 999L, 0.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-05 00:00:00"), 999L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out").filter($"user_id" =!= 999L)
+      .orderBy($"user_id", $"session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    // batch twin: the SAME builder over the same rows (session_window and
+    // the decimal-exact sum run identically in batch; watermark is a no-op)
+    val expected = StreamingIngest.sessionAgg(
+        real.toDF("ts", "user_id", "value"))
+      .orderBy($"user_id", $"session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(expected.length == 3, s"batch twin: ${expected.mkString(",")}")
+    assert(got.sameElements(expected),
+      s"stream ${got.mkString(",")} vs batch ${expected.mkString(",")}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups clustered keys with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = StreamingIngest.dedupWithinWatermark(
+        mem.toDF.toDF("ts", "event_id", "value"), Seq("event_id"), "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddw_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, 1.0),
+      (t("2024-01-01 10:05:00"), 1L, 1.0),  // duplicate, same batch
+      (t("2024-01-01 10:00:00"), 2L, 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      (t("2024-01-01 10:20:00"), 1L, 1.0),  // duplicate, later batch, in watermark
+      (t("2024-01-01 10:30:00"), 3L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddw_out").select($"event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)),
+      s"each key exactly once: ${ids.mkString(",")}")
+  }
 }
