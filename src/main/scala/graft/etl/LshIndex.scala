@@ -45,6 +45,42 @@ object LshIndex {
       meta("planes_per_table").toInt, meta("dims").toInt,
       meta("seed").toLong)
 
+  /** Plane count that holds the EXPECTED per-table bucket occupancy at
+    * `targetOccupancy` as the corpus grows: a table with p planes has
+    * 2^p sign cells, so p = ceil(log2(n / targetOccupancy)), floored at
+    * `minPlanes` and capped at `maxPlanes` (past ~20 planes per-table
+    * recall collapses faster than occupancy matters — add TABLES, not
+    * planes). This is the knob the scaling curve measures: probe cost
+    * follows bucket occupancy, and a FIXED plane count makes occupancy
+    * — hence every probe — linear in the corpus. */
+  def autoPlanes(corpusCount: Long, targetOccupancy: Long = 256,
+      minPlanes: Int = 4, maxPlanes: Int = 20): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusCount.toDouble / targetOccupancy))
+        / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
+  /** Build with corpus-derived sizing: counts the corpus once (the
+    * offline build job owns that scan anyway), derives the plane count
+    * via [[autoPlanes]] and the storage bucket count from the same
+    * count (≈1M bucket-table rows per file at scale, floored for local
+    * parallelism), and records both in [[IndexMeta]] — [[append]] and
+    * [[search]] READ the meta, so they follow the derived sizing with
+    * no caller change. The fixed-parameter [[build]] stays the
+    * oracle-checked surface (the DuckDB replay needs literal planes). */
+  def buildAuto(s: SparkSession, embeddings: DataFrame, name: String,
+      tables0: Int = 16, dims: Int = 64, seed: Long = 42L,
+      targetOccupancy: Long = 256,
+      buildBatchId: String = BatchLog.BuildId): Tables = {
+    val n = embeddings.count()
+    val planes = autoPlanes(n, targetOccupancy)
+    val nBuckets = math.max(32L, math.min(4096L, n * tables0 / 1000000L)).toInt
+    build(s, embeddings, name, tables0, planes, dims, seed, nBuckets,
+      buildBatchId)
+  }
+
   def build(s: SparkSession, embeddings: DataFrame, name: String,
       tables0: Int = 16, planesPerTable: Int = 4, dims: Int = 64,
       seed: Long = 42L, nBuckets: Int = 32,

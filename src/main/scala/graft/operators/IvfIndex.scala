@@ -92,6 +92,19 @@ object IvfIndex {
   }
 
   /** Build the inverted index: every vector tagged with its list. */
+  /** List count following the standard IVF sizing nlist ≈ √n: per-list
+    * occupancy and the centroid table both grow as √corpus, so an
+    * nprobe-list probe stays O(nprobe·√n) — sub-linear — while the
+    * coarse assignment's centroid side remains broadcastable (~1M
+    * centroids at a trillion vectors). Floored at `minK` (training
+    * stability on small corpora), capped at `maxK` (broadcast budget —
+    * past it, shard the centroid table instead). A FIXED k makes every
+    * probe linear in the corpus, the same silent scale killer
+    * [[graft.etl.LshIndex.autoPlanes]] removes for the LSH family. */
+  def autoK(corpusCount: Long, minK: Int = 8, maxK: Int = 65536): Int =
+    math.min(maxK,
+      math.max(minK, math.ceil(math.sqrt(math.max(0L, corpusCount).toDouble)).toInt))
+
   def buildIndex(s: SparkSession, embeddings: DataFrame, k: Int = 8,
       iters: Int = 3, exactMean: Boolean = false): (DataFrame, DataFrame) = {
     val centroids = trainCentroids(s, embeddings, k, iters, exactMean)

@@ -146,4 +146,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(math.abs(e - a) <= 0.2,
       s"exact-trained ($e) and avg-trained ($a) recall diverged past the bound")
   }
+
+  test("autoK follows the sqrt(n) sizing within its clamps") {
+    import graft.operators.IvfIndex
+    assert(IvfIndex.autoK(0L) == 8, "floor on an empty corpus")
+    assert(IvfIndex.autoK(100L) == 10)
+    assert(IvfIndex.autoK(1000000L) == 1000)
+    assert(IvfIndex.autoK(10000000000L) == 65536, "cap at the broadcast budget")
+    // monotone: more corpus never means fewer lists
+    val ks = Seq(100L, 10000L, 100000000L).map(IvfIndex.autoK(_))
+    assert(ks == ks.sorted)
+    // the derived k trains and probes like any explicit k
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val k = IvfIndex.autoK(emb.count(), maxK = 16)
+    val (index, centroids) = IvfIndex.buildIndex(spark, emb, k = k, iters = 1)
+    assert(centroids.count() == k)
+    assert(index.select("cluster_id").distinct().count() <= k)
+  }
 }

@@ -72,4 +72,44 @@ class LshIndexSpec extends SparkSpec {
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
   }
+
+  test("autoPlanes holds the occupancy bound as the corpus grows") {
+    // expected per-table occupancy n / 2^p must stay <= target until the
+    // plane cap (where recall economics, not occupancy, rule)
+    for (n <- Seq(1L, 1000L, 100000L, 10000000L, 250000000L)) {
+      val p = LshIndex.autoPlanes(n, targetOccupancy = 256)
+      assert(p >= 4 && p <= 20, s"n=$n p=$p")
+      if (p < 20)
+        assert(n.toDouble / math.pow(2, p) <= 256.0, s"n=$n p=$p occupancy")
+    }
+    // monotone: more corpus never means fewer planes
+    val ps = Seq(1000L, 100000L, 10000000L).map(LshIndex.autoPlanes(_))
+    assert(ps == ps.sorted)
+    assert(LshIndex.autoPlanes(Long.MaxValue) == 20, "cap")
+  }
+
+  test("buildAuto derives the sizing, records it in meta, probes adapt unchanged") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    try {
+      // small target occupancy forces a plane count ABOVE the fixed
+      // default — proving the probe follows the meta, not the default
+      LshIndex.buildAuto(spark, emb, "lshspec_auto", targetOccupancy = 16)
+      val meta = graft.etl.IndexMeta.read(spark, "lshspec_auto")
+      val n = emb.count()
+      assert(meta("planes_per_table").toInt == LshIndex.autoPlanes(n, 16))
+      assert(meta("planes_per_table").toInt > 4,
+        "the fixture corpus must exceed the default sizing for this test")
+      val got = LshIndex.search(spark, queries, "lshspec_auto")
+        .collect().map(_.toSeq).toSet
+      // ground truth: the recompute path under the SAME derived params
+      val expected = graft.operators.SimilarityOps.lshAnn(spark, emb, queries,
+          planesPerTable = meta("planes_per_table").toInt)
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == expected,
+        "auto-sized probe must answer exactly like recompute at the derived params")
+    } finally
+      Seq("lshspec_auto_buckets", "lshspec_auto_vectors")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
