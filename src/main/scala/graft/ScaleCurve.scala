@@ -123,7 +123,7 @@ object ScaleCurve {
 
   /** Reuse an existing replica dir iff its completion marker records the
     * same multiplier (a partial/failed build never has the marker). */
-  private def replicaReady(outDir: String, m: Int): Boolean = {
+  private[graft] def replicaReady(outDir: String, m: Int): Boolean = {
     val p = java.nio.file.Paths.get(outDir, "_REPLICA_OK")
     java.nio.file.Files.exists(p) &&
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim == m.toString
