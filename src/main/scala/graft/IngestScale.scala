@@ -69,6 +69,8 @@ object IngestScale {
       withCols(base.filter(pmod(col("doc_id"), lit(10)) === r)).localCheckpoint())
 
     val results = scala.collection.mutable.LinkedHashMap[Int, (Double, Double)]()
+    val probes = scala.collection.mutable
+      .LinkedHashMap[Int, (Double, Double, String, String)]()
     mults.foreach { m =>
       val dir =
         if (m == 1) sfDir
@@ -103,18 +105,44 @@ object IngestScale {
       }
       results.update(m, (coldS, incTimes.min))
 
+      // The geometry-regrowth payoff, measured: the stream's cold build
+      // froze the ANN plane count at its default; probe cost at that
+      // frozen geometry vs after LshIndex.regrow re-derives it from the
+      // accumulated corpus (what the ingest maintenance leg runs).
+      val ann = cfg.annIndexName.get
+      val probeQs = withCols(base.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .limit(100)).select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      def probeMin: Double = (1 to reps).map(_ => timed(
+        graft.etl.LshIndex.search(spark, probeQs, ann)
+          .write.format("noop").mode("overwrite").save())).min
+      val probeBefore = probeMin
+      val planesBefore = graft.etl.IndexMeta.read(spark, ann)("planes_per_table")
+      val regrew = graft.etl.LshIndex.regrow(spark, ann)
+      val planesAfter = graft.etl.IndexMeta.read(spark, ann)("planes_per_table")
+      val probeAfter = probeMin
+      probes.update(m, (probeBefore, probeAfter, planesBefore, planesAfter))
+      System.err.println(f"[ingestscale] ${m}%2dx ann probe    $probeBefore%7.2f s" +
+        f" at $planesBefore planes -> $probeAfter%7.2f s at $planesAfter" +
+        s" (regrew=$regrew)")
+
+      graft.etl.LshIndex.dropAll(spark, s"${tag}_ann") // generation-aware
       Seq("_mh" -> Seq("banded", "shingles", "sizes", "meta"),
-        "_ti" -> Seq("postings", "doclens", "stats", "meta"),
-        "_ann" -> Seq("buckets", "vectors", "meta")).foreach { case (fam, ts) =>
-        ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $tag$fam" + s"_$t"))
-        BatchLog.reset(spark, BatchLog.logDir(spark, s"$tag$fam"))
+        "_ti" -> Seq("postings", "doclens", "stats", "meta")).foreach {
+        case (fam, ts) =>
+          ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $tag$fam" + s"_$t"))
       }
+      Seq("_mh", "_ti", "_ann").foreach(fam =>
+        BatchLog.reset(spark, BatchLog.logDir(spark, s"$tag$fam")))
     }
 
     def fmt(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val cells = results.map { case (m, (c, inc)) =>
-      s""""$m":{"cold":${fmt(c)},"incremental":${fmt(inc)}}""" }.mkString(",")
+      val probe = probes.get(m).map { case (b, a, pb, pa) =>
+        s""","annProbe":{"before":${fmt(b)},"after":${fmt(a)}""" +
+          s""","planesBefore":$pb,"planesAfter":$pa}""" }.getOrElse("")
+      s""""$m":{"cold":${fmt(c)},"incremental":${fmt(inc)}$probe}""" }.mkString(",")
     val ratio = for {
       b <- results.get(mults.head); t <- results.get(mults.last)
     } yield fmt(t._2 / b._2)

@@ -153,11 +153,44 @@ object IndexCompaction {
 
   /** Compact every table of a catalog-backed index family. `tables`
     * pairs each table with its bucket columns; `nBuckets` comes from the
-    * family's [[IndexMeta]]. */
+    * family's [[IndexMeta]].
+    *
+    * `targetRowsPerBucket > 0` opts the fold into STORAGE-LAYOUT growth:
+    * a family built on its first streaming batch freezes that batch's
+    * bucket count, so at 1000× the corpus each bucket is one enormous
+    * file and scan parallelism is capped at the cold-build guess. Since
+    * the fold rewrites every row anyway, it is the free moment to
+    * re-derive the bucket count from the family's largest table (one
+    * shared count — appends write every table under the meta's single
+    * spec) and rewrite at the wider layout. Grow-only and capped; row
+    * content, probe results, and plan shape are invariant (bucket count
+    * is pure layout — spec-asserted in IndexCompactionSpec).
+    *
+    * Crash discipline: the meta write lands FIRST, so no successfully
+    * folded table can be wider than what appends expect. In the window
+    * where meta has grown but a table has not yet folded, an append to
+    * that table fails LOUDLY (Spark rejects a bucket-spec mismatch on
+    * `saveAsTable`) — never silently mixes layouts — and re-running
+    * compaction converges every table to the meta spec (the fold always
+    * rewrites at the meta's count). Same loud-until-healed discipline as
+    * the swap window itself. */
   private[etl] def compactFamily(s: SparkSession, name: String,
       tables: Seq[(String, Seq[String])],
-      deletes: Option[(String, DeleteSet)] = None): Unit = {
-    val nBuckets = IndexMeta.read(s, name)("n_buckets").toInt
+      deletes: Option[(String, DeleteSet)] = None,
+      targetRowsPerBucket: Long = 0): Unit = {
+    val meta = IndexMeta.read(s, name)
+    val nBuckets = {
+      val cur = meta("n_buckets").toInt
+      if (targetRowsPerBucket <= 0) cur
+      else {
+        val rows = tables.map { case (t, _) => s.table(t).count() }.max
+        val derived = math.min(4096L,
+          math.max(cur.toLong, rows / targetRowsPerBucket)).toInt
+        if (derived > cur)
+          IndexMeta.write(s, name, meta + ("n_buckets" -> derived.toString))
+        derived
+      }
+    }
     val log = BatchLog.logDir(s, name)
     // The fold's output partition needs a COMMITTED id, or the next
     // compaction would classify it as an uncommitted orphan and fold the

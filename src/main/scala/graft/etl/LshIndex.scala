@@ -40,6 +40,39 @@ object LshIndex {
   def tables(name: String): Tables =
     Tables(s"${name}_buckets", s"${name}_vectors")
 
+  /** The buckets table CURRENTLY serving `name`. Geometry regrowth
+    * ([[regrow]]) rebuilds the sign buckets under a wider plane count
+    * into a NEW generation table and flips this pointer through
+    * [[IndexMeta]]'s atomic stage-swap write — so the serving name is
+    * resolved from the meta map (key absent = the build-time name,
+    * generation 0). Every probe/append/compact resolves through here;
+    * none hardcodes the generation-0 name. */
+  def bucketsTable(meta: Map[String, String], name: String): String =
+    meta.getOrElse("buckets_table", tables(name).buckets)
+
+  /** Does a complete, servable index exist under `name`? The right
+    * existence probe for callers deciding build-vs-append: after a
+    * geometry regrowth the generation-0 `<name>_buckets` no longer
+    * exists, so checking that fixed name would silently trigger a full
+    * rebuild. */
+  def exists(s: SparkSession, name: String): Boolean =
+    s.catalog.tableExists(IndexMeta.table(name)) &&
+      s.catalog.tableExists(bucketsTable(IndexMeta.read(s, name), name)) &&
+      s.catalog.tableExists(tables(name).vectors)
+
+  /** Drop every table of the family — vectors, meta, the CURRENT
+    * generation's buckets table, and any stale generation a crashed
+    * regrow left behind. Harness/spec cleanup entry. */
+  def dropAll(s: SparkSession, name: String): Unit = {
+    if (s.catalog.tableExists(IndexMeta.table(name))) {
+      val meta = IndexMeta.read(s, name)
+      MinhashIndex.dropTable(s, bucketsTable(meta, name))
+      meta.get("stale_buckets_table").foreach(MinhashIndex.dropTable(s, _))
+    }
+    Seq(tables(name).buckets, tables(name).vectors, IndexMeta.table(name))
+      .foreach(MinhashIndex.dropTable(s, _))
+  }
+
   private def planesFromMeta(meta: Map[String, String]) =
     SimilarityOps.lshPlanes(meta("tables").toInt,
       meta("planes_per_table").toInt, meta("dims").toInt,
@@ -86,6 +119,13 @@ object LshIndex {
       seed: Long = 42L, nBuckets: Int = 32,
       buildBatchId: String = BatchLog.BuildId): Tables = {
     val t = tables(name)
+    // a rebuild over a previously-regrown index must also clear the
+    // serving generation table and any stale one, or they leak forever
+    if (s.catalog.tableExists(IndexMeta.table(name))) {
+      val old = IndexMeta.read(s, name)
+      MinhashIndex.dropTable(s, bucketsTable(old, name))
+      old.get("stale_buckets_table").foreach(MinhashIndex.dropTable(s, _))
+    }
     Seq(t.buckets, t.vectors).foreach(MinhashIndex.dropTable(s, _))
     val log = BatchLog.logDir(s, name)
     BatchLog.reset(s, log)
@@ -110,12 +150,15 @@ object LshIndex {
     * build's [[IndexMeta]], never from the caller. */
   def append(s: SparkSession, embeddings: DataFrame, name: String,
       batchId: String): Unit = {
-    val t = tables(name)
+    // ONE meta read resolves both the serving buckets table and its
+    // planes — an append can never mix one generation's table with
+    // another's geometry
+    val meta = IndexMeta.read(s, name)
+    val t = Tables(bucketsTable(meta, name), tables(name).vectors)
     BatchLog.runOnce(s, BatchLog.logDir(s, name), batchId) {
       Seq(t.vectors, t.buckets)
         .foreach(MinhashIndex.dropBatchPartition(s, _, batchId))
     } {
-      val meta = IndexMeta.read(s, name)
       writeBatch(s,
         embeddings.select(col("vec_id"),
           col("embedding").cast(ArrayType(DoubleType)).as("v")),
@@ -133,12 +176,13 @@ object LshIndex {
     * corpus-wide delete feed serves this family too (doc_id == vec_id
     * under [[graft.streaming.ContinuousIngest]]'s wiring). */
   def compact(s: SparkSession, name: String,
-      deletes: Option[IndexCompaction.DeleteSet] = None): Unit = {
-    val t = tables(name)
+      deletes: Option[IndexCompaction.DeleteSet] = None,
+      targetRowsPerBucket: Long = 0): Unit = {
+    val meta = IndexMeta.read(s, name)
     IndexCompaction.compactFamily(s, name, Seq(
-      t.vectors -> Seq("vec_id"),
-      t.buckets -> Seq("tbl", "bucket")),
-      deletes.map("vec_id" -> _))
+      tables(name).vectors -> Seq("vec_id"),
+      bucketsTable(meta, name) -> Seq("tbl", "bucket")),
+      deletes.map("vec_id" -> _), targetRowsPerBucket)
   }
 
   /** Remove `ids` (single vec-id column) from both tables — the
@@ -146,6 +190,100 @@ object LshIndex {
   def applyDeletes(s: SparkSession, name: String,
       ids: DataFrame): Unit =
     compact(s, name, Some(IndexCompaction.Remove(ids)))
+
+  /** The committed corpus vectors — every live `(vec_id, v)` row,
+    * excluding partitions whose batch never committed (a crashed
+    * append's orphans, the same exclusion [[IndexCompaction.fold]]
+    * applies). What a geometry regrowth derives the new buckets from. */
+  private def committedVectors(s: SparkSession, name: String): DataFrame = {
+    val t = tables(name).vectors
+    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+    val orphans = s.sql(s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0).stripPrefix("batch_id="))
+      .filterNot(committed).toSeq
+    val live = s.table(t)
+    (if (orphans.isEmpty) live
+     else live.filter(!col("batch_id").isin(orphans: _*)))
+      .drop("batch_id")
+  }
+
+  /** Grow the index geometry to match the corpus it has accumulated.
+    *
+    * A streaming index built on its FIRST batch freezes that batch's
+    * plane count; as the corpus grows 100×–1000× past it, per-cell
+    * occupancy — and with it every probe — grows linearly (the failure
+    * mode [[autoPlanes]] sizes against, but a stream's cold build can't
+    * know its eventual corpus). Regrow closes the loop from the
+    * maintenance leg: re-derive the plane count from the committed
+    * vector count; when it exceeds the recorded geometry, rebuild the
+    * sign buckets from the stored vectors under the wider planes into a
+    * NEW generation table, then flip the serving pointer.
+    *
+    * The flip is the ONLY visibility change and rides [[IndexMeta]]'s
+    * atomic stage-swap write, so no crash point can pair one
+    * generation's buckets with another's planes (the silent
+    * empty-candidates failure a rename-in-place swap would admit):
+    *  - crash while building the new generation: meta untouched, probes
+    *    serve the old geometry; the next regrow drops the partial table
+    *    and rebuilds (same generation number — meta never moved).
+    *  - crash after the flip, before the old table drops: probes serve
+    *    the new geometry; the old table is recorded as
+    *    `stale_buckets_table` in the same meta write and swept at the
+    *    next regrow/[[dropAll]].
+    *
+    * The new table is written under a fresh pre-committed fold id
+    * ([[IndexCompaction.compactFamily]]'s discipline — never
+    * [[BatchLog.BuildId]], which a crashed standalone build may have
+    * left partial rows under). Bucket-count (`n_buckets`) is
+    * deliberately NOT regrown: appends land in BOTH tables under the
+    * meta's single storage spec, and the vectors table keeps its
+    * build-time layout — mixing bucket counts within a family would
+    * corrupt the bucket-pruned reads. Storage-layout growth is a
+    * rebuild ([[buildAuto]]) concern.
+    *
+    * Candidate sets change (that is the point — fewer, better-targeted
+    * candidates per cell); exactness of results does not: search
+    * answers equal a fresh [[buildAuto]] at the same derived parameters
+    * (planes are seeded and deterministic), spec-asserted. Single
+    * maintenance writer assumed, as everywhere in the family.
+    *
+    * Returns true iff the geometry moved. */
+  def regrow(s: SparkSession, name: String,
+      targetOccupancy: Long = 256): Boolean = {
+    val meta0 = IndexMeta.read(s, name)
+    // sweep a stale generation left by a crash between flip and drop
+    meta0.get("stale_buckets_table").foreach { st =>
+      MinhashIndex.dropTable(s, st)
+      IndexMeta.write(s, name, meta0 - "stale_buckets_table")
+    }
+    val meta = meta0 - "stale_buckets_table"
+    val cur = bucketsTable(meta, name)
+    val vecs = committedVectors(s, name)
+    val n = vecs.count()
+    val want = autoPlanes(n, targetOccupancy)
+    if (want <= meta("planes_per_table").toInt) return false
+    val gen = meta.getOrElse("generation", "0").toInt + 1
+    val newT = s"${name}_buckets_g$gen"
+    MinhashIndex.dropTable(s, newT) // a crashed prior attempt's partial
+    val log = BatchLog.logDir(s, name)
+    val foldId = s"00000-regrow-${java.util.UUID.randomUUID().toString.take(8)}"
+    BatchLog.commit(s, log, foldId)
+    val planes = SimilarityOps.lshPlanes(meta("tables").toInt, want,
+      meta("dims").toInt, meta("seed").toLong)
+    MinhashIndex.writeBucketed(
+      SimilarityOps.signBuckets(vecs, "vec_id", planes),
+      newT, meta("n_buckets").toInt, append = false, foldId,
+      "tbl", "bucket")
+    IndexMeta.write(s, name, meta ++ Map(
+      "planes_per_table" -> want.toString,
+      "buckets_table" -> newT,
+      "generation" -> gen.toString,
+      "stale_buckets_table" -> cur)) // the atomic serving flip
+    MinhashIndex.dropTable(s, cur)
+    IndexMeta.write(s, name,
+      IndexMeta.read(s, name) - "stale_buckets_table")
+    true
+  }
 
   /** One batch's vectors + sign-buckets, batch-tagged and bucketed.
     * Both writes read ONE pinned evaluation of the batch frame
@@ -174,8 +312,9 @@ object LshIndex {
   def search(s: SparkSession, queries: DataFrame, name: String,
       topK: Int = 5): DataFrame = {
     import s.implicits._
-    val t = tables(name)
-    val planes = planesFromMeta(IndexMeta.read(s, name))
+    val meta = IndexMeta.read(s, name)
+    val t = Tables(bucketsTable(meta, name), tables(name).vectors)
+    val planes = planesFromMeta(meta)
     val q = queries.select($"vec_id".as("q_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("qv"))
     val qb = SimilarityOps.signBuckets(

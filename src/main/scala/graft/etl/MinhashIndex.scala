@@ -200,13 +200,14 @@ object MinhashIndex {
     * blocked data-deletion story. Fed by [[IndexDeleteSync]] from the
     * manifest CDC feed. */
   def compact(s: SparkSession, name: String,
-      deletes: Option[IndexCompaction.DeleteSet] = None): Unit = {
+      deletes: Option[IndexCompaction.DeleteSet] = None,
+      targetRowsPerBucket: Long = 0): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.shingles -> Seq("doc_id", "shingle"),
       t.sizes -> Seq("doc_id"),
       t.banded -> Seq("band", "bucket")),
-      deletes.map("doc_id" -> _))
+      deletes.map("doc_id" -> _), targetRowsPerBucket)
   }
 
   /** Remove `ids` (single doc-id column) from all three tables — the

@@ -102,12 +102,13 @@ object TextIndex {
     * average length SHRINK — served scores must reflect the corpus that
     * remains, not the one that was). */
   def compact(s: SparkSession, name: String,
-      deletes: Option[IndexCompaction.DeleteSet] = None): Unit = {
+      deletes: Option[IndexCompaction.DeleteSet] = None,
+      targetRowsPerBucket: Long = 0): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.postings -> Seq("token"),
       t.doclens -> Seq("doc_id")),
-      deletes.map("doc_id" -> _))
+      deletes.map("doc_id" -> _), targetRowsPerBucket)
     if (deletes.isDefined) refreshStats(s, t)
   }
 

@@ -107,7 +107,19 @@ object ContinuousIngest {
       // corpus [[FileBlooms]] columns (e.g. doc_id): point lookups and
       // point deletes — the data-deletion/compliance path — then open
       // only the files that can hold the key. Nil = no sidecar cost.
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      // ANN geometry follows corpus growth: each maintenance run
+      // re-derives the LSH plane count from the accumulated vector
+      // count ([[LshIndex.regrow]]) so probe cost tracks cell occupancy
+      // instead of corpus size — the stream's cold build can't know its
+      // eventual corpus. 0 disables (frozen cold-build geometry).
+      annTargetOccupancy: Long = 256,
+      // storage layout follows corpus growth: each compaction re-derives
+      // every index family's bucket count from its largest table
+      // ([[IndexCompaction.compactFamily]]) so file-level scan
+      // parallelism tracks the data instead of the cold-build guess.
+      // Grow-only, rewrite rides the fold. 0 disables.
+      storageRowsPerBucket: Long = 1L << 20)
 
   /** Start the composed pipeline over a streaming documents frame
     * (schema: `documents` + the config's date column). AvailableNow +
@@ -213,7 +225,10 @@ object ContinuousIngest {
         cfg.annIndexName.foreach { an =>
           val vecs = accept.select(col("doc_id").as("vec_id"),
             col(cfg.embeddingCol).as("embedding"))
-          if (spark.catalog.tableExists(s"${an}_buckets"))
+          // LshIndex.exists, not a fixed-name check: after a geometry
+          // regrowth the generation-0 buckets table is gone and a fixed
+          // name would silently trigger a from-scratch rebuild
+          if (LshIndex.exists(spark, an))
             LshIndex.append(spark, vecs, an, bid)
           else LshIndex.build(spark, vecs, an, dims = cfg.annDims,
             buildBatchId = bid)
@@ -260,13 +275,20 @@ object ContinuousIngest {
       } else None
     val ds = pending.map(_._2)
     if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
-      MinhashIndex.compact(spark, cfg.indexName, ds)
+      MinhashIndex.compact(spark, cfg.indexName, ds, cfg.storageRowsPerBucket)
     cfg.textIndexName
       .filter(tn => spark.catalog.tableExists(s"${tn}_postings"))
-      .foreach(TextIndex.compact(spark, _, ds))
+      .foreach(TextIndex.compact(spark, _, ds, cfg.storageRowsPerBucket))
     cfg.annIndexName
-      .filter(an => spark.catalog.tableExists(s"${an}_buckets"))
-      .foreach(LshIndex.compact(spark, _, ds))
+      .filter(an => LshIndex.exists(spark, an))
+      .foreach { an =>
+        LshIndex.compact(spark, an, ds, cfg.storageRowsPerBucket)
+        // geometry follows corpus growth — after the fold (fewer files
+        // to read for the vector count), widen the planes if the
+        // accumulated corpus has outgrown the recorded sizing
+        if (cfg.annTargetOccupancy > 0)
+          LshIndex.regrow(spark, an, cfg.annTargetOccupancy)
+      }
     pending.foreach { case (toV, _, _) =>
       IndexDeleteSync.advance(spark, deleteBookmarkPath(cfg), toV) }
     if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty)
