@@ -133,6 +133,35 @@ object IvfIndex {
     graft.etl.BatchLog.commit(s, graft.etl.BatchLog.logDirAt(path), buildBatchId)
   }
 
+  /** Persist the coarse quantizer WITH the lists it explains:
+    * centroids land under `_centroids` inside the index dir
+    * (underscore-prefixed, so the lists scan never sees them). Without
+    * this, maintenance and serving must trust a caller-held centroid
+    * frame to match the on-disk assignment — after a retrain that trust
+    * is exactly what breaks (stale centroids assign appends to lists
+    * that no longer exist, a silent recall hole). Persisted, the PATH
+    * alone resolves the quantizer: [[appendIndexDir]],
+    * [[searchIndexDirAuto]] and [[retrainIndexDir]] read it from disk. */
+  def writeCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.coalesce(1) // k rows — one file
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+
+  def readCentroids(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/_centroids")
+
+  /** Build, persist lists AND quantizer: the self-contained persisted
+    * IVF entry. The lists' committed marker lands first, the centroids
+    * last — a crash between leaves a loudly-unreadable index (no
+    * `_centroids`), never a silently mismatched one; the build is an
+    * overwrite, so the retry converges. Returns the trained centroids. */
+  def buildIndexDir(s: SparkSession, embeddings: DataFrame, path: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val (index, centroids) = buildIndex(s, embeddings, k, iters)
+    writeIndex(index, path)
+    writeCentroids(centroids, path)
+    centroids
+  }
+
   /** Per-batch index maintenance: assign `newVecs` to the EXISTING
     * centroids and append their rows to the on-disk lists — no
     * retraining, the [[graft.etl.MinhashIndex.append]] /
@@ -163,6 +192,114 @@ object IvfIndex {
         .write.mode("append").partitionBy("batch_id", "cluster_id")
         .parquet(path)
     }
+  }
+
+  /** [[appendIndex]] with the quantizer resolved FROM the index dir —
+    * the maintenance entry that stays correct across [[retrainIndexDir]]
+    * (a caller-held centroid frame goes stale at the first retrain). */
+  def appendIndexDir(s: SparkSession, newVecs: DataFrame, path: String,
+      batchId: String): Unit =
+    appendIndex(s, newVecs, readCentroids(s, path), path, batchId)
+
+  /** [[searchIndexDir]] with the quantizer resolved FROM the index dir. */
+  def searchIndexDirAuto(s: SparkSession, indexPath: String,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame =
+    searchIndexDir(s, indexPath, readCentroids(s, indexPath), queries,
+      topK, nprobe)
+
+  private def fsFor(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def stagePath(path: String) = s"${path}__retrain"
+  private def oldPath(path: String) = s"${path}__old"
+
+  /** Finish an interrupted [[retrainIndexDir]] swap. The staging dir is
+    * complete iff its `_centroids` exists (written last); completeness
+    * decides which side of the swap to finish:
+    *  - live dir missing + complete stage → the crash hit between the
+    *    renames: promote the stage.
+    *  - live dir missing + retired old copy present → the crash hit
+    *    after retiring the old dir with an INCOMPLETE stage (or the
+    *    stage already promoted earlier): restore the old copy.
+    *  - live dir present → any leftover stage/old dirs are dead weight
+    *    from a crash after the swap: sweep them.
+    * Idempotent; runs at the start of every retrain. */
+  def heal(s: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val stage = new Path(stagePath(path))
+    val old = new Path(oldPath(path))
+    val fs = fsFor(s, live)
+    def complete(p: Path) = fs.exists(new Path(p, "_centroids"))
+    if (!fs.exists(live)) {
+      if (fs.exists(stage) && complete(stage)) fs.rename(stage, live)
+      else if (fs.exists(old)) fs.rename(old, live)
+    }
+    if (fs.exists(live)) {
+      if (fs.exists(stage)) fs.delete(stage, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+  }
+
+  /** Retrain-on-growth for the persisted IVF index — the quantizer
+    * analog of [[graft.etl.LshIndex.regrow]]: a cold build freezes k at
+    * that corpus' [[autoK]]; as appends accumulate, per-list occupancy
+    * (n/k) — and with it every probe's rerank — grows linearly again.
+    * When the accumulated committed vector count implies a k at least
+    * `growFactor`× the trained one, retrain at the derived k and swap
+    * the whole index directory atomically:
+    *
+    *   1. train + assign + write into `<path>__retrain` (own batch log,
+    *      `_centroids` written LAST as the completeness marker);
+    *   2. rename `<path>` → `<path>__old` (readers now fail loudly —
+    *      never silently stale);
+    *   3. rename `<path>__retrain` → `<path>`;
+    *   4. delete `<path>__old`.
+    *
+    * Every window between those steps is covered by [[heal]], which
+    * promotes a complete stage or restores the retired copy — the index
+    * is loud-until-healed, never a mix of old lists and new quantizer
+    * (the failure class the LSH family's generation flip also exists to
+    * prevent). Orphan batch dirs (crashed appends, absent from the
+    * committed log) are excluded from the retrain's input and vanish in
+    * the swap — same exclusion [[graft.etl.IndexCompaction.fold]]
+    * applies, so the retrain doubles as the family's compaction.
+    * Single maintenance writer assumed, as everywhere in the family.
+    *
+    * Returns true iff a retrain ran. */
+  def retrainIndexDir(s: SparkSession, path: String, iters: Int = 3,
+      minK: Int = 8, maxK: Int = 65536, growFactor: Double = 2.0): Boolean = {
+    import graft.etl.BatchLog
+    import s.implicits._
+    require(growFactor >= 1.0, "growFactor must be >= 1")
+    heal(s, path)
+    val committed = BatchLog.committed(s, BatchLog.logDirAt(path))
+    val vecs = s.read.parquet(path)
+      .filter($"batch_id".isin(committed.toSeq: _*))
+      .select($"vec_id", $"v")
+    val n = vecs.count()
+    val kNow = readCentroids(s, path).count()
+    val kWant = autoK(n, minK, maxK)
+    if (kWant < kNow * growFactor) return false
+    val stage = stagePath(path)
+    val stageP = new org.apache.hadoop.fs.Path(stage)
+    val fs = fsFor(s, stageP)
+    if (fs.exists(stageP)) fs.delete(stageP, true) // crashed prior attempt
+    val centroids = trainCentroids(s,
+      vecs.select($"vec_id", $"v".as("embedding")), kWant, iters)
+    writeIndex(assign(s, vecs, centroids), stage)
+    // carry the old committed markers into the stage's log as tombstones
+    // (the IndexCompaction discipline): a very late replay of a
+    // long-retrained batch must stay a no-op, not re-append rows the
+    // retrain already folded in
+    committed.foreach(BatchLog.commit(s, BatchLog.logDirAt(stage), _))
+    writeCentroids(centroids, stage) // completeness marker
+    val liveP = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(oldPath(path))
+    fs.rename(liveP, oldP)
+    fs.rename(stageP, liveP)
+    fs.delete(oldP, true)
+    true
   }
 
   /** ANN search against the ON-DISK index: the probed cluster ids are
