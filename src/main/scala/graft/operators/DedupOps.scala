@@ -1022,8 +1022,100 @@ object DedupOps extends QueryModule {
       ngramNovelty(T(s, dir, "documents"), measuredSalt = true,
         gramHash = xxhash64(_))))
 
+  /** Corpus-slice overlap estimation — the dataset-level dedup
+    * diagnostic: how much does source A's shingle set overlap source
+    * B's? The exact answer is a shingle-level join across every slice
+    * pair — O(pairs × shingles), the thing you cannot afford at 100 TB.
+    * The estimator is one corpus pass: per-slice MinHash UNION
+    * signatures (per permutation, min over the slice's distinct
+    * shingles — the same (h1 + i·h2) mod p permutation scheme as
+    * [[minhashSigFromShingles]], so the per-doc and per-slice paths
+    * share their hash primitives), then per-pair agreement fraction,
+    * the standard unbiased Jaccard estimate. The pair join is
+    * slice-count-sized (sources/domains — thousands at most), never
+    * corpus-sized; one row of `numPerms` longs per slice is the entire
+    * shuffle.
+    *
+    * Estimator error is ~sqrt(J(1−J)/numPerms) (binomial); DedupSpec
+    * asserts the bound against an exact recompute on a controlled
+    * fixture. */
+  def corpusOverlap(s: SparkSession, documents: DataFrame,
+      sliceCol: String = "source", numPerms: Int = 32,
+      hashFn: (Column, Int) => Column =
+        (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+    import s.implicits._
+    val sliceShingles = shingleRows(documents)
+      .join(documents.select(col("doc_id"), col(sliceCol).as("slice")), "doc_id")
+      .select($"slice", $"shingle").distinct()
+    val hashed = sliceShingles.select($"slice",
+      pmod(hashFn($"shingle", 0), lit(minhashPrime)).as("h1"),
+      pmod(hashFn($"shingle", 1), lit(minhashPrime)).as("h2"))
+    val sig = hashed.groupBy($"slice").agg(
+      min((col("h1") + lit(0L) * col("h2")) % minhashPrime).as("h0"),
+      (1 until numPerms).map(i =>
+        min((col("h1") + lit(i.toLong) * col("h2")) % minhashPrime).as(s"h$i")): _*)
+    val a = sig.select($"slice".as("slice_a") +:
+      (0 until numPerms).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = sig.select($"slice".as("slice_b") +:
+      (0 until numPerms).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until numPerms).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    a.join(broadcast(b), col("slice_a") < col("slice_b"))
+      .select($"slice_a", $"slice_b",
+        (agree.cast(DoubleType) / numPerms).as("est_jaccard"))
+      .orderBy($"slice_a", $"slice_b")
+  }
+
+  /** DuckDB replay of the slice-overlap estimator, value-for-value
+    * under the portable seeded hash (same toks/sh shape as
+    * [[minhashCtes]], per-slice instead of per-doc). */
+  private def corpusOverlapOracle(numPerms: Int): String = {
+    val p = minhashPrime
+    def h32(arg: String) =
+      s"('0x' || substr(md5($arg), 25, 8))::UBIGINT::BIGINT"
+    val sigCols = (0 until numPerms)
+      .map(i => s"MIN((h1 + $i * h2) % $p) AS h$i")
+      .mkString(",\n            ")
+    val agree = (0 until numPerms)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+        FROM toks WHERE len(ws) >= 3),
+      ssh AS (
+        SELECT DISTINCT d.source AS slice, s.shingle
+        FROM sh s JOIN documents d USING (doc_id)),
+      shh AS (
+        SELECT slice,
+          ${h32("'0_' || shingle")} % $p AS h1,
+          ${h32("'1_' || shingle")} % $p AS h2
+        FROM ssh),
+      sig AS (SELECT slice,
+            $sigCols
+          FROM shh GROUP BY slice)
+      SELECT a.slice AS slice_a, b.slice AS slice_b,
+        CAST($agree AS DOUBLE) / $numPerms AS est_jaccard
+      FROM sig a JOIN sig b ON a.slice < b.slice
+      ORDER BY slice_a, slice_b"""
+  }
+
+  private val ddCorpusOverlap = QueryDef(
+    "dd_corpus_overlap",
+    Some(corpusOverlapOracle(numPerms = 32)),
+    (s, dir) => corpusOverlap(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash),
+    // the established convention: Bench times the production xxhash64
+    // pipeline; the md5 variant exists only for the DuckDB replay
+    benchBuild = Some((s, dir) => corpusOverlap(s, T(s, dir, "documents"))))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
       ddClusterStats, ddSimhashHamming, ddIncremental, ddIncrementalIndexed,
-      ddBoilerplate, ddNovelty)
+      ddBoilerplate, ddNovelty, ddCorpusOverlap)
 }

@@ -280,4 +280,42 @@ class DedupSpec extends SparkSpec {
       assert(routed.contains((i, i + 10000L)), s"missed planted near-dup $i")
     }
   }
+
+  test("corpus overlap estimate tracks exact slice Jaccard within the binomial bound") {
+    // controlled overlap: slice A covers token windows 0..97, slice B
+    // 50..147 (48 shared shingles of 148 distinct → J ≈ 0.324), slice C
+    // disjoint
+    def seqText(from: Int, n: Int) =
+      (from until from + n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", seqText(0, 100)),
+      (2L, "B", seqText(50, 100)),
+      (3L, "C", seqText(1000, 100))).toDF("doc_id", "source", "text")
+    val est = DedupOps.corpusOverlap(spark, docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == Set("A" -> "B", "A" -> "C", "B" -> "C"))
+    // exact slice Jaccard via the same shingle definition
+    val sh = DedupOps.shingleRows(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"shingle").distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    def exact(a: String, b: String) =
+      sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+    assert(math.abs(est("A" -> "B") - exact("A", "B")) <= 0.25,
+      s"est ${est("A" -> "B")} vs exact ${exact("A", "B")} — outside ~3σ of 32 perms")
+    assert(est("A" -> "C") <= 0.1 && est("B" -> "C") <= 0.1,
+      "disjoint slices must estimate ≈ 0")
+    // declared (portable-hash) variant: same estimator, replayable hash
+    val portable = DedupOps.corpusOverlap(spark, docs,
+        hashFn = DedupOps.portableSeededHash)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(portable("A" -> "B") - exact("A", "B")) <= 0.25)
+    // live-shape sanity: one row per source pair on the testdata corpus
+    val live = DedupOps.corpusOverlap(spark,
+      graft.core.T(spark, sf0001, "documents")).collect()
+    val k = graft.core.T(spark, sf0001, "documents")
+      .select($"source").distinct().count()
+    assert(live.length == k * (k - 1) / 2)
+    assert(live.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
 }
