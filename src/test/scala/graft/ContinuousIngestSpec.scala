@@ -243,6 +243,72 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("maintenance regrows the ANN geometry mid-stream; appends and probes follow the flip") {
+    val src = Files.createTempDirectory("cir_src").toString + "/data"
+    val cp = Files.createTempDirectory("cir_cp").toString
+    val corpus = Files.createTempDirectory("cir_corpus").toString + "/corpus"
+    val (mh, ann) = ("cir_mh", "cir_ann")
+    // occupancy target 1: any corpus past 2^4 vectors outgrows the
+    // cold-build default of 4 planes, so the SECOND batch's maintenance
+    // (compactEvery = 2) must regrow — the in-stream path of what
+    // LshRegrowSpec proves standalone
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      compactEvery = 2, annIndexName = Some(ann), annDims = 8,
+      annTargetOccupancy = 1)
+    def emb(id: Long): Array[Float] =
+      Array.tabulate(8)(k => ((id * 31 + k * 7) % 13 - 6).toFloat)
+    def docE(id: Long, text: String) =
+      (id, text, "en", "srcA", text.length.toLong, day, emb(id))
+    def frameE(rows: Seq[(Long, String, String, String, Long, java.sql.Date, Array[Float])]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date", "embedding")
+    try {
+      frameE((1L to 30L).map(i => docE(i, words(s"b$i", 16)))).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+      run() // batch 0: cold build at the default 4 planes
+      frameE((31L to 40L).map(i => docE(i, words(s"c$i", 16))))
+        .write.mode("append").parquet(src)
+      run() // batch 1 + maintenance: compact, then regrow fires
+      val meta = graft.etl.IndexMeta.read(spark, ann)
+      val planes = meta("planes_per_table").toInt
+      assert(meta("generation") == "1", "maintenance must have regrown once")
+      assert(planes > 4, s"geometry must have widened, still at $planes")
+      assert(LshIndex.exists(spark, ann),
+        "the serving generation must resolve after the flip")
+
+      // batch 2 appends AFTER the flip — must land in the new geometry
+      frameE((41L to 45L).map(i => docE(i, words(s"d$i", 16))))
+        .write.mode("append").parquet(src)
+      run()
+      val corpusDf = ManifestTable.read(spark, corpus)
+      assert(corpusDf.count() == 45)
+      // served results == fresh build at the regrown geometry over the
+      // final corpus (the rebuild-equivalence bar, at the NEW planes)
+      LshIndex.build(spark,
+        corpusDf.select($"doc_id".as("vec_id"), $"embedding"),
+        "cir_ann_rb", planesPerTable = planes, dims = 8)
+      val queries = frameE(Seq(docE(500L, words("q", 16))))
+        .select($"doc_id".as("vec_id"), $"embedding")
+      val served = LshIndex.search(spark, queries, ann)
+        .collect().map(_.toSeq).toSet
+      val fresh = LshIndex.search(spark, queries, "cir_ann_rb")
+        .collect().map(_.toSeq).toSet
+      assert(served.nonEmpty && served == fresh,
+        "post-regrow serving must equal a fresh build at the derived geometry")
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(ann, "cir_ann_rb").foreach(LshIndex.dropAll(spark, _))
+    }
+  }
+
   test("declared bloom columns ride the streaming merge: point reads and deletes prune") {
     val src = Files.createTempDirectory("cib_src").toString + "/data"
     val cp = Files.createTempDirectory("cib_cp").toString
