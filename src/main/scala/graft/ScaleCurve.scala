@@ -44,8 +44,10 @@ object ScaleCurve {
     "o8_grouped_topk",       // map-side-truncating top-k aggregate
     "dd_exact_dedup",        // hash-group dedup
     "dd_minhash_lsh",        // shingle → MinHash → banded self-join
+    "dd_corpus_overlap",     // per-slice MinHash union signatures
     "sim_cosine_topk",       // brute-force ANN baseline (O(corpus)/query)
-    "sim_lsh_indexed")       // persisted-index ANN probe (sub-linear goal)
+    "sim_lsh_indexed",       // persisted-index ANN probe (sub-linear goal)
+    "ta_bm25_indexed")       // persisted postings probe (sub-linear goal)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
