@@ -158,9 +158,9 @@ object IngestProfile {
       ContinuousIngest.ingestBatch(spark, inc.limit(0), 2L, cfg)
     }
 
+    graft.etl.LshIndex.dropAll(spark, ann) // generation-aware
     Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta",
-      s"${ti}_postings", s"${ti}_doclens", s"${ti}_stats", s"${ti}_meta",
-      s"${ann}_buckets", s"${ann}_vectors", s"${ann}_meta")
+      s"${ti}_postings", s"${ti}_doclens", s"${ti}_stats", s"${ti}_meta")
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
     Seq(mh, ti, ann).foreach(n =>
       BatchLog.reset(spark, BatchLog.logDir(spark, n)))
