@@ -296,8 +296,11 @@ object IvfIndex {
     writeCentroids(centroids, stage) // completeness marker
     val liveP = new org.apache.hadoop.fs.Path(path)
     val oldP = new org.apache.hadoop.fs.Path(oldPath(path))
-    fs.rename(liveP, oldP)
-    fs.rename(stageP, liveP)
+    // Hadoop rename reports failure by RETURNING false — require() turns
+    // that into the loud abort the swap protocol assumes (a half-swapped
+    // state is then exactly one of heal()'s windows)
+    require(fs.rename(liveP, oldP), s"retrain swap: rename $path -> ${oldPath(path)} failed")
+    require(fs.rename(stageP, liveP), s"retrain swap: rename $stage -> $path failed")
     fs.delete(oldP, true)
     true
   }
