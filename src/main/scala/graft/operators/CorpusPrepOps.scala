@@ -911,8 +911,71 @@ object CorpusPrepOps extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
         .orderBy(col("split")))
 
+  // ---------------------------------------------------------------------
+  // Document chunking (embedding-pipeline pre-step)
+  // ---------------------------------------------------------------------
+
+  /** Split each document into overlapping token windows — the pre-step of
+    * every embed-then-index pipeline (a retrieval embedder has a fixed
+    * context; long docs must arrive as window/stride chunks, the overlap
+    * preserving cross-boundary context). Chunk i of a doc with n tokens
+    * covers `[i·stride, min(i·stride + window, n))`;
+    * `ceil(max(n − window, 0) / stride) + 1` chunks per doc, so every
+    * token lands in ≥1 chunk and the final chunk reaches the tail.
+    *
+    * Scale shape: pure per-row explode — no join, no aggregation, the
+    * only shuffle is the declared query's presentation sort. Output
+    * rows ≈ corpus tokens / stride, each carrying one chunk's text:
+    * the natural upstream of `mapInPandas` embedding + the ANN index
+    * builders. */
+  def chunkDocuments(documents: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = DedupOps.tokens(col("text"))
+    val withToks = documents
+      // trim-gate, not size(toks) > 0: split("") yields one "" token in
+      // BOTH engines, which would emit a phantom empty chunk per blank doc
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_chunks",
+        (floor((greatest(size(col("toks")) - window, lit(0)) + lit(stride) - 1)
+          / lit(stride)) + 1).cast(IntegerType))
+    withToks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("toks")) - col("chunk_id") * stride)
+          .as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val cpChunk = QueryDef(
+    "cp_chunk_documents",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents WHERE len(trim(text)) > 0),
+      sized AS (
+        SELECT doc_id, ws,
+          CAST(floor((greatest(len(ws) - 64, 0) + 48 - 1) / 48.0) + 1 AS INT) AS n_chunks
+        FROM toks),
+      chunks AS (
+        SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, ws
+        FROM sized)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+        CAST(least(64, len(ws) - chunk_id * 48) AS INT) AS n_chunk_tokens
+      FROM chunks
+      ORDER BY doc_id, chunk_id"""),
+    (s, dir) => chunkDocuments(T(s, dir, "documents")))
+
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
       cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
-      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance)
+      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance, cpChunk)
 }

@@ -304,4 +304,39 @@ class CorpusPrepSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(by(1L) == by(2L), "same normalized content must co-split (no eval leakage)")
   }
+
+  test("chunkDocuments: window/stride coverage, overlap, and tail semantics are exact") {
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                       // shorter than window
+      (3L, "")                                           // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = CorpusPrepOps.chunkDocuments(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0,3,6 → ceil(max(10-4,0)/3)+1 = 3 chunks; the last
+    // covers tokens 6..9, so every token lands in ≥1 chunk and adjacent
+    // chunks overlap by window-stride = 1 token
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "t0 t1 t2 t3", 4),
+      (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t6 t7 t8 t9", 4)))
+    // a doc shorter than the window is exactly one whole-doc chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    // blank text yields NO chunk rows (split("") gives one "" token in
+    // both engines — the trim gate must drop the doc, not emit a phantom
+    // empty chunk)
+    assert(!out.exists(_._1 == 3L))
+    // full-coverage property on the live corpus: per-doc token sums
+    // reconstruct n_tokens + (chunks-1) * overlap
+    val live = CorpusPrepOps.chunkDocuments(
+      graft.core.T(spark, sf0001, "documents"))
+    val bad = live.groupBy($"doc_id")
+      .agg(sum($"n_chunk_tokens").as("sum_t"), count(lit(1)).as("k"))
+      .join(graft.core.T(spark, sf0001, "documents")
+        .select($"doc_id", size(graft.operators.DedupOps.tokens($"text")).as("n")),
+        "doc_id")
+      .filter($"sum_t" =!= $"n" + ($"k" - 1) * (64 - 48))
+      .count()
+    assert(bad == 0, "every token must be covered with exactly window-stride overlap")
+  }
 }
