@@ -953,10 +953,12 @@ object CorpusPrepOps extends QueryModule {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  private val cpChunk = QueryDef(
-    "cp_chunk_documents",
-    Some("""
-      WITH toks AS (
+  /** Shared DuckDB CTE chain ending in
+    * `chunks(doc_id, chunk_id, chunk_text, n_chunk_tokens)` — the replay
+    * of [[chunkDocuments]] at the default window/stride, reused by the
+    * chunk-retrieval oracle ([[SimilarityOps]]). */
+  private[operators] val chunkCtes: String = """
+      toks AS (
         SELECT doc_id,
           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
         FROM documents WHERE len(trim(text)) > 0),
@@ -964,12 +966,20 @@ object CorpusPrepOps extends QueryModule {
         SELECT doc_id, ws,
           CAST(floor((greatest(len(ws) - 64, 0) + 48 - 1) / 48.0) + 1 AS INT) AS n_chunks
         FROM toks),
-      chunks AS (
+      chunks0 AS (
         SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, ws
-        FROM sized)
-      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-        array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
-        CAST(least(64, len(ws) - chunk_id * 48) AS INT) AS n_chunk_tokens
+        FROM sized),
+      chunks AS (
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+          CAST(least(64, len(ws) - chunk_id * 48) AS INT) AS n_chunk_tokens
+        FROM chunks0)"""
+
+  private val cpChunk = QueryDef(
+    "cp_chunk_documents",
+    Some(s"""
+      WITH $chunkCtes
+      SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens
       FROM chunks
       ORDER BY doc_id, chunk_id"""),
     (s, dir) => chunkDocuments(T(s, dir, "documents")))

@@ -1121,8 +1121,81 @@ object SimilarityOps extends QueryModule {
       dims = 64, seed = 42L)),
     (s, dir) => semanticDedup(s, T(s, dir, "embeddings")))
 
+  /** Chunk-level retrieval — the composed RAG-ingestion shape: long
+    * documents arrive as overlapping token chunks
+    * ([[CorpusPrepOps.chunkDocuments]]), each chunk gets an embedding,
+    * and a query chunk retrieves the best-matching corpus chunks WITH
+    * their source-document attribution. The embedding here is a
+    * deterministic md5-derived feature vector (the
+    * [[MultimodalOps]] `mm_feature_extract` convention — a real encoder
+    * is a `mapInPandas` swap-in; the retrieval plan is what's under
+    * test and oracle-checked), so the ENTIRE chunk→embed→score→rank
+    * pipeline replays bit-for-bit in DuckDB.
+    *
+    * This declared form is the brute-force baseline (broadcast query
+    * chunks × corpus chunks — exact, O(corpus) per query); the scale
+    * path runs the same chunk-embedding frame through
+    * [[graft.etl.LshIndex]]/[[IvfIndex]] like any other vector column. */
+  def chunkRetrieval(s: SparkSession, documents: DataFrame,
+      dims: Int = 8, topK: Int = 3): DataFrame = {
+    import s.implicits._
+    def embed(text: Column): Column = array((0 until dims).map(k =>
+      (DedupOps.md5Hash32(concat_ws("_", lit(k.toString), text)) % 13 - 6)
+        .cast(DoubleType)): _*)
+    val emb = CorpusPrepOps.chunkDocuments(documents)
+      .select($"doc_id", $"chunk_id", embed($"chunk_text").as("v"))
+    val q = emb.filter($"doc_id" < 2)
+      .select($"doc_id".as("q_doc"), $"chunk_id".as("q_chunk"), $"v".as("qv"))
+    val corpus = emb.filter($"doc_id" >= 2)
+      .select($"doc_id".as("n_doc"), $"chunk_id".as("n_chunk"), $"v".as("nv"))
+    val w = Window.partitionBy($"q_doc", $"q_chunk")
+      .orderBy($"cosine_sim".desc, $"n_doc".asc, $"n_chunk".asc)
+    corpus.crossJoin(broadcast(q))
+      .select($"q_doc", $"q_chunk", $"n_doc", $"n_chunk",
+        CosineSimilarity.cosineNative(s, $"qv", $"nv").as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"q_doc", $"q_chunk", $"rank", $"n_doc", $"n_chunk", $"cosine_sim")
+      .orderBy($"q_doc", $"q_chunk", $"rank")
+  }
+
+  private def chunkEmbSql(dims: Int): String = {
+    val dimExprs = (0 until dims).map(k =>
+      s"CAST(('0x' || substr(md5('${k}_' || chunk_text), 25, 8))::UBIGINT::BIGINT % 13 - 6 AS DOUBLE)")
+      .mkString(", ")
+    s"emb AS (SELECT doc_id, chunk_id, [$dimExprs] AS v FROM chunks)"
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, x) -> acc + x)
+            / (sqrt(list_reduce(list_transform(list_zip($a, $a), p -> p[1] * p[2]), (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_transform(list_zip($b, $b), p -> p[1] * p[2]), (acc, x) -> acc + x)))"""
+
+  private val simChunkRetrieval = QueryDef(
+    "sim_chunk_retrieval",
+    Some(s"""
+      WITH ${CorpusPrepOps.chunkCtes},
+      ${chunkEmbSql(8)},
+      q AS (SELECT doc_id AS q_doc, chunk_id AS q_chunk, v AS qv
+            FROM emb WHERE doc_id < 2),
+      c AS (SELECT doc_id AS n_doc, chunk_id AS n_chunk, v AS nv
+            FROM emb WHERE doc_id >= 2),
+      pairs AS (
+        SELECT q_doc, q_chunk, n_doc, n_chunk,
+          ${cosSql("qv", "nv")} AS cosine_sim
+        FROM c CROSS JOIN q),
+      ranked AS (
+        SELECT q_doc, q_chunk, n_doc, n_chunk, cosine_sim,
+          ROW_NUMBER() OVER (PARTITION BY q_doc, q_chunk
+                             ORDER BY cosine_sim DESC, n_doc ASC, n_chunk ASC) AS rank
+        FROM pairs)
+      SELECT q_doc, q_chunk, CAST(rank AS INT) AS rank, n_doc, n_chunk, cosine_sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY q_doc, q_chunk, rank"""),
+    (s, dir) => chunkRetrieval(s, T(s, dir, "documents")))
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
       simAnnRecall, simHardNeg, simHardNegAnn, simQuantize, simQuantTopK,
-      simIvfQuant, simSemDedup)
+      simIvfQuant, simSemDedup, simChunkRetrieval)
 }

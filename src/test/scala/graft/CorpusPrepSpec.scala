@@ -339,4 +339,23 @@ class CorpusPrepSpec extends SparkSpec {
       .count()
     assert(bad == 0, "every token must be covered with exactly window-stride overlap")
   }
+
+  test("chunkRetrieval attributes a planted duplicate chunk to its source doc at rank 1") {
+    // query doc 0 carries corpus doc 5's exact text → every query chunk's
+    // rank-1 neighbor must be the matching chunk of doc 5 at cosine 1.0
+    val shared = (0 until 70).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((0L, shared), (1L, (100 until 160).map(i => s"x$i").mkString(" "))) ++
+      (2L to 6L).map(id => (id,
+        if (id == 5L) shared
+        else (id * 1000 until id * 1000 + 60).map(i => s"y$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = graft.operators.SimilarityOps.chunkRetrieval(spark, docs)
+    val rank1 = out.filter($"q_doc" === 0 && $"rank" === 1)
+      .collect().map(r => (r.getInt(1), r.getLong(3), r.getInt(4), r.getDouble(5)))
+    assert(rank1.nonEmpty)
+    rank1.foreach { case (qChunk, nDoc, nChunk, cos) =>
+      assert(nDoc == 5L && nChunk == qChunk && cos == 1.0,
+        s"chunk $qChunk must retrieve doc 5's chunk $qChunk exactly, got ($nDoc,$nChunk,$cos)")
+    }
+  }
 }
