@@ -912,6 +912,64 @@ object CorpusPrepOps extends QueryModule {
         .orderBy(col("split")))
 
   // ---------------------------------------------------------------------
+  // Split-leakage audit (near-dups straddling the train/val/test split)
+  // ---------------------------------------------------------------------
+
+  /** Near-dup pairs whose members landed in DIFFERENT splits — the
+    * leakage [[splitAssign]]'s content hash prevents for EXACT
+    * duplicates but structurally cannot for near-duplicates (a one-word
+    * edit moves the hash bucket independently), so ~1−Σpᵢ² of near-dup
+    * pairs straddle a boundary and silently inflate eval scores. This
+    * is the QA pass a split ships with: each surviving row is one
+    * train→eval contamination path, with both split labels and the
+    * Jaccard that links them.
+    *
+    * Cost is the near-dup pass itself ([[DedupOps.minhashNearDups]] —
+    * banded candidates only, never all-pairs) plus two broadcast-sized
+    * joins of the (doc_id, split) assignment onto the pair ends; at
+    * scale the pair set is duplicate-density-sized, not corpus-sized. */
+  def splitLeakage(s: SparkSession, documents: DataFrame,
+      threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column =
+        (c, seed) => xxhash64(c, lit(seed))): DataFrame = {
+    val pairs = DedupOps.minhashNearDups(s, documents, threshold,
+      hashFn = hashFn)
+    val splits = splitAssign(documents).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.toDF("doc_a", "split_a"), "doc_a")
+      .join(splits.toDF("doc_b", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("split_a"), col("doc_b"), col("split_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val cpSplitLeakage = QueryDef(
+    "cp_split_leakage",
+    Some(s"""
+      WITH ${DedupOps.minhashCtes(threshold = 0.5, numPerms = 32, bands = 8)},
+      nrm AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        FROM documents),
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN ('0x' || substr(md5(norm), 25, 8))::UBIGINT::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5(norm), 25, 8))::UBIGINT::BIGINT % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM nrm)
+      SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.jaccard
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.doc_a
+      JOIN sp sb ON sb.doc_id = p.doc_b
+      WHERE sa.split <> sb.split
+      ORDER BY p.doc_a, p.doc_b"""),
+    (s, dir) => splitLeakage(s, T(s, dir, "documents"),
+      hashFn = DedupOps.portableSeededHash),
+    // the declared/bench hash convention of the minhash family
+    benchBuild = Some((s, dir) => splitLeakage(s, T(s, dir, "documents"))))
+
+  // ---------------------------------------------------------------------
   // Document chunking (embedding-pipeline pre-step)
   // ---------------------------------------------------------------------
 
@@ -987,5 +1045,6 @@ object CorpusPrepOps extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
       cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
-      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance, cpChunk)
+      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance, cpChunk,
+      cpSplitLeakage)
 }

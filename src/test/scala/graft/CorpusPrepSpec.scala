@@ -340,6 +340,22 @@ class CorpusPrepSpec extends SparkSpec {
     assert(bad == 0, "every token must be covered with exactly window-stride overlap")
   }
 
+  test("splitLeakage = near-dup pairs joined to split labels, cross-boundary only") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    val out = CorpusPrepOps.splitLeakage(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // independent recompute from the two building blocks
+    val pairs = graft.operators.DedupOps.minhashNearDups(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splits = CorpusPrepOps.splitAssign(docs).select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.filter { case (a, b) => splits(a) != splits(b) }
+      .map { case (a, b) => (a, splits(a), b, splits(b)) }.sortBy(t => (t._1, t._3))
+    assert(out.toSeq == expect.toSeq,
+      "leakage must be exactly the cross-split subset of the near-dup pairs")
+    out.foreach { case (_, sa, _, sb) => assert(sa != sb) }
+  }
+
   test("chunkRetrieval attributes a planted duplicate chunk to its source doc at rank 1") {
     // query doc 0 carries corpus doc 5's exact text → every query chunk's
     // rank-1 neighbor must be the matching chunk of doc 5 at cosine 1.0
