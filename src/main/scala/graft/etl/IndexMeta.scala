@@ -43,6 +43,20 @@ object IndexMeta {
     s.sql(s"ALTER TABLE $stage RENAME TO $tgt") // data follows the name
   }
 
+  /** Heal-then-answer existence: finish a pending stage-swap rename
+    * first ([[write]]'s drop→rename window leaves only `_meta__new`,
+    * complete by construction), so a crash window never reads as "no
+    * index" — the answer callers like
+    * [[graft.streaming.ContinuousIngest]] use to decide build-vs-append,
+    * where a false negative triggers a from-scratch rebuild that drops
+    * the accumulated index. */
+  def exists(s: SparkSession, name: String): Boolean = {
+    val tgt = table(name)
+    if (!s.catalog.tableExists(tgt) && s.catalog.tableExists(stageTable(name)))
+      s.sql(s"ALTER TABLE ${stageTable(name)} RENAME TO $tgt")
+    s.catalog.tableExists(tgt)
+  }
+
   def read(s: SparkSession, name: String): Map[String, String] = {
     val tgt = table(name)
     // a crash between write()'s drop and rename leaves only the staged

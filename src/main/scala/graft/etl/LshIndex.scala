@@ -54,11 +54,51 @@ object LshIndex {
     * existence probe for callers deciding build-vs-append: after a
     * geometry regrowth the generation-0 `<name>_buckets` no longer
     * exists, so checking that fixed name would silently trigger a full
-    * rebuild. */
-  def exists(s: SparkSession, name: String): Boolean =
-    s.catalog.tableExists(IndexMeta.table(name)) &&
-      s.catalog.tableExists(bucketsTable(IndexMeta.read(s, name), name)) &&
-      s.catalog.tableExists(tables(name).vectors)
+    * rebuild.
+    *
+    * HEALS before answering: every maintenance swap in the family has a
+    * crash window in which a table is transiently absent (IndexMeta's
+    * drop→rename leaves only `_meta__new`; a compaction fold's
+    * drop→rename leaves only the `__compact` stage) — a plain
+    * tableExists probe in that window answers false, and a
+    * build-vs-append caller then rebuilds from ONE batch, silently
+    * truncating the accumulated index. Finishing the pending renames
+    * first makes the answer reflect the index's durable state. A state
+    * no heal explains — committed batches on record but a serving table
+    * still missing — is a LOUD error, never a rebuild trigger. */
+  def exists(s: SparkSession, name: String): Boolean = {
+    val t = tables(name)
+    if (!IndexMeta.exists(s, name)) {
+      // no meta even after finishing a pending swap: either the family
+      // was never built, or something external destroyed the meta. If a
+      // vectors table still holds rows, answering "no index" would
+      // route the caller into build() and drop them — refuse instead.
+      IndexCompaction.heal(s, t.vectors)
+      require(!s.catalog.tableExists(t.vectors),
+        s"LSH index '$name' has a vectors table but no meta — not a " +
+          "state any crash window produces; refusing to answer " +
+          "'absent' (a rebuild would drop the stored vectors)")
+      return false
+    }
+    val meta = IndexMeta.read(s, name)
+    val bt = bucketsTable(meta, name)
+    IndexCompaction.heal(s, bt)
+    IndexCompaction.heal(s, t.vectors)
+    if (s.catalog.tableExists(bt) && s.catalog.tableExists(t.vectors)) true
+    else {
+      // meta present, a serving table missing even after heal: fine iff
+      // nothing was ever committed (a cold build crashed between its
+      // meta write and its table writes — the retry's rebuild loses
+      // nothing); with committed batches on record it is data loss.
+      val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+      require(committed.isEmpty,
+        s"LSH index '$name' has meta and ${committed.size} committed " +
+          s"batches but a serving table is missing ($bt / ${t.vectors}) " +
+          "even after heal — a rebuild would truncate the index to one " +
+          "batch; investigate instead")
+      false
+    }
+  }
 
   /** Drop every table of the family — vectors, meta, the CURRENT
     * generation's buckets table, and any stale generation a crashed
@@ -68,6 +108,11 @@ object LshIndex {
       val meta = IndexMeta.read(s, name)
       MinhashIndex.dropTable(s, bucketsTable(meta, name))
       meta.get("stale_buckets_table").foreach(MinhashIndex.dropTable(s, _))
+      // a regrow that crashed after staging the NEXT generation but
+      // before the meta flip leaves <name>_buckets_g{gen+1} referenced
+      // by nothing — sweep it too, or it leaks in the catalog
+      val gen = meta.getOrElse("generation", "0").toInt
+      MinhashIndex.dropTable(s, s"${name}_buckets_g${gen + 1}")
     }
     Seq(tables(name).buckets, tables(name).vectors, IndexMeta.table(name))
       .foreach(MinhashIndex.dropTable(s, _))
@@ -125,6 +170,9 @@ object LshIndex {
       val old = IndexMeta.read(s, name)
       MinhashIndex.dropTable(s, bucketsTable(old, name))
       old.get("stale_buckets_table").foreach(MinhashIndex.dropTable(s, _))
+      // sweep an unflipped next-generation stage too (crashed regrow)
+      val gen = old.getOrElse("generation", "0").toInt
+      MinhashIndex.dropTable(s, s"${name}_buckets_g${gen + 1}")
     }
     Seq(t.buckets, t.vectors).foreach(MinhashIndex.dropTable(s, _))
     val log = BatchLog.logDir(s, name)
@@ -235,11 +283,14 @@ object LshIndex {
     * ([[IndexCompaction.compactFamily]]'s discipline — never
     * [[BatchLog.BuildId]], which a crashed standalone build may have
     * left partial rows under). Bucket-count (`n_buckets`) is
-    * deliberately NOT regrown: appends land in BOTH tables under the
-    * meta's single storage spec, and the vectors table keeps its
-    * build-time layout — mixing bucket counts within a family would
-    * corrupt the bucket-pruned reads. Storage-layout growth is a
-    * rebuild ([[buildAuto]]) concern.
+    * deliberately NOT regrown here: appends land in BOTH tables under
+    * the meta's single storage spec, and mixing bucket counts within a
+    * family would corrupt the bucket-pruned reads. Storage-layout
+    * growth happens where every table rewrites under one spec anyway:
+    * [[IndexCompaction.compactFamily]]'s `targetRowsPerBucket` path —
+    * on by default in [[graft.streaming.ContinuousIngest]]'s
+    * maintenance (`storageRowsPerBucket` = 1M) — with [[buildAuto]] as
+    * the cold-build sizing entry.
     *
     * Candidate sets change (that is the point — fewer, better-targeted
     * candidates per cell); exactness of results does not: search

@@ -96,6 +96,72 @@ class LshRegrowSpec extends SparkSpec {
     } finally drop("rgspec_crash", "rgspec_crash_ref")
   }
 
+  test("exists() heals a pending meta stage-swap instead of reporting absent") {
+    try {
+      LshIndex.build(spark, emb, "rgspec_heal")
+      val before = results("rgspec_heal")
+      // plant IndexMeta.write's crash window: target dropped, the
+      // complete replacement still under the stage name. A plain
+      // tableExists probe here says "no index" — and a build-vs-append
+      // caller would rebuild from one batch, truncating the index.
+      spark.sql("ALTER TABLE rgspec_heal_meta RENAME TO rgspec_heal_meta__new")
+      assert(LshIndex.exists(spark, "rgspec_heal"),
+        "exists must finish the pending meta rename, not report absent")
+      assert(spark.catalog.tableExists("rgspec_heal_meta"), "swap finished")
+      assert(results("rgspec_heal") == before, "probes unchanged after heal")
+    } finally drop("rgspec_heal")
+  }
+
+  test("exists() heals a pending compaction-fold swap on the serving tables") {
+    try {
+      LshIndex.build(spark, emb, "rgspec_fold")
+      val before = results("rgspec_fold")
+      // plant IndexCompaction's crash window: the serving buckets table
+      // dropped, its complete replacement still staged under __compact
+      spark.sql(
+        "ALTER TABLE rgspec_fold_buckets RENAME TO rgspec_fold_buckets__compact")
+      assert(LshIndex.exists(spark, "rgspec_fold"),
+        "exists must finish the pending fold rename, not report absent")
+      assert(spark.catalog.tableExists("rgspec_fold_buckets"))
+      assert(results("rgspec_fold") == before, "probes unchanged after heal")
+    } finally drop("rgspec_fold")
+  }
+
+  test("exists() refuses to report absent when committed batches would be lost") {
+    try {
+      LshIndex.build(spark, emb, "rgspec_loud")
+      // destroy a serving table in a way NO crash window produces (no
+      // stage left behind) — with a committed build on record, 'absent'
+      // would route the caller into a truncating rebuild
+      spark.sql("DROP TABLE rgspec_loud_vectors")
+      val e = intercept[IllegalArgumentException](
+        LshIndex.exists(spark, "rgspec_loud"))
+      assert(e.getMessage.contains("committed"), s"loud, explanatory: ${e.getMessage}")
+    } finally drop("rgspec_loud")
+  }
+
+  test("dropAll and build sweep an unflipped next-generation orphan") {
+    try {
+      LshIndex.build(spark, emb, "rgspec_orphan")
+      // plant the regrow crash window AFTER staging generation 1 but
+      // BEFORE the meta flip: the g1 table is referenced by nothing
+      MinhashIndex.writeBucketed(
+        Seq((1L, 0, 5L)).toDF("vec_id", "tbl", "bucket"),
+        "rgspec_orphan_buckets_g1", 32, append = false, "00000-regrow-dead",
+        "tbl", "bucket")
+      LshIndex.build(spark, emb, "rgspec_orphan") // rebuild sweeps it
+      assert(!spark.catalog.tableExists("rgspec_orphan_buckets_g1"),
+        "rebuild must sweep the orphaned next-generation table")
+      MinhashIndex.writeBucketed(
+        Seq((1L, 0, 5L)).toDF("vec_id", "tbl", "bucket"),
+        "rgspec_orphan_buckets_g1", 32, append = false, "00000-regrow-dead",
+        "tbl", "bucket")
+      LshIndex.dropAll(spark, "rgspec_orphan")
+      assert(!spark.catalog.tableExists("rgspec_orphan_buckets_g1"),
+        "dropAll must sweep the orphaned next-generation table")
+    } finally drop("rgspec_orphan")
+  }
+
   test("crash between flip and drop: stale generation swept on the next regrow entry") {
     try {
       LshIndex.build(spark, emb, "rgspec_stale")
