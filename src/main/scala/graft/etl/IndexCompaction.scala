@@ -54,7 +54,9 @@ object IndexCompaction {
   final case class Remove(ids: org.apache.spark.sql.DataFrame) extends DeleteSet
   final case class Retain(ids: org.apache.spark.sql.DataFrame) extends DeleteSet
 
-  private def applyDeleteSet(df: org.apache.spark.sql.DataFrame,
+  // private[graft]: [[graft.operators.IvfIndex]] applies the same set
+  // semantics during its directory-layout fold/retrain
+  private[graft] def applyDeleteSet(df: org.apache.spark.sql.DataFrame,
       idCol: String, ds: DeleteSet): org.apache.spark.sql.DataFrame = {
     require(ds.ids.columns.length == 1,
       s"delete set must be a single id column, got ${ds.ids.columns.mkString(",")}")

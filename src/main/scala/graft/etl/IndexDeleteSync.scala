@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Deletion maintenance for persisted indexes, riding the manifest CDC
   * feed: documents deleted from a [[ManifestTable]] corpus (via
   * [[ManifestTable.deleteWhere]] or a shrinking merge) leave GHOST rows
-  * in the MinHash / BM25 / LSH index tables — wasted probe work that
+  * in the MinHash / BM25 / LSH / IVF index tables — wasted probe work that
   * accumulates with every delete, ghost candidates in probe results
   * (a new doc can be rejected as a near-dup of a document that no
   * longer exists), and a blocked data-deletion/compliance story. This

@@ -43,10 +43,15 @@ object IvfIndex {
       iters: Int = 3, exactMean: Boolean = false): DataFrame = {
     import s.implicits._
     val vecs = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    // rank the window over vec_id ITSELF, not a cast of it: casting a
+    // string id to int yields all-null, which would make the initial
+    // centroid numbering an arbitrary tie-break — the init must stay
+    // deterministic for any id type (the ingest leg feeds doc ids here)
     var centroids = vecs.orderBy($"vec_id").limit(k)
-      .select($"vec_id".cast(IntegerType).as("cluster_id"), $"v".as("centroid"))
+      .select($"vec_id", $"v".as("centroid"))
       .withColumn("cluster_id",
-        row_number().over(Window.orderBy($"cluster_id")) - 1)
+        (row_number().over(Window.orderBy($"vec_id")) - 1).cast(IntegerType))
+      .select($"cluster_id", $"centroid")
     for (_ <- 1 to iters) {
       val assigned = assign(s, vecs, centroids)
       val perDim =
@@ -150,16 +155,91 @@ object IvfIndex {
     s.read.parquet(s"$path/_centroids")
 
   /** Build, persist lists AND quantizer: the self-contained persisted
-    * IVF entry. The lists' committed marker lands first, the centroids
-    * last — a crash between leaves a loudly-unreadable index (no
-    * `_centroids`), never a silently mismatched one; the build is an
-    * overwrite, so the retry converges. Returns the trained centroids. */
+    * IVF entry. The whole build lands in the `__retrain` STAGE dir
+    * (`_centroids` written last as the completeness marker) and promotes
+    * through the same rename swap [[retrainIndexDir]] uses — so a
+    * crashed build never leaves a live dir without its quantizer, and
+    * [[existsDir]]'s post-heal answer is unambiguous: a live dir IS a
+    * complete index. Every crash window is one of [[heal]]'s cases; the
+    * retry converges. Returns the trained centroids. */
   def buildIndexDir(s: SparkSession, embeddings: DataFrame, path: String,
-      k: Int = 8, iters: Int = 3): DataFrame = {
+      k: Int = 8, iters: Int = 3,
+      buildBatchId: String = graft.etl.BatchLog.BuildId): DataFrame = {
+    heal(s, path)
     val (index, centroids) = buildIndex(s, embeddings, k, iters)
-    writeIndex(index, path)
-    writeCentroids(centroids, path)
+    val stage = stagePath(path)
+    val stageP = new org.apache.hadoop.fs.Path(stage)
+    val fs = fsFor(s, stageP)
+    if (fs.exists(stageP)) fs.delete(stageP, true) // crashed prior attempt
+    writeIndex(index, stage, buildBatchId)
+    writeCentroids(centroids, stage) // completeness marker
+    val liveP = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(oldPath(path))
+    if (fs.exists(liveP))
+      require(fs.rename(liveP, oldP), s"build swap: rename $path -> ${oldPath(path)} failed")
+    require(fs.rename(stageP, liveP), s"build swap: rename $stage -> $path failed")
+    fs.delete(oldP, true)
     centroids
+  }
+
+  /** Does a complete, servable persisted IVF index exist at `path`?
+    * HEALS before answering ([[heal]] — the same discipline as
+    * [[graft.etl.LshIndex.exists]]): every swap window leaves either a
+    * promotable stage or a restorable retired copy, and answering
+    * "absent" inside one of them would route a build-vs-append caller
+    * into a from-scratch rebuild that truncates the index to one batch.
+    * A live dir missing its `_centroids` is a state no crash window
+    * produces (builds stage, swaps whole) — loud, never a rebuild
+    * trigger. */
+  def existsDir(s: SparkSession, path: String): Boolean = {
+    heal(s, path)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(s, live)
+    if (!fs.exists(live)) false
+    else {
+      require(fs.exists(new org.apache.hadoop.fs.Path(live, "_centroids")),
+        s"IVF index at $path has lists but no _centroids even after " +
+          "heal — not a state any crash window produces; refusing to " +
+          "answer 'absent' (a rebuild would truncate the index)")
+      true
+    }
+  }
+
+  /** Fold the committed batch partitions into ONE fresh partition,
+    * applying an optional delete set during the rewrite — the
+    * directory-layout analog of [[graft.etl.IndexCompaction.fold]] for
+    * this family. The quantizer is UNCHANGED (surviving rows keep their
+    * list assignment, so results equal a filter of the old index);
+    * [[retrainIndexDir]] is the entry that also re-derives centroids.
+    * Orphan partitions (crashed appends absent from the committed log)
+    * are excluded and vanish in the swap; committed markers carry into
+    * the stage's log as tombstones so late replays stay no-ops. Same
+    * staged-rename swap and [[heal]] coverage as retrain. */
+  def compactIndexDir(s: SparkSession, path: String,
+      deletes: Option[graft.etl.IndexCompaction.DeleteSet] = None): Unit = {
+    import graft.etl.{BatchLog, IndexCompaction}
+    import s.implicits._
+    heal(s, path)
+    val committed = BatchLog.committed(s, BatchLog.logDirAt(path))
+    val lists0 = s.read.parquet(path)
+      .filter($"batch_id".isin(committed.toSeq: _*))
+      .select($"cluster_id", $"vec_id", $"v")
+    val lists = deletes.fold(lists0)(ds =>
+      IndexCompaction.applyDeleteSet(lists0, "vec_id", ds))
+    val centroids = readCentroids(s, path).localCheckpoint() // pre-swap pin
+    val stage = stagePath(path)
+    val stageP = new org.apache.hadoop.fs.Path(stage)
+    val fs = fsFor(s, stageP)
+    if (fs.exists(stageP)) fs.delete(stageP, true)
+    val foldId = s"00000-fold-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeIndex(lists, stage, foldId)
+    committed.foreach(BatchLog.commit(s, BatchLog.logDirAt(stage), _))
+    writeCentroids(centroids, stage) // completeness marker
+    val liveP = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(oldPath(path))
+    require(fs.rename(liveP, oldP), s"compact swap: rename $path -> ${oldPath(path)} failed")
+    require(fs.rename(stageP, liveP), s"compact swap: rename $stage -> $path failed")
+    fs.delete(oldP, true)
   }
 
   /** Per-batch index maintenance: assign `newVecs` to the EXISTING
@@ -266,17 +346,28 @@ object IvfIndex {
     * applies, so the retrain doubles as the family's compaction.
     * Single maintenance writer assumed, as everywhere in the family.
     *
+    * `deletes` purges vector ids BEFORE the count/train/assign — so the
+    * new quantizer is trained on survivors only and no ghost of a
+    * deleted document survives the retrain (without this, retrain reads
+    * the lists — not the corpus — and would perpetuate ghosts forever).
+    * Fed by [[graft.etl.IndexDeleteSync]] like the catalog-table
+    * families; [[compactIndexDir]] is the purge path when the geometry
+    * has NOT outgrown its training.
+    *
     * Returns true iff a retrain ran. */
   def retrainIndexDir(s: SparkSession, path: String, iters: Int = 3,
-      minK: Int = 8, maxK: Int = 65536, growFactor: Double = 2.0): Boolean = {
+      minK: Int = 8, maxK: Int = 65536, growFactor: Double = 2.0,
+      deletes: Option[graft.etl.IndexCompaction.DeleteSet] = None): Boolean = {
     import graft.etl.BatchLog
     import s.implicits._
     require(growFactor >= 1.0, "growFactor must be >= 1")
     heal(s, path)
     val committed = BatchLog.committed(s, BatchLog.logDirAt(path))
-    val vecs = s.read.parquet(path)
+    val vecs0 = s.read.parquet(path)
       .filter($"batch_id".isin(committed.toSeq: _*))
       .select($"vec_id", $"v")
+    val vecs = deletes.fold(vecs0)(ds =>
+      graft.etl.IndexCompaction.applyDeleteSet(vecs0, "vec_id", ds))
     val n = vecs.count()
     val kNow = readCentroids(s, path).count()
     val kWant = autoK(n, minK, maxK)

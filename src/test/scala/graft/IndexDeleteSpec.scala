@@ -34,15 +34,21 @@ class IndexDeleteSpec extends SparkSpec {
     spark.table(table).select(col(idCol)).distinct()
       .collect().map(_.getLong(0)).toSet
 
-  test("corpus deletes propagate to all three index families via the CDC sync") {
+  private def ivfIds(path: String): Set[Long] =
+    spark.read.parquet(path).select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  test("corpus deletes propagate to all four index families via the CDC sync") {
     val corpus = Files.createTempDirectory("idel").toString + "/corpus"
     val (mh, ti, ann) = ("idel_mh", "idel_ti", "idel_ann")
+    val ivf = Files.createTempDirectory("idel_ivf").toString + "/index"
     val keys = Seq("doc_id", "doc_date")
     val bookmark = corpus + "/_index_delete_bookmark"
     def applyAll(ds: IndexCompaction.DeleteSet): Unit = {
       MinhashIndex.compact(spark, mh, Some(ds))
       TextIndex.compact(spark, ti, Some(ds))
       LshIndex.compact(spark, ann, Some(ds))
+      graft.operators.IvfIndex.compactIndexDir(spark, ivf, Some(ds))
     }
     try {
       ManifestTable.mergeInto(spark, frame(1L to 10L), corpus, keys, "doc_date")
@@ -51,6 +57,8 @@ class IndexDeleteSpec extends SparkSpec {
       TextIndex.build(spark, docs, ti)
       LshIndex.build(spark, docs.select($"doc_id".as("vec_id"), $"embedding"),
         ann, dims = 8)
+      graft.operators.IvfIndex.buildIndexDir(spark,
+        docs.select($"doc_id".as("vec_id"), $"embedding"), ivf, k = 4, iters = 2)
 
       // ---- first sync: no bookmark yet → RECONCILE mode. Docs 1,2 were
       // deleted BEFORE the bookmark ever existed — the CDC window can't
@@ -67,6 +75,7 @@ class IndexDeleteSpec extends SparkSpec {
       assert(ids(s"${ti}_doclens", "doc_id") == live1)
       assert(ids(s"${ann}_vectors", "vec_id") == live1)
       assert(ids(s"${ann}_buckets", "vec_id") == live1)
+      assert(ivfIds(ivf) == live1, "IVF lists must shed the reconciled ghosts")
 
       // ---- second round: bookmark in place → CDC mode
       assert(ManifestTable.deleteWhere(spark, corpus, $"doc_id" === 3L) == 1L)
@@ -77,6 +86,7 @@ class IndexDeleteSpec extends SparkSpec {
       assert(ids(s"${mh}_sizes", "doc_id") == live2)
       assert(ids(s"${ti}_doclens", "doc_id") == live2)
       assert(ids(s"${ann}_vectors", "vec_id") == live2)
+      assert(ivfIds(ivf) == live2, "IVF lists must shed the CDC-deleted doc")
 
       // no ghost candidates: a byte-copy of deleted doc 3 probes clean,
       // while a copy of live doc 4 still hits
@@ -105,6 +115,16 @@ class IndexDeleteSpec extends SparkSpec {
         .select($"neighbor_id").collect().map(_.getLong(0)).toSet
       assert(neighbors.intersect(Set(1L, 2L, 3L)).isEmpty,
         s"deleted ids surfaced as ANN neighbors: $neighbors")
+      val ivfNeighbors = graft.operators.IvfIndex.searchIndexDirAuto(spark,
+        ivf, q, topK = 10, nprobe = 4)
+        .select($"neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(ivfNeighbors.intersect(Set(1L, 2L, 3L)).isEmpty,
+        s"deleted ids surfaced as IVF neighbors: $ivfNeighbors")
+      // and a retrain PRESERVES the purge: it folds from the purged
+      // lists, so ghosts cannot resurrect (forced via minK growth)
+      assert(graft.operators.IvfIndex.retrainIndexDir(spark, ivf,
+        iters = 2, minK = 8))
+      assert(ivfIds(ivf) == live2, "retrain must not resurrect deleted docs")
 
       // ---- replay: no version advance → no-op
       assert(IndexDeleteSync.sync(spark, corpus, bookmark, keys)(applyAll).isEmpty)
@@ -131,6 +151,8 @@ class IndexDeleteSpec extends SparkSpec {
       TextIndex.append(spark, late, ti, "late")
       LshIndex.append(spark, late.select($"doc_id".as("vec_id"), $"embedding"),
         ann, "late")
+      graft.operators.IvfIndex.appendIndexDir(spark,
+        late.select($"doc_id".as("vec_id"), $"embedding"), ivf, "late")
       val r3 = IndexDeleteSync.sync(spark, corpus, bookmark, keys)(applyAll)
       assert(r3.exists(_.mode == "reconcile"),
         s"vacuumed bookmark must degrade to reconcile, got $r3")
@@ -138,6 +160,8 @@ class IndexDeleteSpec extends SparkSpec {
       assert(ids(s"${mh}_sizes", "doc_id") == live3)
       assert(ids(s"${ti}_doclens", "doc_id") == live3)
       assert(ids(s"${ann}_vectors", "vec_id") == live3)
+      assert(ivfIds(ivf) == live3,
+        "IVF reconcile must sweep ghosts and keep late-indexed arrivals")
 
       // rebuild equivalence after all the churn: the maintained MinHash
       // index equals a from-scratch build over the live corpus
@@ -154,9 +178,11 @@ class IndexDeleteSpec extends SparkSpec {
   test("ContinuousIngest.maintain applies corpus deletes during its compaction pass") {
     val corpus = Files.createTempDirectory("idel_ci").toString + "/corpus"
     val (mh, ti, ann) = ("idelci_mh", "idelci_ti", "idelci_ann")
+    val ivf = Files.createTempDirectory("idelci_ivf").toString + "/index"
     val keys = Seq("doc_id", "doc_date")
     val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
-      textIndexName = Some(ti), annIndexName = Some(ann), annDims = 8)
+      textIndexName = Some(ti), annIndexName = Some(ann), annDims = 8,
+      ivfIndexPath = Some(ivf))
     try {
       ManifestTable.mergeInto(spark, frame(1L to 8L), corpus, keys, "doc_date")
       val docs = ManifestTable.read(spark, corpus)
@@ -164,6 +190,8 @@ class IndexDeleteSpec extends SparkSpec {
       TextIndex.build(spark, docs, ti)
       LshIndex.build(spark, docs.select($"doc_id".as("vec_id"), $"embedding"),
         ann, dims = 8)
+      graft.operators.IvfIndex.buildIndexDir(spark,
+        docs.select($"doc_id".as("vec_id"), $"embedding"), ivf, k = 8, iters = 2)
       // establish the bookmark (first maintain reconciles — no deletes yet)
       ContinuousIngest.maintain(spark, cfg)
       assert(ids(s"${mh}_sizes", "doc_id") == (1L to 8L).toSet)
@@ -178,12 +206,15 @@ class IndexDeleteSpec extends SparkSpec {
       assert(ids(s"${mh}_banded", "doc_id") == live)
       assert(ids(s"${ti}_postings", "doc_id") == live)
       assert(ids(s"${ann}_buckets", "vec_id") == live)
+      assert(ivfIds(ivf) == live,
+        "maintain's delete feed must reach the IVF lists too")
       assert(spark.table(s"${ti}_stats").collect().head
         .getAs[Long]("n_docs") == live.size.toLong)
 
       // maintain again with nothing new: a stable no-op
       ContinuousIngest.maintain(spark, cfg)
       assert(ids(s"${mh}_sizes", "doc_id") == live)
+      assert(ivfIds(ivf) == live)
     } finally dropFamily(Seq(mh, ti, ann))
   }
 }

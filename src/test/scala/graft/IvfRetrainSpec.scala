@@ -87,6 +87,78 @@ class IvfRetrainSpec extends SparkSpec {
     assert(BatchLog.committed(spark, BatchLog.logDirAt(path)).contains("b1"))
   }
 
+  test("existsDir heals every swap window before answering; a staged cold build never serves half-built") {
+    import org.apache.hadoop.fs.Path
+    val path = freshPath()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!IvfIndex.existsDir(spark, path), "nothing on disk yet")
+    IvfIndex.buildIndexDir(spark, emb, path, k = 8, iters = 2)
+    assert(IvfIndex.existsDir(spark, path))
+    // crash window: live renamed away, complete stage waiting — a plain
+    // dir-exists probe answers false here and a build-vs-append caller
+    // would cold-rebuild from one batch; existsDir must heal first
+    fs.rename(new Path(path), new Path(s"${path}__retrain"))
+    assert(IvfIndex.existsDir(spark, path),
+      "existsDir must promote the complete stage, not report absent")
+    // a live dir stripped of its quantizer is a state no crash window
+    // produces (builds stage whole) — loud, never a rebuild trigger
+    fs.delete(new Path(path, "_centroids"), true)
+    val e = intercept[IllegalArgumentException](IvfIndex.existsDir(spark, path))
+    assert(e.getMessage.contains("_centroids"), s"loud and explanatory: ${e.getMessage}")
+  }
+
+  test("compactIndexDir folds committed batches to one partition and purges the delete set") {
+    val path = freshPath()
+    IvfIndex.buildIndexDir(spark, emb.filter($"vec_id" % 3 === 0), path, k = 4, iters = 2)
+    IvfIndex.appendIndexDir(spark, emb.filter($"vec_id" % 3 === 1), path, "b1")
+    IvfIndex.appendIndexDir(spark, emb.filter($"vec_id" % 3 === 2), path, "b2")
+    val centroidsBefore = IvfIndex.readCentroids(spark, path)
+      .collect().map(_.toSeq).toSet
+    val doomed = Seq(0L, 3L, 7L).toDF("id")
+    IvfIndex.compactIndexDir(spark, path,
+      Some(graft.etl.IndexCompaction.Remove(doomed)))
+    val lists = spark.read.parquet(path)
+    val expect = emb.select($"vec_id").collect().map(_.getLong(0)).toSet -- Set(0L, 3L, 7L)
+    assert(lists.select($"vec_id").collect().map(_.getLong(0)).toSet == expect,
+      "ghost ids must be gone, survivors all present")
+    assert(lists.select($"vec_id").distinct().count() == expect.size, "exactly once")
+    assert(lists.select($"batch_id").distinct().count() == 1,
+      "committed batches folded into one partition")
+    assert(IvfIndex.readCentroids(spark, path).collect().map(_.toSeq).toSet
+      == centroidsBefore, "compaction must not touch the quantizer")
+    // probes: no deleted id ever surfaces as a neighbor
+    val neighbors = IvfIndex.searchIndexDirAuto(spark, path,
+      emb.filter($"vec_id" < 3), topK = 50, nprobe = 4)
+      .select($"neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors.intersect(Set(0L, 3L, 7L)).isEmpty,
+      s"deleted ids surfaced as IVF neighbors: $neighbors")
+    // late replay of a folded batch stays a no-op (tombstones carried)
+    val total = spark.read.parquet(path).count()
+    IvfIndex.appendIndexDir(spark, emb.filter($"vec_id" % 3 === 1), path, "b1")
+    assert(spark.read.parquet(path).count() == total)
+  }
+
+  test("retrain applies the delete set: the new quantizer trains on survivors and no ghost survives") {
+    val path = freshPath()
+    IvfIndex.buildIndexDir(spark, emb.filter($"vec_id" % 3 === 0), path, k = 4, iters = 2)
+    IvfIndex.appendIndexDir(spark, emb.filter($"vec_id" % 3 =!= 0), path, "b1")
+    val doomed = (0L to 9L).toDF("id")
+    assert(IvfIndex.retrainIndexDir(spark, path, iters = 2, minK = 8,
+      deletes = Some(graft.etl.IndexCompaction.Remove(doomed))))
+    val survivors = emb.filter($"vec_id" >= 10).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val lists = spark.read.parquet(path)
+    assert(lists.select($"vec_id").collect().map(_.getLong(0)).toSet == survivors,
+      "retrain must fold the deletes out before training")
+    assert(IvfIndex.readCentroids(spark, path).count() ==
+      IvfIndex.autoK(survivors.size.toLong, minK = 8),
+      "quantizer sized to the SURVIVING corpus, not the pre-delete count")
+    // and a later retrain cannot resurrect them (reads the purged lists)
+    assert(!IvfIndex.retrainIndexDir(spark, path, iters = 2, minK = 8))
+    assert(spark.read.parquet(path).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet == survivors)
+  }
+
   test("every crash window of the swap heals: stage promotes, retired copy restores, leftovers sweep") {
     import org.apache.hadoop.fs.Path
     val path = freshPath()
