@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * the measurement harness behind SCALE.md's ingest numbers. Runs the
   * cold build batch and then an incremental batch with each leg timed
   * individually (gates+dedup decision, manifest merge, MinHash /
-  * BM25 / LSH appends), so optimization targets facts instead of the
-  * aggregate wall clock.
+  * BM25 / LSH / IVF appends), so optimization targets facts instead of
+  * the aggregate wall clock.
   *
   * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.IngestProfile" }}}
   */
@@ -38,8 +38,10 @@ object IngestProfile {
     // is exactly the kind of measurement lie this harness exists to avoid
     val runTag = (System.nanoTime() % 1000000).toString
     val (mh, ti, ann) = (s"prof${runTag}_mh", s"prof${runTag}_ti", s"prof${runTag}_ann")
+    val ivf = s"$root/ivf_index"
     val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
-      textIndexName = Some(ti), annIndexName = Some(ann), annDims = 16)
+      textIndexName = Some(ti), annIndexName = Some(ann), annDims = 16,
+      ivfIndexPath = Some(ivf))
 
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -152,6 +154,10 @@ object IngestProfile {
     t("lsh append") {
       LshIndex.append(spark,
         accept.select(col("doc_id").as("vec_id"), col("embedding")), ann, bid)
+    }
+    t("ivf append") {
+      graft.operators.IvfIndex.appendIndexDir(spark,
+        accept.select(col("doc_id").as("vec_id"), col("embedding")), ivf, bid)
     }
     accept.unpersist(blocking = false)
     t("empty-batch drain") {

@@ -104,6 +104,15 @@ object ContinuousIngest {
       annIndexName: Option[String] = None,
       embeddingCol: String = "embedding",
       annDims: Int = 64,
+      // optional fourth serving artifact: a persisted IVF ANN index
+      // (directory layout, [[graft.operators.IvfIndex]]) over the same
+      // embedding column — cold-built on the first non-empty batch at
+      // autoK of that batch, appended per batch against the persisted
+      // quantizer, retrained in `maintain` when the corpus outgrows the
+      // trained k (the retrain doubles as the family's compaction and
+      // applies pending deletes; between retrains `compactIndexDir`
+      // carries the delete feed).
+      ivfIndexPath: Option[String] = None,
       // corpus [[FileBlooms]] columns (e.g. doc_id): point lookups and
       // point deletes — the data-deletion/compliance path — then open
       // only the files that can hold the key. Nil = no sidecar cost.
@@ -234,6 +243,24 @@ object ContinuousIngest {
             buildBatchId = bid)
           stamp("ann indexed")
         }
+        cfg.ivfIndexPath.foreach { p =>
+          val vecs = accept.select(col("doc_id").as("vec_id"),
+            col(cfg.embeddingCol).as("embedding"))
+          // existsDir heals pending swap windows before answering, so a
+          // crash mid-maintenance can never route a batch into a
+          // truncating cold rebuild; append is exactly-once behind the
+          // index's own BatchLog (runOnce), like the other three legs
+          if (graft.operators.IvfIndex.existsDir(spark, p))
+            graft.operators.IvfIndex.appendIndexDir(spark, vecs, p, bid)
+          else
+            // build under the BATCH's id (the LSH/MinHash cold-build
+            // discipline): a replay then finds the id committed and the
+            // append leg no-ops instead of duplicating the build rows
+            graft.operators.IvfIndex.buildIndexDir(spark, vecs, p,
+              k = graft.operators.IvfIndex.autoK(vecs.count()),
+              buildBatchId = bid)
+          stamp("ivf indexed")
+        }
       }
     } finally {
       // Dataset.unpersist cannot free a localCheckpoint (the checkpoint
@@ -288,6 +315,18 @@ object ContinuousIngest {
         // accumulated corpus has outgrown the recorded sizing
         if (cfg.annTargetOccupancy > 0)
           LshIndex.regrow(spark, an, cfg.annTargetOccupancy)
+      }
+    cfg.ivfIndexPath
+      .filter(graft.operators.IvfIndex.existsDir(spark, _))
+      .foreach { p =>
+        // ONE rewrite either way: a triggered retrain is itself the
+        // family's fold (and applies the delete set to the survivors it
+        // trains on); when the quantizer still covers the corpus, the
+        // fold-with-deletes runs only if there is something to purge —
+        // an idle maintenance pass costs this family nothing
+        if (!graft.operators.IvfIndex.retrainIndexDir(spark, p, deletes = ds)
+            && ds.isDefined)
+          graft.operators.IvfIndex.compactIndexDir(spark, p, ds)
       }
     pending.foreach { case (toV, _, _) =>
       IndexDeleteSync.advance(spark, deleteBookmarkPath(cfg), toV) }

@@ -309,6 +309,79 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("IVF ingest leg: cold build, exactly-once appends, mid-stream retrain, quantizer-consistent serving") {
+    import graft.operators.IvfIndex
+    val src = Files.createTempDirectory("civ_src").toString + "/data"
+    val cp = Files.createTempDirectory("civ_cp").toString
+    val corpus = Files.createTempDirectory("civ_corpus").toString + "/corpus"
+    val ivf = Files.createTempDirectory("civ_ivf").toString + "/index"
+    val mh = "civ_mh"
+    // compactEvery = 2: the SECOND batch's maintenance must find the
+    // corpus has outgrown the 4-doc cold build's quantizer (autoK(4) = 8
+    // floored, but only 4 vectors → 4 trained centroids; 60+ vectors →
+    // autoK ≥ 8 ≥ 2×4) and retrain — the in-stream path of what
+    // IvfRetrainSpec proves standalone
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      compactEvery = 2, ivfIndexPath = Some(ivf), annDims = 8)
+    def emb(id: Long): Array[Float] =
+      Array.tabulate(8)(k => ((id * 31 + k * 7) % 13 - 6).toFloat)
+    def docE(id: Long, text: String) =
+      (id, text, "en", "srcA", text.length.toLong, day, emb(id))
+    def frameE(rows: Seq[(Long, String, String, String, Long, java.sql.Date, Array[Float])]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date", "embedding")
+    try {
+      frameE((1L to 4L).map(i => docE(i, words(s"b$i", 16)))).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+      run() // batch 0: cold build under the batch's own id
+      assert(IvfIndex.existsDir(spark, ivf))
+      val kCold = IvfIndex.readCentroids(spark, ivf).count()
+      assert(kCold == 4L, s"4-doc cold build trains 4 centroids, got $kCold")
+
+      frameE((5L to 64L).map(i => docE(i, words(s"c$i", 16))))
+        .write.mode("append").parquet(src)
+      run() // batch 1 + maintenance: the corpus outgrew the quantizer → retrain
+      val kGrown = IvfIndex.readCentroids(spark, ivf).count()
+      assert(kGrown == IvfIndex.autoK(64L),
+        s"maintenance must retrain to autoK(64) = ${IvfIndex.autoK(64L)}, got $kGrown")
+
+      // batch 2 appends AFTER the retrain — the dir-resolved quantizer
+      // keeps the append consistent with the swapped lists
+      frameE((65L to 70L).map(i => docE(i, words(s"d$i", 16))))
+        .write.mode("append").parquet(src)
+      run()
+      val corpusIds = ManifestTable.read(spark, corpus)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds == (1L to 70L).toSet)
+      val lists = spark.read.parquet(ivf)
+      assert(lists.select($"vec_id").collect().map(_.getLong(0)).toSet == corpusIds,
+        "every accepted doc's vector in the lists, exactly the corpus")
+      assert(lists.count() == 70L, "exactly once — no replay duplicates")
+      // serving consistency: the on-disk probe equals the in-memory
+      // probe over (lists, persisted quantizer) — assignment and
+      // centroids agree after the cold build, a retrain, and appends
+      val queries = frameE(Seq(docE(500L, words("q", 16))))
+        .select($"doc_id".as("vec_id"), $"embedding")
+      val onDisk = IvfIndex.searchIndexDirAuto(spark, ivf, queries,
+        topK = 5, nprobe = 3).collect().toSeq
+      val inMem = IvfIndex.search(spark,
+        lists.select($"cluster_id", $"vec_id", $"v"),
+        IvfIndex.readCentroids(spark, ivf), queries,
+        topK = 5, nprobe = 3).collect().toSeq
+      assert(onDisk.nonEmpty && onDisk == inMem)
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("declared bloom columns ride the streaming merge: point reads and deletes prune") {
     val src = Files.createTempDirectory("cib_src").toString + "/data"
     val cp = Files.createTempDirectory("cib_cp").toString
