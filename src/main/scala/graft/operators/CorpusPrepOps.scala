@@ -981,11 +981,13 @@ object CorpusPrepOps extends QueryModule {
     * `ceil(max(n − window, 0) / stride) + 1` chunks per doc, so every
     * token lands in ≥1 chunk and the final chunk reaches the tail.
     *
-    * Scale shape: pure per-row explode — no join, no aggregation, the
-    * only shuffle is the declared query's presentation sort. Output
-    * rows ≈ corpus tokens / stride, each carrying one chunk's text:
-    * the natural upstream of `mapInPandas` embedding + the ANN index
-    * builders. */
+    * Scale shape: pure per-row explode — no join, no aggregation, NO
+    * sort (the declared query's presentation sort lives in its
+    * QueryDef, so pipeline reuse — chunk → embed → index — never
+    * inherits a corpus-wide sort it doesn't need; house convention, see
+    * `packShards`). Output rows ≈ corpus tokens / stride, each carrying
+    * one chunk's text: the natural upstream of `mapInPandas` embedding
+    * + the ANN index builders. */
   def chunkDocuments(documents: DataFrame, window: Int = 64,
       stride: Int = 48): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
@@ -1008,7 +1010,6 @@ object CorpusPrepOps extends QueryModule {
           .as("chunk_text"),
         least(lit(window), size(col("toks")) - col("chunk_id") * stride)
           .as("n_chunk_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** Shared DuckDB CTE chain ending in
@@ -1040,7 +1041,11 @@ object CorpusPrepOps extends QueryModule {
       SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens
       FROM chunks
       ORDER BY doc_id, chunk_id"""),
-    (s, dir) => chunkDocuments(T(s, dir, "documents")))
+    // presentation sort HERE, not in the operator: pipeline reuse
+    // (sim_chunk_retrieval, sim_chunk_indexed) must not inherit a
+    // corpus-wide sort from a mid-pipeline transform
+    (s, dir) => chunkDocuments(T(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id")))
 
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
