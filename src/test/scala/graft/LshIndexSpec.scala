@@ -112,4 +112,27 @@ class LshIndexSpec extends SparkSpec {
       Seq("lshspec_auto_buckets", "lshspec_auto_vectors")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("chunk-indexed retrieval: sort-free chunk frame into the index, probe corpus-exchange-free") {
+    val docs = graft.core.T(spark, sf0001, "documents")
+    try {
+      // the operator feeding the index build must carry NO sort — the
+      // round-10 review found the presentation orderBy leaking into
+      // pipeline reuse unless EliminateSorts happened to fire
+      val chunks = graft.operators.CorpusPrepOps.chunkDocuments(docs)
+      assert(!chunks.queryExecution.optimizedPlan.toString.contains("Sort"),
+        "chunkDocuments must stay sort-free for pipeline reuse")
+      val out = graft.operators.SimilarityOps
+        .chunkIndexedRetrieval(spark, docs, "chunkidx_t")
+      assert(out.count() > 0, "the indexed probe must surface neighbors")
+      // serving shape: probe only, corpus side read in place
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val probe = graft.operators.SimilarityOps
+          .chunkIndexedRetrieval(spark, docs, "chunkidx_t", buildIndex = false)
+        PlanChecks.assertCorpusInPlace(probe, "chunkidx_t", expectedScans = 2)
+      }
+    } finally graft.etl.LshIndex.dropAll(spark, "chunkidx_t")
+  }
 }
