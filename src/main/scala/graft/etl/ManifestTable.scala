@@ -221,8 +221,10 @@ object ManifestTable {
     // the snapshot schema gates pruning SOUNDNESS: cross-type-family
     // predicates (a timestamp literal on a date column, a number on a
     // string key) never eliminate — Spark's own coercion decides them on
-    // the full predicate instead
-    val ranges = ZoneMaps.constraintsOf(predExpr, snap.schema)
+    // the full predicate instead. String ranges prune in their own
+    // unsigned-byte domain (the schema-on-read string-date case).
+    val cons = ZoneMaps.allConstraintsOf(predExpr, snap.schema)
+    val ranges = cons.num
     // equality conjuncts probe the FileBlooms sidecars — the elimination
     // zone maps cannot make (string keys, unclustered high-cardinality
     // ids). Restricted to this snapshot's declared bloom columns whose
@@ -253,7 +255,8 @@ object ManifestTable {
           else FileBlooms.load(f, pdir, eqs.keySet)
         val kept = files.filter { p =>
           snap.fileStats.get(s"$unit/${p.getName}")
-            .forall(st => ZoneMaps.mayMatch(st, ranges)) &&
+            .forall(st => ZoneMaps.mayMatch(st, ranges) &&
+              ZoneMaps.mayMatchStr(st, cons.str)) &&
             blooms.get(p.getName)
               .forall(bs => FileBlooms.mayContain(bs, eqs))
         }
@@ -321,12 +324,19 @@ object ManifestTable {
       if (perFile.exists(_.isEmpty)) None // an uncovered file: cannot prove
       else {
         val ss = perFile.flatten
-        val bs = ss.flatMap(_.bounds)
-        Some(MetaAgg(
-          bounds =
-            if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max)),
-          rows = ss.map(_.rows).sum,
-          nonNull = ss.map(s => s.rows - s.nulls).sum))
+        // a file with VALUES but no numeric bounds cannot prove MIN/MAX
+        // in this domain: string-stats columns fall here deliberately —
+        // their bounds may be truncation-loose (valid for pruning, never
+        // exact), so metadata MIN/MAX over strings is unprovable
+        if (ss.exists(s => s.bounds.isEmpty && s.nulls < s.rows)) None
+        else {
+          val bs = ss.flatMap(_.bounds)
+          Some(MetaAgg(
+            bounds =
+              if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max)),
+            rows = ss.map(_.rows).sum,
+            nonNull = ss.map(s => s.rows - s.nulls).sum))
+        }
       }
     }
   }

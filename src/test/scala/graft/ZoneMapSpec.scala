@@ -155,6 +155,117 @@ class ZoneMapSpec extends SparkSpec {
     assert(!ZoneMaps.mayMatch(st, ranges($"v" > 20.0 && length($"id") > 2)))
   }
 
+  test("string-column bounds prune in the unsigned-byte domain (schema-on-read dates)") {
+    // the reference's silver layer keeps dates as STRINGS (SURVEY §1.3):
+    // a range predicate on a string-typed date column must prune files
+    // once they are clustered by it — the round-10 review's one named
+    // zone-map gap
+    val rows = (0 until 1200).map { i =>
+      (s"k$i", f"2023-${i / 100 + 1}%02d-${i % 28 + 1}%02d", i.toDouble)
+    }
+    val base = Files.createTempDirectory("zmstr").toString + "/fact"
+    val df = rows.toDF("id", "ds", "v").withColumn("date", to_date($"ds"))
+    ManifestTable.mergeInto(spark, df, base, Seq("id", "date"), "date")
+    ManifestTable.compact(spark, base, targetFileBytes = 4096,
+      clusterBy = Seq(col("ds")))
+    val pred = $"ds" >= "2023-09-01" && $"ds" < "2023-11-01"
+    val got = ManifestTable.readWhere(spark, base, pred)
+      .select($"id", $"ds", $"v").collect().toSet
+    val want = ManifestTable.read(spark, base).filter(pred)
+      .select($"id", $"ds", $"v").collect().toSet
+    assert(got == want, "string pruning must never change results")
+    val all = ManifestTable.read(spark, base).inputFiles.length
+    val pruned = ManifestTable.readWhere(spark, base, pred).inputFiles.length
+    assert(all >= 3 && pruned < all,
+      s"string range over ds-clustered files must skip: $pruned vs $all")
+    // the manifest actually carries string bounds for ds
+    val snap = ManifestTable.currentSnapshot(spark, base).get
+    assert(snap.fileStats.values.exists(_.get("ds").exists(_.strBounds.isDefined)))
+  }
+
+  test("truncated string stats stay loose-but-valid: conservative keep, sound prune") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "parquet.statistics.truncate.length"
+    val prev = Option(hc.get(key))
+    hc.setInt(key, 8)
+    try {
+      // two value families sharing >8-byte prefixes, so truncation bites:
+      // real values are invisible to the stats, only loose bounds remain
+      val rows = (0 until 400).map { i =>
+        val fam = if (i < 200) "aaaaaaaa" else "bbbbbbbb"
+        (s"k$i", "2023-05-15", f"${fam}_$i%04d", i.toDouble)
+      }
+      val base = Files.createTempDirectory("zmtrunc").toString + "/fact"
+      ManifestTable.mergeInto(spark,
+        rows.toDF("id", "date", "s", "v").withColumn("date", to_date($"date")),
+        base, Seq("id", "date"), "date")
+      ManifestTable.compact(spark, base, targetFileBytes = 2048,
+        clusterBy = Seq(col("s")))
+      val snap = ManifestTable.currentSnapshot(spark, base).get
+      val sBounds = snap.fileStats.values.flatMap(_.get("s")).flatMap(_.strBounds)
+      assert(sBounds.nonEmpty && sBounds.forall { case (mn, mx) =>
+        mn.length <= 8 && mx.length <= 8
+      }, s"fixture must produce truncated bounds, got $sBounds")
+      // sound prune: the whole b-family sits above this range even
+      // through loose bounds — those files skip, results stay exact
+      val below = $"s" >= "aaaaaaaa_0050" && $"s" < "aaaaaaaa_0150"
+      val gotB = ManifestTable.readWhere(spark, base, below)
+        .select($"s").collect().toSet
+      val wantB = ManifestTable.read(spark, base).filter(below)
+        .select($"s").collect().toSet
+      assert(gotB == wantB && gotB.nonEmpty)
+      val all = ManifestTable.read(spark, base).inputFiles.length
+      assert(all >= 3, s"fixture needs several files, got $all")
+      assert(ManifestTable.readWhere(spark, base, below).inputFiles.length < all,
+        "truncated bounds must still prune provably-out files")
+      // conservative keep: no a-family row is >= _9999, but the a-files'
+      // TRUNCATED max ('aaaaaaab') cannot prove that — they are kept,
+      // and the re-applied filter returns the exact (empty) answer
+      val gap = $"s" >= "aaaaaaaa_9999" && $"s" < "aaaaaaab"
+      assert(ManifestTable.readWhere(spark, base, gap).count() == 0)
+      val keptGap = ManifestTable.readWhere(spark, base, gap).inputFiles.length
+      assert(keptGap > 0,
+        "a file whose truncated bounds admit the range must be KEPT — " +
+          "pruning on loose bounds may only ever eliminate provable misses")
+    } finally {
+      prev match { case Some(v) => hc.set(key, v); case None => hc.unset(key) }
+    }
+  }
+
+  test("string constraint extraction honors strictness, IN-lists, and domain gates") {
+    def cons(c: org.apache.spark.sql.Column) = ZoneMaps.allConstraintsOf(
+      org.apache.spark.sql.graft.ColumnExpr.expr(c))
+    val st = Map("s" -> ZoneMaps.ColStats(None, 0, 5,
+      strBounds = Some(("bbb", "ddd"))))
+    assert(!ZoneMaps.mayMatchStr(st, cons($"s" > "ddd").str), "strict > max must skip")
+    assert(ZoneMaps.mayMatchStr(st, cons($"s" >= "ddd").str))
+    assert(!ZoneMaps.mayMatchStr(st, cons($"s" < "bbb").str), "strict < min must skip")
+    assert(ZoneMaps.mayMatchStr(st, cons($"s" <= "bbb").str))
+    assert(!ZoneMaps.mayMatchStr(st, cons($"s" === "zzz").str))
+    assert(ZoneMaps.mayMatchStr(st, cons($"s" === "ccc").str))
+    assert(!ZoneMaps.mayMatchStr(st, cons($"s".isin("aa", "ba")).str),
+      "IN-list entirely below min must skip")
+    assert(ZoneMaps.mayMatchStr(st, cons($"s".isin("aa", "ccc")).str))
+    // mirrored literal-first form
+    assert(!ZoneMaps.mayMatchStr(st, cons(lit("zzz") < $"s").str))
+    // cross-domain: a numeric range cannot eliminate a string-stats
+    // column, and a string range cannot eliminate a numeric-stats one
+    assert(ZoneMaps.mayMatch(st, cons($"s" > 100).num))
+    val numSt = Map("v" -> ZoneMaps.ColStats(Some((BigDecimal(1), BigDecimal(2))), 0, 5))
+    assert(ZoneMaps.mayMatchStr(numSt, cons($"v" > "zzz").str))
+    // an all-null column is skippable in the string domain too
+    val nullSt = Map("s" -> ZoneMaps.ColStats(None, 5, 5))
+    assert(!ZoneMaps.mayMatchStr(nullSt, cons($"s" >= "a").str))
+    // a mixed-domain IN list contributes nothing (conservative)
+    assert(cons($"s".isin("aa", 5)).isEmpty)
+    // schema gate: a string literal constrains only STRING columns
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType)))
+    val pred = org.apache.spark.sql.graft.ColumnExpr.expr($"d" >= "2024-01-01")
+    assert(ZoneMaps.allConstraintsOf(pred, Some(sch)).isEmpty)
+  }
+
   test("statsAgg answers min/max/count from the manifest alone and tracks deletes") {
     val base = clusteredBase()
     val got = ManifestTable.statsAgg(spark, base, "v").get
@@ -168,8 +279,9 @@ class ZoneMapSpec extends SparkSpec {
     val after = ManifestTable.statsAgg(spark, base, "v").get
     assert(after.bounds.map(_._1.toDouble).contains(100.0))
     assert(after.rows == 1900L && after.nonNull == 1900L)
-    // unprovable: strings record no stats; absent columns likewise —
-    // the caller's contract is to fall back to a real scan
+    // unprovable: string bounds may be truncation-loose, so they never
+    // prove exact MIN/MAX; absent columns likewise — the caller's
+    // contract is to fall back to a real scan
     assert(ManifestTable.statsAgg(spark, base, "id").isEmpty)
     assert(ManifestTable.statsAgg(spark, base, "nope").isEmpty)
   }
