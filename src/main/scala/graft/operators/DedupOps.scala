@@ -1114,8 +1114,110 @@ object DedupOps extends QueryModule {
     // pipeline; the md5 variant exists only for the DuckDB replay
     benchBuild = Some((s, dir) => corpusOverlap(s, T(s, dir, "documents"))))
 
+  /** Maximal repeated passages across documents — the exact
+    * substring-duplication analysis of Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better" (arXiv:2107.06499,
+    * public), bounded to W-token resolution so it stays one corpus pass
+    * instead of a distributed suffix array: every W-token window
+    * (stride 1) is hashed, windows shared across documents align
+    * co-linear runs, and each maximal run becomes one
+    * (doc_a, start_a, doc_b, start_b, len_tokens) passage — the
+    * span-level signal exact-dedup (whole doc) and MinHash (whole-doc
+    * similarity) both miss: a 200-token boilerplate header pasted into
+    * otherwise-distinct documents.
+    *
+    * Scale shape:
+    *  - the window pass carries only (doc_id, pos, hash) — never window
+    *    text — so the explode is O(tokens) rows of constant width;
+    *  - the document-frequency gate bounds the pair join: windows in
+    *    more than `maxDf` docs are corpus boilerplate
+    *    ([[boilerplateCoverage]]'s territory) whose pair fanout would be
+    *    quadratic in frequency;
+    *  - run merging is gaps-and-islands per (pair, diagonal) window
+    *    partition — keyed shuffles only; the only global sort is the
+    *    declared query's presentation order. */
+  def repeatedPassages(s: SparkSession, documents: DataFrame, w: Int = 16,
+      maxDf: Int = 20, minLen: Int = 24,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    import s.implicits._
+    val wins = documents
+      .select($"doc_id", tokens(col("text")).as("toks"))
+      .filter(size($"toks") >= w)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), size($"toks") - w + 1)).as("pos"))
+      .select($"doc_id", $"pos",
+        hashFn(concat_ws(" ", slice($"toks", $"pos", lit(w)))).as("h"))
+    val rare = wins.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > 1 && $"df" <= maxDf)
+      .select($"h")
+    val shared = wins.join(rare, Seq("h"))
+    val pairs = shared.as("a").join(shared.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .distinct()
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pos_a")
+    pairs
+      .withColumn("diag", $"pos_a" - $"pos_b")
+      .withColumn("island", $"pos_a" - row_number().over(wnd))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"island")
+      .agg(min($"pos_a").as("start_a"), min($"pos_b").as("start_b"),
+        (max($"pos_a") - min($"pos_a") + w).as("len_tokens"))
+      .filter($"len_tokens" >= minLen)
+      .select($"doc_a", $"start_a", $"doc_b", $"start_b", $"len_tokens")
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+  }
+
+  /** DuckDB replay of [[repeatedPassages]]: identical tokenization,
+    * window slicing, md5 hash, df gate, and gaps-and-islands run merge. */
+  private def repeatedPassagesOracle(w: Int, maxDf: Int, minLen: Int): String = s"""
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+      wins AS (
+        SELECT doc_id, CAST(unnest(range(1, len(ws) - $w + 2)) AS INT) AS pos, ws
+        FROM toks WHERE len(ws) >= $w),
+      hashed AS (
+        SELECT doc_id, pos,
+          ('0x' || substr(md5(array_to_string(ws[pos : pos + ${w - 1}], ' ')), 25, 8))::UBIGINT::BIGINT AS h
+        FROM wins),
+      rare AS (
+        SELECT h FROM hashed GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(DISTINCT doc_id) <= $maxDf),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.pos AS pos_a, b.pos AS pos_b
+        FROM hashed a
+        JOIN rare r ON r.h = a.h
+        JOIN hashed b ON b.h = a.h AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+          pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                     ORDER BY pos_a) AS island
+        FROM pairs),
+      runs AS (
+        SELECT doc_a, doc_b, diag, island,
+          CAST(MIN(pos_a) AS INT) AS start_a, CAST(MIN(pos_b) AS INT) AS start_b,
+          CAST(MAX(pos_a) - MIN(pos_a) + $w AS INT) AS len_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, island)
+      SELECT doc_a, start_a, doc_b, start_b, len_tokens
+      FROM runs WHERE len_tokens >= $minLen
+      ORDER BY doc_a, doc_b, start_a, start_b"""
+
+  private val ddRepeatedPassages = QueryDef(
+    "dd_repeated_passages",
+    Some(repeatedPassagesOracle(w = 16, maxDf = 20, minLen = 24)),
+    (s, dir) => repeatedPassages(s, T(s, dir, "documents"),
+      hashFn = md5Hash32),
+    // the established convention: Bench times the production xxhash64
+    // pipeline; the md5 variant exists only for the DuckDB replay
+    benchBuild = Some((s, dir) => repeatedPassages(s, T(s, dir, "documents"))))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
       ddClusterStats, ddSimhashHamming, ddIncremental, ddIncrementalIndexed,
-      ddBoilerplate, ddNovelty, ddCorpusOverlap)
+      ddBoilerplate, ddNovelty, ddCorpusOverlap, ddRepeatedPassages)
 }

@@ -318,4 +318,39 @@ class DedupSpec extends SparkSpec {
     assert(live.length == k * (k - 1) / 2)
     assert(live.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("repeatedPassages: maximal co-linear runs with exact spans; boilerplate df gate") {
+    def fill(tag: String, n: Int) = (1 to n).map(i => s"${tag}_$i").mkString(" ")
+    val common = (1 to 30).map(i => s"p$i").mkString(" ") // 30-token passage
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $common y1 y2"),          // passage at tokens 4..33
+      (2L, s"z1 $common ${fill("w", 20)}"),     // passage at tokens 2..31
+      (3L, s"${fill("q", 40)}")                 // unrelated
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedPassages(spark, docs, w = 8, minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    // ONE maximal run covering the full 30 tokens — not 23 window hits
+    assert(got.toSeq == Seq((1L, 4, 2L, 2, 30)),
+      s"expected the single maximal passage, got ${got.toSeq}")
+
+    // df gate: a phrase in MORE than maxDf docs is boilerplate — no pairs
+    val boiler = (1L to 9L).map(i => (i, s"head1 head2 head3 head4 head5 " +
+      s"head6 head7 head8 ${fill(s"u$i", 12)}")).toDF("doc_id", "text")
+    assert(DedupOps.repeatedPassages(spark, boiler, w = 8, maxDf = 5,
+      minLen = 8).collect().isEmpty,
+      "windows above the df gate must not generate pairs")
+    // ...but under the gate the same phrase IS reported
+    val few = (1L to 3L).map(i => (i, s"head1 head2 head3 head4 head5 " +
+      s"head6 head7 head8 ${fill(s"u$i", 12)}")).toDF("doc_id", "text")
+    val fewGot = DedupOps.repeatedPassages(spark, few, w = 8, maxDf = 5,
+      minLen = 8).collect()
+    assert(fewGot.length == 3, s"3 doc pairs share the header, got ${fewGot.length}")
+
+    // oracle-portable and production hash agree on spans (values differ,
+    // runs don't)
+    val md5Got = DedupOps.repeatedPassages(spark, docs, w = 8, minLen = 10,
+      hashFn = DedupOps.md5Hash32).collect().map(_.toSeq)
+    assert(md5Got.toSeq == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
+  }
 }
