@@ -39,9 +39,10 @@ object IngestProfile {
     val runTag = (System.nanoTime() % 1000000).toString
     val (mh, ti, ann) = (s"prof${runTag}_mh", s"prof${runTag}_ti", s"prof${runTag}_ann")
     val ivf = s"$root/ivf_index"
+    val ck = s"prof${runTag}_ck"
     val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
       textIndexName = Some(ti), annIndexName = Some(ann), annDims = 16,
-      ivfIndexPath = Some(ivf))
+      ivfIndexPath = Some(ivf), chunkIndexName = Some(ck))
 
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -159,12 +160,18 @@ object IngestProfile {
       graft.operators.IvfIndex.appendIndexDir(spark,
         accept.select(col("doc_id").as("vec_id"), col("embedding")), ivf, bid)
     }
+    t("chunk-index append") {
+      LshIndex.append(spark,
+        graft.operators.SimilarityOps.chunkIndexFrame(spark, accept, cfg.chunkDims),
+        ck, bid)
+    }
     accept.unpersist(blocking = false)
     t("empty-batch drain") {
       ContinuousIngest.ingestBatch(spark, inc.limit(0), 2L, cfg)
     }
 
     graft.etl.LshIndex.dropAll(spark, ann) // generation-aware
+    graft.etl.LshIndex.dropAll(spark, ck)
     Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta",
       s"${ti}_postings", s"${ti}_doclens", s"${ti}_stats", s"${ti}_meta")
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))

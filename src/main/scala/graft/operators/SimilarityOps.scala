@@ -1189,7 +1189,19 @@ object SimilarityOps extends QueryModule {
     * window/stride chunking needs a ~48M-token document to overflow it
     * — and keeps the index's `neighbor_id ASC` tie-break equal to
     * `(n_doc, n_chunk) ASC` lexicographic, so ranks decompose exactly. */
-  private val ChunkIdSpan = 1000000L
+  private[graft] val ChunkIdSpan = 1000000L
+
+  /** The composite-keyed chunk frame `(vec_id, embedding)` a persisted
+    * ANN index ingests — shared by [[chunkIndexedRetrieval]] and
+    * [[graft.streaming.ContinuousIngest]]'s chunk-index leg. Requires a
+    * NUMERIC `doc_id` (the composite packing). The md5 feature vector
+    * is the deterministic encoder stand-in; a real model is a
+    * `mapInPandas` swap at this exact seam. */
+  private[graft] def chunkIndexFrame(s: SparkSession, documents: DataFrame,
+      dims: Int): DataFrame =
+    chunkEmbeddings(s, documents, dims)
+      .select((col("doc_id") * ChunkIdSpan + col("chunk_id")).as("vec_id"),
+        col("v").as("embedding"))
 
   /** Chunk-level retrieval through a PERSISTED LSH ANN index — the
     * scale path [[chunkRetrieval]]'s doc promises: the same
@@ -1205,9 +1217,7 @@ object SimilarityOps extends QueryModule {
       name: String, dims: Int = 8, topK: Int = 3,
       buildIndex: Boolean = true): DataFrame = {
     import s.implicits._
-    val emb = chunkEmbeddings(s, documents, dims)
-      .select(($"doc_id" * ChunkIdSpan + $"chunk_id").as("vec_id"),
-        $"v".as("embedding"))
+    val emb = chunkIndexFrame(s, documents, dims)
     if (buildIndex)
       graft.etl.LshIndex.build(s, emb.filter($"vec_id" >= 2L * ChunkIdSpan),
         name, tables0 = 16, planesPerTable = 4, dims = dims)
@@ -1290,9 +1300,7 @@ object SimilarityOps extends QueryModule {
     benchBuild = Some((s, dir) => chunkIndexedRetrieval(s,
       T(s, dir, "documents"), "chunk_lsh_b", buildIndex = false)),
     benchSetup = Some((s, dir) => {
-      val emb = chunkEmbeddings(s, T(s, dir, "documents"), 8)
-        .select((col("doc_id") * ChunkIdSpan + col("chunk_id")).as("vec_id"),
-          col("v").as("embedding"))
+      val emb = chunkIndexFrame(s, T(s, dir, "documents"), 8)
       graft.etl.LshIndex.build(s,
         emb.filter(col("vec_id") >= 2L * ChunkIdSpan), "chunk_lsh_b",
         tables0 = 16, planesPerTable = 4, dims = 8)

@@ -113,6 +113,18 @@ object ContinuousIngest {
       // applies pending deletes; between retrains `compactIndexDir`
       // carries the delete feed).
       ivfIndexPath: Option[String] = None,
+      // optional fifth serving artifact: a CHUNK-level LSH ANN index —
+      // the continuous-RAG-ingestion shape. Accepted docs are chunked
+      // ([[graft.operators.CorpusPrepOps.chunkDocuments]]), embedded
+      // (md5-feature stand-in; a real encoder is a mapInPandas swap at
+      // the [[graft.operators.SimilarityOps.chunkIndexFrame]] seam) and
+      // appended under composite (doc, chunk) ids, so retrieval serves
+      // passage hits with source attribution while ingestion runs.
+      // Requires NUMERIC doc ids (the composite packing). Deletion
+      // maintenance translates the doc-level feed to chunk ids in
+      // [[maintain]].
+      chunkIndexName: Option[String] = None,
+      chunkDims: Int = 8,
       // corpus [[FileBlooms]] columns (e.g. doc_id): point lookups and
       // point deletes — the data-deletion/compliance path — then open
       // only the files that can hold the key. Nil = no sidecar cost.
@@ -261,6 +273,15 @@ object ContinuousIngest {
               buildBatchId = bid)
           stamp("ivf indexed")
         }
+        cfg.chunkIndexName.foreach { cn =>
+          val chunks = graft.operators.SimilarityOps
+            .chunkIndexFrame(spark, accept, cfg.chunkDims)
+          if (LshIndex.exists(spark, cn))
+            LshIndex.append(spark, chunks, cn, bid)
+          else LshIndex.build(spark, chunks, cn, dims = cfg.chunkDims,
+            buildBatchId = bid)
+          stamp("chunks indexed")
+        }
       }
     } finally {
       // Dataset.unpersist cannot free a localCheckpoint (the checkpoint
@@ -315,6 +336,42 @@ object ContinuousIngest {
         // accumulated corpus has outgrown the recorded sizing
         if (cfg.annTargetOccupancy > 0)
           LshIndex.regrow(spark, an, cfg.annTargetOccupancy)
+      }
+    cfg.chunkIndexName
+      .filter(cn => LshIndex.exists(spark, cn))
+      .foreach { cn =>
+        // the corpus delete feed is DOC-level; this family's rows are
+        // chunk-level. Translate by deriving each stored chunk's source
+        // doc from its composite id — an id-column-only read of the
+        // vectors table the fold is about to rewrite anyway, so the
+        // translation costs one extra column scan, not a corpus pass.
+        val span = graft.operators.SimilarityOps.ChunkIdSpan
+        // localCheckpoint is load-bearing: the translation reads the
+        // very vectors table the fold swaps out, and the family's
+        // SECOND table (buckets) would otherwise re-derive the set from
+        // the already-purged vectors — an empty remove set, ghosts kept
+        def chunkIdsOf(docIds: org.apache.spark.sql.DataFrame) =
+          spark.table(s"${cn}_vectors").select(col("vec_id"))
+            .join(docIds.toDF("d"),
+              expr(s"vec_id div $span") === col("d"), "left_semi")
+            .localCheckpoint()
+        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        try {
+          val chunkDs = ds.map {
+            case graft.etl.IndexCompaction.Remove(ids) =>
+              graft.etl.IndexCompaction.Remove(chunkIdsOf(ids))
+            case graft.etl.IndexCompaction.Retain(ids) =>
+              graft.etl.IndexCompaction.Retain(chunkIdsOf(ids))
+          }
+          LshIndex.compact(spark, cn, chunkDs, cfg.storageRowsPerBucket)
+          if (cfg.annTargetOccupancy > 0)
+            LshIndex.regrow(spark, cn, cfg.annTargetOccupancy)
+        } finally {
+          // a localCheckpoint never enters the cache manager; drop the
+          // blocks this maintenance pinned (the ingestBatch discipline)
+          (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
+            .values.foreach(_.unpersist(blocking = false))
+        }
       }
     cfg.ivfIndexPath
       .filter(graft.operators.IvfIndex.existsDir(spark, _))

@@ -382,6 +382,64 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("chunk-index leg: continuous RAG ingestion stays rebuild-equivalent across batches") {
+    import graft.operators.SimilarityOps
+    val src = Files.createTempDirectory("cck_src").toString + "/data"
+    val cp = Files.createTempDirectory("cck_cp").toString
+    val corpus = Files.createTempDirectory("cck_corpus").toString + "/corpus"
+    val (mh, ck) = ("cck_mh", "cck_ck")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      compactEvery = 2, chunkIndexName = Some(ck))
+    // long-enough docs to chunk (window 64 / stride 48): 80 tokens → 2 chunks
+    def doc80(id: Long, tag: String) =
+      (id, (1 to 80).map(i => s"${tag}_$i").mkString(" "), "en", "srcA",
+        400L, day)
+    try {
+      frame((1L to 6L).map(i => doc80(i, s"b$i"))).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+      run() // batch 0: cold chunk-index build
+      assert(graft.etl.LshIndex.exists(spark, ck))
+      frame((7L to 10L).map(i => doc80(i, s"c$i")))
+        .write.mode("append").parquet(src)
+      run() // batch 1 appends + maintenance compacts the chunk family
+      val corpusDf = ManifestTable.read(spark, corpus)
+      assert(corpusDf.count() == 10)
+      // every corpus doc contributes its chunks, composite-keyed
+      val span = 1000000L
+      val docsInIndex = spark.table(s"${ck}_vectors")
+        .select(($"vec_id" / span).cast("long").as("d")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(docsInIndex == (1L to 10L).toSet,
+        s"chunk index must cover every accepted doc, got $docsInIndex")
+      // rebuild equivalence: served probe == fresh build over the final
+      // corpus' chunk frame, at the same geometry
+      val planes = graft.etl.IndexMeta.read(spark, ck)("planes_per_table").toInt
+      LshIndex.build(spark,
+        SimilarityOps.chunkIndexFrame(spark, corpusDf, cfg.chunkDims),
+        "cck_rb", planesPerTable = planes, dims = cfg.chunkDims)
+      val queries = SimilarityOps.chunkIndexFrame(spark,
+        frame(Seq(doc80(500L, "b3"))), cfg.chunkDims) // near doc 3's chunks
+      val served = LshIndex.search(spark, queries, ck, topK = 4)
+        .collect().map(_.toSeq).toSet
+      val rebuilt = LshIndex.search(spark, queries, "cck_rb", topK = 4)
+        .collect().map(_.toSeq).toSet
+      assert(served.nonEmpty && served == rebuilt,
+        "served chunk retrieval must equal a from-scratch rebuild")
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(ck, "cck_rb").foreach(LshIndex.dropAll(spark, _))
+    }
+  }
+
   test("declared bloom columns ride the streaming merge: point reads and deletes prune") {
     val src = Files.createTempDirectory("cib_src").toString + "/data"
     val cp = Files.createTempDirectory("cib_cp").toString

@@ -180,9 +180,15 @@ class IndexDeleteSpec extends SparkSpec {
     val (mh, ti, ann) = ("idelci_mh", "idelci_ti", "idelci_ann")
     val ivf = Files.createTempDirectory("idelci_ivf").toString + "/index"
     val keys = Seq("doc_id", "doc_date")
+    val ck = "idelci_ck"
     val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
       textIndexName = Some(ti), annIndexName = Some(ann), annDims = 8,
-      ivfIndexPath = Some(ivf))
+      ivfIndexPath = Some(ivf), chunkIndexName = Some(ck))
+    def chunkDocs(path: String): Set[Long] =
+      spark.table(s"${ck}_vectors")
+        .select((col("vec_id") / graft.operators.SimilarityOps.ChunkIdSpan)
+          .cast("long").as("d"))
+        .distinct().collect().map(_.getLong(0)).toSet
     try {
       ManifestTable.mergeInto(spark, frame(1L to 8L), corpus, keys, "doc_date")
       val docs = ManifestTable.read(spark, corpus)
@@ -192,6 +198,9 @@ class IndexDeleteSpec extends SparkSpec {
         ann, dims = 8)
       graft.operators.IvfIndex.buildIndexDir(spark,
         docs.select($"doc_id".as("vec_id"), $"embedding"), ivf, k = 8, iters = 2)
+      LshIndex.build(spark,
+        graft.operators.SimilarityOps.chunkIndexFrame(spark, docs, 8),
+        ck, dims = 8)
       // establish the bookmark (first maintain reconciles — no deletes yet)
       ContinuousIngest.maintain(spark, cfg)
       assert(ids(s"${mh}_sizes", "doc_id") == (1L to 8L).toSet)
@@ -208,6 +217,9 @@ class IndexDeleteSpec extends SparkSpec {
       assert(ids(s"${ann}_buckets", "vec_id") == live)
       assert(ivfIds(ivf) == live,
         "maintain's delete feed must reach the IVF lists too")
+      assert(chunkDocs(ck) == live,
+        "the DOC-level delete feed must translate to the chunk index's " +
+          "composite ids and purge every deleted doc's chunks")
       assert(spark.table(s"${ti}_stats").collect().head
         .getAs[Long]("n_docs") == live.size.toLong)
 
@@ -215,6 +227,10 @@ class IndexDeleteSpec extends SparkSpec {
       ContinuousIngest.maintain(spark, cfg)
       assert(ids(s"${mh}_sizes", "doc_id") == live)
       assert(ivfIds(ivf) == live)
-    } finally dropFamily(Seq(mh, ti, ann))
+      assert(chunkDocs(ck) == live)
+    } finally {
+      dropFamily(Seq(mh, ti, ann))
+      LshIndex.dropAll(spark, "idelci_ck")
+    }
   }
 }
