@@ -860,6 +860,95 @@ object CorpusPrepOps extends QueryModule {
       ORDER BY source"""),
     (s, dir) => domainRebalance(T(s, dir, "documents")))
 
+  /** Temperature-scaled source mixing — the α-smoothed multinomial
+    * sampling of multilingual LM training (mBERT / XLM-R, public):
+    * source share q_s ∝ n_s^α flattens the head and upweights the tail
+    * without [[domainRebalance]]'s all-the-way-to-uniform jump. α is
+    * FIXED at 1/2 because sqrt is the one power IEEE 754 requires to be
+    * correctly rounded — `pow(x, 0.7)` may differ by an ulp across
+    * engines and flip a doc at the bucket boundary, breaking the
+    * hash-exact oracle. The kept budget is the largest total realizable
+    * with per-source keep_prob ≤ 1 (the most-upweighted source caps it
+    * at full retention); keep decisions are the usual stateless
+    * content-hash bucket — RNG-free, replay-stable, per-doc parallel.
+    *
+    * Float policy: the share denominator Σ√n_s folds left-to-right over
+    * sources sorted by name (double addition is not associative; the
+    * ordered fold is the established [[graft.operators.IvfIndex]]
+    * `exactMean` discipline), so every derived double replays
+    * bit-for-bit in DuckDB. */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sumW = counts
+      .agg(array_sort(collect_list(struct(col("source"),
+        sqrt(col("n_docs")).as("w")))).as("xs"))
+      .select(aggregate(col("xs"), lit(0.0), (acc, e) => acc + e("w"))
+        .as("sum_w"))
+    val shares = counts.crossJoin(broadcast(sumW))
+      .select(col("source"), col("n_docs"),
+        (sqrt(col("n_docs")) / col("sum_w")).as("mix_share"))
+    val budget = shares
+      .agg(min(col("n_docs") / col("mix_share")).as("budget"))
+    val probs = shares.crossJoin(broadcast(budget))
+      .select(col("source"), col("n_docs"), col("mix_share"),
+        least(lit(1.0), col("budget") * col("mix_share") / col("n_docs"))
+          .as("keep_prob"))
+    val bucket = pmod(
+      DedupOps.md5Hash32(graft.operators.CorpusPipeline.normText(col("text"))),
+      lit(1000000L))
+    documents
+      .join(broadcast(probs), "source")
+      .select(col("source"), col("n_docs"), col("mix_share"), col("keep_prob"),
+        TextOps.tokenCount(col("text")).as("n_toks"),
+        (bucket / lit(1000000.0) < col("keep_prob")).as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("mix_share")).as("mix_share"),
+        max(col("keep_prob")).as("keep_prob"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val cpTemperatureMix = QueryDef(
+    "cp_temperature_mix",
+    Some("""
+      WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      sumw AS (
+        SELECT list_reduce(list(sqrt(n_docs) ORDER BY source),
+          (a, b) -> a + b) AS sum_w
+        FROM counts),
+      shares AS (
+        SELECT source, n_docs,
+          sqrt(n_docs) / (SELECT sum_w FROM sumw) AS mix_share
+        FROM counts),
+      budget AS (
+        SELECT MIN(n_docs / mix_share) AS budget FROM shares),
+      probs AS (
+        SELECT source, n_docs, mix_share,
+          least(1.0::DOUBLE,
+            (SELECT budget FROM budget) * mix_share / n_docs) AS keep_prob
+        FROM shares),
+      marked AS (
+        SELECT d.source, p.n_docs, p.mix_share, p.keep_prob,
+          len(string_split_regex(trim(d.text), '\s+')) AS n_toks,
+          (('0x' || substr(md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))), 25, 8))::UBIGINT::BIGINT
+             % 1000000) / 1000000.0 < p.keep_prob AS keep
+        FROM documents d JOIN probs p USING (source))
+      SELECT source,
+        max(n_docs) AS n_docs,
+        max(mix_share) AS mix_share,
+        max(keep_prob) AS keep_prob,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM marked
+      GROUP BY source
+      ORDER BY source"""),
+    (s, dir) => temperatureMix(T(s, dir, "documents")))
+
   // ---------------------------------------------------------------------
   // Deterministic train/val/test split
   // ---------------------------------------------------------------------
@@ -1050,6 +1139,6 @@ object CorpusPrepOps extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
       cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
-      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance, cpChunk,
-      cpSplitLeakage)
+      cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance,
+      cpTemperatureMix, cpChunk, cpSplitLeakage)
 }

@@ -374,4 +374,43 @@ class CorpusPrepSpec extends SparkSpec {
         s"chunk $qChunk must retrieve doc 5's chunk $qChunk exactly, got ($nDoc,$nChunk,$cos)")
     }
   }
+
+  test("temperatureMix: √n shares flatten the head, budget caps at the most-upweighted source") {
+    // a SKEWED corpus (the testdata's sources are uniform, where α=½ is
+    // the identity): 64 / 16 / 4 docs → √-shares ∝ 8 : 4 : 2
+    val skewed = (
+      (1 to 64).map(i => (i.toLong, s"big doc $i tokens here", "srcA")) ++
+      (1 to 16).map(i => (100L + i, s"mid doc $i tokens here", "srcB")) ++
+      (1 to 4).map(i => (200L + i, s"small doc $i tokens here", "srcC"))
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.operators.CorpusPrepOps.temperatureMix(skewed).collect()
+    val n = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    val share = rows.map(r => r.getAs[String]("source") -> r.getAs[Double]("mix_share")).toMap
+    val keep = rows.map(r => r.getAs[String]("source") -> r.getAs[Double]("keep_prob")).toMap
+    assert(math.abs(share.values.sum - 1.0) < 1e-9, "mix shares sum to 1")
+    assert(math.abs(share("srcA") - 8.0 / 14) < 1e-9 &&
+      math.abs(share("srcB") - 4.0 / 14) < 1e-9 &&
+      math.abs(share("srcC") - 2.0 / 14) < 1e-9,
+      s"√n shares must be 8:4:2, got $share")
+    // flattening: head share below natural, tail above
+    assert(share("srcA") < 64.0 / 84 && share("srcC") > 4.0 / 84)
+    // the budget is the largest realizable: the most-upweighted source
+    // (argmin n/q — the tail) is retained in full
+    val capSource = n.keys.minBy(s => n(s) / share(s))
+    assert(capSource == "srcC" && keep("srcC") >= 1.0 - 1e-9,
+      s"the budget-capping tail source must keep everything, got $keep")
+    assert(keep.values.forall(p => p > 0.0 && p <= 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")) }
+    // on the real corpus: invariants hold and a second run is
+    // bit-identical (stateless hash, no RNG)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val real = graft.operators.CorpusPrepOps.temperatureMix(docs).collect()
+    assert(real.nonEmpty &&
+      math.abs(real.map(_.getAs[Double]("mix_share")).sum - 1.0) < 1e-9)
+    assert(real.forall(r => r.getAs[Long]("n_kept") > 0),
+      "every source must retain something under α-smoothing")
+    val again = graft.operators.CorpusPrepOps.temperatureMix(docs).collect()
+    assert(real.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
