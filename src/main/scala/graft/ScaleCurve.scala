@@ -47,7 +47,9 @@ object ScaleCurve {
     "dd_corpus_overlap",     // per-slice MinHash union signatures
     "cp_chunk_documents",    // per-row chunk explode
     "cp_split_leakage",      // near-dup pass + split-label joins
+    "dd_repeated_passages",  // windowed-hash pair join + island merge
     "sim_chunk_retrieval",   // chunk → embed → brute cosine top-k
+    "sim_chunk_indexed",     // chunk probe vs persisted index (sub-linear goal)
     "sim_cosine_topk",       // brute-force ANN baseline (O(corpus)/query)
     "sim_lsh_indexed",       // persisted-index ANN probe (sub-linear goal)
     "ta_bm25_indexed")       // persisted postings probe (sub-linear goal)
