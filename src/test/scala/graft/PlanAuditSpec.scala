@@ -104,6 +104,31 @@ class PlanAuditSpec extends SparkSpec {
       "buckets must be computed by ONE native expression site")
   }
 
+  test("repeated passages: equi-joins only, islands window always pair-partitioned (dd)") {
+    val plan = executed("dd_repeated_passages")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"nested-loop join found in:\n$plan")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"cartesian product found in:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the gaps-and-islands window must be (pair, diagonal)-partitioned — " +
+        "a global window here would serialize the whole pair set")
+  }
+
+  test("temperature mix: per-source probabilities reach the corpus via broadcast (cp)") {
+    // the two scalar crossJoins (Σ√n, budget) are single-row broadcasts —
+    // the house-approved shape; the per-source probs table must join the
+    // corpus as a BroadcastHashJoin, never shuffling the documents on
+    // source
+    val plan = executed("cp_temperature_mix")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected the probs side to broadcast in:\n$plan")
+  }
+
   test("boilerplate coverage: broadcast dictionary, no raw window/sort on the gram key (dd)") {
     // Round-6 shape (the round-5 window form owned a reducer per
     // universal gram): the corpus IS window-extracted twice — dictionary
