@@ -507,6 +507,39 @@ object ManifestTable {
       keys: Seq[String], dateCol: String, bloomCols: Seq[String] = Nil): Unit =
     commit(spark, basePath, stage(spark, batch, basePath, keys, dateCol, bloomCols))
 
+  /** [[mergeInto]] with the bounded optimistic-concurrency retry loop a
+    * multi-writer deployment runs (the Delta commit-protocol shape,
+    * public): on [[ConcurrentCommitException]] the merge RE-STAGES
+    * against the winner's snapshot and tries again — the loser's rewrite
+    * is recomputed over the winner's committed rows, so both writers'
+    * upserts land no matter which order the commits won. The re-stage is
+    * the retry's whole price and is paid only by actual conflicts;
+    * `maxAttempts` bounds livelock, with the final attempt's conflict
+    * propagating loudly. Returns the number of attempts taken. */
+  def mergeIntoRetrying(spark: SparkSession, batch: DataFrame,
+      basePath: String, keys: Seq[String], dateCol: String,
+      bloomCols: Seq[String] = Nil, maxAttempts: Int = 5): Int =
+    mergeIntoRetryingHook(spark, batch, basePath, keys, dateCol, bloomCols,
+      maxAttempts)(_ => ())
+
+  /** [[mergeIntoRetrying]] with the stage→commit seam exposed:
+    * `onStaged(attempt)` runs after staging and before the commit — the
+    * exact window a competing writer's commit creates the conflict in,
+    * so the spec can interleave a real winner deterministically. */
+  private[graft] def mergeIntoRetryingHook(spark: SparkSession,
+      batch: DataFrame, basePath: String, keys: Seq[String], dateCol: String,
+      bloomCols: Seq[String] = Nil, maxAttempts: Int = 5)(
+      onStaged: Int => Unit): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    (1 to maxAttempts).foreach { attempt =>
+      val staged = stage(spark, batch, basePath, keys, dateCol, bloomCols)
+      onStaged(attempt)
+      try { commit(spark, basePath, staged); return attempt }
+      catch { case _: ConcurrentCommitException if attempt < maxAttempts => () }
+    }
+    throw new IllegalStateException("unreachable: the loop returns or rethrows")
+  }
+
   private[graft] def stage(spark: SparkSession, batch: DataFrame,
       basePath: String, keys: Seq[String], dateCol: String,
       bloomCols: Seq[String] = Nil): Staged = {

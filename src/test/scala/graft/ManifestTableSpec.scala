@@ -361,6 +361,51 @@ class ManifestTableSpec extends SparkSpec {
     assert(asMap(ManifestTable.read(spark, base)).size == 3)
   }
 
+  test("mergeIntoRetrying: the OCC loop re-stages over the winner and converges; exhaustion is loud") {
+    val base = Files.createTempDirectory("manifest10").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+
+    // a competing writer lands BETWEEN our stage and commit (the hook is
+    // exactly that window): attempt 1 must conflict, attempt 2 re-stages
+    // against the winner's snapshot and lands with BOTH updates intact —
+    // including on the contended key, where the re-staged upsert must
+    // read the winner's committed row before overwriting it
+    val attempts = ManifestTable.mergeIntoRetryingHook(spark,
+      frame(Seq(("kB", "2023-07-01", 3.0), ("k1", "2023-03-01", 11.0))),
+      base, keys, "date")(attempt =>
+        if (attempt == 1) ManifestTable.mergeInto(spark,
+          frame(Seq(("kA", "2023-06-01", 2.0))), base, keys, "date"))
+    assert(attempts == 2, s"one conflict -> two attempts, got $attempts")
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k1", "2023-03-01") -> 11.0, ("kA", "2023-06-01") -> 2.0,
+      ("kB", "2023-07-01") -> 3.0),
+      "no lost update in either direction after the automated retry")
+
+    // conflict-free path: one attempt, no retry overhead
+    assert(ManifestTable.mergeIntoRetrying(spark,
+      frame(Seq(("kC", "2023-08-01", 4.0))), base, keys, "date") == 1)
+
+    // livelock bound: a winner on EVERY attempt exhausts maxAttempts and
+    // the final conflict propagates loudly — never silent last-write-wins
+    var v = 20.0
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.mergeIntoRetryingHook(spark,
+        frame(Seq(("kD", "2023-09-01", 5.0))), base, keys, "date",
+        maxAttempts = 2) { _ =>
+        v += 1
+        ManifestTable.mergeInto(spark,
+          frame(Seq(("kE", "2023-10-01", v))), base, keys, "date")
+      }
+    }
+    val rows = asMap(ManifestTable.read(spark, base))
+    assert(!rows.keySet.exists(_._1 == "kD"),
+      "an exhausted retry must leave NONE of its rows visible")
+    assert(rows(("kE", "2023-10-01")) == 22.0,
+      "every competing commit must survive the loser's attempts")
+  }
+
   test("deleteWhere removes matching rows atomically; CDC reports deletes; untouched partitions carry") {
     val base = Files.createTempDirectory("manifest_del").toString + "/fact"
     val keys = Seq("id", "date")
