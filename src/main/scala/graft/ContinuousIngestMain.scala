@@ -9,12 +9,14 @@ import graft.streaming.ContinuousIngest
   * index, with periodic compaction/vacuum:
   *
   * {{{
-  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir> [textIndexName [annIndexName]]"
+  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir> [textIndexName [annIndexName [ivfIndexPath [chunkIndexName]]]]"
   * }}}
   *
-  * The optional trailing names switch on the BM25 postings index and
-  * the LSH ANN index (the latter requires an `embedding` column in the
-  * stream schema).
+  * The optional trailing names switch on the BM25 postings index, the
+  * doc-level LSH ANN index (requires an `embedding` column in the
+  * stream schema), the directory-layout IVF ANN index, and the
+  * chunk-level LSH index (continuous RAG ingestion; requires numeric
+  * doc ids).
   *
   * Each invocation drains everything new in `srcDir` (AvailableNow) and
   * exits; re-running resumes from the checkpoint. Crash anywhere —
@@ -25,9 +27,10 @@ import graft.streaming.ContinuousIngest
   */
 object ContinuousIngestMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4 && args.length <= 6,
+    require(args.length >= 4 && args.length <= 8,
       "usage: ContinuousIngestMain <srcDir> <corpusPath> <indexName> " +
-        "<checkpointDir> [textIndexName [annIndexName]]")
+        "<checkpointDir> [textIndexName [annIndexName [ivfIndexPath " +
+        "[chunkIndexName]]]]")
     val Array(src, corpus, index, checkpoint) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     // PERSISTENT catalog (Hive metastore on derby beside the corpus):
@@ -63,7 +66,9 @@ object ContinuousIngestMain {
       ContinuousIngest.Config(corpusPath = corpus, indexName = index,
         compactEvery = 8,
         textIndexName = args.lift(4),
-        annIndexName = args.lift(5)))
+        annIndexName = args.lift(5),
+        ivfIndexPath = args.lift(6),
+        chunkIndexName = args.lift(7)))
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     // an empty drain on a brand-new corpus (no rows arrived, or every

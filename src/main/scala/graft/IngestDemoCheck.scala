@@ -2,16 +2,21 @@ package graft
 
 /** Cross-JVM assertion for the continuous-ingest demo: opens the SAME
   * persistent catalog [[ContinuousIngestMain]] runs on and checks that
-  * the MinHash index covers the corpus row for row — the property a
+  * each maintained index covers the corpus row for row — the property a
   * catalog that failed to survive the JVM restart would break (the
   * second run would have rebuilt the index from its own batch alone).
+  * With the optional args, the IVF lists (path-based, so the property
+  * under test there is the batch-log exactly-once across JVMs) and the
+  * chunk-level index (composite ids derived back to source docs) are
+  * held to the same bar.
   *
-  * {{{ sbt "runMain graft.IngestDemoCheck <corpusPath> <indexName>" }}}
+  * {{{ sbt "runMain graft.IngestDemoCheck <corpusPath> <indexName> [ivfIndexPath [chunkIndexName]]" }}}
   */
 object IngestDemoCheck {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: IngestDemoCheck <corpusPath> <indexName>")
-    val Array(corpus, index) = args
+    require(args.length >= 2 && args.length <= 4,
+      "usage: IngestDemoCheck <corpusPath> <indexName> [ivfIndexPath [chunkIndexName]]")
+    val Array(corpus, index) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val stateRoot = java.nio.file.Paths.get(corpus).toAbsolutePath.getParent
     val spark = graft.etl.LakeCatalog.persistentBuilder(
@@ -20,16 +25,29 @@ object IngestDemoCheck {
         metastoreDir = s"$stateRoot/_metastore")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = false
+    def check(what: String, got: Long, want: Long): Unit = {
+      println(s"[demo-check] $what: $got docs (corpus $want)")
+      if (got != want) {
+        System.err.println(s"[demo-check] FAIL: $what does not cover the " +
+          "corpus — state did not survive the JVM restart")
+        failed = true
+      }
+    }
     val corpusRows = graft.etl.ManifestTable.read(spark, corpus).count()
-    val indexRows = spark.table(s"${index}_sizes")
-      .select("doc_id").distinct().count()
-    println(s"[demo-check] corpus $corpusRows rows, index $indexRows docs")
-    if (corpusRows != indexRows) {
-      System.err.println("[demo-check] FAIL: index does not cover the " +
-        "corpus — the catalog did not survive the JVM restart")
-      spark.stop()
-      sys.exit(1)
+    check("minhash index", spark.table(s"${index}_sizes")
+      .select("doc_id").distinct().count(), corpusRows)
+    args.lift(2).foreach { ivf =>
+      check("ivf lists", spark.read.parquet(ivf)
+        .select("vec_id").distinct().count(), corpusRows)
+    }
+    args.lift(3).foreach { ck =>
+      val span = graft.operators.SimilarityOps.ChunkIdSpan
+      check("chunk index (distinct source docs)",
+        spark.table(s"${ck}_vectors")
+          .selectExpr(s"vec_id div $span as d").distinct().count(), corpusRows)
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }
