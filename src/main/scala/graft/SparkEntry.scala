@@ -26,7 +26,8 @@ object SparkEntry {
     SimilarityOps,
     EmbeddingStatsOps,
     MultimodalOps,
-    LakeOps)
+    LakeOps,
+    QualityOps)
 
   private def extraDefs: Seq[QueryDef] =
     CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange, graft.etl.ZOrderLayout.f18)

@@ -454,7 +454,50 @@ object EventOps extends QueryModule {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** First-order Markov transition matrix over per-user event chains —
+    * the behavioral-modeling summary next-event predictors and
+    * anomaly-detection priors start from (P(next type | current type)).
+    * Consecutive-pair extraction is a per-user window (the (ts,
+    * event_id) total order makes it deterministic), the transition agg
+    * is |types|²-sized, and the per-source denominators broadcast — no
+    * corpus-sized shuffle beyond the one keyed window pass. */
+  private val evMarkov = QueryDef(
+    "ev_markov_transitions",
+    Some("""
+      WITH ordered AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+          COUNT(*) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY from_type)
+      SELECT p.from_type, p.to_type, p.n, t.n_from,
+        p.n / t.n_from AS p_transition
+      FROM pairs p JOIN tot t USING (from_type)
+      ORDER BY from_type, to_type"""),
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = events(s, dir)
+        .select($"event_type".as("from_type"),
+          lead($"event_type", 1).over(w).as("to_type"))
+        .filter($"to_type".isNotNull)
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+      pairs.join(broadcast(tot), "from_type")
+        .select($"from_type", $"to_type", $"n", $"n_from",
+          ($"n" / $"n_from").as("p_transition"))
+        .orderBy($"from_type", $"to_type")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14,
-      evCohorts, evSequences, evAnomaly)
+      evCohorts, evSequences, evAnomaly, evMarkov)
 }

@@ -98,10 +98,17 @@ class ContinuousIngestSpec extends SparkSpec {
       val batch3 = frame(Seq(
         doc(200L, words("h", 16)),               // fresh, kept
         doc(201L, words("g", 15) + " changed"))) // near-dup of corpus doc 104
+      // standalone accepted() pins its gates-internal localCheckpoint;
+      // outside ingestBatch (whose finally drops per-batch pins) the
+      // caller owns the cleanup — without it the block leaks into the
+      // shared spec session and trips every later suite's RDD guard
+      val pinnedBeforeAcc3 = spark.sparkContext.getPersistentRDDs.keySet
       val acc3 = ContinuousIngest.accepted(spark, frame(Seq(
         doc(200L, words("h", 16)), doc(201L, words("g", 15) + " changed"))), cfg)
       assert(acc3.select($"doc_id").collect().map(_.getLong(0)).toSet == Set(200L))
       ManifestTable.mergeInto(spark, acc3, corpus, cfg.keys, cfg.dateCol) // then: crash
+      (spark.sparkContext.getPersistentRDDs -- pinnedBeforeAcc3.toSeq)
+        .values.foreach(_.unpersist(blocking = false))
       batch3.write.mode("append").parquet(src)
       run()
       val after3 = after2 + 200L

@@ -1,0 +1,134 @@
+package graft
+
+import graft.etl.{DataQuality, ManifestTable}
+import graft.etl.DataQuality._
+import java.nio.file.Files
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The declarative check compiler: violations are measured exactly, all
+  * row-level checks on a table share ONE scan, the report/gate forms
+  * behave, and on a manifest table the provable checks answer from
+  * zone-map metadata alone. */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // id 4 dup, name null at id 3, v negative at id 4, status 'X' at id 5
+  private def dirty = Seq(
+    (1L, "a", 1.0, "OK"), (2L, "b", 2.0, "OK"), (3L, null, 3.0, "OK"),
+    (4L, "d", -4.0, "OK"), (4L, "e", 5.0, "OK"), (5L, "f", 6.0, "X")
+  ).toDF("id", "name", "v", "status")
+
+  test("violations are measured as exact fractions") {
+    val rep = DataQuality.report(Seq(DataQuality.rowChecks(dirty, Seq(
+      Completeness("name", "t.name"),
+      Uniqueness("id", "t.id"),
+      NonNegative("v", "t.v"),
+      AcceptedValues("status", Seq("OK"), "t.status"),
+      InRange("v", 0.0, 4.0, "t.v"),
+      MinRows("t", threshold = 10.0)))))
+    val rows = rep.collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getLong(3)))).toMap
+    assert(rows("completeness(t.name)") == ((5.0 / 6.0, 0L)))
+    assert(rows("uniqueness(t.id)") == ((5.0 / 6.0, 0L)))
+    assert(rows("non_negative(t.v)") == ((5.0 / 6.0, 0L)))
+    assert(rows("accepted_values(t.status)") == ((5.0 / 6.0, 0L)))
+    assert(rows("in_range(t.v)") == ((4.0 / 6.0, 0L)))
+    assert(rows("min_rows(t)") == ((6.0, 0L)))
+    assert(!DataQuality.allPassed(rep))
+  }
+
+  test("a clean table passes every check, nulls fail value checks") {
+    val clean = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+    val rep = DataQuality.report(Seq(DataQuality.rowChecks(clean, Seq(
+      Completeness("name", "t.name"), Uniqueness("id", "t.id"),
+      NonNegative("v", "t.v"), MinRows("t", 2.0)))))
+    assert(DataQuality.allPassed(rep))
+    // a null value is a range-check FAILURE, not a skipped row
+    val withNull = Seq((1L, Some(1.0)), (2L, None))
+      .toDF("id", "v")
+    val r2 = DataQuality.report(Seq(DataQuality.rowChecks(withNull,
+      Seq(NonNegative("v", "t.v"), InRange("v", 0.0, 9.0, "t.v")))))
+    assert(r2.collect().forall(_.getDouble(1) == 0.5))
+  }
+
+  test("containment measures FK coverage; null FKs fail") {
+    val fact = Seq((1L, 10L), (2L, 20L), (3L, 99L))
+      .toDF("id", "fk")
+      .unionByName(Seq((4L, Option.empty[Long])).toDF("id", "fk"))
+    val dim = Seq(10L, 20L, 30L).toDF("pk")
+    val rep = DataQuality.report(Seq(
+      DataQuality.containment(fact, "fk", dim, "pk", "fact.fk")))
+    val r = rep.collect().head
+    assert(r.getString(0) == "containment(fact.fk)")
+    assert(r.getDouble(1) == 0.5) // 10, 20 hit; 99 and null miss
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("all row-level checks on a table compile into ONE scan") {
+    val orders = graft.core.T(spark, sf0001, "orders")
+    val checked = DataQuality.rowChecks(orders, Seq(
+      Completeness("o_orderpriority", "o"),
+      Uniqueness("o_orderkey", "o"),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P"), "o"),
+      MinRows("o", 1.0)))
+    checked.collect()
+    val scans = checked.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"expected one scan for four checks incl. a distinct, got ${scans.size}")
+  }
+
+  test("manifest metadata proves checks with zero data-file reads") {
+    val base = Files.createTempDirectory("dq").toString + "/fact"
+    val rows = (1 to 100).map(i => (s"k$i", f"2023-${i % 12 + 1}%02d-15", i.toDouble))
+    ManifestTable.mergeInto(spark,
+      rows.toDF("id", "date", "v").withColumn("date", to_date($"date")),
+      base, Seq("id", "date"), "date")
+
+    // exact from stats: completeness and the row floor
+    val comp = DataQuality.provableFromMetadata(spark, base,
+      Completeness("v", "fact.v"))
+    assert(comp.contains(MetaVerdict("completeness(fact.v)", 1.0, 1.0, true)))
+    val nrows = DataQuality.provableFromMetadata(spark, base,
+      MinRows("fact", 50.0))
+    assert(nrows.contains(MetaVerdict("min_rows(fact)", 100.0, 50.0, true)))
+
+    // bounds 1..100 prove v ≥ 0 and v ∈ [0, 1000]
+    assert(DataQuality.provableFromMetadata(spark, base,
+      NonNegative("v", "fact.v")).exists(_.passed))
+    assert(DataQuality.provableFromMetadata(spark, base,
+      InRange("v", 0.0, 1000.0, "fact.v")).exists(_.passed))
+
+    // bounds straddling the limit: UNPROVABLE, never a guess — the
+    // caller must fall back to the scanning path
+    assert(DataQuality.provableFromMetadata(spark, base,
+      InRange("v", 0.0, 50.0, "fact.v")).isEmpty)
+    // metric types min/max stats can't answer: unprovable
+    assert(DataQuality.provableFromMetadata(spark, base,
+      Uniqueness("id", "fact.id")).isEmpty)
+
+    // the fallback scan agrees with what metadata proved
+    val scanned = DataQuality.report(Seq(DataQuality.rowChecks(
+      ManifestTable.read(spark, base),
+      Seq(Completeness("v", "fact.v"), NonNegative("v", "fact.v")))))
+    assert(DataQuality.allPassed(scanned))
+  }
+
+  test("metadata refuses a null-bearing column for bounds proofs") {
+    val base = Files.createTempDirectory("dqn").toString + "/fact"
+    val df = Seq((1L, "2023-01-15", Some(5.0)), (2L, "2023-02-15", None))
+      .toDF("id", "date", "v")
+      .withColumn("date", to_date($"date"))
+    ManifestTable.mergeInto(spark, df, base, Seq("id", "date"), "date")
+    // min 5.0 would "prove" non-negativity, but the null row FAILS the
+    // scan metric — bounds proofs require a fully non-null column
+    assert(DataQuality.provableFromMetadata(spark, base,
+      NonNegative("v", "fact.v")).isEmpty)
+    // completeness stays answerable, and reports the null exactly
+    val c = DataQuality.provableFromMetadata(spark, base,
+      Completeness("v", "fact.v", threshold = 1.0))
+    assert(c.exists(v => v.metricValue == 0.5 && !v.passed))
+  }
+}

@@ -11,6 +11,16 @@ class OperatorSmokeSpec extends SparkSpec {
   // Queries whose legitimate result can be empty at tiny scale.
   // sim_lsh_ann is deliberately NOT here: as top-k-per-query it must
   // always return rows — it was empty for two rounds and nothing failed.
+  // Pins left by EARLIER suites in the shared session are their bug,
+  // not these queries' — the guard below is relative to this baseline
+  // so one upstream leak can't cascade into hundreds of smoke failures
+  // (it still catches any pin a query itself leaves behind).
+  private lazy val pinnedBaseline: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def leakedPins: Map[Int, org.apache.spark.rdd.RDD[_]] =
+    (spark.sparkContext.getPersistentRDDs -- pinnedBaseline.toSeq).toMap
+
   private val mayBeEmpty = Set(
     "dd_minhash_lsh", "dd_ngram_jaccard", "dd_incremental_neardup",
     "j10_anti_join_not_exists", "p3_date_eq_filter", "p5_calendar_bucket_filter",
@@ -29,13 +39,13 @@ class OperatorSmokeSpec extends SparkSpec {
   SparkEntry.all.foreach { d =>
     val (name, build) = (d.name, d.build)
     test(s"$name runs at sf0.001") {
+      pinnedBaseline // force capture BEFORE the first query runs
       val df = build(spark, sf0001)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
       // a query must not squat on executor memory after its action — the
       // round-2 dd_ngram_jaccard persist leaked into ~50 later queries
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        s"$name left persisted RDDs behind")
+      assert(leakedPins.isEmpty, s"$name left persisted RDDs behind: $leakedPins")
     }
   }
 
@@ -44,10 +54,11 @@ class OperatorSmokeSpec extends SparkSpec {
   // Verify, and a broken benchBuild silently zeroes a bench number
   SparkEntry.all.filter(_.benchBuild.isDefined).foreach { d =>
     test(s"${d.name} production bench variant runs at sf0.001") {
+      pinnedBaseline // force capture BEFORE the first query runs
       d.benchSetup.foreach(_(spark, sf0001)) // untimed artifact builds
       val n = d.benchBuild.get(spark, sf0001).count()
       if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} bench variant returned 0 rows")
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+      assert(leakedPins.isEmpty, s"${d.name} bench variant leaked pins: $leakedPins")
     }
   }
 }
