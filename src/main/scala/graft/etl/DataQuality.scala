@@ -108,13 +108,23 @@ object DataQuality {
 
   /** All row-level checks over `table` in ONE scan: a single global
     * aggregation computing every metric, then a stack unpivot of the
-    * 1-row result into (check_name, metric_value, threshold) rows. */
+    * 1-row result into (check_name, metric_value, threshold) rows.
+    *
+    * Empty-input semantics: fraction metrics are vacuously 1.0 on an
+    * empty table (coalesce over the null avg) — "no rows" means "no
+    * violating rows", and [[MinRows]] is the check that catches
+    * emptiness. This keeps the scan path and [[provableFromMetadata]]
+    * (which reports completeness 1.0 at rows == 0) in agreement on the
+    * same input. */
   def rowChecks(table: DataFrame, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "rowChecks needs at least one check")
+    // coalesce is a no-op on non-empty input (avg of a non-null when/
+    // otherwise arm); MinRows' count is never null
+    def m(c: RowCheck) = coalesce(c.metric, lit(1.0))
     val agged = table.agg(
-      checks.head.metric.as("m0"),
+      m(checks.head).as("m0"),
       checks.tail.zipWithIndex.map { case (c, i) =>
-        c.metric.as(s"m${i + 1}")
+        m(c).as(s"m${i + 1}")
       }: _*)
     val parts = checks.zipWithIndex.map { case (c, i) =>
       s"'${c.name}', m$i, CAST(${c.threshold} AS DOUBLE)"
@@ -136,8 +146,9 @@ object DataQuality {
     val pkSide = if (broadcastRef) broadcast(pk) else pk
     table.select(col(column).as("__dq_fk"))
       .join(pkSide, col("__dq_fk") === col("__dq_pk"), "left")
-      .agg(avg(when(col("__dq_pk").isNotNull, 1.0).otherwise(0.0))
-        .as("metric_value"))
+      // empty fact side: vacuously contained (same rule as rowChecks)
+      .agg(coalesce(avg(when(col("__dq_pk").isNotNull, 1.0)
+        .otherwise(0.0)), lit(1.0)).as("metric_value"))
       .select(lit(s"containment($label)").as("check_name"),
         col("metric_value"),
         lit(threshold).cast(DoubleType).as("threshold"))
@@ -177,6 +188,33 @@ object DataQuality {
     *  - anything else, stats-uncovered files, or bounds that straddle
     *    the limit: None — caller falls back to the scanning path.
     * Never guesses: a None here means "must scan", not "failed". */
+  /** Hybrid evaluation of row-level checks on a [[ManifestTable]]: each
+    * check is first offered to [[provableFromMetadata]] — a driver-side
+    * fold over the manifest's zone-map lines, ZERO data files opened, no
+    * Spark job — and only the unprovable remainder shares ONE fallback
+    * scan. The `from_metadata` column records which path answered each
+    * row; by the statsAgg soundness contract both paths produce the same
+    * values on the same input, so an oracle can check whichever ran. At
+    * 100 TB a healthy table's standing health report is a metadata read. */
+  def hybridReport(spark: SparkSession, basePath: String,
+      checks: Seq[RowCheck]): DataFrame = {
+    import spark.implicits._
+    require(checks.nonEmpty, "hybridReport needs at least one check")
+    val tried = checks.map(c => c -> provableFromMetadata(spark, basePath, c))
+    val (proved, toScan) = tried.partition(_._2.isDefined)
+    val metaRows = proved.flatMap(_._2)
+      .map(v => (v.name, v.metricValue, v.threshold,
+        if (v.passed) 1L else 0L))
+      .toDF("check_name", "metric_value", "threshold", "passed")
+      .withColumn("from_metadata", lit(1L))
+    val out =
+      if (toScan.isEmpty) metaRows
+      else metaRows.unionByName(
+        report(Seq(rowChecks(ManifestTable.read(spark, basePath),
+          toScan.map(_._1)))).withColumn("from_metadata", lit(0L)))
+    out.orderBy(col("check_name"))
+  }
+
   def provableFromMetadata(spark: SparkSession, basePath: String,
       check: RowCheck): Option[MetaVerdict] = check match {
     case MinRows(_, th) =>

@@ -76,5 +76,68 @@ object QualityOps extends QueryModule {
           "o_orderkey", "lineitem.l_orderkey")))
     })
 
-  override val defs: Seq[QueryDef] = Seq(dqChecks)
+  /** Scratch manifest path for the metadata arm, derived from the sf
+    * dir so Verify (sf0.01) and specs (sf0.001) never share state. */
+  private def dqDir(sfDir: String, tag: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_lake/${tag}_$safe"
+  }
+
+  private def buildDqTable(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    graft.etl.ManifestTable.mergeInto(s, T(s, dir, "orders"), path,
+      keys = Seq("o_orderkey", "o_orderdate"), dateCol = "o_orderdate")
+  }
+
+  private val metaChecks: Seq[RowCheck] = Seq(
+    Completeness("o_orderpriority", "orders.o_orderpriority"),
+    MinRows("orders", threshold = 1.0),
+    NonNegative("o_totalprice", "orders.o_totalprice"),
+    InRange("o_totalprice", 0.0, 1.0e9, "orders.o_totalprice"))
+
+  /** The metadata-only health report as a declared, oracle-checked
+    * query: [[DataQuality.hybridReport]] over a manifest copy of
+    * `orders`. The three NUMERIC checks are answered from zone-map
+    * stats with zero data files opened (`from_metadata = 1` — the
+    * claim the scaladoc makes, here hash-checked); the STRING
+    * completeness check is deliberately in the suite because string
+    * stats are truncation-loose and statsAgg refuses them — it takes
+    * the one fallback scan (`from_metadata = 0`). The DuckDB oracle
+    * replays every metric as a plain aggregate over the source table:
+    * by the statsAgg soundness contract the metadata answers equal the
+    * scan answers, so the hash match IS the soundness check. */
+  private val dqMeta = QueryDef(
+    "dq_meta_checks",
+    Some("""
+      WITH m AS (
+        SELECT
+          avg(CASE WHEN o_orderpriority IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp,
+          CAST(count(*) AS DOUBLE) AS n_rows,
+          avg(CASE WHEN o_totalprice >= 0.0 THEN 1.0 ELSE 0.0 END) AS nonneg,
+          avg(CASE WHEN o_totalprice BETWEEN 0.0 AND 1000000000.0 THEN 1.0 ELSE 0.0 END) AS rng
+        FROM orders),
+      u AS (
+        SELECT 'completeness(orders.o_orderpriority)' AS check_name,
+          comp AS metric_value, 1.0 AS threshold, 0 AS fm FROM m
+        UNION ALL SELECT 'in_range(orders.o_totalprice)', rng, 1.0, 1 FROM m
+        UNION ALL SELECT 'min_rows(orders)', n_rows, 1.0, 1 FROM m
+        UNION ALL SELECT 'non_negative(orders.o_totalprice)', nonneg, 1.0, 1 FROM m)
+      SELECT check_name, metric_value, threshold,
+        CAST(CASE WHEN metric_value >= threshold THEN 1 ELSE 0 END AS BIGINT) AS passed,
+        CAST(fm AS BIGINT) AS from_metadata
+      FROM u
+      ORDER BY check_name"""),
+    (s, dir) => {
+      val path = dqDir(dir, "dqm_v")
+      buildDqTable(s, dir, path)
+      DataQuality.hybridReport(s, path, metaChecks)
+    },
+    benchBuild = Some((s, dir) =>
+      DataQuality.hybridReport(s, dqDir(dir, "dqm_b"), metaChecks)),
+    benchSetup = Some((s, dir) => buildDqTable(s, dir, dqDir(dir, "dqm_b"))))
+
+  override val defs: Seq[QueryDef] = Seq(dqChecks, dqMeta)
 }

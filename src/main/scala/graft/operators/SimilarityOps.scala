@@ -1198,10 +1198,16 @@ object SimilarityOps extends QueryModule {
     * is the deterministic encoder stand-in; a real model is a
     * `mapInPandas` swap at this exact seam. */
   private[graft] def chunkIndexFrame(s: SparkSession, documents: DataFrame,
-      dims: Int): DataFrame =
+      dims: Int): DataFrame = {
+    // a string doc_id would cast to null in the arithmetic below and
+    // silently fill the index with null vec_ids — fail loudly instead
+    val idType = documents.schema("doc_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"chunk index needs an integral doc_id for composite packing, got $idType")
     chunkEmbeddings(s, documents, dims)
       .select((col("doc_id") * ChunkIdSpan + col("chunk_id")).as("vec_id"),
         col("v").as("embedding"))
+  }
 
   /** Chunk-level retrieval through a PERSISTED LSH ANN index — the
     * scale path [[chunkRetrieval]]'s doc promises: the same

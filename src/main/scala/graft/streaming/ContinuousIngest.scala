@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.{BatchLog, IndexDeleteSync, LshIndex, ManifestTable, MinhashIndex, TextIndex}
+import graft.etl.{BatchLog, DataQuality, IndexDeleteSync, LshIndex, ManifestTable, MinhashIndex, TextIndex}
 import graft.operators.{CorpusPipeline, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,11 +31,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     a byte-identical copy of an accepted doc is Jaccard-1 with it
   *     and drops here (every gated doc has ≥ minTokens ≥ shingle-size
   *     tokens, so shingles always exist).
-  *  3. MERGE — accepted docs land via [[ManifestTable.mergeInto]]: one
-  *     atomic manifest flip, readers see all-old or all-new. The merge
-  *     is a keyed upsert, so replaying it with the same rows converges
-  *     to the same table content (a replay burns a version number,
-  *     never duplicates a row).
+  *  2.5 QUALITY GATE (optional) — the declarative check compiler
+  *     ([[graft.etl.DataQuality]]) runs over the accept frame in one
+  *     scan; a failing batch is rejected whole and its report published
+  *     beside the corpus, so rejection is observable. Post-merge, the
+  *     standing table-health checks answer from zone-map metadata where
+  *     provable (zero data files opened) with one shared fallback scan.
+  *  3. MERGE — accepted docs land via [[ManifestTable.mergeIntoRetrying]]:
+  *     one atomic manifest flip, readers see all-old or all-new. The
+  *     merge is a keyed upsert, so replaying it with the same rows
+  *     converges to the same table content (a replay burns a version
+  *     number, never duplicates a row); a competing writer's commit
+  *     costs the loser only a re-stage (bounded OCC loop).
   *  4. INDEX — the same accepted frame enters the corpus index through
   *     [[MinhashIndex.append]]'s committed [[BatchLog]]: replay is a
   *     no-op, a crash mid-append purges its partial batch partition and
@@ -140,7 +147,19 @@ object ContinuousIngest {
       // ([[IndexCompaction.compactFamily]]) so file-level scan
       // parallelism tracks the data instead of the cold-build guess.
       // Grow-only, rewrite rides the fold. 0 disables.
-      storageRowsPerBucket: Long = 1L << 20)
+      storageRowsPerBucket: Long = 1L << 20,
+      // BATCH-ACCEPTANCE data-quality gate ([[graft.etl.DataQuality]]):
+      // evaluated on the gated+deduped accept frame in ONE extra scan of
+      // the batch. A failing batch is REJECTED whole — no merge, no
+      // index appends — and its report is still published, so the
+      // rejection is observable, not silent. Nil = gate off.
+      batchChecks: Seq[DataQuality.RowCheck] = Nil,
+      // STANDING table-health checks, evaluated on the corpus manifest
+      // after each merge: checks the zone-map metadata can prove are
+      // answered with ZERO data files opened
+      // ([[DataQuality.provableFromMetadata]]); the rest share one
+      // fallback scan. Published with the batch's report. Nil = off.
+      tableChecks: Seq[DataQuality.RowCheck] = Nil)
 
   /** Start the composed pipeline over a streaming documents frame
     * (schema: `documents` + the config's date column). AvailableNow +
@@ -224,8 +243,27 @@ object ContinuousIngest {
     stamp("accept decided")
     try {
       if (accept.count() > 0) {
-        ManifestTable.mergeInto(spark, accept, cfg.corpusPath, cfg.keys,
-          cfg.dateCol, bloomCols = cfg.bloomCols)
+        // Batch-acceptance gate: one scan of the (checkpointed) accept
+        // frame computes every metric; the report is published whether
+        // the batch lands or not, so a rejection leaves evidence. The
+        // publish rides the report table's OWN merge — a replay of this
+        // batch upserts the identical rows and converges.
+        val gatePassed = cfg.batchChecks.isEmpty || {
+          val rep = DataQuality.report(Seq(
+            DataQuality.rowChecks(accept, cfg.batchChecks))).localCheckpoint()
+          val ok = DataQuality.allPassed(rep)
+          publishReport(spark, cfg, bid, accept, rep
+            .withColumn("scope", lit("batch"))
+            .withColumn("from_metadata", lit(0L)))
+          stamp(if (ok) "quality gate passed" else "batch REJECTED by quality gate")
+          ok
+        }
+        if (gatePassed) {
+        // OCC retry, not plain mergeInto: free absent conflicts, and a
+        // second writer on the same corpus (backfill job, another
+        // stream) re-stages and lands instead of failing the batch
+        ManifestTable.mergeIntoRetrying(spark, accept, cfg.corpusPath,
+          cfg.keys, cfg.dateCol, bloomCols = cfg.bloomCols)
         stamp("merged")
         if (!BatchLog.isCommitted(spark, log, bid)) {
           if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
@@ -282,6 +320,14 @@ object ContinuousIngest {
             buildBatchId = bid)
           stamp("chunks indexed")
         }
+        // Post-merge standing health report: the metadata-provable
+        // checks open ZERO data files (a driver-side fold over the
+        // manifest's zone-map lines); only the rest share one scan
+        if (cfg.tableChecks.nonEmpty) {
+          publishReport(spark, cfg, bid, accept, tableHealth(spark, cfg))
+          stamp("table health checked")
+        }
+        } // gatePassed
       }
     } finally {
       // Dataset.unpersist cannot free a localCheckpoint (the checkpoint
@@ -395,4 +441,41 @@ object ContinuousIngest {
     * it describes (underscore-prefixed — parquet readers ignore it). */
   private[graft] def deleteBookmarkPath(cfg: Config): String =
     s"${cfg.corpusPath}/_index_delete_bookmark"
+
+  /** Where the published data-quality reports live: an append-only
+    * [[ManifestTable]] beside the corpus, one row per
+    * (batch, scope, check). */
+  private[graft] def dqReportPath(cfg: Config): String =
+    s"${cfg.corpusPath}_dq"
+
+  /** The standing table-health report frame: each configured check is
+    * first offered to [[DataQuality.provableFromMetadata]] — a
+    * driver-side fold over the manifest's zone-map stats, zero data
+    * files opened, NO Spark job — and only the unprovable remainder
+    * shares one fallback scan of the corpus. `from_metadata` records
+    * which path answered each row. */
+  private[graft] def tableHealth(spark: SparkSession,
+      cfg: Config): DataFrame =
+    DataQuality.hybridReport(spark, cfg.corpusPath, cfg.tableChecks)
+      .withColumn("scope", lit("table"))
+
+  /** Publish a report frame to the corpus-side quality table. Keyed by
+    * (batch, scope, check) and stamped with the batch's max date — all
+    * deterministic functions of the batch, so an at-least-once replay
+    * upserts identical rows and converges; the merge itself takes the
+    * OCC retry path (the report table has at least two writer call
+    * sites per batch). */
+  private def publishReport(spark: SparkSession, cfg: Config, bid: String,
+      accept: DataFrame, rep: DataFrame): Unit = {
+    val reportDate = coalesce(
+      accept.agg(max(col(cfg.dateCol))).head.get(0) match {
+        case d: java.sql.Date => lit(d)
+        case _ => lit(null)
+      }, to_date(lit("1970-01-01")))
+    ManifestTable.mergeIntoRetrying(spark,
+      rep.withColumn("batch_id", lit(bid))
+        .withColumn("report_date", reportDate),
+      dqReportPath(cfg),
+      Seq("batch_id", "scope", "check_name", "report_date"), "report_date")
+  }
 }

@@ -447,6 +447,124 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("quality gate: dirty batch rejected whole, reports published, metadata path opens no files") {
+    import graft.etl.DataQuality
+    import graft.etl.DataQuality._
+    val src = Files.createTempDirectory("ciq_src").toString + "/data"
+    val cp = Files.createTempDirectory("ciq_cp").toString
+    val corpus = Files.createTempDirectory("ciq_corpus").toString + "/corpus"
+    val mh = "ciq_idx"
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      batchChecks = Seq(
+        Completeness("lang", "batch.lang"),
+        NonNegative("n_chars", "batch.n_chars")),
+      tableChecks = Seq(
+        MinRows("corpus", 1.0),
+        NonNegative("n_chars", "corpus.n_chars"),
+        Completeness("text", "corpus.text")))
+    def corpusIds(): Set[Long] = ManifestTable.read(spark, corpus)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    def report(): Seq[(String, String, String, Long, Long)] =
+      ManifestTable.read(spark, ContinuousIngest.dqReportPath(cfg))
+        .select($"batch_id", $"scope", $"check_name", $"passed",
+          $"from_metadata")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    try {
+      frame((1L to 6L).map(i => doc(i, words(s"q$i", 16)))).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+
+      // ---- clean batch: accepted, both report scopes published
+      run()
+      assert(corpusIds() == (1L to 6L).toSet)
+      val r0 = report()
+      assert(r0.filter(r => r._1 == "b0" && r._2 == "batch")
+        .map(_._3).toSet ==
+        Set("completeness(batch.lang)", "non_negative(batch.n_chars)"))
+      assert(r0.filter(_._2 == "batch").forall(_._4 == 1L))
+      // table scope: min_rows + non_negative answer from zone-map
+      // metadata (from_metadata=1); string completeness needs the scan
+      val tbl = r0.filter(r => r._1 == "b0" && r._2 == "table")
+        .map(r => r._3 -> ((r._4, r._5))).toMap
+      assert(tbl("min_rows(corpus)") == ((1L, 1L)))
+      assert(tbl("non_negative(corpus.n_chars)") == ((1L, 1L)))
+      assert(tbl("completeness(corpus.text)") == ((1L, 0L)))
+
+      // ---- dirty batch: doc 8 has a null lang → completeness 0.5 < 1
+      // → the WHOLE batch is rejected (doc 7 too), with the failure row
+      // published — rejection is observable, never silent
+      Seq((7L, words("q7", 16), "en", "srcA", 16L, day),
+        (8L, words("q8", 16), null.asInstanceOf[String], "srcA", 16L, day))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date")
+        .write.mode("append").parquet(src)
+      run()
+      assert(corpusIds() == (1L to 6L).toSet, "dirty batch must not merge")
+      assert(!spark.table(s"${mh}_sizes").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet.exists(Set(7L, 8L)),
+        "dirty batch must not reach the index legs")
+      val r1 = report().filter(_._1 == "b1")
+      assert(r1.exists(r => r._2 == "batch" &&
+        r._3 == "completeness(batch.lang)" && r._4 == 0L),
+        "the failing check's report row must be published")
+      assert(r1.forall(_._2 == "batch"),
+        "a rejected batch publishes no table-health rows (nothing merged)")
+
+      // ---- the stream continues: a later clean batch lands normally
+      frame(Seq(doc(9L, words("q9", 16)), doc(10L, words("q10", 16))))
+        .write.mode("append").parquet(src)
+      run()
+      assert(corpusIds() == (1L to 6L).toSet + 9L + 10L)
+      assert(report().exists(r => r._1 == "b2" && r._2 == "table"))
+
+      // ---- the provable checks are ZERO-Spark-job driver work: count
+      // jobs between two sentinels (listener events arrive in order)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // wait until the async listener bus is quiet (no new job-start
+        // events for 500 ms), absorbing stragglers from earlier actions
+        def settled(): Int = {
+          val deadline = System.nanoTime() + 10_000_000_000L
+          var last = -1
+          while (System.nanoTime() < deadline) {
+            val n = jobs.get()
+            if (n == last) return n
+            last = n; Thread.sleep(500)
+          }
+          jobs.get()
+        }
+        val n0 = settled()
+        spark.range(1).count() // measure the sentinel's own job cost
+        val n1 = settled()
+        val sentinelCost = n1 - n0
+        assert(sentinelCost >= 1, "sentinel action must register")
+        val proved = Seq(MinRows("corpus", 1.0),
+          NonNegative("n_chars", "corpus.n_chars"))
+          .map(DataQuality.provableFromMetadata(spark, corpus, _))
+        assert(proved.forall(_.exists(_.passed)))
+        spark.range(1).count()
+        assert(settled() - n1 == sentinelCost,
+          "provableFromMetadata must launch ZERO Spark jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("declared bloom columns ride the streaming merge: point reads and deletes prune") {
     val src = Files.createTempDirectory("cib_src").toString + "/data"
     val cp = Files.createTempDirectory("cib_cp").toString

@@ -53,6 +53,22 @@ class DataQualitySpec extends SparkSpec {
     assert(r2.collect().forall(_.getDouble(1) == 0.5))
   }
 
+  test("empty input: fraction checks pass vacuously, MinRows catches it") {
+    // the scan path must agree with provableFromMetadata, which reports
+    // completeness 1.0 at rows == 0 — "no rows" is "no violating rows";
+    // emptiness is MinRows' job
+    val empty = dirty.filter(lit(false))
+    val rep = DataQuality.report(Seq(
+      DataQuality.rowChecks(empty, Seq(
+        Completeness("name", "t.name"), Uniqueness("id", "t.id"),
+        NonNegative("v", "t.v"), InRange("v", 0.0, 4.0, "t.v"),
+        MinRows("t", threshold = 1.0))),
+      DataQuality.containment(empty, "id", Seq(1L).toDF("pk"), "pk", "t.id")))
+    val rows = rep.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.filter(_._1 != "min_rows(t)").values.forall(_ == 1L))
+    assert(rows("min_rows(t)") == 0L) // the one check that fails
+  }
+
   test("containment measures FK coverage; null FKs fail") {
     val fact = Seq((1L, 10L), (2L, 20L), (3L, 99L))
       .toDF("id", "fk")
