@@ -52,7 +52,11 @@ object ScaleCurve {
     "sim_chunk_indexed",     // chunk probe vs persisted index (sub-linear goal)
     "sim_cosine_topk",       // brute-force ANN baseline (O(corpus)/query)
     "sim_lsh_indexed",       // persisted-index ANN probe (sub-linear goal)
-    "ta_bm25_indexed")       // persisted postings probe (sub-linear goal)
+    "ta_bm25_indexed",       // persisted postings probe (sub-linear goal)
+    "cp_temperature_mix",    // per-source agg + broadcast keep-rate join
+    "ev_markov_transitions", // per-user keyed window + |types|² agg
+    "dq_table_checks",       // one-scan-per-table check compiler
+    "dq_meta_checks")        // hybrid health report (metadata + one scan)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

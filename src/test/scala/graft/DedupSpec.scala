@@ -353,4 +353,40 @@ class DedupSpec extends SparkSpec {
       hashFn = DedupOps.md5Hash32).collect().map(_.toSeq)
     assert(md5Got.toSeq == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
   }
+
+  test("repeatedPassagesRolling: O(tokens) pass yields identical passages") {
+    // the rolling fingerprint depends only on window CONTENTS: the same
+    // token run at different positions in different docs must collide
+    val wh = graft.functions.WindowHashes
+      .windowHashes(spark, split(col("text"), " "), 3)
+    val hs = Seq("a b c d e", "x a b c d").toDF("text")
+      .select(wh.as("h")).collect().map(_.getSeq[Long](0))
+    assert(hs(0).length == 3 && hs(1).length == 3)
+    assert(hs(0)(0) == hs(1)(1) && hs(0)(1) == hs(1)(2),
+      "equal windows must hash equal regardless of position")
+    assert(hs(0).distinct.length == 3, "distinct windows must not collide")
+    // a doc shorter than the window yields no fingerprints
+    assert(Seq("a b").toDF("text").select(wh.as("h"))
+      .collect().head.getSeq[Long](0).isEmpty)
+
+    // end-to-end: the rolling pipeline and the composed window-string
+    // pipeline produce THE SAME passages on the spec fixture and on the
+    // real sf0.001 corpus (hash values differ; pair/run structure can't)
+    def fill(tag: String, n: Int) = (1 to n).map(i => s"${tag}_$i").mkString(" ")
+    val common = (1 to 30).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $common y1 y2"),
+      (2L, s"z1 $common ${fill("w", 20)}"),
+      (3L, s"${fill("q", 40)}")
+    ).toDF("doc_id", "text")
+    assert(DedupOps.repeatedPassagesRolling(spark, docs, w = 8, minLen = 10)
+      .collect().map(_.toSeq).toSeq ==
+      DedupOps.repeatedPassages(spark, docs, w = 8, minLen = 10)
+        .collect().map(_.toSeq).toSeq)
+    val corpus = graft.core.T(spark, sf0001, "documents")
+    val composed = DedupOps.repeatedPassages(spark, corpus)
+      .collect().map(_.toSeq).toSeq
+    assert(DedupOps.repeatedPassagesRolling(spark, corpus)
+      .collect().map(_.toSeq).toSeq == composed)
+  }
 }
