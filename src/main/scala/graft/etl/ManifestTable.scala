@@ -58,6 +58,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `part_year = X` filter against each literal and prunes non-matching
   * branches at PLAN time, so manifest tables keep partition-pruned scans
   * (spec-asserted). Cost per merge stays O(touched partitions).
+  *
+  * ROW DELETES, both lakehouse flavors: [[deleteWhere]] is
+  * copy-on-write (matching partitions rewritten — right for dense
+  * deletes); [[deleteWhereMoR]] is merge-on-read equality deletes
+  * (Iceberg v2's public design) — key tuples pend in `data/d<N>-<tok>/`
+  * dirs named by a `#deletes` manifest header, every content read
+  * anti-joins them away, and the next merge/compaction touching their
+  * partitions folds them into the data (see the method doc for the
+  * resurrection and stats-soundness contracts).
   */
 object ManifestTable {
 
@@ -84,7 +93,12 @@ object ManifestTable {
       schema: Option[StructType] = None,
       fileStats: Map[String, ZoneMaps.FileStats] = Map.empty,
       statsUnits: Set[String] = Set.empty,
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      /** Pending equality-delete dirs ([[deleteWhereMoR]]), relative to
+        * `<base>/data/`: each holds parquet key tuples (+ `part_year`)
+        * that every content read anti-joins away. Folded into the data
+        * by the next merge/compaction touching their partitions. */
+      deletes: Seq[String] = Nil)
 
   /** Staged-but-uncommitted merge: everything COMMIT needs. Package-
     * private so specs can crash-inject between stage and commit. */
@@ -108,6 +122,13 @@ object ManifestTable {
   private val FileStatsHeader = "#filestats\t"
   private val StatsUnitHeader = "#statsunit\t"
   private val BloomColsHeader = "#bloomcols\t"
+  private val DeletesHeader = "#deletes\t"
+  /** Equality-delete dir name: `d<version>-<token>` (the `d` prefix
+    * keeps it out of the data-dir version namespace). */
+  private def deleteVdir(v: Int) =
+    f"d$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+  private def deleteDirVersion(n: String): Option[Int] =
+    "^d(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(n).map(_.group(1).toInt)
 
   /** All committed manifest versions, ascending (empty if none). */
   def versions(spark: SparkSession, basePath: String): Seq[Int] = {
@@ -154,7 +175,10 @@ object ManifestTable {
     val blooms = lines.find(_.startsWith(BloomColsHeader))
       .map(_.stripPrefix(BloomColsHeader).split(",").toSeq
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    Some(Snapshot(version, parts, schema, fileStats, units, blooms))
+    val dels = lines.find(_.startsWith(DeletesHeader))
+      .map(_.stripPrefix(DeletesHeader).split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    Some(Snapshot(version, parts, schema, fileStats, units, blooms, dels))
   }
 
   /** Current table contents as a DataFrame with `part_year` restored.
@@ -181,16 +205,68 @@ object ManifestTable {
   private def readSnapshot(spark: SparkSession, basePath: String,
       snap: Snapshot): DataFrame = {
     val dd = dataDir(basePath)
-    snap.parts.toSeq.sortBy(_._1).map { case (year, dir) =>
-      readPart(spark, dd, dir, year, snap.schema)
-        .withColumn("part_year", lit(year))
-    }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    applyDeletes(spark, dd, snap,
+      snap.parts.toSeq.sortBy(_._1).map { case (year, dir) =>
+        readPart(spark, dd, dir, year, snap.schema)
+          .withColumn("part_year", lit(year))
+      }.reduceLeft(_.unionByName(_, allowMissingColumns = true)))
   }
 
   private def readPart(spark: SparkSession, dd: Path, dir: String,
       year: Int, schema: Option[StructType]): DataFrame = {
     val rdr = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     rdr.parquet(new Path(dd, s"$dir/part_year=$year").toString)
+  }
+
+  /** Apply a snapshot's pending equality deletes to a content frame
+    * carrying `part_year`: one left-anti join per pending dir on the
+    * tuples' own columns (its recorded keys + part_year). Delete sets
+    * are dimension-sized next to the data, so AQE broadcasts the join;
+    * the scan side never moves. */
+  private def applyDeletes(spark: SparkSession, dd: Path, snap: Snapshot,
+      df: DataFrame): DataFrame =
+    snap.deletes.foldLeft(df) { (acc, dir) =>
+      val del = spark.read.parquet(new Path(dd, dir).toString)
+      acc.join(del, del.columns.toSeq, "left_anti")
+    }
+
+  /** [[applyDeletes]] for a single-partition frame WITHOUT `part_year`
+    * (stage/compact/CoW rewrites): tuples are pre-filtered to year `y`
+    * so a key shape that repeats across years can never over-delete. */
+  private def applyDeletesForYear(spark: SparkSession, dd: Path,
+      snap: Snapshot, df: DataFrame, y: Int): DataFrame =
+    snap.deletes.foldLeft(df) { (acc, dir) =>
+      val del = spark.read.parquet(new Path(dd, dir).toString)
+        .filter(col("part_year") === y).drop("part_year")
+      acc.join(del, del.columns.toSeq, "left_anti")
+    }
+
+  /** Carry a snapshot's pending delete tuples past a rewrite of
+    * `rewrittenYears` (whose rows the caller already folded with
+    * [[applyDeletesForYear]]): dirs with no tuple in those years carry
+    * verbatim; dirs that intersect are rewritten without the consumed
+    * years (and vanish when nothing survives). Returns the successor
+    * snapshot's pending-dir list. */
+  private def carryDeletes(spark: SparkSession, basePath: String,
+      snap: Snapshot, rewrittenYears: Seq[Int], next: Int): Seq[String] = {
+    if (snap.deletes.isEmpty || rewrittenYears.isEmpty) return snap.deletes
+    val dd = dataDir(basePath)
+    snap.deletes.flatMap { dir =>
+      val del = spark.read.parquet(new Path(dd, dir).toString)
+      val yrs = del.select(col("part_year")).distinct()
+        .collect().map(_.getInt(0)).toSet // driver-small: years
+      if (yrs.intersect(rewrittenYears.toSet).isEmpty) Some(dir)
+      else {
+        val remainder = del.filter(!col("part_year").isin(rewrittenYears: _*))
+        if (remainder.isEmpty) None
+        else {
+          val nd = deleteVdir(next)
+          remainder.write.mode("overwrite")
+            .parquet(new Path(dd, nd).toString)
+          Some(nd)
+        }
+      }
+    }
   }
 
   /** Zone-map-pruned read: open ONLY the data files whose manifest
@@ -278,7 +354,9 @@ object ManifestTable {
             org.apache.spark.sql.types.StructField("part_year",
               org.apache.spark.sql.types.IntegerType)))
       }
-    df.filter(predicate)
+    // pending equality deletes apply to every content read — pruning is
+    // unaffected (deletes only REMOVE rows, bounds stay valid-loose)
+    applyDeletes(spark, dd, snap, df).filter(predicate)
   }
 
   /** Metadata-only aggregate of one column: MIN/MAX/COUNT answered from
@@ -307,6 +385,10 @@ object ManifestTable {
   def statsAgg(spark: SparkSession, basePath: String,
       column: String): Option[MetaAgg] = {
     currentSnapshot(spark, basePath).flatMap { snap =>
+      // pending equality deletes make every per-file stat an OVERSTATE
+      // of logical content (counts and possibly bounds describe rows a
+      // read no longer returns) — unprovable until the fold retires them
+      if (snap.deletes.nonEmpty) return None
       val dd = dataDir(basePath)
       val f = fs(spark, dd)
       val perFile: Seq[Option[ZoneMaps.ColStats]] =
@@ -440,15 +522,30 @@ object ManifestTable {
       readSnapshot(spark, basePath, to).drop("part_year").schema)
     val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
     val dd = dataDir(basePath)
-    // a year participates iff its dir pointer moved (or appeared/vanished)
-    val years = (to.parts.keySet ++ from.map(_.parts.keySet).getOrElse(Set.empty))
-      .filter(y => to.parts.get(y) != from.flatMap(_.parts.get(y)))
-      .toSeq.sorted
+    // a year participates iff its dir pointer moved (or appeared/
+    // vanished) — OR an equality-delete dir appeared in the window: a
+    // [[deleteWhereMoR]] commit moves no pointers, but its tuples change
+    // the content of the years they name (driver-small: distinct years
+    // per new delete dir). Folded/removed dirs need no extra years —
+    // the fold rides a partition rewrite, which moves the pointer.
+    val fromDels = from.map(_.deletes).getOrElse(Nil).toSet
+    val deleteYears = to.deletes.filterNot(fromDels).flatMap { dir =>
+      spark.read.parquet(new Path(dd, dir).toString)
+        .select(col("part_year")).distinct().collect().map(_.getInt(0))
+    }.toSet
+    val years = ((to.parts.keySet ++ from.map(_.parts.keySet).getOrElse(Set.empty))
+      .filter(y => to.parts.get(y) != from.flatMap(_.parts.get(y))) ++
+      deleteYears).toSeq.sorted
+    // each side's content is its OWN snapshot's MoR view — so a pending
+    // delete surfaces as change='delete' the version it was committed,
+    // the same feed IndexDeleteSync already rides for CoW deletes
     def side(snap: Option[Snapshot], y: Int): DataFrame =
       snap.flatMap(s => s.parts.get(y).map(dir =>
-        align(readPart(spark, dd, dir, y, s.schema), schema))).getOrElse(
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        applyDeletesForYear(spark, dd, s,
+          align(readPart(spark, dd, dir, y, s.schema), schema), y)))
+        .getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val diffs = years.map { y =>
       val packed = (df: DataFrame, tag: String) => df.select(
         keys.map(col) ++ Seq(struct(nonKeys.map(col): _*).as(s"__$tag"),
@@ -568,8 +665,13 @@ object ManifestTable {
     val touched = prev match {
       case Some(snap) =>
         val existing = years.flatMap(y => snap.parts.get(y).map(y -> _))
+        // base content is the MoR view: pending delete tuples of these
+        // years fold into this rewrite (and drop from the carried set
+        // below), so a batch re-inserting a deleted key RESURRECTS it —
+        // the upsert sees no stale base row and the tuple is consumed
         val baseSub = existing.map { case (y, dir) =>
-          readPart(spark, dd, dir, y, snap.schema)
+          applyDeletesForYear(spark, dd, snap,
+            readPart(spark, dd, dir, y, snap.schema), y)
         }.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
         baseSub match {
           case Some(b) =>
@@ -592,8 +694,11 @@ object ManifestTable {
     // bloom columns are a table property: once declared they persist, and
     // any merge may widen the set (new units then index the wider set)
     val blooms = (prev.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct
+    // tuples of the rewritten years were consumed above; the rest carry
+    val dels = prev.map(carryDeletes(spark, basePath, _, years, next))
+      .getOrElse(Nil)
     Staged(Snapshot(next, carried ++ years.map(_ -> stageDir), Some(schema),
-      bloomCols = blooms))
+      bloomCols = blooms, deletes = dels))
   }
 
   private[graft] def commit(spark: SparkSession, basePath: String,
@@ -622,6 +727,9 @@ object ManifestTable {
       .map(s => s"$SchemaHeader${s.json}") ++
       (if (snapshot.bloomCols.nonEmpty)
         Seq(s"$BloomColsHeader${snapshot.bloomCols.mkString(",")}")
+      else Nil) ++
+      (if (snapshot.deletes.nonEmpty)
+        Seq(s"$DeletesHeader${snapshot.deletes.mkString(",")}")
       else Nil)
     val statsLines =
       snapshot.statsUnits.toSeq.sorted.map(u => s"$StatsUnitHeader$u") ++
@@ -681,7 +789,8 @@ object ManifestTable {
     val schema = snap.schema.getOrElse(
       readSnapshot(spark, basePath, snap).drop("part_year").schema)
     hits.keys.toSeq.sorted.foreach { y =>
-      val kept = readPart(spark, dd, snap.parts(y), y, Some(schema))
+      val kept = applyDeletesForYear(spark, dd, snap,
+          readPart(spark, dd, snap.parts(y), y, Some(schema)), y)
         .withColumn("part_year", lit(y))
         .filter(!coalesce(predicate, lit(false)))
         .drop("part_year")
@@ -691,9 +800,61 @@ object ManifestTable {
         .parquet(new Path(dd, s"$stageDir/part_year=$y").toString)
     }
     val parts = snap.parts ++ hits.keys.map(_ -> stageDir)
+    val dels = carryDeletes(spark, basePath, snap, hits.keys.toSeq, next)
     commit(spark, basePath,
-      Staged(Snapshot(next, parts, Some(schema), bloomCols = snap.bloomCols)))
+      Staged(Snapshot(next, parts, Some(schema), bloomCols = snap.bloomCols,
+        deletes = dels)))
     hits.values.sum
+  }
+
+  /** Merge-on-read row-level DELETE — the 100 TB compliance path
+    * [[deleteWhere]]'s copy-on-write cannot afford: deleting one row
+    * from a year partition there rewrites the whole partition. Here the
+    * matched rows' KEY TUPLES land in a small equality-delete file
+    * (Iceberg v2's equality-delete design, public) and the commit flips
+    * ONLY the manifest: zero data files touched, cost O(matched rows),
+    * not O(containing partitions). Every content read
+    * ([[read]]/[[readAt]]/[[readWhere]]/[[changes]]) anti-joins the
+    * pending tuples away — AQE broadcasts the dimension-sized delete
+    * set — and the next merge or [[compact]] touching a tuple's
+    * partition folds it into the data and retires it; a merge
+    * re-inserting a deleted key resurrects it (the tuple is consumed by
+    * that same fold). [[statsAgg]] refuses while tuples pend (physical
+    * file stats overstate logical content), so the metadata-aggregate
+    * and data-quality fast paths degrade soundly to scans until the
+    * fold. `keys` must identify rows — the table's merge keys.
+    * Returns the number of rows deleted (0 = no commit). */
+  def deleteWhereMoR(spark: SparkSession, basePath: String,
+      predicate: org.apache.spark.sql.Column, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "deleteWhereMoR needs the table's row keys")
+    val snap = currentSnapshot(spark, basePath).getOrElse(return 0L)
+    val schema = snap.schema.getOrElse(
+      readSnapshot(spark, basePath, snap).drop("part_year").schema)
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"delete key $k is not a column of $basePath"))
+    // the locate pass rides prunedFrame: zone-map + bloom pruning AND
+    // the already-pending deletes, so re-deleting a pending key is a
+    // counted no-op, never a duplicate tuple
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val matched = prunedFrame(spark, basePath, snap, predicate)
+        .select((keys :+ "part_year").map(col): _*)
+        .localCheckpoint() // pin: counted here, then written below
+      val n = matched.count()
+      if (n == 0L) return 0L
+      val next = snap.version + 1
+      val dDir = deleteVdir(next)
+      matched.write.mode("overwrite")
+        .parquet(new Path(dataDir(basePath), dDir).toString)
+      commit(spark, basePath,
+        Staged(snap.copy(version = next, deletes = snap.deletes :+ dDir)))
+      n
+    } finally {
+      // a localCheckpoint never enters the cache manager; drop this
+      // call's pins once the tuple file is durable
+      (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Small-file compaction: rewrite any partition whose file count
@@ -721,6 +882,13 @@ object ManifestTable {
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
     val next = snap.version + 1
+    // compaction is the MoR fold: every partition with pending delete
+    // tuples is rewritten regardless of file count, so the commit below
+    // clears the whole pending set (driver-small: distinct years/dir)
+    val deleteYears: Set[Int] = snap.deletes.flatMap { dir =>
+      spark.read.parquet(new Path(dd, dir).toString)
+        .select(col("part_year")).distinct().collect().map(_.getInt(0))
+    }.toSet
     // driver loop over PARTITIONS (bounded: years), not files; sizing
     // from listStatus metadata only
     val plans = snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
@@ -732,13 +900,15 @@ object ManifestTable {
         (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       // a clustering request rewrites every partition: the layout is the
       // point, not just the file count
-      if (parquets.length > want || clusterBy.nonEmpty) Some((y, dir, want))
+      if (parquets.length > want || clusterBy.nonEmpty ||
+        deleteYears.contains(y)) Some((y, dir, want))
       else None
     }
     if (plans.isEmpty) return 0
     val stageDir = stageVdir(next)
     plans.foreach { case (y, dir, want) =>
-      val src = readPart(spark, dd, dir, y, snap.schema)
+      val src = applyDeletesForYear(spark, dd, snap,
+        readPart(spark, dd, dir, y, snap.schema), y)
       val arranged =
         if (clusterBy.nonEmpty)
           src.repartitionByRange(want, clusterBy: _*)
@@ -748,8 +918,11 @@ object ManifestTable {
         .parquet(new Path(dd, s"$stageDir/part_year=$y").toString)
     }
     val parts = snap.parts ++ plans.map { case (y, _, _) => y -> stageDir }
+    val dels = carryDeletes(spark, basePath, snap,
+      plans.map(_._1), next)
     commit(spark, basePath,
-      Staged(Snapshot(next, parts, snap.schema, bloomCols = snap.bloomCols)))
+      Staged(Snapshot(next, parts, snap.schema, bloomCols = snap.bloomCols,
+        deletes = dels)))
     plans.size
   }
 
@@ -775,13 +948,17 @@ object ManifestTable {
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
     if (!f.exists(dd)) return 0
-    val live: Set[String] = retained
-      .flatMap(snapshotAt(spark, basePath, _))
-      .flatMap(_.parts.values).toSet
+    val retainedSnaps = retained.flatMap(snapshotAt(spark, basePath, _))
+    // live = data dirs AND equality-delete dirs any retained snapshot
+    // references; folded delete dirs age out exactly like superseded
+    // data dirs once no retained manifest names them
+    val live: Set[String] =
+      (retainedSnaps.flatMap(_.parts.values) ++
+        retainedSnaps.flatMap(_.deletes)).toSet
     val removed = f.listStatus(dd).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isDirectory && !live.contains(n) &&
-        dirVersion(n).exists(_ <= maxCommitted)
+        dirVersion(n).orElse(deleteDirVersion(n)).exists(_ <= maxCommitted)
     }
     removed.foreach(st => f.delete(st.getPath, true))
     // superseded manifests: everything below the retention window

@@ -239,5 +239,49 @@ object LakeOps extends QueryModule {
     }),
     benchSetup = Some((s, dir) => buildVersioned(s, dir, lakeDir(dir, "tt15_b"))))
 
-  override val defs: Seq[QueryDef] = Seq(s11, s12, s13, s14, s15)
+  /** orders → manifest table, then a MERGE-ON-READ delete of every
+    * `o_orderkey % 10 = 3` order: tuples pend in an equality-delete
+    * file, no data file rewritten. */
+  private def buildMorTable(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    wipe(s, path)
+    ManifestTable.mergeInto(s, T(s, dir, "orders"), path,
+      keys = Seq("o_orderkey", "o_orderdate"), dateCol = "o_orderdate")
+    ManifestTable.deleteWhereMoR(s, path, $"o_orderkey" % 10 === 3,
+      Seq("o_orderkey", "o_orderdate"))
+  }
+
+  /** S16: merge-on-read delete, read back — the read applies the
+    * pending equality-delete tuples (anti-join, zero data files
+    * rewritten by the delete), which DuckDB replays as a plain negated
+    * predicate over the source table. The hash match pins the MoR read
+    * path's logical content cross-engine; MorDeleteSpec pins the
+    * physical claims (no pointer movement, fold, CDC, stats refusal). */
+  private val s16 = QueryDef(
+    "s16_mor_delete_read",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        CAST(year(o_orderdate) AS INTEGER) AS part_year
+      FROM orders
+      WHERE o_orderkey % 10 <> 3
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "mor_v")
+      buildMorTable(s, dir, path)
+      ManifestTable.read(s, path)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.read(s, lakeDir(dir, "mor_b"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildMorTable(s, dir, lakeDir(dir, "mor_b"))))
+
+  override val defs: Seq[QueryDef] = Seq(s11, s12, s13, s14, s15, s16)
 }
