@@ -175,6 +175,34 @@ class IndexDeleteSpec extends SparkSpec {
     } finally dropFamily(Seq(mh, ti, ann, "idel_ti_rb", "idel_mh_rb"))
   }
 
+  test("a merge-on-read corpus delete rides the same maintenance feed") {
+    // deleteWhereMoR commits only tuples (no partition rewrite); the
+    // next maintain's compaction folds them into the corpus AND its CDC
+    // window reports them, so the index purge needs nothing new
+    val corpus = Files.createTempDirectory("idel_mor").toString + "/corpus"
+    val mh = "idelmor_mh"
+    val keys = Seq("doc_id", "doc_date")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh)
+    try {
+      ManifestTable.mergeInto(spark, frame(1L to 8L), corpus, keys, "doc_date")
+      MinhashIndex.build(spark, ManifestTable.read(spark, corpus), mh)
+      ContinuousIngest.maintain(spark, cfg) // establish the bookmark
+      assert(ManifestTable.deleteWhereMoR(spark, corpus,
+        $"doc_id".isin(2L, 5L), keys) == 2L)
+      // corpus reads exclude immediately; the index still has ghosts
+      assert(ManifestTable.read(spark, corpus).count() == 6L)
+      assert(ids(s"${mh}_sizes", "doc_id") == (1L to 8L).toSet)
+      ContinuousIngest.maintain(spark, cfg)
+      val live = Set(1L, 3L, 4L, 6L, 7L, 8L)
+      assert(ids(s"${mh}_sizes", "doc_id") == live,
+        "the MoR delete must reach the index through the same CDC feed")
+      assert(ids(s"${mh}_banded", "doc_id") == live)
+      assert(ManifestTable.currentSnapshot(spark, corpus).get.deletes.isEmpty,
+        "maintain's compaction is the fold — tuples retired")
+      assert(ManifestTable.read(spark, corpus).count() == 6L)
+    } finally dropFamily(Seq(mh))
+  }
+
   test("ContinuousIngest.maintain applies corpus deletes during its compaction pass") {
     val corpus = Files.createTempDirectory("idel_ci").toString + "/corpus"
     val (mh, ti, ann) = ("idelci_mh", "idelci_ti", "idelci_ann")
