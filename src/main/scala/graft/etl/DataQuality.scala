@@ -154,6 +154,35 @@ object DataQuality {
         lit(threshold).cast(DoubleType).as("threshold"))
   }
 
+  /** One-scan COLUMN PROFILER (the Deequ/Great-Expectations
+    * ColumnProfiler shape): per column — row count, null count, exact
+    * distinct count, min and max (as strings, for a type-uniform
+    * report) — ALL columns computed in a single aggregation over a
+    * single scan. The k exact `countDistinct`s plan through ONE Expand
+    * (k-way row multiplication into the partial aggregate, still one
+    * scan; profile the columns you need, not all 300). Min/max of
+    * floating-point columns stringify engine-specifically — profile
+    * integral/string/date columns when cross-engine hash-exactness
+    * matters (the declared query does). */
+  def profile(table: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    columns.foreach(c => require(table.columns.contains(c),
+      s"profile column $c is not in the table"))
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast(org.apache.spark.sql.types.StringType).as(s"mn_$c"),
+        max(col(c)).cast(org.apache.spark.sql.types.StringType).as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val agged = table.agg(aggs.head, aggs.tail: _*)
+    val parts = columns.map(c =>
+      s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
+    agged.selectExpr(
+      s"stack(${columns.size}, ${parts.mkString(", ")})" +
+        " AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy(col("column_name"))
+  }
+
   /** Assemble per-table result frames into the final report: union,
     * verdict column, deterministic order. */
   def report(results: Seq[DataFrame]): DataFrame = {

@@ -139,5 +139,39 @@ object QualityOps extends QueryModule {
       DataQuality.hybridReport(s, dqDir(dir, "dqm_b"), metaChecks)),
     benchSetup = Some((s, dir) => buildDqTable(s, dir, dqDir(dir, "dqm_b"))))
 
-  override val defs: Seq[QueryDef] = Seq(dqChecks, dqMeta)
+  /** The one-scan column profiler as a declared, oracle-checked query:
+    * five `orders` columns (two bigint keys, two strings, a date — the
+    * cross-engine-stringifiable domain) profiled in a single
+    * aggregation; DuckDB replays every metric as plain aggregates. The
+    * one-scan claim is plan-asserted in DataQualitySpec. */
+  private val dqProfile = QueryDef(
+    "dq_profile",
+    Some("""
+      WITH p AS (
+        SELECT count(*) AS n,
+          count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+            CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+          count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+            CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+          count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+            CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+          count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS nd4,
+            CAST(min(o_orderpriority) AS VARCHAR) AS mn4, CAST(max(o_orderpriority) AS VARCHAR) AS mx4,
+          count(o_orderdate) AS nn5, count(DISTINCT o_orderdate) AS nd5,
+            CAST(min(o_orderdate) AS VARCHAR) AS mn5, CAST(max(o_orderdate) AS VARCHAR) AS mx5
+        FROM orders)
+      SELECT column_name, n AS n_rows, n - nn AS n_nulls, nd AS n_distinct,
+        mn AS min_value, mx AS max_value
+      FROM (
+        SELECT 'o_orderkey' AS column_name, n, nn1 AS nn, nd1 AS nd, mn1 AS mn, mx1 AS mx FROM p
+        UNION ALL SELECT 'o_custkey', n, nn2, nd2, mn2, mx2 FROM p
+        UNION ALL SELECT 'o_orderstatus', n, nn3, nd3, mn3, mx3 FROM p
+        UNION ALL SELECT 'o_orderpriority', n, nn4, nd4, mn4, mx4 FROM p
+        UNION ALL SELECT 'o_orderdate', n, nn5, nd5, mn5, mx5 FROM p)
+      ORDER BY column_name"""),
+    (s, dir) => DataQuality.profile(T(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate")))
+
+  override val defs: Seq[QueryDef] = Seq(dqChecks, dqMeta, dqProfile)
 }

@@ -102,6 +102,30 @@ class DataQualitySpec extends SparkSpec {
       s"expected one scan for four checks incl. a distinct, got ${scans.size}")
   }
 
+  test("profile: exact per-column metrics; nulls counted, not distinct") {
+    val p = DataQuality.profile(dirty, Seq("id", "name", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    assert(p("id") == ((6L, 0L, 5L, "1", "5")))      // id 4 duplicated
+    assert(p("name") == ((6L, 1L, 5L, "a", "f")))    // one null name
+    assert(p("v") == ((6L, 0L, 6L, "-4.0", "6.0")))
+  }
+
+  test("profile compiles into ONE scan despite k exact distincts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      val prof = DataQuality.profile(graft.core.T(spark, sf0001, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+      prof.collect()
+      prof.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.size == 1,
+      s"expected one scan for three profiled columns, got ${scans.size}")
+  }
+
   test("manifest metadata proves checks with zero data-file reads") {
     val base = Files.createTempDirectory("dq").toString + "/fact"
     val rows = (1 to 100).map(i => (s"k$i", f"2023-${i % 12 + 1}%02d-15", i.toDouble))
