@@ -523,13 +523,16 @@ object ManifestTable {
     val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
     val dd = dataDir(basePath)
     // a year participates iff its dir pointer moved (or appeared/
-    // vanished) — OR an equality-delete dir appeared in the window: a
-    // [[deleteWhereMoR]] commit moves no pointers, but its tuples change
-    // the content of the years they name (driver-small: distinct years
-    // per new delete dir). Folded/removed dirs need no extra years —
-    // the fold rides a partition rewrite, which moves the pointer.
+    // vanished) — OR an equality-delete dir appeared or DISAPPEARED in
+    // the window: a [[deleteWhereMoR]] commit moves no pointers but its
+    // tuples change the content of the years they name, and a
+    // [[restore]] can drop pending dirs equally pointer-free (a fold
+    // rides a partition rewrite, so it is covered either way). Cost:
+    // distinct years per changed delete dir, driver-small.
     val fromDels = from.map(_.deletes).getOrElse(Nil).toSet
-    val deleteYears = to.deletes.filterNot(fromDels).flatMap { dir =>
+    val changedDels = (to.deletes.filterNot(fromDels) ++
+      fromDels.filterNot(to.deletes.toSet)).distinct
+    val deleteYears = changedDels.flatMap { dir =>
       spark.read.parquet(new Path(dd, dir).toString)
         .select(col("part_year")).distinct().collect().map(_.getInt(0))
     }.toSet
@@ -855,6 +858,29 @@ object ManifestTable {
       (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
         .values.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** RESTORE — roll the table back to a retained version (the Delta
+    * `RESTORE TABLE ... VERSION AS OF` shape, public): commits a NEW
+    * version whose partition pointers, schema, and pending deletes are
+    * the target snapshot's, verbatim. Zero data movement — history
+    * rolls forward, never rewrites: the bad versions stay readable
+    * (and vacuumable) behind the restore, [[changes]] across the
+    * restore commit reports exactly the inverse diff (the undo is an
+    * ordinary CDC event downstream consumers replay like any other),
+    * and a concurrent writer conflicts loudly like any commit. Fails
+    * if the target version was vacuumed. Returns the new version.
+    * (No rows move; the commit's zone-map pass footer-reads units the
+    * current snapshot no longer covered — O(restored files) metadata.) */
+  def restore(spark: SparkSession, basePath: String, version: Int): Int = {
+    val target = snapshotAt(spark, basePath, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version of $basePath does not exist (never committed, or vacuumed)"))
+    val cur = currentSnapshot(spark, basePath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $basePath"))
+    val next = cur.version + 1
+    commit(spark, basePath, Staged(target.copy(version = next)))
+    next
   }
 
   /** Small-file compaction: rewrite any partition whose file count

@@ -133,6 +133,47 @@ class MorDeleteSpec extends SparkSpec {
       "after the fold the stats are exact again")
   }
 
+  test("restore rolls back by pointer: content, CDC inverse, MoR state") {
+    val base = Files.createTempDirectory("morr").toString + "/fact"
+    seed(base)
+    val good = ManifestTable.currentSnapshot(spark, base).get.version
+    val goodContent = asMap(ManifestTable.read(spark, base))
+    // two bad commits: an overwrite and a MoR delete
+    ManifestTable.mergeInto(spark, frame(Seq(("k1", "2023-03-01", 666.0))),
+      base, keys, "date")
+    ManifestTable.deleteWhereMoR(spark, base, $"id" === "k3", keys)
+    val bad = ManifestTable.currentSnapshot(spark, base).get.version
+    assert(asMap(ManifestTable.read(spark, base)) ==
+      goodContent + ("k1" -> 666.0) - "k3")
+
+    val restored = ManifestTable.restore(spark, base, good)
+    assert(restored == bad + 1)
+    assert(asMap(ManifestTable.read(spark, base)) == goodContent,
+      "restore must return the exact target-version content")
+    val snap = ManifestTable.currentSnapshot(spark, base).get
+    assert(snap.deletes.isEmpty,
+      "restoring to a pre-delete version must drop the pending tuples")
+    // the undo is an ordinary CDC event: k1 back to 10.0, k3 re-inserted
+    val diff = ManifestTable.changes(spark, base, bad, restored, keys)
+      .select($"change", $"id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(diff == Set("update" -> "k1", "insert" -> "k3"),
+      s"restore CDC must be the inverse diff, got $diff")
+    // history rolls FORWARD: the bad version stays time-travel readable
+    assert(asMap(ManifestTable.readAt(spark, base, bad))
+      .get("k1").contains(666.0))
+    // a restored table keeps merging normally
+    ManifestTable.mergeInto(spark, frame(Seq(("k9", "2025-01-01", 90.0))),
+      base, keys, "date")
+    assert(asMap(ManifestTable.read(spark, base)) ==
+      goodContent + ("k9" -> 90.0))
+    // restoring a vacuumed version fails loudly
+    ManifestTable.vacuum(spark, base, retainVersions = 1)
+    intercept[IllegalStateException] {
+      ManifestTable.restore(spark, base, good)
+    }
+  }
+
   test("vacuum keeps pending delete dirs referenced by retained snapshots") {
     val base = Files.createTempDirectory("morv").toString + "/fact"
     seed(base)
