@@ -56,7 +56,9 @@ object ScaleCurve {
     "cp_temperature_mix",    // per-source agg + broadcast keep-rate join
     "ev_markov_transitions", // per-user keyed window + |types|² agg
     "dq_table_checks",       // one-scan-per-table check compiler
-    "dq_meta_checks")        // hybrid health report (metadata + one scan)
+    "dq_meta_checks",        // hybrid health report (metadata + one scan)
+    "dq_profile",            // k-column one-scan profiler (Expand distincts)
+    "s16_mor_delete_read")   // MoR read: scan + broadcast anti-join
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

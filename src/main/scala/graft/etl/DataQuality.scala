@@ -183,6 +183,36 @@ object DataQuality {
       .orderBy(col("column_name"))
   }
 
+  /** METRIC DRIFT over a published report history (the table
+    * [[graft.streaming.ContinuousIngest]] appends per batch): for every
+    * (scope, check) series, compare each batch's metric against the
+    * trailing mean of its `k` predecessors and flag rows deviating by
+    * more than `tolerance` — the "this batch passed every absolute
+    * check but looks nothing like the stream" signal absolute
+    * thresholds cannot express (a completeness slide from 0.999 to
+    * 0.95 passes a 0.9 floor; it should still page someone).
+    *
+    * `orderCol` orders the series (a numeric batch id or commit time —
+    * the string batch ids the ingest publishes sort wrong lexically,
+    * so the caller supplies the real order). Keyed window per series:
+    * shuffles one row per (batch, check), never data-sized. Rows
+    * with fewer than `k` predecessors report `drift = null` (no
+    * baseline, never a guess). */
+  def drift(report: DataFrame, orderCol: org.apache.spark.sql.Column,
+      k: Int = 5, tolerance: Double = 0.05): DataFrame = {
+    require(k >= 1, s"drift needs at least one trailing batch, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("scope"), col("check_name")).orderBy(orderCol)
+      .rowsBetween(-k, -1)
+    report
+      .withColumn("trailing_mean",
+        when(count(col("metric_value")).over(w) >= k,
+          avg(col("metric_value")).over(w)))
+      .withColumn("drift", col("metric_value") - col("trailing_mean"))
+      .withColumn("drifted",
+        when(col("drift").isNotNull, abs(col("drift")) > tolerance))
+  }
+
   /** Assemble per-table result frames into the final report: union,
     * verdict column, deterministic order. */
   def report(results: Seq[DataFrame]): DataFrame = {

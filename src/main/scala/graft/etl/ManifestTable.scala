@@ -829,25 +829,50 @@ object ManifestTable {
     * Returns the number of rows deleted (0 = no commit). */
   def deleteWhereMoR(spark: SparkSession, basePath: String,
       predicate: org.apache.spark.sql.Column, keys: Seq[String]): Long = {
-    require(keys.nonEmpty, "deleteWhereMoR needs the table's row keys")
     val snap = currentSnapshot(spark, basePath).getOrElse(return 0L)
+    // the locate pass rides prunedFrame: zone-map + bloom pruning AND
+    // the already-pending deletes, so re-deleting a pending key is a
+    // counted no-op, never a duplicate tuple
+    commitMoRTuples(spark, basePath, snap, keys,
+      prunedFrame(spark, basePath, snap, predicate))
+  }
+
+  /** [[deleteWhereMoR]] by explicit KEY SET instead of predicate — the
+    * CDC-apply arm ([[applyChanges]]) and any caller holding a frame of
+    * rows to drop (compliance lists, reverse-ETL feeds). Tuples are the
+    * keys that actually match current rows (a key with no live row is a
+    * counted no-op), located through the same pruned, delete-aware
+    * read. */
+  def deleteKeysMoR(spark: SparkSession, basePath: String,
+      keyRows: DataFrame, keys: Seq[String]): Long = {
+    val snap = currentSnapshot(spark, basePath).getOrElse(return 0L)
+    val matched = readSnapshot(spark, basePath, snap)
+      .join(keyRows.select(keys.map(col): _*).dropDuplicates(keys),
+        keys, "left_semi")
+    commitMoRTuples(spark, basePath, snap, keys, matched)
+  }
+
+  /** Shared tail of the MoR delete forms: project `matched` (a
+    * delete-aware read of the rows to drop) to key tuples, persist them
+    * as a `d<N>-<token>` dir, commit the manifest with the dir
+    * appended. Returns the tuple count (0 = no commit). */
+  private def commitMoRTuples(spark: SparkSession, basePath: String,
+      snap: Snapshot, keys: Seq[String], matched: DataFrame): Long = {
+    require(keys.nonEmpty, "MoR deletes need the table's row keys")
     val schema = snap.schema.getOrElse(
       readSnapshot(spark, basePath, snap).drop("part_year").schema)
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"delete key $k is not a column of $basePath"))
-    // the locate pass rides prunedFrame: zone-map + bloom pruning AND
-    // the already-pending deletes, so re-deleting a pending key is a
-    // counted no-op, never a duplicate tuple
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     try {
-      val matched = prunedFrame(spark, basePath, snap, predicate)
+      val tuples = matched
         .select((keys :+ "part_year").map(col): _*)
         .localCheckpoint() // pin: counted here, then written below
-      val n = matched.count()
+      val n = tuples.count()
       if (n == 0L) return 0L
       val next = snap.version + 1
       val dDir = deleteVdir(next)
-      matched.write.mode("overwrite")
+      tuples.write.mode("overwrite")
         .parquet(new Path(dataDir(basePath), dDir).toString)
       commit(spark, basePath,
         Staged(snap.copy(version = next, deletes = snap.deletes :+ dDir)))
@@ -855,6 +880,46 @@ object ManifestTable {
     } finally {
       // a localCheckpoint never enters the cache manager; drop this
       // call's pins once the tuple file is durable
+      (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** CDC APPLY — consume a [[changes]] feed and converge this table to
+    * the producer's content: inserts/updates land as one keyed upsert
+    * ([[mergeIntoRetrying]] — the OCC loop, since a replica typically
+    * has other writers), deletes as one merge-on-read tuple commit
+    * ([[deleteKeysMoR]] — O(deleted keys), no partition rewrites on the
+    * replica either). This is table REPLICATION on the engine's own
+    * primitives: `primary.changes(from, to)` → `replica.applyChanges`,
+    * at O(changed rows) cost per sync, including the inverse diff a
+    * [[restore]] emits — a rollback on the primary replays onto
+    * replicas like any other change. Apply feeds IN VERSION ORDER;
+    * within one feed the diff is keyed, so upserts and deletes commute
+    * with each other ([[changes]] never emits both for one key).
+    * Returns (upserted, deleted) row counts. */
+  def applyChanges(spark: SparkSession, basePath: String, feed: DataFrame,
+      keys: Seq[String], dateCol: String): (Long, Long) = {
+    require(feed.columns.contains("change"),
+      "a CDC feed carries the 'change' classification column")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // one pass over the (changed-rows-sized) feed, pinned: the upsert
+      // and delete arms both read it, and the merge must not observe a
+      // feed recomputed after this table's own commit advanced
+      val f = feed.localCheckpoint()
+      val ups = f.filter(col("change").isin("insert", "update"))
+        .drop("change", "part_year")
+      val dels = f.filter(col("change") === "delete")
+        .select(keys.map(col): _*)
+      val nUps = ups.count()
+      if (nUps > 0L)
+        mergeIntoRetrying(spark, ups, basePath, keys, dateCol)
+      val nDels =
+        if (dels.isEmpty) 0L
+        else deleteKeysMoR(spark, basePath, dels, keys)
+      (nUps, nDels)
+    } finally {
       (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
         .values.foreach(_.unpersist(blocking = false))
     }

@@ -126,6 +126,30 @@ class DataQualitySpec extends SparkSpec {
       s"expected one scan for three profiled columns, got ${scans.size}")
   }
 
+  test("drift flags a trailing-mean deviation; short history stays null") {
+    // a completeness series: five healthy batches at ~0.99, then a
+    // slide to 0.94 — passes any 0.9 floor, must still flag
+    val hist = (1 to 5).map(i => (i, "batch", "completeness(t.x)", 0.99)) :+
+      ((6, "batch", "completeness(t.x)", 0.94))
+    val rep = hist.toDF("bid", "scope", "check_name", "metric_value")
+    val d = DataQuality.drift(rep, col("bid"), k = 5, tolerance = 0.02)
+      .collect().map(r => r.getAs[Int]("bid") ->
+        ((Option(r.getAs[java.lang.Double]("drift")),
+          Option(r.getAs[java.lang.Boolean]("drifted"))))).toMap
+    // batches 1..5: fewer than k predecessors → no baseline, no verdict
+    (1 to 5).foreach(i => assert(d(i) == ((None, None)),
+      s"batch $i has <k history and must not be judged"))
+    // batch 6: trailing mean 0.99, drift -0.05, |drift| > 0.02 → flagged
+    assert(d(6)._1.exists(x => math.abs(x - (-0.05)) < 1e-9))
+    assert(d(6)._2.contains(true))
+    // an in-tolerance wobble is not flagged
+    val calm = ((1 to 5).map(i => (i, "batch", "c", 0.99)) :+
+      ((6, "batch", "c", 0.98))).toDF("bid", "scope", "check_name", "metric_value")
+    val calmRow = DataQuality.drift(calm, col("bid"), k = 5, tolerance = 0.02)
+      .filter($"bid" === 6).collect().head
+    assert(calmRow.getAs[java.lang.Boolean]("drifted") == false)
+  }
+
   test("manifest metadata proves checks with zero data-file reads") {
     val base = Files.createTempDirectory("dq").toString + "/fact"
     val rows = (1 to 100).map(i => (s"k$i", f"2023-${i % 12 + 1}%02d-15", i.toDouble))

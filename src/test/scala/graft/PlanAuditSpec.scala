@@ -119,6 +119,28 @@ class PlanAuditSpec extends SparkSpec {
         "a global window here would serialize the whole pair set")
   }
 
+  test("MoR delete read: the anti-join broadcasts the tuple set, scan side never shuffles (s16)") {
+    val plan = executed("s16_mor_delete_read")
+    val antis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty,
+      s"pending equality deletes must apply as a BROADCAST left-anti " +
+        s"join — a shuffled anti-join moves the whole table for a " +
+        s"dimension-sized delete set:\n$plan")
+    // stronger form: no hash-partitioned shuffle at all — the read is
+    // scan → broadcast-anti → (range) sort; only the presentation
+    // sort's range exchange may move rows
+    val hashShuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"MoR read must not hash-shuffle the table for its anti-join:\n$plan")
+  }
+
   test("temperature mix: per-source probabilities reach the corpus via broadcast (cp)") {
     // the two scalar crossJoins (Σ√n, budget) are single-row broadcasts —
     // the house-approved shape; the per-source probs table must join the
