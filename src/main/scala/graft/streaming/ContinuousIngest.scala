@@ -159,7 +159,16 @@ object ContinuousIngest {
       // answered with ZERO data files opened
       // ([[DataQuality.provableFromMetadata]]); the rest share one
       // fallback scan. Published with the batch's report. Nil = off.
-      tableChecks: Seq[DataQuality.RowCheck] = Nil)
+      tableChecks: Seq[DataQuality.RowCheck] = Nil,
+      // DRIFT watch over the published batch reports
+      // ([[DataQuality.drift]]): after each batch's report lands, its
+      // metrics are compared against the trailing `driftWindow`-batch
+      // mean and deviations beyond the tolerance are stamped back onto
+      // the report rows (`drifted = true`) and logged — the advisory
+      // "passed every floor but looks nothing like the stream" signal;
+      // it never blocks the batch. None = off.
+      driftTolerance: Option[Double] = None,
+      driftWindow: Int = 5)
 
   /** Start the composed pipeline over a streaming documents frame
     * (schema: `documents` + the config's date column). AvailableNow +
@@ -256,6 +265,10 @@ object ContinuousIngest {
             .withColumn("scope", lit("batch"))
             .withColumn("from_metadata", lit(0L)))
           stamp(if (ok) "quality gate passed" else "batch REJECTED by quality gate")
+          cfg.driftTolerance.foreach { tol =>
+            watchDrift(spark, cfg, bid, tol)
+            stamp("drift watched")
+          }
           ok
         }
         if (gatePassed) {
@@ -458,6 +471,36 @@ object ContinuousIngest {
       cfg: Config): DataFrame =
     DataQuality.hybridReport(spark, cfg.corpusPath, cfg.tableChecks)
       .withColumn("scope", lit("table"))
+
+  /** The advisory drift watch: compare THIS batch's just-published
+    * report metrics against the trailing-window mean of the batch
+    * series ([[DataQuality.drift]] — ordered by the numeric batch id
+    * parsed from `b<N>`), stamp deviations back onto the report rows
+    * (schema-evolving upsert: `trailing_mean`/`drift`/`drifted`
+    * columns), and log them. Deterministic function of the report
+    * history, so a replay stamps identical verdicts. Bounded: the
+    * drift frame is one row per (batch, check); the stamped upsert is
+    * this batch's ≤ |checks| rows. */
+  private def watchDrift(spark: SparkSession, cfg: Config, bid: String,
+      tol: Double): Unit = {
+    val hist = ManifestTable.read(spark, dqReportPath(cfg))
+      .filter(col("scope") === "batch")
+    val verdicts = DataQuality
+      .drift(hist, expr("CAST(substring(batch_id, 2) AS LONG)"),
+        cfg.driftWindow, tol)
+      .filter(col("batch_id") === bid && col("drift").isNotNull)
+      .select(col("batch_id"), col("scope"), col("check_name"),
+        col("report_date"), col("trailing_mean"), col("drift"),
+        when(col("drifted"), 1L).otherwise(0L).as("drifted"))
+      .localCheckpoint() // read completes before the upsert flips the table
+    val flagged = verdicts.filter(col("drifted") === 1L)
+      .select(col("check_name"), col("drift")).collect() // ≤ |checks| rows
+    flagged.foreach(r => println(
+      f"[ingest] DRIFT $bid ${r.getString(0)}: ${r.getDouble(1)}%+.4f vs trailing mean"))
+    if (!verdicts.isEmpty)
+      ManifestTable.mergeIntoRetrying(spark, verdicts, dqReportPath(cfg),
+        Seq("batch_id", "scope", "check_name", "report_date"), "report_date")
+  }
 
   /** Publish a report frame to the corpus-side quality table. Keyed by
     * (batch, scope, check) and stamped with the batch's max date — all

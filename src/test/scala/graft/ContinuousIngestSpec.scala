@@ -565,6 +565,50 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("drift watch: a batch that passes every floor but slides from the stream is stamped") {
+    import graft.etl.DataQuality._
+    val corpus = Files.createTempDirectory("cid_corpus").toString + "/corpus"
+    val mh = "cid_idx"
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      batchChecks = Seq(Completeness("lang", "batch.lang", threshold = 0.5)),
+      driftTolerance = Some(0.05), driftWindow = 5)
+    def mixed(b: Int, nullFrac: Double): org.apache.spark.sql.DataFrame = {
+      val n = 8
+      (1 to n).map { i =>
+        val lang = if (i <= (n * nullFrac).round) null.asInstanceOf[String] else "en"
+        (b * 100L + i, words(s"dw${b}_$i", 16), lang, "srcA", 16L, day)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date")
+    }
+    try {
+      // six healthy batches (completeness 1.0), then a 25%-null slide —
+      // 0.75 still passes the 0.5 floor, but sits 0.25 off the trailing
+      // mean: the drift watch must stamp it
+      (0 to 5).foreach(b =>
+        ContinuousIngest.ingestBatch(spark, mixed(b, 0.0), b, cfg))
+      ContinuousIngest.ingestBatch(spark, mixed(6, 0.25), 6, cfg)
+      val rep = ManifestTable.read(spark, ContinuousIngest.dqReportPath(cfg))
+        .filter(col("check_name") === "completeness(batch.lang)")
+        .select(col("batch_id"), col("passed"), col("drifted"), col("drift"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.getAs[java.lang.Long]("drifted")),
+            Option(r.getAs[java.lang.Double]("drift"))))).toMap
+      // every batch passed the absolute floor
+      assert(rep.values.forall(_._1 == 1L))
+      // the slide is stamped: drift -0.25 beyond the 0.05 tolerance
+      assert(rep("b6")._2.contains(1L), s"b6 must be stamped drifted: $rep")
+      assert(rep("b6")._3.exists(d => math.abs(d + 0.25) < 1e-9))
+      // healthy steady-state batches with full history are NOT flagged
+      assert(rep("b5")._2.contains(0L))
+      // early batches (<window history) carry no verdict at all
+      assert(rep("b2")._2.isEmpty)
+      // the corpus itself accepted all seven batches (advisory, not a gate)
+      assert(ManifestTable.read(spark, corpus).count() == 7L * 8L)
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("declared bloom columns ride the streaming merge: point reads and deletes prune") {
     val src = Files.createTempDirectory("cib_src").toString + "/data"
     val cp = Files.createTempDirectory("cib_cp").toString
