@@ -165,6 +165,29 @@ object IngestProfile {
         graft.operators.SimilarityOps.chunkIndexFrame(spark, accept, cfg.chunkDims),
         ck, bid)
     }
+    // the round-12 quality legs, in the ingestBatch order/shape
+    locally {
+      import graft.etl.DataQuality
+      import graft.etl.DataQuality._
+      t("quality gate: batch checks (one scan)") {
+        val rep = DataQuality.report(Seq(DataQuality.rowChecks(accept, Seq(
+          Completeness("lang", "batch.lang"),
+          NonNegative("n_chars", "batch.n_chars"),
+          MinRows("batch", 1.0)))))
+        println(s"[profile]   gate passed: ${DataQuality.allPassed(rep)}")
+      }
+      t("table health: hybrid (metadata + 1 scan)") {
+        DataQuality.hybridReport(spark, corpus, Seq(
+          MinRows("corpus", 1.0),
+          NonNegative("n_chars", "corpus.n_chars"),
+          Completeness("text", "corpus.text"))).collect()
+      }
+      t("table health: metadata-only checks") {
+        Seq(MinRows("corpus", 1.0),
+            NonNegative("n_chars", "corpus.n_chars"))
+          .foreach(c => DataQuality.provableFromMetadata(spark, corpus, c))
+      }
+    }
     accept.unpersist(blocking = false)
     t("empty-batch drain") {
       ContinuousIngest.ingestBatch(spark, inc.limit(0), 2L, cfg)
