@@ -58,7 +58,10 @@ object ScaleCurve {
     "dq_table_checks",       // one-scan-per-table check compiler
     "dq_meta_checks",        // hybrid health report (metadata + one scan)
     "dq_profile",            // k-column one-scan profiler (Expand distincts)
-    "s16_mor_delete_read")   // MoR read: scan + broadcast anti-join
+    "s16_mor_delete_read",   // MoR read: scan + broadcast anti-join
+    "s17_schema_evolution_read", // evolved-schema read: null-fill from snapshot schema
+    "s18_cdc_replica_read",  // CDC replication: O(changed rows) feeds + replica read
+    "cp_weighted_sample")    // min-of-w-hash keys + global top-k heap
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

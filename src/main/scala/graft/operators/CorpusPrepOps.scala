@@ -300,6 +300,91 @@ object CorpusPrepOps extends QueryModule {
     })
 
   // ---------------------------------------------------------------------
+  // Weighted sampling (min-of-w-hashes order statistics)
+  // ---------------------------------------------------------------------
+
+  /** Integer sampling weights per language, and their cap. */
+  val sampleWeights: Seq[(String, Int)] = Seq("en" -> 4, "zh" -> 3, "fr" -> 2)
+  val sampleMaxWeight = 4
+  val sampleK = 64
+
+  /** WEIGHTED sampling without replacement, hash-exact: give a document
+    * of integer weight w the sort key `min(h_1 .. h_w)` of w independent
+    * per-doc hashes and take the k globally smallest keys — the integer
+    * form of the Efraimidis–Spirakis order-statistics sampler (keys
+    * u^(1/w) need `pow`, which is not correctly rounded cross-engine;
+    * the min of w iid draws preserves the pairwise selection odds
+    * P(key_A < key_B) = w_A/(w_A+w_B) with no float in sight). The
+    * training-data mixing move: oversample trusted sources/languages
+    * proportionally without materializing replicas.
+    *
+    * Scale shape: the key is ≤`sampleMaxWeight` stateless hashes per row
+    * computed in the scan, weights are a broadcast-free CASE, and the
+    * global top-k is `TakeOrderedAndProject` — per-partition heaps of k,
+    * one k-row collect, NO global sort shuffle (plan-asserted). Ties on
+    * the 32-bit key fall back to doc_id, so the selected set is unique
+    * across engines and runs. */
+  def weightedSample(documents: DataFrame, k: Int = sampleK): DataFrame = {
+    val w = sampleWeights.foldLeft(lit(1)) { case (acc, (l, m)) =>
+      when(col("lang") === l, m).otherwise(acc)
+    }
+    def h(j: Int) = DedupOps.md5Hash32(
+      concat(lit(s"wsk${j}_"), col("doc_id").cast(StringType)))
+    val key = (2 to sampleMaxWeight).foldLeft(h(1)) { (acc, j) =>
+      when(col("weight") >= j, least(acc, h(j))).otherwise(acc)
+    }
+    documents
+      .withColumn("weight", w)
+      .withColumn("sample_key", key)
+      .select(col("doc_id"), col("lang"), col("source"), col("weight"),
+        col("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(k)
+  }
+
+  private def duckH(j: Int): String =
+    s"('0x' || substr(md5('wsk${j}_' || CAST(doc_id AS VARCHAR)), 25, 8))" +
+      "::UBIGINT::BIGINT"
+
+  private val cpWeightedSample = QueryDef(
+    "cp_weighted_sample",
+    Some(s"""
+      WITH keyed AS (
+        SELECT doc_id, lang, source,
+          CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
+            ELSE 1 END AS weight,
+          ${duckH(1)} AS h1, ${duckH(2)} AS h2,
+          ${duckH(3)} AS h3, ${duckH(4)} AS h4
+        FROM documents)
+      SELECT doc_id, lang, source, weight,
+        least(h1,
+          CASE WHEN weight >= 2 THEN h2 ELSE h1 END,
+          CASE WHEN weight >= 3 THEN h3 ELSE h1 END,
+          CASE WHEN weight >= 4 THEN h4 ELSE h1 END) AS sample_key
+      FROM keyed
+      ORDER BY sample_key, doc_id
+      LIMIT $sampleK"""),
+    (s, dir) => weightedSample(T(s, dir, "documents")),
+    // production key: xxhash64 draws instead of the md5-portable hash —
+    // identical plan (stateless scan keys, CASE weights, top-k heap)
+    benchBuild = Some { (s, dir) =>
+      val w = sampleWeights.foldLeft(lit(1)) { case (acc, (l, m)) =>
+        when(col("lang") === l, m).otherwise(acc)
+      }
+      def h(j: Int) = xxhash64(lit(j), col("doc_id"))
+      val key = (2 to sampleMaxWeight).foldLeft(h(1)) { (acc, j) =>
+        when(col("weight") >= j, least(acc, h(j))).otherwise(acc)
+      }
+      T(s, dir, "documents")
+        .withColumn("weight", w)
+        .withColumn("sample_key", key)
+        .select(col("doc_id"), col("lang"), col("source"), col("weight"),
+          col("sample_key"))
+        .orderBy(col("sample_key"), col("doc_id"))
+        .limit(sampleK)
+    })
+
+  // ---------------------------------------------------------------------
   // Token-budget shard packing
   // ---------------------------------------------------------------------
 
@@ -1140,5 +1225,5 @@ object CorpusPrepOps extends QueryModule {
     Seq(cpRepetition, cpDecontaminate, cpDecontaminateFuzzy, cpSample,
       cpPack, cpPackSeq, cpVocab, cpHistogram, cpMix, cpDiversity,
       cpDupRate, cpQualityPct, cpHashSplit, cpDrift, cpRebalance,
-      cpTemperatureMix, cpChunk, cpSplitLeakage)
+      cpTemperatureMix, cpChunk, cpSplitLeakage, cpWeightedSample)
 }

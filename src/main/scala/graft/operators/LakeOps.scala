@@ -283,5 +283,117 @@ object LakeOps extends QueryModule {
     }),
     benchSetup = Some((s, dir) => buildMorTable(s, dir, lakeDir(dir, "mor_b"))))
 
-  override val defs: Seq[QueryDef] = Seq(s11, s12, s13, s14, s15, s16)
+  /** orders → manifest v1, then a batch carrying a column the table has
+    * NEVER seen (`o_margin`, priced for one year's %5 keys only) → v2:
+    * the schema-evolution fixture. Only 1995's partition is rewritten;
+    * every other year's files physically LACK the new column and the
+    * read must null-fill them from the evolved snapshot schema. */
+  private def buildEvolved(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    wipe(s, path)
+    val orders = T(s, dir, "orders")
+    val keys = Seq("o_orderkey", "o_orderdate")
+    ManifestTable.mergeInto(s, orders, path, keys, dateCol = "o_orderdate")
+    val margined = orders
+      .filter($"o_orderkey" % 5 === 0 && year($"o_orderdate") === 1995)
+      // halving a double is exact in IEEE-754, so the oracle replays it
+      .select($"o_orderkey", $"o_orderdate", ($"o_totalprice" / 2).as("o_margin"))
+    ManifestTable.mergeInto(s, margined, path, keys, dateCol = "o_orderdate")
+  }
+
+  /** S17: SCHEMA EVOLUTION read — after a merge whose batch adds a brand
+    * new column, the read returns the evolved shape: batch rows carry the
+    * new values, matched rows keep their base values on every column the
+    * batch never sent (updateAll carry), and rows in partitions the merge
+    * never touched — whose parquet files do not contain the column at
+    * all — come back as typed nulls. DuckDB replays the whole contract
+    * as one CASE over the source table. */
+  private val s17 = QueryDef(
+    "s17_schema_evolution_read",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CASE WHEN o_orderkey % 5 = 0 AND year(o_orderdate) = 1995
+          THEN o_totalprice / 2 END AS o_margin,
+        CAST(year(o_orderdate) AS INTEGER) AS part_year
+      FROM orders
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "ev17_v")
+      buildEvolved(s, dir, path)
+      ManifestTable.read(s, path)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_margin",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.read(s, lakeDir(dir, "ev17_b"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_margin",
+          $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildEvolved(s, dir, lakeDir(dir, "ev17_b"))))
+
+  /** Primary at three versions (v1 orders → v2 reprice merge → v3
+    * merge-on-read delete of the %10=6 keys) and a REPLICA seeded with
+    * v1 that consumes the primary's own CDC feeds in version order —
+    * table replication end to end on the engine's primitives:
+    * `changes(1,2)` upserts ride [[ManifestTable.applyChanges]]'s merge
+    * arm, `changes(2,3)` deletes ride its MoR-tuple arm, each sync
+    * paying O(changed rows), never a table copy. */
+  private def buildReplica(s: SparkSession, dir: String, primary: String,
+      replica: String): Unit = {
+    import s.implicits._
+    val keys = Seq("o_orderkey", "o_orderdate")
+    buildVersioned(s, dir, primary)
+    ManifestTable.deleteWhereMoR(s, primary, $"o_orderkey" % 10 === 6, keys)
+    wipe(s, replica)
+    ManifestTable.mergeInto(s, T(s, dir, "orders"), replica, keys,
+      dateCol = "o_orderdate")
+    ManifestTable.applyChanges(s, replica,
+      ManifestTable.changes(s, primary, 1, 2, keys), keys, "o_orderdate")
+    ManifestTable.applyChanges(s, replica,
+      ManifestTable.changes(s, primary, 2, 3, keys), keys, "o_orderdate")
+  }
+
+  /** S18: CDC-REPLICATED read — the replica, having seen nothing but the
+    * primary's change feeds, must hold exactly the primary's v3 state:
+    * every reprice applied, every deleted key gone. DuckDB replays that
+    * state from the source tables directly (an update that lands the old
+    * value is invisible in the feed, but COALESCE of an equal value is
+    * the identity, so the replay is value-exact either way). */
+  private val s18 = QueryDef(
+    "s18_cdc_replica_read",
+    Some("""
+      WITH upd AS (
+        SELECT l_orderkey AS o_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS p
+        FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1)
+      SELECT b.o_orderkey, b.o_custkey,
+        COALESCE(u.p, b.o_totalprice) AS o_totalprice,
+        CAST(year(b.o_orderdate) AS INTEGER) AS part_year
+      FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE b.o_orderkey % 10 <> 6
+      ORDER BY b.o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val primary = lakeDir(dir, "rep18p_v")
+      val replica = lakeDir(dir, "rep18r_v")
+      buildReplica(s, dir, primary, replica)
+      ManifestTable.read(s, replica)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.read(s, lakeDir(dir, "rep18r_b"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) =>
+      buildReplica(s, dir, lakeDir(dir, "rep18p_b"), lakeDir(dir, "rep18r_b"))))
+
+  override val defs: Seq[QueryDef] =
+    Seq(s11, s12, s13, s14, s15, s16, s17, s18)
 }

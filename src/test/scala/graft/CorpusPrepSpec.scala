@@ -95,6 +95,46 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: key = min of w per-doc draws, global k smallest, ties by doc_id") {
+    val langs = Seq("en", "fr", "zh", "xx")
+    val docs = (0L until 40L)
+      .map(i => (i, langs((i % 4).toInt), s"s${i % 3}", s"text $i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = CorpusPrepOps.weightedSample(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4))).toSeq
+    // brute replay of the declared key: md5Hash32("wsk<j>_<id>"), j ≤ w
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(24, 32), 16)
+    }
+    val weights = CorpusPrepOps.sampleWeights.toMap.withDefaultValue(1)
+    val expect = (0L until 40L).map { i =>
+      val lang = langs((i % 4).toInt)
+      val w = weights(lang)
+      (i, lang, w, (1 to w).map(j => md5h(s"wsk${j}_$i")).min)
+    }.sortBy(t => (t._4, t._1)).take(10)
+    assert(got == expect,
+      "weighted sample must equal the brute min-of-w-hashes top-k")
+    // run-determinism (the property rand() cannot give)
+    assert(got == CorpusPrepOps.weightedSample(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4))).toSeq)
+  }
+
+  test("weightedSample: heavier weights are selected proportionally more often") {
+    // two langs, weight 4 vs 1, equal counts: across a large draw the
+    // w=4 docs should win ~4x as many slots — exact odds per pair are
+    // w_A/(w_A+w_B), so a loose 2.5x floor is variance-safe at n=600
+    val docs = (0L until 1200L)
+      .map(i => (i, if (i % 2 == 0) "en" else "xx", "s0", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val sel = CorpusPrepOps.weightedSample(docs, k = 200).collect()
+    val en = sel.count(_.getString(1) == "en")
+    val xx = sel.length - en
+    assert(en > xx * 2.5, s"weight-4 lang must dominate weight-1: en=$en xx=$xx")
+  }
+
   test("vocabTopK: ranks are dense, coverage is monotone and bounded by 1") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val vocabSize = docs

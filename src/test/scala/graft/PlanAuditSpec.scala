@@ -77,6 +77,17 @@ class PlanAuditSpec extends SparkSpec {
     }.nonEmpty, s"expected TakeOrderedAndProject for the top-K in:\n$plan")
   }
 
+  test("weighted sampling is stateless scan keys + a top-k heap, zero shuffles (cp)") {
+    val plan = executed("cp_weighted_sample")
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject for the sample top-k in:\n$plan")
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"the min-of-w keys are per-row scan expressions — nothing " +
+      s"may shuffle before the heap:\n$plan")
+  }
+
   test("decomposed OR-join runs as shuffled equi-joins, never a nested loop (J2 scale)") {
     val plan = executed("j2_scale_or_join")
     assert(plan.collect {
