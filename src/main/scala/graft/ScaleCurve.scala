@@ -61,7 +61,9 @@ object ScaleCurve {
     "s16_mor_delete_read",   // MoR read: scan + broadcast anti-join
     "s17_schema_evolution_read", // evolved-schema read: null-fill from snapshot schema
     "s18_cdc_replica_read",  // CDC replication: O(changed rows) feeds + replica read
-    "cp_weighted_sample")    // min-of-w-hash keys + global top-k heap
+    "cp_weighted_sample",    // min-of-w-hash keys + global top-k heap
+    "s19_incremental_gold",  // bookmarked gold refresh: O(affected dates)
+    "dq_drift_series")       // per-series keyed window over a bounded report
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

@@ -394,6 +394,80 @@ object LakeOps extends QueryModule {
     benchSetup = Some((s, dir) =>
       buildReplica(s, dir, lakeDir(dir, "rep18p_b"), lakeDir(dir, "rep18r_b"))))
 
+  /** Gold grain: daily revenue + order count. Decimal-exact sum cast to
+    * double at the end (H policy), COUNT exact — both replayable. */
+  private def goldAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("o_orderdate"))
+      .agg(H.dbl(sum(H.dec2(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Version-bookmarked gold maintenance end to end: bronze manifest v1
+    * → FULL first refresh (version-0 diff is blind to deletions, so the
+    * first pass replaces gold wholesale), reprice merge → v2 →
+    * INCREMENTAL second refresh that diffs v1..v2 and re-aggregates only
+    * the dates the merge touched (O(changed partitions), spec-proved in
+    * IncrementalGoldSpec — here the RESULT is what the oracle pins). */
+  private def buildGold(s: SparkSession, dir: String, bronze: String,
+      gold: String, bookmark: String): Unit = {
+    import s.implicits._
+    Seq(bronze, gold, bookmark).foreach(wipe(s, _))
+    val keys = Seq("o_orderkey", "o_orderdate")
+    val orders = T(s, dir, "orders")
+    ManifestTable.mergeInto(s, orders, bronze, keys, dateCol = "o_orderdate")
+    def refresh(): Unit = graft.etl.IncrementalGold.refreshFromManifest(
+      s, bronze, gold, bookmark, "o_orderdate", keys, Seq("o_orderdate"),
+      goldAgg)
+    refresh()
+    val upd = T(s, dir, "lineitem")
+      .filter($"l_orderkey" % 7 === 0)
+      .groupBy($"l_orderkey".as("o_orderkey"))
+      .agg(H.dbl(sum(H.dec2($"l_extendedprice"))).as("o_totalprice"))
+      .join(orders.select($"o_orderkey", $"o_orderdate"), "o_orderkey")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    ManifestTable.mergeInto(s, upd, bronze, keys, dateCol = "o_orderdate")
+    refresh()
+  }
+
+  /** S19: INCREMENTAL GOLD read — after the bookmarked refresh cycle the
+    * gold table must hold exactly the aggregate of bronze's final state,
+    * which DuckDB replays as one repriced grouped sum over the source
+    * tables. (The repriced totals are integer cents, exact in double, so
+    * the DECIMAL round-trip through the gold grain is bit-portable.) */
+  private val s19 = QueryDef(
+    "s19_incremental_gold",
+    Some("""
+      WITH upd AS (
+        SELECT l_orderkey AS o_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS p
+        FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1),
+      final AS (
+        SELECT b.o_orderdate, COALESCE(u.p, b.o_totalprice) AS price
+        FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey)
+      SELECT o_orderdate,
+        CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM final
+      GROUP BY o_orderdate
+      ORDER BY o_orderdate"""),
+    (s, dir) => {
+      import s.implicits._
+      val bronze = lakeDir(dir, "ig19b_v")
+      val gold = lakeDir(dir, "ig19g_v")
+      val bookmark = lakeDir(dir, "ig19k_v")
+      buildGold(s, dir, bronze, gold, bookmark)
+      s.read.parquet(gold)
+        .select($"o_orderdate", $"revenue", $"n_orders")
+        .orderBy($"o_orderdate")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      s.read.parquet(lakeDir(dir, "ig19g_b"))
+        .select($"o_orderdate", $"revenue", $"n_orders")
+        .orderBy($"o_orderdate")
+    }),
+    benchSetup = Some((s, dir) => buildGold(s, dir, lakeDir(dir, "ig19b_b"),
+      lakeDir(dir, "ig19g_b"), lakeDir(dir, "ig19k_b"))))
+
   override val defs: Seq[QueryDef] =
-    Seq(s11, s12, s13, s14, s15, s16, s17, s18)
+    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }

@@ -173,5 +173,46 @@ object QualityOps extends QueryModule {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
         "o_orderdate")))
 
-  override val defs: Seq[QueryDef] = Seq(dqChecks, dqMeta, dqProfile)
+  /** METRIC DRIFT as a declared, oracle-checked query: the
+    * [[DataQuality.drift]] watcher (the ingest's advisory quality watch)
+    * run over a deterministic series — daily event volumes — with DuckDB
+    * replaying the trailing-k window mean. Portability is by
+    * construction: the metric is an INTEGER-valued double (a count), so
+    * the window SUM is exact under any summation order and the /k mean
+    * divides the same two numbers in both engines; rows with fewer than
+    * k predecessors report null (no baseline, never a guess), exactly
+    * the product's contract. */
+  private val dqDrift = QueryDef(
+    "dq_drift_series",
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS DOUBLE) AS metric_value
+        FROM events GROUP BY 1),
+      win AS (
+        SELECT day, metric_value,
+          CASE WHEN COUNT(metric_value) OVER w >= 3
+            THEN AVG(metric_value) OVER w END AS trailing_mean
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+      SELECT day, metric_value, trailing_mean,
+        metric_value - trailing_mean AS drift,
+        CASE WHEN trailing_mean IS NOT NULL
+          THEN abs(metric_value - trailing_mean) > 150.0 END AS drifted
+      FROM win
+      ORDER BY day"""),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val daily = EventOps.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("metric_value"))
+        .withColumn("scope", lit("events"))
+        .withColumn("check_name", lit("daily_volume"))
+      DataQuality.drift(daily, col("day"), k = 3, tolerance = 150.0)
+        .select(col("day"), col("metric_value"), col("trailing_mean"),
+          col("drift"), col("drifted"))
+        .orderBy(col("day"))
+    })
+
+  override val defs: Seq[QueryDef] = Seq(dqChecks, dqMeta, dqProfile, dqDrift)
 }
