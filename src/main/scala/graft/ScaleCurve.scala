@@ -63,7 +63,9 @@ object ScaleCurve {
     "s18_cdc_replica_read",  // CDC replication: O(changed rows) feeds + replica read
     "cp_weighted_sample",    // min-of-w-hash keys + global top-k heap
     "s19_incremental_gold",  // bookmarked gold refresh: O(affected dates)
-    "dq_drift_series")       // per-series keyed window over a bounded report
+    "dq_drift_series",       // per-series keyed window over a bounded report
+    "s20_dpp_join",          // runtime partition pruning: scan 2 of 7 years
+    "j12_bucketed_join")     // co-located SMB join: zero hash exchanges
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

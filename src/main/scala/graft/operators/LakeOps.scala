@@ -468,6 +468,114 @@ object LakeOps extends QueryModule {
     benchSetup = Some((s, dir) => buildGold(s, dir, lakeDir(dir, "ig19b_b"),
       lakeDir(dir, "ig19g_b"), lakeDir(dir, "ig19k_b"))))
 
+  /** Year-partitioned fact + a tiny year dim carrying the label the
+    * query filters on — the classic dynamic-partition-pruning layout:
+    * the fact's partition values are only knowable at RUNTIME from the
+    * dim's filtered rows, so static pruning cannot help and the planner
+    * must inject the pruning subquery. */
+  private def buildDppTables(s: SparkSession, dir: String, factPath: String,
+      dimPath: String): Unit = {
+    wipe(s, factPath); wipe(s, dimPath)
+    T(s, dir, "orders").withColumn("part_year", year(col("o_orderdate")))
+      .write.partitionBy("part_year").mode("overwrite").parquet(factPath)
+    T(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("part_year")).distinct()
+      .withColumn("era",
+        when(col("part_year").isin(1995, 1996), "mid").otherwise("other"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+  }
+
+  private def dppFrame(s: SparkSession, factPath: String, dimPath: String) = {
+    val fact = s.read.parquet(factPath)
+    val dim = s.read.parquet(dimPath).filter(col("era") === "mid")
+    fact.join(dim, "part_year")
+      .groupBy(col("part_year"))
+      .agg(H.dbl(sum(H.dec2(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("part_year"))
+  }
+
+  /** S20: DYNAMIC PARTITION PRUNING — at 100 TB the difference between
+    * scanning 2 partition directories and scanning 2,000: the dim's
+    * selective filter seeds a runtime subquery that prunes the fact's
+    * partition listing before any fact bytes are read (plan-asserted in
+    * PlanAuditSpec; here the oracle pins the join's values). */
+  private val s20 = QueryDef(
+    "s20_dpp_join",
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS part_year,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1
+      ORDER BY 1"""),
+    (s, dir) => {
+      val fact = lakeDir(dir, "dpp20f_v")
+      val dim = lakeDir(dir, "dpp20d_v")
+      buildDppTables(s, dir, fact, dim)
+      dppFrame(s, fact, dim)
+    },
+    benchBuild = Some((s, dir) =>
+      dppFrame(s, lakeDir(dir, "dpp20f_b"), lakeDir(dir, "dpp20d_b"))),
+    benchSetup = Some((s, dir) =>
+      buildDppTables(s, dir, lakeDir(dir, "dpp20f_b"), lakeDir(dir, "dpp20d_b"))))
+
+  /** Catalog-table names must be path-free; derive a per-variant tag the
+    * same way lakeDir derives its scratch dirs. */
+  private def bucketTag(sfDir: String, v: String): String =
+    v + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Orders and lineitem bucketed+sorted on the join key with EQUAL
+    * bucket counts — the pre-paid shuffle. */
+  private def buildBucketedPair(s: SparkSession, dir: String, tag: String): Unit = {
+    import graft.etl.LakeLayout
+    s.sql(s"DROP TABLE IF EXISTS j12_orders_$tag")
+    s.sql(s"DROP TABLE IF EXISTS j12_lineitem_$tag")
+    LakeLayout.writeBucketed(
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      s"j12_orders_$tag", "o_orderkey", 8)
+    LakeLayout.writeBucketed(
+      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice")),
+      s"j12_lineitem_$tag", "l_orderkey", 8)
+  }
+
+  private def bucketedJoinFrame(s: SparkSession, tag: String) = {
+    val o = s.table(s"j12_orders_$tag")
+    val l = s.table(s"j12_lineitem_$tag")
+    // merge hint: the bucketed sort-merge path even where the optimizer
+    // would broadcast at toy scale — the 100 TB fact↔fact shape is SMJ
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(H.dbl(sum(H.dec2(col("l_quantity")))).as("total_qty"),
+        H.dbl(sum(H.dec2(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J12: BUCKETED (co-located) fact↔fact join — both sides pre-bucketed
+    * on the join key with equal bucket counts, so the sort-merge join
+    * and the join-key aggregation run with ZERO hash exchanges in the
+    * executed plan (the shuffle was paid once at write time;
+    * plan-asserted in PlanAuditSpec, value-pinned here by DuckDB). */
+  private val j12 = QueryDef(
+    "j12_bucketed_join",
+    Some("""
+      SELECT o_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val tag = bucketTag(dir, "v")
+      buildBucketedPair(s, dir, tag)
+      bucketedJoinFrame(s, tag)
+    },
+    benchBuild = Some((s, dir) => bucketedJoinFrame(s, bucketTag(dir, "b"))),
+    benchSetup = Some((s, dir) => buildBucketedPair(s, dir, bucketTag(dir, "b"))))
+
   override val defs: Seq[QueryDef] =
-    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12)
 }

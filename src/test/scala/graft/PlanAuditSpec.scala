@@ -88,6 +88,25 @@ class PlanAuditSpec extends SparkSpec {
       s"may shuffle before the heap:\n$plan")
   }
 
+  test("dim filter seeds dynamic partition pruning on the year-partitioned fact (s20)") {
+    val plan = executed("s20_dpp_join")
+    assert(plan.toString.contains("dynamicpruning"),
+      s"expected a runtime partition-pruning subquery on the fact scan in:\n$plan")
+  }
+
+  test("bucketed fact-fact join + join-key agg run with zero hash exchanges (j12)") {
+    val plan = executed("j12_bucketed_join")
+    val hashShuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"bucketed join + bucket-key agg must not hash-shuffle (the shuffle " +
+        s"was paid at write time); only the presentation sort's range " +
+        s"exchange is allowed:\n$plan")
+  }
+
   test("decomposed OR-join runs as shuffled equi-joins, never a nested loop (J2 scale)") {
     val plan = executed("j2_scale_or_join")
     assert(plan.collect {
