@@ -65,7 +65,8 @@ object ScaleCurve {
     "s19_incremental_gold",  // bookmarked gold refresh: O(affected dates)
     "dq_drift_series",       // per-series keyed window over a bounded report
     "s20_dpp_join",          // runtime partition pruning: scan 2 of 7 years
-    "j12_bucketed_join")     // co-located SMB join: zero hash exchanges
+    "j12_bucketed_join",     // co-located SMB join: zero hash exchanges
+    "ev_resample_fill")      // calendar spine + per-type fill windows
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

@@ -497,7 +497,67 @@ object EventOps extends QueryModule {
         .orderBy($"from_type", $"to_type")
     })
 
+  /** RESAMPLE + GAP-FILL — regularize an event stream onto a dense daily
+    * grid: build the calendar spine (one `sequence` explode over the
+    * table's [min, max] day), cross it with the type dimension, left-join
+    * the real daily aggregates, then fill — counts become 0 (a silent day
+    * IS zero events), carried metrics forward-fill from the last observed
+    * day (`last(..., ignoreNulls)` over a per-type ordered window). The
+    * time-series prep every downstream trainer/monitor wants before
+    * lag/rolling features: without the fill, a day with no rows silently
+    * vanishes from windows instead of contributing its true zero.
+    *
+    * Scale shape: ONE pass over events for the daily aggregate; the spine
+    * is |types| × days (calendar-bounded, NOT data-sized — 10× the events
+    * is the same spine); the spine-side joins are broadcasts and the fill
+    * window is partitioned per type. Float-portable by the H policy: the
+    * carried metric is a decimal-exact daily sum cast to double once. */
+  private val evResample = QueryDef(
+    "ev_resample_fill",
+    Some("""
+      WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        FROM events),
+      days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds),
+      types AS (SELECT DISTINCT event_type FROM events),
+      daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      spine AS (SELECT event_type, day FROM types CROSS JOIN days)
+      SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n_events,
+        last_value(d.v IGNORE NULLS) OVER (
+          PARTITION BY s.event_type ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+      FROM spine s LEFT JOIN daily d
+        ON s.event_type = d.event_type AND s.day = d.day
+      ORDER BY s.event_type, s.day"""),
+    (s, dir) => resampleDaily(events(s, dir))
+      .orderBy(col("event_type"), col("day")))
+
+  /** The resample+fill transformation behind `ev_resample_fill`, factored
+    * for the gap-semantics spec (the sf0.01 grid happens to be dense, so
+    * only a fixture with real holes can exercise the fill paths). */
+  def resampleDaily(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), H.dbl(sum(H.dec2(col("value")))).as("v"))
+    val days = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val spine = ev.select(col("event_type")).distinct().crossJoin(broadcast(days))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("carried_value"))
+  }
+
   override val defs: Seq[QueryDef] =
     Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14,
-      evCohorts, evSequences, evAnomaly, evMarkov)
+      evCohorts, evSequences, evAnomaly, evMarkov, evResample)
 }
