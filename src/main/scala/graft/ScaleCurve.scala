@@ -66,7 +66,8 @@ object ScaleCurve {
     "dq_drift_series",       // per-series keyed window over a bounded report
     "s20_dpp_join",          // runtime partition pruning: scan 2 of 7 years
     "j12_bucketed_join",     // co-located SMB join: zero hash exchanges
-    "ev_resample_fill")      // calendar spine + per-type fill windows
+    "ev_resample_fill",      // calendar spine + per-type fill windows
+    "dd_keep_best")          // components + membership-sized ranked keep
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

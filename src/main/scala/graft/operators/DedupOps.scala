@@ -1247,8 +1247,76 @@ object DedupOps extends QueryModule {
     benchBuild = Some((s, dir) =>
       repeatedPassagesRolling(s, T(s, dir, "documents"))))
 
+  /** QUALITY-RANKED dedup — the policy step a curation run applies AFTER
+    * clustering: inside each near-dup component keep the single best
+    * document (here: longest text, doc_id tie-break — swap any
+    * deterministic quality rank in), pass every unclustered document
+    * through untouched, and label WHY each survivor was kept. "Drop all
+    * but one arbitrary member" loses the best copy of boilerplate-heavy
+    * families; ranked keep is the Lee-et-al/RefinedWeb-style selection.
+    *
+    * Scale shape: the components pass is the cost (bounded, banded —
+    * see [[minhashComponents]]); on top of it one keyed window over the
+    * CLUSTERED docs only (near-dup membership-sized, not corpus-sized)
+    * and one anti-join whose right side is that same membership set. */
+  def keepBestPerCluster(s: SparkSession, documents: DataFrame,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))
+  ): DataFrame = {
+    val comp = minhashComponents(s, documents, hashFn = hashFn)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val best = comp
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), lit("cluster_best").as("kept_as"))
+    val unique = documents.select(col("doc_id"))
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("unique").as("kept_as"))
+    unique.unionByName(best).orderBy(col("doc_id"))
+  }
+
+  private def keepBestOracle(threshold: Double, numPerms: Int,
+      bands: Int): String =
+    s"""
+      WITH RECURSIVE ${minhashCtes(threshold, numPerms, bands)},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(node, reach) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+      comp AS (
+        SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+      ranked AS (
+        SELECT c.node AS doc_id,
+          ROW_NUMBER() OVER (PARTITION BY c.component
+            ORDER BY d.n_chars DESC, c.node ASC) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.node),
+      kept AS (
+        SELECT doc_id, 'cluster_best' AS kept_as FROM ranked WHERE rk = 1
+        UNION ALL
+        SELECT d.doc_id, 'unique' AS kept_as
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        WHERE c.node IS NULL)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, kept_as
+      FROM kept
+      ORDER BY doc_id"""
+
+  private val ddKeepBest = QueryDef(
+    "dd_keep_best",
+    Some(keepBestOracle(threshold = 0.5, numPerms = 32, bands = 8)),
+    (s, dir) => keepBestPerCluster(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash),
+    benchBuild = Some((s, dir) =>
+      keepBestPerCluster(s, T(s, dir, "documents"))))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
       ddClusterStats, ddSimhashHamming, ddIncremental, ddIncrementalIndexed,
-      ddBoilerplate, ddNovelty, ddCorpusOverlap, ddRepeatedPassages)
+      ddBoilerplate, ddNovelty, ddCorpusOverlap, ddRepeatedPassages,
+      ddKeepBest)
 }

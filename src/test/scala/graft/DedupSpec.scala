@@ -24,6 +24,24 @@ class DedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("keepBestPerCluster: longest doc of each cluster survives, ties break to smallest id, uniques pass") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dup = (1 to 30).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base extraword"), // cluster {1,2}: longer → kept
+      (2L, base),               // dropped
+      (4L, dup),                // cluster {4,5}: identical texts —
+      (5L, dup),                //   tie on length → doc_id 4 kept
+      (3L, docC)                // no near-dup → passes through
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val kept = DedupOps.keepBestPerCluster(spark, docs,
+        hashFn = DedupOps.portableSeededHash)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> "cluster_best", 4L -> "cluster_best",
+      3L -> "unique"))
+  }
+
   test("minhash LSH finds the planted near-dup pair and only it") {
     val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
     val pairs = DedupOps.minhashNearDups(spark, docs, threshold = 0.5)
