@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Manifest-committed, date-partitioned parquet table — the ATOMIC
   * multi-partition merge [[graft.streaming.StreamingIngest.mergeIntoDatePartitioned]]
@@ -580,15 +580,45 @@ object ManifestTable {
   /** The union of previous and batch columns, previous order first —
     * how the table schema evolves. A column present in both must agree
     * on type (silent coercion would corrupt, so it refuses). */
+  /** The safe type-widening ladders (Iceberg/Delta "type widening",
+    * public): integral up to LongType, FloatType→DoubleType. Everything
+    * else — narrowing, cross-family, string↔numeric — refuses loudly.
+    * Sound end to end because (a) Spark 4's parquet reader returns an
+    * int32/float file column as long/double when the requested schema
+    * says so ([[readPart]] always pins the SNAPSHOT schema), (b)
+    * [[align]] casts a narrower batch up losslessly, and (c) zone-map
+    * bounds are stored as type-agnostic BigDecimal, so pruning and
+    * statsAgg fold bounds across file generations unchanged. */
+  private val widenLadder: Map[DataType, Int] =
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+
+  private def widened(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else (widenLadder.get(a), widenLadder.get(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ =>
+        (a, b) match {
+          case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+            Some(DoubleType)
+          case _ => None
+        }
+    }
+
   private def mergeSchemas(prev: StructType, batch: StructType): StructType = {
-    batch.fields.foreach { bf =>
-      prev.fields.find(_.name == bf.name).foreach { pf =>
-        require(pf.dataType == bf.dataType,
-          s"column ${bf.name} changed type ${pf.dataType} -> ${bf.dataType}; " +
-            "schema evolution adds/removes columns, it never retypes them")
+    val resolved = prev.fields.map { pf =>
+      batch.fields.find(_.name == pf.name) match {
+        case Some(bf) =>
+          val t = widened(pf.dataType, bf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"column ${pf.name} changed type ${pf.dataType} -> ${bf.dataType}; " +
+                "schema evolution adds/removes columns or WIDENS numerics " +
+                "(byte<short<int<long, float<double), it never narrows or " +
+                "cross-types"))
+          pf.copy(dataType = t)
+        case None => pf
       }
     }
-    StructType(prev.fields ++
+    StructType(resolved ++
       batch.fields.filterNot(bf => prev.fieldNames.contains(bf.name)))
   }
 

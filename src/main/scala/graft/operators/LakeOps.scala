@@ -576,6 +576,58 @@ object LakeOps extends QueryModule {
     benchBuild = Some((s, dir) => bucketedJoinFrame(s, bucketTag(dir, "b"))),
     benchSetup = Some((s, dir) => buildBucketedPair(s, dir, bucketTag(dir, "b"))))
 
+  /** orders with an INT `o_custkey` (v1), then one year's rows re-merged
+    * with the column as LONG (v2): the type-widening fixture. Only
+    * 1995's partition is rewritten with int64 pages; every other year's
+    * files still hold int32 pages and the read must return them widened
+    * through the snapshot schema. */
+  private def buildWidened(s: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import s.implicits._
+    wipe(s, path)
+    val keys = Seq("o_orderkey", "o_orderdate")
+    val orders = T(s, dir, "orders")
+    ManifestTable.mergeInto(s,
+      orders.withColumn("o_custkey", $"o_custkey".cast(IntegerType)),
+      path, keys, dateCol = "o_orderdate")
+    ManifestTable.mergeInto(s,
+      orders.filter(year($"o_orderdate") === 1995)
+        .select($"o_orderkey", $"o_orderdate",
+          $"o_custkey".cast(LongType).as("o_custkey")),
+      path, keys, dateCol = "o_orderdate")
+  }
+
+  /** S21: TYPE-WIDENING read — after a batch carries a column at a wider
+    * numeric type (int→long), the whole table reads at the widened type:
+    * untouched partitions' int32 pages come back as longs through the
+    * snapshot schema, values bit-identical. The driver compares SCHEMA
+    * as well as values, so DuckDB's BIGINT pins the widened type, and
+    * the value hash pins that no row was corrupted by the widening.
+    * (Narrowing/cross-family refusals are spec-asserted in
+    * ManifestTableSpec.) */
+  private val s21 = QueryDef(
+    "s21_type_widening_read",
+    Some("""
+      SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+        o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS part_year
+      FROM orders
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "tw21_v")
+      buildWidened(s, dir, path)
+      ManifestTable.read(s, path)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.read(s, lakeDir(dir, "tw21_b"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildWidened(s, dir, lakeDir(dir, "tw21_b"))))
+
   override val defs: Seq[QueryDef] =
-    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12)
+    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12, s21)
 }

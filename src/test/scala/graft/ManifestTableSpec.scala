@@ -278,12 +278,48 @@ class ManifestTableSpec extends SparkSpec {
     val k4 = v3.filter($"id" === "k4").collect().head
     assert(k4.isNullAt(k4.fieldIndex("v")),
       "an insert missing a column lands as null")
-    // a retype is refused, never coerced
+    // a cross-family retype is refused, never coerced
     val retyped = Seq(("k9", "2023-06-01", "not-a-double"))
       .toDF("id", "date", "v").withColumn("date", to_date($"date"))
     val e = intercept[IllegalArgumentException](
       ManifestTable.mergeInto(spark, retyped, base, keys, "date"))
-    assert(e.getMessage.contains("never retypes"))
+    assert(e.getMessage.contains("never narrows or"))
+  }
+
+  test("type widening: an int column widens to long; old int32 files read widened; narrowing refuses") {
+    val base = Files.createTempDirectory("manifestW").toString + "/fact"
+    val keys = Seq("id", "date")
+    val v1 = Seq(("k1", "2023-03-01", 7), ("k2", "2023-09-09", 9))
+      .toDF("id", "date", "n").withColumn("date", to_date($"date"))
+    ManifestTable.mergeInto(spark, v1, base, keys, "date")
+    // a LONG batch widens the column for the whole table
+    val v2 = Seq(("k3", "2023-03-02", 5000000000L))
+      .toDF("id", "date", "n").withColumn("date", to_date($"date"))
+    ManifestTable.mergeInto(spark, v2, base, keys, "date")
+    val read = ManifestTable.read(spark, base)
+    assert(read.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // 2023-09-09's partition was NOT touched by the long merge: its file
+    // still holds int32 pages and must read back widened
+    val got = read.select($"id", $"n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("k1" -> 7L, "k2" -> 9L, "k3" -> 5000000000L))
+    // zone maps survive the mixed generations: bounds fold numerically
+    val agg = ManifestTable.statsAgg(spark, base, "n")
+    assert(agg.exists(a => a.bounds.contains(
+      (BigDecimal(7), BigDecimal(5000000000L)))))
+    // a narrower int batch into the widened column is cast UP, not refused
+    val v3 = Seq(("k4", "2023-03-03", 11))
+      .toDF("id", "date", "n").withColumn("date", to_date($"date"))
+    ManifestTable.mergeInto(spark, v3, base, keys, "date")
+    assert(ManifestTable.read(spark, base).filter($"id" === "k4")
+      .select($"n").head.getLong(0) == 11L)
+    // cross-family (long -> string) refuses loudly
+    val bad = Seq(("k5", "2023-03-04", "oops")).toDF("id", "date", "n")
+      .withColumn("date", to_date($"date"))
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.mergeInto(spark, bad, base, keys, "date"))
+    assert(e.getMessage.contains("never narrows or"))
   }
 
   test("vacuum never touches a staged-but-uncommitted version; its commit then succeeds") {
