@@ -67,7 +67,8 @@ object ScaleCurve {
     "s20_dpp_join",          // runtime partition pruning: scan 2 of 7 years
     "j12_bucketed_join",     // co-located SMB join: zero hash exchanges
     "ev_resample_fill",      // calendar spine + per-type fill windows
-    "dd_keep_best")          // components + membership-sized ranked keep
+    "dd_keep_best",          // components + membership-sized ranked keep
+    "s21_type_widening_read") // mixed-generation widened read
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
