@@ -651,6 +651,118 @@ object MultimodalOps extends QueryModule {
       sampleFrames(withSyntheticVideo(T(s, dir, "documents")))
         .orderBy(col("doc_id"), col("frame_idx")))
 
+  /** 16-bit mono PCM WAV with REAL samples after the 44-byte header —
+    * unlike [[wavHeader]]'s header-only payload, this is a decodable
+    * audio file any WAV reader accepts. */
+  def wavPcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wavHeader(sampleRate, samples.length))
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Deterministic int16 waveform — the formula the DuckDB oracle
+    * replays, so the decoded samples are checkable value-for-value.
+    * Integer-only: amplitude ±1001 fits int16 with no float anywhere. */
+  def syntheticWave(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((id * 31 + i.toLong * 17) % 2003) - 1001).toShort)
+
+  /** Sample count per doc: 2-4 exact 80-sample frames. */
+  def audioSampleCount(id: Long): Int = (160 + (id % 3) * 80).toInt
+
+  /** Attach a real PCM WAV payload per document (per-partition synth —
+    * the binary-ingestion batch shape). */
+  def withSyntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavPcm(8000, syntheticWave(id, audioSampleCount(id))))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL PCM decode: RIFF chunk walk to `data`, int16 LE samples out.
+    * Malformed payloads decode to zero samples (corrupt rows are data,
+    * not exceptions — same contract as [[parseMediaMeta]]). */
+  def pcmSamples(bytes: Array[Byte]): Array[Short] = {
+    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    def le32(o: Int) = java.nio.ByteBuffer.wrap(bytes, o, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    if (bytes.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      return Array.empty
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = ascii(o, 4); val sz = le32(o + 4)
+      if (sz < 0) return Array.empty
+      if (id == "data") {
+        val n = math.min(sz.toLong, (bytes.length - o - 8).toLong).toInt / 2
+        val sb = java.nio.ByteBuffer.wrap(bytes, o + 8, n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        return Array.fill(n)(sb.getShort())
+      }
+      o = math.min(o.toLong + 8L + sz.toLong + (sz & 1), bytes.length.toLong).toInt
+    }
+    Array.empty
+  }
+
+  /** AUDIO WINDOWING — frame each payload's PCM stream into fixed
+    * windows and compute per-window energy: decode + frame + integer
+    * sum-of-squares run per partition (one decoder init per partition,
+    * the [[extractFeatures]] batch shape), the RMS is a codegen'd
+    * expression on top. Integer energies are exact under any order; the
+    * one float op is `sqrt(sum_sq / n)` — division of the same two
+    * numbers and the one correctly-rounded IEEE power, so the oracle
+    * hash-matches. The loudness/silence profile a speech-data pipeline
+    * computes before segmenting. */
+  def audioFrameEnergy(audio: DataFrame, frame: Int = 80): DataFrame = {
+    require(frame > 0, s"frame must be positive, got $frame")
+    val spark = audio.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_sq", LongType)))
+    val rdd = audio.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val samples = pcmSamples(r.getAs[Array[Byte]](1))
+        samples.grouped(frame).zipWithIndex.map { case (w, fi) =>
+          Row(id, fi, w.length.toLong, w.map(s => s.toLong * s).sum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .withColumn("rms", sqrt(col("sum_sq").cast(DoubleType) / col("n_samples")))
+  }
+
+  private val mmAudio = QueryDef(
+    "mm_audio_windows",
+    Some("""
+      WITH samples AS (
+        SELECT d.doc_id, t.i,
+          ((d.doc_id * 31 + t.i * 17) % 2003) - 1001 AS s
+        FROM documents d, LATERAL (
+          SELECT unnest(generate_series(0,
+            CAST(160 + (d.doc_id % 3) * 80 AS BIGINT) - 1)) AS i) t),
+      frames AS (
+        SELECT doc_id, i // 80 AS frame_idx, COUNT(*) AS n_samples,
+          SUM(s * s) AS sum_sq
+        FROM samples GROUP BY 1, 2)
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_samples,
+        sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+      FROM frames
+      ORDER BY doc_id, frame_idx"""),
+    (s, dir) =>
+      audioFrameEnergy(withSyntheticAudio(T(s, dir, "documents")))
+        .orderBy(col("doc_id"), col("frame_idx")))
+
   override val defs: Seq[QueryDef] =
-    Seq(mmBinary, mmFeatures, mmDecode, mmDhash, mmImage, mmResize, mmFrames)
+    Seq(mmBinary, mmFeatures, mmDecode, mmDhash, mmImage, mmResize, mmFrames,
+      mmAudio)
 }

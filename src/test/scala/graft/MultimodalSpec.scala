@@ -183,4 +183,40 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_.getAs[Long]("doc_id") == 0L)
       .map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 2)))
   }
+
+  test("audio: PCM round-trip, framed energy, partial tail, corrupt bytes are data") {
+    // decode inverts the synth exactly
+    val wave = MultimodalOps.syntheticWave(7L, 200)
+    val bytes = MultimodalOps.wavPcm(8000, wave)
+    assert(MultimodalOps.pcmSamples(bytes).sameElements(wave))
+    // the payload is ALSO a well-formed WAV to the header parser
+    val (fmt, _, _, durMs) = MultimodalOps.parseMediaMeta(bytes)
+    assert(fmt == "wav" && durMs == 200L * 1000L / 8000L)
+    // framed energy: a frame size that does NOT divide the stream leaves
+    // a partial tail window whose n_samples is the remainder
+    val audio = MultimodalOps.withSyntheticAudio(
+      Seq((7L, "x")).toDF("doc_id", "text"))
+    val frames = MultimodalOps.audioFrameEnergy(audio, frame = 60)
+      .orderBy($"frame_idx").collect()
+    // doc 7: 160 + (7 % 3) * 80 = 240 samples -> 4 full frames of 60
+    assert(frames.map(_.getAs[Long]("n_samples")).toSeq == Seq(60L, 60L, 60L, 60L))
+    val expected = wave // recompute energies from the formula directly
+    val w7 = MultimodalOps.syntheticWave(7L, 240)
+    frames.zipWithIndex.foreach { case (r, fi) =>
+      val sumSq = w7.slice(fi * 60, fi * 60 + 60).map(s => s.toLong * s).sum
+      assert(r.getAs[Long]("sum_sq") == sumSq)
+      assert(r.getAs[Double]("rms") == math.sqrt(sumSq.toDouble / 60))
+    }
+    // a 250-sample stream at frame=60 -> tail window of 10
+    val tail = MultimodalOps.audioFrameEnergy(
+      MultimodalOps.withSyntheticAudio(Seq((1L, "x")).toDF("doc_id", "text"))
+        .selectExpr("doc_id",
+          "media AS media0").select($"doc_id", $"media0".as("media")),
+      frame = 70).orderBy($"frame_idx").collect()
+    // doc 1: 160 + 80 = 240 samples -> 3 x 70 + tail of 30
+    assert(tail.map(_.getAs[Long]("n_samples")).toSeq == Seq(70L, 70L, 70L, 30L))
+    // corrupt payloads decode to zero samples, never throw
+    assert(MultimodalOps.pcmSamples("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(MultimodalOps.pcmSamples(Array.empty[Byte]).isEmpty)
+  }
 }
