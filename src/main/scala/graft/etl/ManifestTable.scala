@@ -637,6 +637,50 @@ object ManifestTable {
       keys: Seq[String], dateCol: String, bloomCols: Seq[String] = Nil): Unit =
     commit(spark, basePath, stage(spark, batch, basePath, keys, dateCol, bloomCols))
 
+  /** WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern, public): stage the
+    * merge, hand `audit` the EXACT table state the commit would publish
+    * (carried dirs + the staged rewrite, snapshot-schema-pinned, pending
+    * deletes applied — bit-for-bit what `read()` returns after the
+    * flip), and move the pointer only on approval. Post-MERGE audits
+    * catch what batch-side gates structurally cannot: cross-batch key
+    * collisions, containment against the merged reference, a total-row
+    * floor after upserts fold. On rejection the staged data dirs and any
+    * freshly-rewritten delete dirs are removed and the table is
+    * untouched — no version is consumed, readers never saw a byte.
+    * Returns the published version, or None when the audit rejected. */
+  def writeAuditPublish(spark: SparkSession, batch: DataFrame,
+      basePath: String, keys: Seq[String], dateCol: String,
+      bloomCols: Seq[String] = Nil)(
+      audit: DataFrame => Boolean): Option[Int] = {
+    val staged = stage(spark, batch, basePath, keys, dateCol, bloomCols)
+    val approved =
+      try audit(readSnapshot(spark, basePath, staged.snapshot))
+      catch { case e: Throwable => abandonStaged(spark, basePath, staged); throw e }
+    if (approved) {
+      commit(spark, basePath, staged)
+      Some(staged.snapshot.version)
+    } else {
+      abandonStaged(spark, basePath, staged)
+      None
+    }
+  }
+
+  /** Remove exactly what THIS staging wrote: data dirs carrying the
+    * staged version's prefix and delete dirs freshly rewritten for it.
+    * Carried dirs belong to committed versions and are never touched. */
+  private def abandonStaged(spark: SparkSession, basePath: String,
+      staged: Staged): Unit = {
+    val dd = dataDir(basePath)
+    val f = fs(spark, dd)
+    val v = staged.snapshot.version
+    staged.snapshot.parts.values.toSet[String]
+      .filter(d => dirVersion(d).contains(v))
+      .foreach(d => f.delete(new Path(dd, d), true))
+    staged.snapshot.deletes
+      .filter(d => deleteDirVersion(d).contains(v))
+      .foreach(d => f.delete(new Path(dd, d), true))
+  }
+
   /** [[mergeInto]] with the bounded optimistic-concurrency retry loop a
     * multi-writer deployment runs (the Delta commit-protocol shape,
     * public): on [[ConcurrentCommitException]] the merge RE-STAGES

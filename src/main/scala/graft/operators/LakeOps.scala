@@ -628,6 +628,70 @@ object LakeOps extends QueryModule {
     }),
     benchSetup = Some((s, dir) => buildWidened(s, dir, lakeDir(dir, "tw21_b"))))
 
+  /** The WAP auditor: every post-merge total non-negative, table
+    * non-empty — evaluated on the STAGED state, one scan. */
+  private def wapAudit(merged: org.apache.spark.sql.DataFrame): Boolean = {
+    import graft.etl.DataQuality
+    DataQuality.allPassed(DataQuality.report(Seq(DataQuality.rowChecks(
+      merged, Seq(DataQuality.NonNegative("o_totalprice", "orders.o_totalprice"),
+        DataQuality.MinRows("orders", 1.0))))))
+  }
+
+  /** orders published through WRITE-AUDIT-PUBLISH (audit passes), then a
+    * poisoned batch (negative total) whose staged state FAILS the same
+    * audit — the rejection must consume no version and leak no bytes. */
+  private def buildWap(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    wipe(s, path)
+    val keys = Seq("o_orderkey", "o_orderdate")
+    val orders = T(s, dir, "orders")
+    val published = ManifestTable.writeAuditPublish(s, orders, path, keys,
+      dateCol = "o_orderdate")(wapAudit)
+    require(published.contains(1), s"clean batch must publish, got $published")
+    // pin the poison's key/date columns to the table's own types — the
+    // point is the AUDIT rejection, not a schema-evolution refusal
+    val poison = Seq((java.sql.Date.valueOf("1995-06-01"), -1.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(
+        lit(-7L).cast(orders.schema("o_orderkey").dataType).as("o_orderkey"),
+        $"o_orderdate".cast(orders.schema("o_orderdate").dataType)
+          .as("o_orderdate"),
+        $"o_totalprice")
+    val rejected = ManifestTable.writeAuditPublish(s, poison, path, keys,
+      dateCol = "o_orderdate")(wapAudit)
+    require(rejected.isEmpty, "the poisoned batch must be rejected")
+  }
+
+  /** S22: WRITE-AUDIT-PUBLISH read — after a published clean batch and a
+    * REJECTED poisoned one, the table must read as if the poison never
+    * existed (the audit ran on the staged post-merge state; the flip
+    * never happened; the staged bytes are gone). DuckDB replays the
+    * published state as the plain source table — any leak of the
+    * rejected write breaks the hash. The no-version-consumed and
+    * bytes-deleted claims are spec-asserted in ManifestTableSpec. */
+  private val s22 = QueryDef(
+    "s22_wap_publish_read",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(year(o_orderdate) AS INTEGER) AS part_year
+      FROM orders
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "wap22_v")
+      buildWap(s, dir, path)
+      ManifestTable.read(s, path)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"part_year")
+        .orderBy($"o_orderkey")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.read(s, lakeDir(dir, "wap22_b"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"part_year")
+        .orderBy($"o_orderkey")
+    }),
+    benchSetup = Some((s, dir) => buildWap(s, dir, lakeDir(dir, "wap22_b"))))
+
   override val defs: Seq[QueryDef] =
-    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12, s21)
+    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12, s21, s22)
 }

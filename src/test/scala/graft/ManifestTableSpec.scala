@@ -322,6 +322,43 @@ class ManifestTableSpec extends SparkSpec {
     assert(e.getMessage.contains("never narrows or"))
   }
 
+  test("write-audit-publish: rejection consumes no version and leaves no bytes; approval equals a plain merge") {
+    import graft.etl.DataQuality
+    val base = Files.createTempDirectory("manifestWap").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0), ("k2", "2024-05-02", 20.0))),
+      base, keys, "date")
+    def audit(merged: org.apache.spark.sql.DataFrame): Boolean =
+      DataQuality.allPassed(DataQuality.report(Seq(DataQuality.rowChecks(
+        merged, Seq(DataQuality.NonNegative("v", "fact.v"))))))
+    // a batch whose MERGED state violates the invariant is rejected
+    val bad = frame(Seq(("k1", "2023-03-01", -5.0)))
+    assert(ManifestTable.writeAuditPublish(spark, bad, base, keys, "date")(audit).isEmpty)
+    assert(ManifestTable.versions(spark, base) == Seq(1),
+      "a rejected publish must not consume a version")
+    assert(asMap(ManifestTable.read(spark, base)) ==
+      Map(("k1", "2023-03-01") -> 10.0, ("k2", "2024-05-02") -> 20.0),
+      "readers never see rejected bytes")
+    val dd = new org.apache.hadoop.fs.Path(base, "data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(dd).map(_.getPath.getName).exists(_.startsWith("v00002")),
+      "the abandoned stage dir must be deleted")
+    // an approved publish lands exactly like a plain merge — and the
+    // auditor saw the POST-merge state (the updated row, not the batch)
+    var audited: Map[(String, String), Double] = Map.empty
+    val v = ManifestTable.writeAuditPublish(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0))), base, keys, "date") { merged =>
+      audited = asMap(merged)
+      audit(merged)
+    }
+    assert(v.contains(2))
+    assert(audited == Map(("k1", "2023-03-01") -> 11.0,
+      ("k2", "2024-05-02") -> 20.0),
+      "the audit frame must be the merged state, not the batch")
+    assert(asMap(ManifestTable.read(spark, base)) == audited)
+  }
+
   test("vacuum never touches a staged-but-uncommitted version; its commit then succeeds") {
     val base = Files.createTempDirectory("manifest8").toString + "/fact"
     val keys = Seq("id", "date")
