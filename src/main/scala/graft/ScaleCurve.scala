@@ -68,7 +68,10 @@ object ScaleCurve {
     "j12_bucketed_join",     // co-located SMB join: zero hash exchanges
     "ev_resample_fill",      // calendar spine + per-type fill windows
     "dd_keep_best",          // components + membership-sized ranked keep
-    "s21_type_widening_read") // mixed-generation widened read
+    "s21_type_widening_read", // mixed-generation widened read
+    "s22_wap_publish_read",  // WAP-published read (poison rejected)
+    "mm_audio_windows",      // per-partition PCM decode + framing
+    "dq_histogram")          // one-scan equi-width histogram
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

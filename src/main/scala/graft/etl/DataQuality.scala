@@ -183,6 +183,34 @@ object DataQuality {
       .orderBy(col("column_name"))
   }
 
+  /** EQUI-WIDTH HISTOGRAM of a numeric column in ONE scan — the shape
+    * view [[profile]]'s min/max can't give (a min/max pair hides a
+    * bimodal or a one-sided pile-up completely). Bucket -1 catches
+    * values below `lo`, bucket `buckets` above-or-at `hi` (the
+    * `width_bucket` convention); empty buckets are absent, not
+    * zero-filled — at 300 columns × 1000 buckets the dense spine is the
+    * expensive shape. Cross-engine exact when (hi − lo) / buckets is a
+    * clean literal: the bucket index is one subtraction, one division
+    * and a floor over the same operands in either engine. */
+  def histogram(table: DataFrame, column: String, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"need at least one bucket, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / buckets
+    val x = col(column)
+    val idx = when(x < lo, lit(-1))
+      .when(x >= hi, lit(buckets))
+      .otherwise(floor((x - lit(lo)) / lit(width)).cast("int"))
+    table.filter(x.isNotNull)
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("hi_edge"),
+        col("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
   /** METRIC DRIFT over a published report history (the table
     * [[graft.streaming.ContinuousIngest]] appends per batch): for every
     * (scope, check) series, compare each batch's metric against the

@@ -214,5 +214,25 @@ object QualityOps extends QueryModule {
         .orderBy(col("day"))
     })
 
-  override val defs: Seq[QueryDef] = Seq(dqChecks, dqMeta, dqProfile, dqDrift)
+  /** The one-scan equi-width histogram as a declared query: orders'
+    * totals over [0, 600k) in 12 × 50k buckets (clean literal width, so
+    * the bucket index — one subtraction, one division, one floor — is
+    * the same double math in both engines). */
+  private val dqHistogram = QueryDef(
+    "dq_histogram",
+    Some("""
+      WITH b AS (
+        SELECT CASE WHEN o_totalprice < 0.0 THEN -1
+                    WHEN o_totalprice >= 600000.0 THEN 12
+                    ELSE CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER)
+               END AS bucket
+        FROM orders WHERE o_totalprice IS NOT NULL)
+      SELECT bucket, 0.0 + bucket * 50000.0 AS lo_edge,
+        0.0 + (bucket + 1) * 50000.0 AS hi_edge, COUNT(*) AS n_rows
+      FROM b GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => DataQuality.histogram(T(s, dir, "orders"), "o_totalprice",
+      lo = 0.0, hi = 600000.0, buckets = 12))
+
+  override val defs: Seq[QueryDef] =
+    Seq(dqChecks, dqMeta, dqProfile, dqDrift, dqHistogram)
 }

@@ -201,4 +201,19 @@ class DataQualitySpec extends SparkSpec {
       Completeness("v", "fact.v", threshold = 1.0))
     assert(c.exists(v => v.metricValue == 0.5 && !v.passed))
   }
+
+  test("histogram: clean-width buckets, boundary values, under/overflow arms, nulls excluded") {
+    val df = Seq(Option(-5.0), Option(0.0), Option(49.9), Option(50.0),
+      Option(99.9), Option(100.0), Option(250.0), Option.empty[Double])
+      .toDF("v")
+    val h = DataQuality.histogram(df, "v", lo = 0.0, hi = 100.0, buckets = 2)
+      .collect()
+    assert(h.map(r => (r.getInt(0), r.getLong(3))).toSeq ==
+      Seq((-1, 1L), (0, 2L), (1, 2L), (2, 2L)),
+      "-5 underflows, [0,50) holds {0,49.9}, [50,100) holds {50,99.9}, " +
+        "{100,250} overflow (hi is exclusive), the null is no row")
+    val b0 = h.find(_.getInt(0) == 0).get
+    assert(b0.getDouble(1) == 0.0 && b0.getDouble(2) == 50.0,
+      "bucket edges derive from lo + idx * width")
+  }
 }
