@@ -528,10 +528,21 @@ object LakeOps extends QueryModule {
 
   /** Orders and lineitem bucketed+sorted on the join key with EQUAL
     * bucket counts — the pre-paid shuffle. */
+  /** DROP TABLE only clears the location when THIS session's catalog
+    * knows the table; a fresh session re-running the build would
+    * otherwise hit LOCATION_ALREADY_EXISTS on the stale warehouse dir
+    * left by a previous JVM. Clear both. */
+  private def dropBucketTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new Path(new Path(s.conf.get("spark.sql.warehouse.dir")), name)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
   private def buildBucketedPair(s: SparkSession, dir: String, tag: String): Unit = {
     import graft.etl.LakeLayout
-    s.sql(s"DROP TABLE IF EXISTS j12_orders_$tag")
-    s.sql(s"DROP TABLE IF EXISTS j12_lineitem_$tag")
+    dropBucketTable(s, s"j12_orders_$tag")
+    dropBucketTable(s, s"j12_lineitem_$tag")
     LakeLayout.writeBucketed(
       T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice")),
