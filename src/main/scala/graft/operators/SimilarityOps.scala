@@ -1336,8 +1336,77 @@ object SimilarityOps extends QueryModule {
       ORDER BY q_doc, q_chunk, rank"""),
     (s, dir) => chunkRetrieval(s, T(s, dir, "documents")))
 
+  /** MATRYOSHKA-style truncated search audit (Kusupati et al.
+    * arXiv:2205.13147): search with only the first `prefixDims` of every
+    * vector — the 4×-cheaper serving form MRL-trained embeddings
+    * support — and MEASURE its recall against the full-dim exact top-k
+    * per query. The recall is the deliverable (on MRL-trained vectors it
+    * stays high; on arbitrary vectors it is whatever it is) — declaring
+    * it as a hash-checked value means a slicing/ranking regression turns
+    * a correctness row red, the [[simAnnRecall]] pattern. `n / k` with
+    * n ≤ k ≤ 5 is an exact binary fraction, so the one division is
+    * bit-portable. Audit form is two brute passes by design; the serving
+    * form slices BEFORE the persisted-index build, cutting every
+    * distance to `prefixDims/dims` of the work. */
+  def mrlRecall(s: SparkSession, embeddings: DataFrame, queries: DataFrame,
+      prefixDims: Int = 16, topK: Int = 5): DataFrame = {
+    require(prefixDims > 0, s"need a positive prefix, got $prefixDims")
+    def trunc(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val full = cosineTopK(s, embeddings, queries, topK)
+      .select(col("q_id"), col("neighbor_id"))
+    val pre = cosineTopK(s, trunc(embeddings), trunc(queries), topK)
+      .select(col("q_id"), col("neighbor_id"))
+    val overlap = full.join(pre, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) / topK.toDouble).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  private def mrlCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(list_zip($x, $y), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val simMrl = QueryDef(
+    "sim_mrl_recall",
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      full_rank AS (
+        SELECT q_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY c DESC, neighbor_id ASC) AS rk
+        FROM (SELECT q.q_id, e.vec_id AS neighbor_id,
+                ${mrlCos("q.qv", "e.ev")} AS c
+              FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)),
+      pre_rank AS (
+        SELECT q_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY c DESC, neighbor_id ASC) AS rk
+        FROM (SELECT q.q_id, e.vec_id AS neighbor_id,
+                ${mrlCos("q.qv[1:16]", "e.ev[1:16]")} AS c
+              FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)),
+      f AS (SELECT q_id, neighbor_id FROM full_rank WHERE rk <= 5),
+      p AS (SELECT q_id, neighbor_id FROM pre_rank WHERE rk <= 5),
+      ov AS (SELECT f.q_id, COUNT(*) AS n FROM f
+             JOIN p ON f.q_id = p.q_id AND f.neighbor_id = p.neighbor_id
+             GROUP BY f.q_id)
+      SELECT q.q_id, COALESCE(ov.n, 0) AS n_overlap,
+        COALESCE(ov.n, 0) / 5.0 AS recall_at_k
+      FROM q LEFT JOIN ov ON q.q_id = ov.q_id
+      ORDER BY q.q_id"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      mrlRecall(s, emb, emb.filter(col("vec_id") < 10))
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
       simAnnRecall, simHardNeg, simHardNegAnn, simQuantize, simQuantTopK,
-      simIvfQuant, simSemDedup, simChunkRetrieval, simChunkIndexed)
+      simIvfQuant, simSemDedup, simChunkRetrieval, simChunkIndexed, simMrl)
 }

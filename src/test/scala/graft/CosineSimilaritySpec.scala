@@ -59,6 +59,25 @@ class CosineSimilaritySpec extends SparkSpec {
       && z.getAs[Double]("max_abs_err") == 0.0)
   }
 
+  test("MRL recall: one row per query, fraction bounded, full prefix = 1.0") {
+    val emb = graft.core.T(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val audit = SimilarityOps.mrlRecall(spark, emb, q, prefixDims = 16).collect()
+    assert(audit.length == q.count())
+    audit.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 5)
+      assert(r.getAs[Double]("recall_at_k") == n / 5.0)
+    }
+    // a prefix that covers every dimension ranks identically -> recall 1.0
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    SimilarityOps.mrlRecall(spark, emb, q, prefixDims = dims).collect()
+      .foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mrlRecall(spark, emb, q, prefixDims = 0)
+    }
+  }
+
   test("quantized top-k recalls most of the exact top-k") {
     val emb = graft.core.T(spark, sf0001, "embeddings")
     val q = emb.filter($"vec_id" < 10)
