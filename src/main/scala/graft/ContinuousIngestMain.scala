@@ -9,14 +9,15 @@ import graft.streaming.ContinuousIngest
   * index, with periodic compaction/vacuum:
   *
   * {{{
-  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir> [textIndexName [annIndexName [ivfIndexPath [chunkIndexName]]]]"
+  * sbt "runMain graft.ContinuousIngestMain <srcDir> <corpusPath> <indexName> <checkpointDir> [textIndexName [annIndexName [ivfIndexPath [chunkIndexName [sketchName]]]]]"
   * }}}
   *
   * The optional trailing names switch on the BM25 postings index, the
   * doc-level LSH ANN index (requires an `embedding` column in the
-  * stream schema), the directory-layout IVF ANN index, and the
+  * stream schema), the directory-layout IVF ANN index, the
   * chunk-level LSH index (continuous RAG ingestion; requires numeric
-  * doc ids).
+  * doc ids), and the persisted count-min sketch (corpus-wide token
+  * frequency monitoring from O(d·w) state).
   *
   * Each invocation drains everything new in `srcDir` (AvailableNow) and
   * exits; re-running resumes from the checkpoint. Crash anywhere —
@@ -27,10 +28,10 @@ import graft.streaming.ContinuousIngest
   */
 object ContinuousIngestMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4 && args.length <= 8,
+    require(args.length >= 4 && args.length <= 9,
       "usage: ContinuousIngestMain <srcDir> <corpusPath> <indexName> " +
         "<checkpointDir> [textIndexName [annIndexName [ivfIndexPath " +
-        "[chunkIndexName]]]]")
+        "[chunkIndexName [sketchName]]]]]")
     val Array(src, corpus, index, checkpoint) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     // PERSISTENT catalog (Hive metastore on derby beside the corpus):
@@ -68,7 +69,8 @@ object ContinuousIngestMain {
         textIndexName = args.lift(4),
         annIndexName = args.lift(5),
         ivfIndexPath = args.lift(6),
-        chunkIndexName = args.lift(7)))
+        chunkIndexName = args.lift(7),
+        sketchName = args.lift(8)))
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     // an empty drain on a brand-new corpus (no rows arrived, or every

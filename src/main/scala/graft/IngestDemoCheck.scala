@@ -10,12 +10,13 @@ package graft
   * chunk-level index (composite ids derived back to source docs) are
   * held to the same bar.
   *
-  * {{{ sbt "runMain graft.IngestDemoCheck <corpusPath> <indexName> [ivfIndexPath [chunkIndexName]]" }}}
+  * {{{ sbt "runMain graft.IngestDemoCheck <corpusPath> <indexName> [ivfIndexPath [chunkIndexName [sketchName]]]" }}}
   */
 object IngestDemoCheck {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 4,
-      "usage: IngestDemoCheck <corpusPath> <indexName> [ivfIndexPath [chunkIndexName]]")
+    require(args.length >= 2 && args.length <= 5,
+      "usage: IngestDemoCheck <corpusPath> <indexName> [ivfIndexPath " +
+        "[chunkIndexName [sketchName]]]")
     val Array(corpus, index) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val stateRoot = java.nio.file.Paths.get(corpus).toAbsolutePath.getParent
@@ -46,6 +47,19 @@ object IngestDemoCheck {
       check("chunk index (distinct source docs)",
         spark.table(s"${ck}_vectors")
           .selectExpr(s"vec_id div $span as d").distinct().count(), corpusRows)
+    }
+    args.lift(4).foreach { cms =>
+      // the linear-sketch conservation law: every grid row partitions the
+      // SAME token stream, so each row's total mass equals the corpus
+      // token count — a lost batch partition (catalog amnesia) breaks it
+      import org.apache.spark.sql.functions._
+      val total = graft.etl.ManifestTable.read(spark, corpus)
+        .select(explode(graft.operators.DedupOps.tokens(col("text")))).count()
+      val rowMasses = spark.table(s"${cms}_cells")
+        .groupBy(col("i")).agg(sum(col("c")).as("s"))
+        .collect().map(_.getLong(1)).distinct
+      check("cms sketch (per-row grid mass)",
+        if (rowMasses.length == 1) rowMasses.head else -1L, total)
     }
     spark.stop()
     if (failed) sys.exit(1)

@@ -42,7 +42,8 @@ object IngestProfile {
     val ck = s"prof${runTag}_ck"
     val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
       textIndexName = Some(ti), annIndexName = Some(ann), annDims = 16,
-      ivfIndexPath = Some(ivf), chunkIndexName = Some(ck))
+      ivfIndexPath = Some(ivf), chunkIndexName = Some(ck),
+      sketchName = Some(s"prof${runTag}_cms"))
 
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -195,10 +196,12 @@ object IngestProfile {
 
     graft.etl.LshIndex.dropAll(spark, ann) // generation-aware
     graft.etl.LshIndex.dropAll(spark, ck)
+    val cms = s"prof${runTag}_cms"
     Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta",
-      s"${ti}_postings", s"${ti}_doclens", s"${ti}_stats", s"${ti}_meta")
+      s"${ti}_postings", s"${ti}_doclens", s"${ti}_stats", s"${ti}_meta",
+      s"${cms}_cells", s"${cms}_meta")
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
-    Seq(mh, ti, ann).foreach(n =>
+    Seq(mh, ti, ann, cms).foreach(n =>
       BatchLog.reset(spark, BatchLog.logDir(spark, n)))
     spark.stop()
   }

@@ -17,8 +17,8 @@ import graft.streaming.ContinuousIngest
   * three batches at every multiplier (they come from the base testdata,
   * which every replica preserves byte-identically as replica 0) — through
   * the full [[ContinuousIngest.ingestBatch]] body: gates, within-batch
-  * dedup, corpus-index probe, manifest merge, and all FIVE index
-  * appends (MinHash, BM25, doc-level LSH, IVF, chunk-level LSH).
+  * dedup, corpus-index probe, manifest merge, and all SIX index
+  * appends (MinHash, BM25, doc-level LSH, IVF, chunk-level LSH, CMS).
   * The headline is min-of-3 incremental seconds per multiplier;
   * a ratio near 1 at 10× the corpus is the designed behavior (the probe's
   * work follows matching bucket candidates, the merge touches only the
@@ -85,7 +85,7 @@ object IngestScale {
         }
       val root = java.nio.file.Files.createTempDirectory(s"ingest_scale_m$m").toString
       val tag = s"isc${m}_${System.nanoTime() % 1000000}"
-      // the FULL five-artifact config: the O(batch) claim must hold with
+      // the FULL six-artifact config: the O(batch) claim must hold with
       // every serving leg enabled, not just the three the claim was
       // first measured on
       val cfg = ContinuousIngest.Config(
@@ -93,7 +93,8 @@ object IngestScale {
         textIndexName = Some(s"${tag}_ti"), annIndexName = Some(s"${tag}_ann"),
         annDims = 16,
         ivfIndexPath = Some(s"$root/ivf"),
-        chunkIndexName = Some(s"${tag}_ck"))
+        chunkIndexName = Some(s"${tag}_ck"),
+        sketchName = Some(s"${tag}_cms"))
 
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -135,11 +136,12 @@ object IngestScale {
       Seq(s"${tag}_ann", s"${tag}_ck")
         .foreach(graft.etl.LshIndex.dropAll(spark, _)) // generation-aware
       Seq("_mh" -> Seq("banded", "shingles", "sizes", "meta"),
-        "_ti" -> Seq("postings", "doclens", "stats", "meta")).foreach {
+        "_ti" -> Seq("postings", "doclens", "stats", "meta"),
+        "_cms" -> Seq("cells", "meta")).foreach {
         case (fam, ts) =>
           ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $tag$fam" + s"_$t"))
       }
-      Seq("_mh", "_ti", "_ann", "_ck").foreach(fam =>
+      Seq("_mh", "_ti", "_ann", "_ck", "_cms").foreach(fam =>
         BatchLog.reset(spark, BatchLog.logDir(spark, s"$tag$fam")))
     }
 

@@ -71,7 +71,11 @@ object ScaleCurve {
     "s21_type_widening_read", // mixed-generation widened read
     "s22_wap_publish_read",  // WAP-published read (poison rejected)
     "mm_audio_windows",      // per-partition PCM decode + framing
-    "dq_histogram")          // one-scan equi-width histogram
+    "dq_histogram",          // one-scan equi-width histogram
+    "sim_mrl_recall",        // truncated-prefix search audit (2 brute passes)
+    "ta_countmin_sketch",    // fixed d×w sketch grid + exact top-k audit
+    "ev_type_pagerank",      // keyed-window pairs + driver power iteration
+    "ta_sketch_served")      // persisted-grid probe (corpus-size-free goal)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

@@ -1104,11 +1104,95 @@ object ManifestTable {
     * ceiling and is removed here. Returns the number of data dirs
     * removed. Safe only when no reader is pinned to a vacuumed
     * snapshot. */
+  // ---- Named refs (tags): Iceberg's ref concept on the same manifest
+  // protocol. A tag pins ONE committed version under a stable name —
+  // the training-data provenance primitive: tag the corpus version a
+  // model trained on ("model-v3-train") and that exact table state
+  // stays readable by name, survives vacuum (tagged versions are
+  // retained like the head), and releases its storage only when the
+  // tag is dropped. One pointer file per tag under `_refs/`, committed
+  // with the dot-tmp + atomic-rename discipline of manifests; re-
+  // tagging an existing name moves the pointer (rename-over is the
+  // same one-file atomicity).
+
+  private def refsDir(base: String) = new Path(base, "_refs")
+  private def refPath(base: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be non-empty [A-Za-z0-9._-], got '$name'")
+    new Path(refsDir(base), s"$name.txt")
+  }
+
+  /** Pin `version` (default: the current head) under `name`. */
+  def tag(spark: SparkSession, basePath: String, name: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(currentSnapshot(spark, basePath).map(_.version)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed manifest under $basePath to tag")))
+    require(snapshotAt(spark, basePath, v).isDefined,
+      s"cannot tag version $v of $basePath: never committed, or vacuumed")
+    val p = refPath(basePath, name)
+    val f = fs(spark, p)
+    f.mkdirs(refsDir(basePath))
+    val tmp = new Path(refsDir(basePath),
+      s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}.txt")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(p, false) // rename-over target (HDFS rename won't clobber)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"tag commit failed for $name on $basePath")
+    v
+  }
+
+  /** The version a tag points at, if the tag exists. */
+  def tagVersion(spark: SparkSession, basePath: String,
+      name: String): Option[Int] = {
+    val p = refPath(basePath, name)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Every tag on the table. */
+  def tags(spark: SparkSession, basePath: String): Map[String, Int] = {
+    val rd = refsDir(basePath)
+    val f = fs(spark, rd)
+    if (!f.exists(rd)) Map.empty
+    else f.listStatus(rd).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".txt") && !n.startsWith("."))
+        tagVersion(spark, basePath, n.stripSuffix(".txt"))
+          .map(n.stripSuffix(".txt") -> _)
+      else None
+    }.toMap
+  }
+
+  /** Read the table state a tag pins — [[readAt]] by name. */
+  def readTag(spark: SparkSession, basePath: String, name: String): DataFrame =
+    readAt(spark, basePath, tagVersion(spark, basePath, name).getOrElse(
+      throw new IllegalStateException(s"no tag '$name' on $basePath")))
+
+  /** Drop a tag; the version it pinned becomes vacuumable again. */
+  def dropTag(spark: SparkSession, basePath: String, name: String): Boolean = {
+    val p = refPath(basePath, name)
+    fs(spark, p).delete(p, false)
+  }
+
   def vacuum(spark: SparkSession, basePath: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val vs = versions(spark, basePath)
     if (vs.isEmpty) return 0
-    val retained = vs.takeRight(retainVersions)
+    // tagged versions are pinned: retained exactly like the head window
+    val tagged = tags(spark, basePath).values.toSet
+    val retained = (vs.takeRight(retainVersions) ++
+      vs.filter(tagged.contains)).distinct.sorted
     val maxCommitted = vs.last
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
@@ -1126,13 +1210,21 @@ object ManifestTable {
         dirVersion(n).orElse(deleteDirVersion(n)).exists(_ <= maxCommitted)
     }
     removed.foreach(st => f.delete(st.getPath, true))
-    // superseded manifests: everything below the retention window
+    // superseded manifests: everything below the retention WINDOW that
+    // no tag pins. The rule is per-version, not "below retained.head":
+    // with an old tagged version the head of `retained` drops below the
+    // window, and sparing every manifest above it would leave DANGLING
+    // manifests — time-travel-resolvable versions whose data dirs this
+    // same pass just deleted.
+    val window = vs.takeRight(retainVersions)
     val md = manifestDir(basePath)
     f.listStatus(md).toSeq.foreach { st =>
       val n = st.getPath.getName
-      if (n.matches("v\\d+\\.txt") &&
-          n.stripPrefix("v").stripSuffix(".txt").toInt < retained.head)
-        f.delete(st.getPath, false)
+      if (n.matches("v\\d+\\.txt")) {
+        val v = n.stripPrefix("v").stripSuffix(".txt").toInt
+        if (v < window.head && !tagged.contains(v))
+          f.delete(st.getPath, false)
+      }
       // commit attempts that crashed between tmp-create and rename leave
       // `.tmp-vNNNNN-<token>.txt` orphans (per-attempt tokens mean no
       // retry ever overwrites them). At or below the committed ceiling

@@ -557,7 +557,117 @@ object EventOps extends QueryModule {
         last(col("v"), ignoreNulls = true).over(w).as("carried_value"))
   }
 
+  /** PageRank over the event-type transition graph — the stationary
+    * distribution of the [[evMarkov]] chain with damping (Page et al.
+    * 1999): the long-run fraction of a user journey spent at each event
+    * type, the prior behavioral models and session simulators start
+    * from. Damping + uniform teleport make the chain ergodic even when
+    * the observed graph isn't; dangling types (no observed successor)
+    * redistribute their mass uniformly, the standard correction.
+    *
+    * Scale shape: the ONLY data-sized work is the per-user keyed window
+    * extracting consecutive pairs and the \|types\|²-sized transition agg
+    * — identical to [[evMarkov]], one corpus pass. The matrix is
+    * \|types\|² = driver-sized by construction (the [[EmbeddingStatsOps]]
+    * PCA precedent), so the power iteration is bounded driver double
+    * math; 1000× the events changes the window pass, not the iteration.
+    *
+    * Oracle policy (PCA family): every float accumulation is an ordered
+    * left-to-right fold — per-target contributions fold over ascending
+    * source type, dangling mass over ascending type — mirrored verbatim
+    * by DuckDB `list_reduce(list(... ORDER BY ...))` in the unrolled
+    * iteration CTEs, so all `iters` rounds are bit-reproducible. */
+  def typePagerank(ev: DataFrame, damping: Double = 0.85,
+      iters: Int = 8): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = ev
+      .select($"event_type".as("src"),
+        lead($"event_type", 1).over(w).as("dst"))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy($"src").agg(sum($"n").as("n_from"))
+    // all three collects are |types|- or |types|²-bounded by construction
+    val nodes = ev.select($"event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val nOut = tot.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prob = pairs.join(tot, "src")
+      .select($"src", $"dst", ($"n" / $"n_from").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val n = nodes.length
+    val dangling = nodes.filter(t => !nOut.contains(t))
+    // incoming edges per target, ascending src — the oracle's list order
+    val in: Map[String, Seq[(String, Double)]] = prob.toSeq
+      .map { case ((src, dst), p) => dst -> (src, p) }
+      .groupBy(_._1).map { case (dst, es) => dst -> es.map(_._2).sortBy(_._1) }
+    var r = nodes.map(t => t -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = dangling.map(r).reduceLeftOption(_ + _).getOrElse(0.0)
+      r = nodes.map { t =>
+        val contrib = in.getOrElse(t, Nil).map { case (src, p) => p * r(src) }
+          .reduceLeftOption(_ + _).getOrElse(0.0)
+        t -> ((1.0 - damping) / n + damping * (contrib + dang / n))
+      }.toMap
+    }
+    nodes.map(t => (t, nOut.getOrElse(t, 0L), r(t)))
+      .toSeq.toDF("event_type", "n_out", "p_stationary")
+  }
+
+  /** Generated unrolled-iteration oracle: r0 = uniform, then `iters`
+    * rounds of dangling-fold + per-target ordered contribution folds —
+    * the same CTE-generation approach as `DedupOps.minhashCtes`. */
+  private def pagerankSql(damping: Double, iters: Int): String = {
+    val d = s"${damping}::DOUBLE"
+    val iterCtes = (0 until iters).map { k =>
+      s"""dg$k AS (
+        SELECT coalesce(list_reduce(list(r.r ORDER BY r.t), (a, b) -> a + b),
+                        0.0::DOUBLE) AS dang
+        FROM r$k r JOIN dangling dl ON dl.t = r.t),
+      r${k + 1} AS (
+        SELECT nd.t,
+          (1.0::DOUBLE - $d) / nn.n
+            + $d * (coalesce(c.contrib, 0.0::DOUBLE) + dg.dang / nn.n) AS r
+        FROM nodes nd CROSS JOIN nn CROSS JOIN dg$k dg
+        LEFT JOIN (
+          SELECT p.dst AS t,
+            list_reduce(list(p.p * r.r ORDER BY p.src), (a, b) -> a + b) AS contrib
+          FROM p JOIN r$k r ON r.t = p.src GROUP BY p.dst) c ON c.t = nd.t)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ordered AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+        FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT src, SUM(n) AS n_from FROM pairs GROUP BY src),
+      p AS (SELECT pairs.src, pairs.dst, pairs.n / tot.n_from AS p
+            FROM pairs JOIN tot USING (src)),
+      nodes AS (SELECT DISTINCT event_type AS t FROM events),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      dangling AS (SELECT t FROM nodes WHERE t NOT IN (SELECT src FROM p)),
+      r0 AS (SELECT t, 1.0::DOUBLE / nn.n AS r FROM nodes CROSS JOIN nn),
+      $iterCtes
+      SELECT nd.t AS event_type, coalesce(o.n_out, 0) AS n_out,
+        fin.r AS p_stationary
+      FROM nodes nd
+      LEFT JOIN (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out
+                 FROM pairs GROUP BY src) o ON o.src = nd.t
+      JOIN r$iters fin ON fin.t = nd.t
+      ORDER BY event_type"""
+  }
+
+  private val evPagerank = QueryDef(
+    "ev_type_pagerank",
+    Some(pagerankSql(damping = 0.85, iters = 8)),
+    (s, dir) => typePagerank(events(s, dir)))
+
   override val defs: Seq[QueryDef] =
     Seq(f4, f5, f6, f15, f17, evTumble, evSlide, evSession, evFunnel, f14,
-      evCohorts, evSequences, evAnomaly, evMarkov, evResample)
+      evCohorts, evSequences, evAnomaly, evMarkov, evResample, evPagerank)
 }

@@ -673,8 +673,136 @@ object TextOps extends QueryModule {
       ORDER BY doc_id"""),
     (s, dir) => blocklistScore(T(s, dir, "documents"), Seq("merge", "spill")))
 
+  /** Count-min sketch frequency audit (Cormode & Muthukrishnan, J.
+    * Algorithms 55(1), 2005): estimate token frequencies from a fixed
+    * `depth`×`width` counter grid and MEASURE the overestimate against
+    * the exact counts of the `topK` most frequent tokens — the
+    * [[SimilarityOps.mrlRecall]]/`sim_ann_recall` audit pattern applied
+    * to the sketch family. Why it matters at 100 TB: an exact
+    * token-frequency table shuffles one key per DISTINCT token
+    * (billions at web scale), while the sketch is d×w integers total —
+    * map-side partial aggregation collapses every partition to ≤ d×w
+    * cells before the exchange, so the shuffle is O(d·w·partitions)
+    * regardless of vocabulary, and any token's estimate is then a
+    * broadcast-join away. The audit quantifies the price: CMS never
+    * undercounts (every cell the token hashes to includes its true
+    * count), and overestimate ≤ ε·N with probability 1−δ at
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Exact counting of the top-k side is the
+    * audit's ground-truth cost, paid by definition. Hashes are the
+    * portable [[DedupOps.md5Hash32]] so DuckDB replays the grid
+    * bit-for-bit; all outputs are integers (no float drift). */
+  /** A token's d sketch coordinates: exploded (row, bucket) structs,
+    * hashed with the portable [[DedupOps.md5Hash32]]. Shared by the
+    * audit and the persisted [[graft.etl.SketchStore]], so a stored
+    * grid and a recomputed one always address the same cells. */
+  private[graft] def cmsProbes(tok: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { i =>
+      struct(lit(i).as("i"),
+        pmod(DedupOps.md5Hash32(concat_ws("_", lit(i), tok)),
+          lit(width.toLong)).as("bucket"))
+    }: _*))
+
+  /** ONE corpus pass filling all `depth` rows of the d×w counter grid —
+    * map-side partial aggregation collapses every partition to ≤ d·w
+    * cells before the exchange. */
+  def cmsCells(docs: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"need positive sketch dims, got d=$depth w=$width")
+    docs.select(explode(DedupOps.tokens(col("text"))).as("token"))
+      .select(cmsProbes(col("token"), depth, width).as("cell"))
+      .groupBy(col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  def countMinAudit(docs: DataFrame, depth: Int = 4, width: Int = 512,
+      topK: Int = 20): DataFrame = {
+    require(depth > 0 && width > 0 && topK > 0,
+      s"need positive sketch dims, got d=$depth w=$width k=$topK")
+    val toks = docs.select(explode(DedupOps.tokens(col("text"))).as("token"))
+    def probes(tok: Column): Column = cmsProbes(tok, depth, width)
+    val cells = cmsCells(docs, depth, width)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc).limit(topK)
+    exact.select(col("token"), col("exact_count"), probes(col("token")).as("cell"))
+      .select(col("token"), col("exact_count"),
+        col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("token"), col("exact_count"))
+      .agg(min(col("c")).as("cm_estimate"))
+      .select(col("token"), col("exact_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+      .orderBy(col("exact_count").desc, col("token").asc)
+  }
+
+  private val taCountMin = QueryDef(
+    "ta_countmin_sketch",
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+      cells AS (
+        SELECT i,
+          ('0x' || substr(md5(i || '_' || token), 25, 8))::UBIGINT::BIGINT % 512 AS bucket,
+          count(*) AS c
+        FROM toks CROSS JOIN seeds GROUP BY 1, 2),
+      exact AS (
+        SELECT token, count(*) AS exact_count FROM toks GROUP BY token
+        ORDER BY exact_count DESC, token ASC LIMIT 20),
+      est AS (
+        SELECT e.token, e.exact_count, min(c.c) AS cm_estimate
+        FROM exact e CROSS JOIN seeds s
+        JOIN cells c ON c.i = s.i
+          AND c.bucket = ('0x' || substr(md5(s.i || '_' || e.token), 25, 8))::UBIGINT::BIGINT % 512
+        GROUP BY e.token, e.exact_count)
+      SELECT token, exact_count, cm_estimate,
+        cm_estimate - exact_count AS overestimate
+      FROM est ORDER BY exact_count DESC, token ASC"""),
+    (s, dir) => countMinAudit(T(s, dir, "documents")))
+
+  /** The SERVING form of the sketch family: token-frequency point
+    * queries answered from the persisted [[graft.etl.SketchStore]]
+    * grid — O(d·w) state, ZERO corpus scans per ask (the
+    * `ta_bm25_indexed`/`sim_lsh_indexed` offline-build/online-probe
+    * split applied to frequency monitoring). The verify arm builds its
+    * own store then probes it, so the oracle replay (grid + min over
+    * the probe tokens' cells) constrains the WHOLE store round trip;
+    * Bench times the probe only — the grid is corpus-size-independent,
+    * so the probe's scale curve is flat by construction. */
+  private val probeTokens =
+    Seq("scan", "merge", "window", "graftmissingtoken")
+
+  private val taSketchServed = QueryDef(
+    "ta_sketch_served",
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+      cells AS (
+        SELECT i,
+          ('0x' || substr(md5(i || '_' || token), 25, 8))::UBIGINT::BIGINT % 512 AS bucket,
+          count(*) AS c
+        FROM toks CROSS JOIN seeds GROUP BY 1, 2),
+      probes AS (SELECT unnest(['scan', 'merge', 'window', 'graftmissingtoken']) AS token),
+      pcell AS (
+        SELECT p.token, s.i,
+          ('0x' || substr(md5(s.i || '_' || p.token), 25, 8))::UBIGINT::BIGINT % 512 AS bucket
+        FROM probes p CROSS JOIN seeds s)
+      SELECT pc.token, min(coalesce(c.c, 0)) AS cm_estimate
+      FROM pcell pc LEFT JOIN cells c ON c.i = pc.i AND c.bucket = pc.bucket
+      GROUP BY pc.token ORDER BY pc.token"""),
+    (s, dir) => {
+      graft.etl.SketchStore.build(s, T(s, dir, "documents"), "cms_v")
+      graft.etl.SketchStore.estimate(s, "cms_v", probeTokens)
+    },
+    benchBuild = Some((s, dir) =>
+      graft.etl.SketchStore.estimate(s, "cms_b", probeTokens)),
+    benchSetup = Some((s, dir) =>
+      graft.etl.SketchStore.build(s, T(s, dir, "documents"), "cms_b")))
+
   override val defs: Seq[QueryDef] =
     Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
       taBigramLm, taLmScore, taBm25, taBm25Indexed, taSimpson, taHybrid,
-      taBlocklist)
+      taBlocklist, taCountMin, taSketchServed)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.{BatchLog, DataQuality, IndexDeleteSync, LshIndex, ManifestTable, MinhashIndex, TextIndex}
+import graft.etl.{BatchLog, DataQuality, IndexDeleteSync, LshIndex, ManifestTable, MinhashIndex, SketchStore, TextIndex}
 import graft.operators.{CorpusPipeline, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,6 +132,17 @@ object ContinuousIngest {
       // [[maintain]].
       chunkIndexName: Option[String] = None,
       chunkDims: Int = 8,
+      // optional sixth serving artifact: a persisted corpus-wide
+      // count-min sketch ([[graft.etl.SketchStore]]) over accepted
+      // text — O(d·w) state answering token-frequency point queries
+      // with zero corpus scans. The sketch is LINEAR, so the batch leg
+      // appends the batch's own grid (one O(batch) pass); deletions
+      // subtract the removed docs' pre-image grid in [[maintain]]
+      // (negative cells), falling back to a rebuild when the CDC
+      // window is vacuumed (pre-image text unknowable).
+      sketchName: Option[String] = None,
+      sketchDepth: Int = 4,
+      sketchWidth: Int = 512,
       // corpus [[FileBlooms]] columns (e.g. doc_id): point lookups and
       // point deletes — the data-deletion/compliance path — then open
       // only the files that can hold the key. Nil = no sidecar cost.
@@ -333,6 +344,14 @@ object ContinuousIngest {
             buildBatchId = bid)
           stamp("chunks indexed")
         }
+        cfg.sketchName.foreach { sn =>
+          if (SketchStore.exists(spark, sn))
+            SketchStore.append(spark, accept, sn, bid)
+          else SketchStore.build(spark, accept, sn,
+            depth = cfg.sketchDepth, width = cfg.sketchWidth,
+            buildBatchId = bid)
+          stamp("sketch appended")
+        }
         // Post-merge standing health report: the metadata-provable
         // checks open ZERO data files (a driver-side fold over the
         // manifest's zone-map lines); only the rest share one scan
@@ -431,6 +450,31 @@ object ContinuousIngest {
           (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
             .values.foreach(_.unpersist(blocking = false))
         }
+      }
+    cfg.sketchName
+      .filter(SketchStore.exists(spark, _))
+      .foreach { sn =>
+        pending.foreach {
+          case (toV, graft.etl.IndexCompaction.Remove(ids), rep) =>
+            // the sketch subtracts CONTENT, not ids: the deleted docs'
+            // pre-image text reads from the bookmarked snapshot — within
+            // vacuum retention by construction on the CDC path. The
+            // version-derived batch id keys exactly-once: a maintenance
+            // replay (crash before the bookmark advanced) no-ops here.
+            val pre = ManifestTable
+              .readAt(spark, cfg.corpusPath, rep.fromVersion)
+              .join(ids.toDF("del_id"),
+                col("doc_id") === col("del_id"), "left_semi")
+            SketchStore.applyDeletes(spark, pre, sn, s"del-v$toV")
+          case (_, graft.etl.IndexCompaction.Retain(_), _) =>
+            // diff window vacuumed: pre-image text unknowable — rebuild
+            // from the live corpus, the reconcile sweep's cost class
+            SketchStore.build(spark, ManifestTable.read(spark, cfg.corpusPath),
+              sn, depth = cfg.sketchDepth, width = cfg.sketchWidth)
+        }
+        // grid compaction: any number of batch partitions (and pending
+        // negative cells) fold back to one d×w grid
+        SketchStore.fold(spark, sn)
       }
     cfg.ivfIndexPath
       .filter(graft.operators.IvfIndex.existsDir(spark, _))

@@ -166,6 +166,61 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("sketch leg: per-batch grids, rebuild equivalence, delete subtraction, fold") {
+    val src = Files.createTempDirectory("cis_src").toString + "/data"
+    val cp = Files.createTempDirectory("cis_cp").toString
+    val corpus = Files.createTempDirectory("cis_corpus").toString + "/corpus"
+    val (mh, sk, ref) = ("cis_mh", "cis_sk", "cis_ref")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      compactEvery = 2, sketchName = Some(sk))
+    val probes = Seq("b1_1", "b3_2", "b9_5", "b11_16", "missing")
+    def est(name: String): Map[String, Long] =
+      graft.etl.SketchStore.estimate(spark, name, probes).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def refOverCorpus(): Map[String, Long] = {
+      graft.etl.SketchStore.build(spark, ManifestTable.read(spark, corpus), ref)
+      est(ref)
+    }
+    try {
+      val batch1 = frame((1L to 6L).map(i => doc(i, words(s"b$i", 16))))
+      batch1.write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+      run() // batch 0: cold build of the sketch
+      frame((7L to 12L).map(i => doc(i, words(s"b$i", 16))))
+        .write.mode("append").parquet(src)
+      run() // batch 1: append leg + maintenance (fold) fires
+      // the maintained sketch answers exactly like a fresh grid over the
+      // accumulated corpus (cell-wise linearity)
+      assert(est(sk) == refOverCorpus(), "maintained sketch drifted from rebuild")
+      assert(est(sk)("b9_5") >= 1L && est(sk)("b11_16") >= 1L)
+      // maintenance folded the two batch partitions into one grid
+      val parts = spark.table(graft.etl.SketchStore.cellsTable(sk))
+        .select($"batch_id").distinct().collect().map(_.getString(0)).toSeq
+      assert(parts == Seq(BatchLog.BuildId), s"fold left partitions: $parts")
+      // corpus deletion propagates as a negative-cell subtraction
+      ManifestTable.deleteWhere(spark, corpus, col("doc_id") >= 7L)
+      ContinuousIngest.maintain(spark, cfg)
+      // the fresh-grid equality IS the deletion contract (point-zero
+      // assertions would be hash-collision-dependent)
+      val postDelete = est(sk)
+      assert(postDelete == refOverCorpus(),
+        "post-delete sketch must equal a fresh grid over the survivors")
+      assert(postDelete("b1_1") >= 1L, "surviving docs must stay counted")
+    } finally {
+      (Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta") ++
+        Seq(sk, ref).flatMap(n => Seq(s"${n}_cells", s"${n}_meta")))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("multi-index ingest: BM25 and ANN artifacts stay rebuild-equivalent through crashes") {
     val src = Files.createTempDirectory("cim_src").toString + "/data"
     val cp = Files.createTempDirectory("cim_cp").toString

@@ -93,6 +93,50 @@ class ManifestTableSpec extends SparkSpec {
       s"expected the 2022/2024 branches constant-folded away, got ${scans.size} scans")
   }
 
+  test("tags pin versions by name: readable, vacuum-proof, droppable") {
+    val base = Files.createTempDirectory("manifest_tags").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+    val v1 = ManifestTable.tag(spark, base, "model-v3-train")
+    assert(v1 == 1 && ManifestTable.tagVersion(spark, base, "model-v3-train")
+      .contains(1))
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0), ("k2", "2024-05-02", 20.0))),
+      base, keys, "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k3", "2024-07-04", 30.0))), base, keys, "date")
+    // the tag reads the exact pinned state, not the head
+    assert(asMap(ManifestTable.readTag(spark, base, "model-v3-train")) ==
+      Map(("k1", "2023-03-01") -> 10.0))
+    // vacuum with retention 1 spares the tagged version AND leaves no
+    // dangling manifest in between (v2's manifest must go with its dirs)
+    ManifestTable.vacuum(spark, base, retainVersions = 1)
+    assert(asMap(ManifestTable.readTag(spark, base, "model-v3-train")) ==
+      Map(("k1", "2023-03-01") -> 10.0),
+      "tag must survive vacuum")
+    assert(ManifestTable.versions(spark, base) == Seq(1, 3),
+      "untagged out-of-window version must fully vacuum, no dangling manifest")
+    assert(ManifestTable.tags(spark, base) == Map("model-v3-train" -> 1))
+    // re-tagging moves the pointer; dropping releases the pin
+    ManifestTable.tag(spark, base, "model-v3-train")
+    assert(ManifestTable.tagVersion(spark, base, "model-v3-train").contains(3))
+    assert(ManifestTable.dropTag(spark, base, "model-v3-train"))
+    ManifestTable.vacuum(spark, base, retainVersions = 1)
+    assert(ManifestTable.versions(spark, base) == Seq(3),
+      "dropped tag's version must become vacuumable")
+    // guards: tagging a missing/vacuumed version or bad name fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, base, "ghost", Some(99))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, base, "bad/name")
+    }
+    intercept[IllegalStateException] {
+      ManifestTable.readTag(spark, base, "never-created")
+    }
+  }
+
   test("time travel: readAt sees each version's rows; vacuum retention bounds history") {
     val base = Files.createTempDirectory("manifest4").toString + "/fact"
     val keys = Seq("id", "date")

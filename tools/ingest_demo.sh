@@ -2,7 +2,7 @@
 # One-command end-to-end proof of the composed continuous-ingest
 # pipeline OUTSIDE ScalaTest: three ContinuousIngestMain runs against a
 # generated source directory exercise the cold build (first batch builds
-# the corpus + all five indexes), an incremental batch (indexed probe,
+# the corpus + all six indexes), an incremental batch (indexed probe,
 # exactly-once appends), and an empty drain. Asserts the corpus row
 # counts the accept gates are expected to produce. See README "Demo".
 #
@@ -13,30 +13,30 @@ cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.1}"
 ROOT="$(mktemp -d /tmp/ingest_demo.XXXXXX)"
 SRC="$ROOT/src" CORPUS="$ROOT/corpus" CP="$ROOT/checkpoint"
-IDX="demo_mh" TI="demo_ti" ANN="demo_ann" IVF="$ROOT/ivf" CK="demo_ck"
+IDX="demo_mh" TI="demo_ti" ANN="demo_ann" IVF="$ROOT/ivf" CK="demo_ck" CMS="demo_cms"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}"
 
 run_main() { sbt -batch "runMain $*" 2>&1 | grep -E "\[demo-data\]|\[demo-check\]|\[ingest\]"; }
 
 count_of() { sed -n 's/.*corpus now \([0-9]*\) rows.*/\1/p' <<<"$1" | tail -1; }
 
-echo "== cold: 5000-doc batch -> gates, build corpus + 5 indexes"
+echo "== cold: 5000-doc batch -> gates, build corpus + 6 indexes"
 run_main graft.IngestDemoData "$SF_DIR" "$SRC" cold
-out1=$(run_main graft.ContinuousIngestMain "$SRC" "$CORPUS" "$IDX" "$CP" "$TI" "$ANN" "$IVF" "$CK")
+out1=$(run_main graft.ContinuousIngestMain "$SRC" "$CORPUS" "$IDX" "$CP" "$TI" "$ANN" "$IVF" "$CK" "$CMS")
 echo "$out1"
 n1=$(count_of "$out1")
 
 echo "== incremental: 500-doc batch -> indexed probe, exactly-once appends"
 run_main graft.IngestDemoData "$SF_DIR" "$SRC" incremental
-out2=$(run_main graft.ContinuousIngestMain "$SRC" "$CORPUS" "$IDX" "$CP" "$TI" "$ANN" "$IVF" "$CK")
+out2=$(run_main graft.ContinuousIngestMain "$SRC" "$CORPUS" "$IDX" "$CP" "$TI" "$ANN" "$IVF" "$CK" "$CMS")
 echo "$out2"
 n2=$(count_of "$out2")
 
 echo "== cross-JVM check: every index must cover BOTH batches' corpus"
-run_main graft.IngestDemoCheck "$CORPUS" "$IDX" "$IVF" "$CK"
+run_main graft.IngestDemoCheck "$CORPUS" "$IDX" "$IVF" "$CK" "$CMS"
 
 echo "== empty drain: nothing new -> near-instant no-op batch"
-out3=$(run_main graft.ContinuousIngestMain "$SRC" "$CORPUS" "$IDX" "$CP" "$TI" "$ANN" "$IVF" "$CK")
+out3=$(run_main graft.ContinuousIngestMain "$SRC" "$CORPUS" "$IDX" "$CP" "$TI" "$ANN" "$IVF" "$CK" "$CMS")
 echo "$out3"
 n3=$(count_of "$out3")
 
