@@ -657,12 +657,37 @@ object ManifestTable {
       try audit(readSnapshot(spark, basePath, staged.snapshot))
       catch { case e: Throwable => abandonStaged(spark, basePath, staged); throw e }
     if (approved) {
-      commit(spark, basePath, staged)
+      // a commit lost to a concurrent writer must not leak the staged
+      // dirs until a later vacuum — same cleanup as an audit rejection
+      try commit(spark, basePath, staged)
+      catch { case e: ConcurrentCommitException =>
+        abandonStaged(spark, basePath, staged); throw e }
       Some(staged.snapshot.version)
     } else {
       abandonStaged(spark, basePath, staged)
       None
     }
+  }
+
+  /** [[writeAuditPublish]] with the OCC retry loop [[mergeIntoRetrying]]
+    * runs: a commit that loses a concurrent-writer race abandons its
+    * staged dirs, RE-STAGES against the winner's snapshot, and RE-AUDITS —
+    * the audit must see the state that would actually publish, which the
+    * winner's commit just changed, so replaying the audit is correctness,
+    * not cost. Returns Some(version) on publish, None when any attempt's
+    * audit rejected (a rejection is a verdict on the data, not a race —
+    * it does not retry). The final attempt's conflict propagates loudly. */
+  def writeAuditPublishRetrying(spark: SparkSession, batch: DataFrame,
+      basePath: String, keys: Seq[String], dateCol: String,
+      bloomCols: Seq[String] = Nil, maxAttempts: Int = 5)(
+      audit: DataFrame => Boolean): Option[Int] = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    (1 to maxAttempts).foreach { attempt =>
+      try return writeAuditPublish(spark, batch, basePath, keys, dateCol,
+        bloomCols)(audit)
+      catch { case _: ConcurrentCommitException if attempt < maxAttempts => () }
+    }
+    throw new IllegalStateException("unreachable: the loop returns or rethrows")
   }
 
   /** Remove exactly what THIS staging wrote: data dirs carrying the
@@ -709,7 +734,12 @@ object ManifestTable {
       val staged = stage(spark, batch, basePath, keys, dateCol, bloomCols)
       onStaged(attempt)
       try { commit(spark, basePath, staged); return attempt }
-      catch { case _: ConcurrentCommitException if attempt < maxAttempts => () }
+      catch { case e: ConcurrentCommitException =>
+        // the loser's staged dirs are garbage the moment the race is
+        // lost — reclaim now rather than leaking them until a vacuum
+        abandonStaged(spark, basePath, staged)
+        if (attempt >= maxAttempts) throw e
+      }
     }
     throw new IllegalStateException("unreachable: the loop returns or rethrows")
   }
@@ -1116,40 +1146,45 @@ object ManifestTable {
   // same one-file atomicity).
 
   private def refsDir(base: String) = new Path(base, "_refs")
-  private def refPath(base: String, name: String): Path = {
+  private def requireTagName(name: String): Unit =
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"tag name must be non-empty [A-Za-z0-9._-], got '$name'")
-    new Path(refsDir(base), s"$name.txt")
+
+  /** Tag pointer files are GENERATION-SUFFIXED (`name@<gen>.txt`; the
+    * legacy bare `name.txt` reads as generation 0) and a re-tag WRITES A
+    * NEW GENERATION rather than touching the old one: `@` is outside the
+    * tag-name charset so parsing is unambiguous, the fresh file lands by
+    * dot-tmp + rename-to-new-name (never a clobbering rename, never a
+    * delete-then-rename window), readers resolve the HIGHEST generation,
+    * and only after the new pointer is durable are older generations
+    * garbage-collected best-effort. A crash or a racing reader/vacuum at
+    * any instant therefore sees at least one pointer for the tag — the
+    * previous pin until the flip, the new one after — so a provenance pin
+    * can never be silently lost mid-re-tag (the round-12 ADVICE hole: the
+    * old delete-then-rename passed through a no-tag state a concurrent
+    * vacuum could act on). */
+  private def tagGenerations(f: org.apache.hadoop.fs.FileSystem,
+      base: String): Map[String, Seq[(Long, Path)]] = {
+    val rd = refsDir(base)
+    if (!f.exists(rd)) Map.empty
+    else f.listStatus(rd).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".txt") || n.startsWith(".")) None
+      else {
+        val stem = n.stripSuffix(".txt")
+        val at = stem.lastIndexOf('@')
+        if (at < 0) Some((stem, 0L, st.getPath))
+        else stem.substring(at + 1).toLongOption
+          .map(g => (stem.substring(0, at), g, st.getPath))
+      }
+    }.groupBy(_._1).map { case (name, gs) =>
+      name -> gs.map(g => (g._2, g._3)).sortBy(_._1)
+    }
   }
 
-  /** Pin `version` (default: the current head) under `name`. */
-  def tag(spark: SparkSession, basePath: String, name: String,
-      version: Option[Int] = None): Int = {
-    val v = version.getOrElse(currentSnapshot(spark, basePath).map(_.version)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed manifest under $basePath to tag")))
-    require(snapshotAt(spark, basePath, v).isDefined,
-      s"cannot tag version $v of $basePath: never committed, or vacuumed")
-    val p = refPath(basePath, name)
-    val f = fs(spark, p)
-    f.mkdirs(refsDir(basePath))
-    val tmp = new Path(refsDir(basePath),
-      s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}.txt")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(p, false) // rename-over target (HDFS rename won't clobber)
-    if (!f.rename(tmp, p))
-      throw new IllegalStateException(s"tag commit failed for $name on $basePath")
-    v
-  }
-
-  /** The version a tag points at, if the tag exists. */
-  def tagVersion(spark: SparkSession, basePath: String,
-      name: String): Option[Int] = {
-    val p = refPath(basePath, name)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
+  private def readRef(f: org.apache.hadoop.fs.FileSystem, p: Path): Option[Int] = {
+    if (!f.exists(p)) None // GC'd between list and read: fall to older gen
     else {
       val in = f.open(p)
       try {
@@ -1160,18 +1195,49 @@ object ManifestTable {
     }
   }
 
-  /** Every tag on the table. */
-  def tags(spark: SparkSession, basePath: String): Map[String, Int] = {
+  /** Pin `version` (default: the current head) under `name`. */
+  def tag(spark: SparkSession, basePath: String, name: String,
+      version: Option[Int] = None): Int = {
+    requireTagName(name)
+    val v = version.getOrElse(currentSnapshot(spark, basePath).map(_.version)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed manifest under $basePath to tag")))
+    require(snapshotAt(spark, basePath, v).isDefined,
+      s"cannot tag version $v of $basePath: never committed, or vacuumed")
     val rd = refsDir(basePath)
     val f = fs(spark, rd)
-    if (!f.exists(rd)) Map.empty
-    else f.listStatus(rd).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".txt") && !n.startsWith("."))
-        tagVersion(spark, basePath, n.stripSuffix(".txt"))
-          .map(n.stripSuffix(".txt") -> _)
-      else None
-    }.toMap
+    f.mkdirs(rd)
+    val prior = tagGenerations(f, basePath).getOrElse(name, Nil)
+    val gen = prior.lastOption.map(_._1 + 1).getOrElse(1L)
+    val tmp = new Path(rd,
+      s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}.txt")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new Path(rd, s"$name@$gen.txt")))
+      throw new IllegalStateException(s"tag commit failed for $name on $basePath")
+    // older generations are garbage only once the new pointer is durable;
+    // a crash here leaves extra files that resolve-newest ignores
+    prior.foreach { case (_, p) => f.delete(p, false) }
+    v
+  }
+
+  /** The version a tag points at, if the tag exists (highest generation;
+    * falls back to an older generation if GC raced the read). */
+  def tagVersion(spark: SparkSession, basePath: String,
+      name: String): Option[Int] = {
+    requireTagName(name)
+    val f = fs(spark, refsDir(basePath))
+    tagGenerations(f, basePath).getOrElse(name, Nil).reverseIterator
+      .flatMap { case (_, p) => readRef(f, p) }.nextOption()
+  }
+
+  /** Every tag on the table (each at its newest generation). */
+  def tags(spark: SparkSession, basePath: String): Map[String, Int] = {
+    val f = fs(spark, refsDir(basePath))
+    tagGenerations(f, basePath).flatMap { case (name, gs) =>
+      gs.reverseIterator.flatMap { case (_, p) => readRef(f, p) }.nextOption()
+        .map(name -> _)
+    }
   }
 
   /** Read the table state a tag pins — [[readAt]] by name. */
@@ -1179,10 +1245,12 @@ object ManifestTable {
     readAt(spark, basePath, tagVersion(spark, basePath, name).getOrElse(
       throw new IllegalStateException(s"no tag '$name' on $basePath")))
 
-  /** Drop a tag; the version it pinned becomes vacuumable again. */
+  /** Drop a tag (all generations); its version becomes vacuumable again. */
   def dropTag(spark: SparkSession, basePath: String, name: String): Boolean = {
-    val p = refPath(basePath, name)
-    fs(spark, p).delete(p, false)
+    requireTagName(name)
+    val f = fs(spark, refsDir(basePath))
+    tagGenerations(f, basePath).getOrElse(name, Nil)
+      .map { case (_, p) => f.delete(p, false) }.exists(identity)
   }
 
   def vacuum(spark: SparkSession, basePath: String, retainVersions: Int = 1): Int = {

@@ -403,6 +403,101 @@ class ManifestTableSpec extends SparkSpec {
     assert(asMap(ManifestTable.read(spark, base)) == audited)
   }
 
+  test("re-tag never passes through a no-tag state: generations resolve newest, legacy pointers read") {
+    val base = Files.createTempDirectory("manifest_taggen").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 11.0))), base, keys, "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 12.0))), base, keys, "date")
+    val rd = new org.apache.hadoop.fs.Path(base, "_refs")
+    val fs = rd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def refFiles(): Set[String] =
+      fs.listStatus(rd).map(_.getPath.getName).filterNot(_.startsWith(".")).toSet
+
+    ManifestTable.tag(spark, base, "pin", Some(1))
+    assert(refFiles() == Set("pin@1.txt"))
+    // a re-tag lands a NEW generation then GC's the old one — at no
+    // instant is the name pointer-less, and steady state is one file
+    ManifestTable.tag(spark, base, "pin", Some(2))
+    assert(refFiles() == Set("pin@2.txt"),
+      "re-tag must replace the pointer via a fresh generation, then GC")
+    assert(ManifestTable.tagVersion(spark, base, "pin").contains(2))
+
+    // crash-mid-re-tag: the new generation landed but the old was never
+    // GC'd — resolve-newest reads the re-tag, the orphan is inert, and
+    // the NEXT re-tag cleans both up
+    val out = fs.create(new org.apache.hadoop.fs.Path(rd, "pin@7.txt"), true)
+    try out.write("3".getBytes("UTF-8")) finally out.close()
+    assert(ManifestTable.tagVersion(spark, base, "pin").contains(3),
+      "highest generation must win")
+    assert(ManifestTable.tags(spark, base) == Map("pin" -> 3))
+    ManifestTable.tag(spark, base, "pin", Some(1))
+    assert(refFiles() == Set("pin@8.txt"),
+      "a tag() after a crashed re-tag must GC every stale generation")
+
+    // legacy bare-name pointer (generation 0) reads, re-tags, and drops
+    val leg = fs.create(new org.apache.hadoop.fs.Path(rd, "legacy.txt"), true)
+    try leg.write("2".getBytes("UTF-8")) finally leg.close()
+    assert(ManifestTable.tagVersion(spark, base, "legacy").contains(2))
+    ManifestTable.tag(spark, base, "legacy", Some(3))
+    assert(ManifestTable.tagVersion(spark, base, "legacy").contains(3))
+    assert(!refFiles().contains("legacy.txt"),
+      "re-tagging a legacy pointer must migrate it to a generation file")
+    assert(ManifestTable.dropTag(spark, base, "pin"))
+    assert(ManifestTable.dropTag(spark, base, "legacy"))
+    assert(ManifestTable.tags(spark, base).isEmpty)
+  }
+
+  test("writeAuditPublishRetrying: a lost race abandons, re-stages, RE-AUDITS, and publishes") {
+    val base = Files.createTempDirectory("manifest_wapocc").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+
+    // the audit window is exactly where a competing writer can land: the
+    // first audit triggers a winner commit, so attempt 1's commit loses;
+    // attempt 2 must re-audit against the WINNER's state (kA visible)
+    var auditsSeen = List.empty[Map[(String, String), Double]]
+    val v = ManifestTable.writeAuditPublishRetrying(spark,
+      frame(Seq(("kB", "2023-07-01", 3.0))), base, keys, "date") { merged =>
+      if (auditsSeen.isEmpty)
+        ManifestTable.mergeInto(spark,
+          frame(Seq(("kA", "2023-06-01", 2.0))), base, keys, "date")
+      auditsSeen ::= asMap(merged)
+      true
+    }
+    assert(auditsSeen.size == 2, "the retry must replay the audit")
+    assert(!auditsSeen.last.contains(("kA", "2023-06-01")) &&
+      auditsSeen.head.contains(("kA", "2023-06-01")),
+      "the second audit must see the winner's committed row; the first must not")
+    assert(v.contains(3))
+    assert(asMap(ManifestTable.read(spark, base)) == Map(
+      ("k1", "2023-03-01") -> 10.0, ("kA", "2023-06-01") -> 2.0,
+      ("kB", "2023-07-01") -> 3.0), "no lost update in either direction")
+
+    // the lost attempt's staged dirs were abandoned AT the conflict, not
+    // left for vacuum: everything on disk is referenced by a manifest
+    val dd = new org.apache.hadoop.fs.Path(base, "data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = ManifestTable.versions(spark, base)
+      .flatMap(ManifestTable.snapshotAt(spark, base, _))
+      .flatMap(s => s.parts.values ++ s.deletes).toSet
+    assert(fs.listStatus(dd).map(_.getPath.getName).forall(live.contains),
+      "a lost WAP attempt must abandon its staged dirs immediately")
+
+    // a rejection is a data verdict, not a race: no retry, no version
+    var audits = 0
+    assert(ManifestTable.writeAuditPublishRetrying(spark,
+      frame(Seq(("kC", "2023-08-01", 4.0))), base, keys, "date") { _ =>
+      audits += 1; false
+    }.isEmpty)
+    assert(audits == 1, "a rejected audit must not be retried")
+    assert(ManifestTable.versions(spark, base).last == 3)
+  }
+
   test("vacuum never touches a staged-but-uncommitted version; its commit then succeeds") {
     val base = Files.createTempDirectory("manifest8").toString + "/fact"
     val keys = Seq("id", "date")
