@@ -102,6 +102,61 @@ object SketchStore {
       .orderBy(col("token"))
   }
 
+  /** STANDING drift audit of the persisted grid against the live
+    * corpus — the loop-closer for a long-lived sketch: appends and
+    * turnstile deletes are individually exactly-once, but an operator
+    * error (deletes applied for docs never added, a grid restored from
+    * the wrong backup) silently breaks the strict-turnstile invariant
+    * and the store keeps answering with confidence. One corpus scan
+    * computes the exact counts of the `sampleTokens` most frequent
+    * tokens; each is checked against the stored estimate both ways:
+    *
+    *  - `under_ok`: estimate ≥ exact. CMS NEVER undercounts while the
+    *    turnstile is strict (every cell a token hashes to contains its
+    *    full count), so a violation is a smoking gun for over-deletion
+    *    or grid corruption — not noise.
+    *  - `over_ok`: estimate ≤ exact + ⌈e/w · N⌉, the classic CMS bound
+    *    at the grid's own width, with N taken from the grid itself
+    *    (row-0 cell sum — exact under a strict turnstile, free to read).
+    *
+    * Cost class: the exact-count side is one corpus pass (the same
+    * class as the vacuumed-window rebuild) — this is the periodic
+    * reconcile sweep, not a per-batch leg. All outputs are integers.
+    * Returns one row per sampled token:
+    * `(token, exact_count, cm_estimate, bound, under_ok, over_ok)`. */
+  def audit(s: SparkSession, corpus: DataFrame, name: String,
+      sampleTokens: Int = 16): DataFrame = {
+    require(sampleTokens > 0, s"need a positive sample, got $sampleTokens")
+    val meta = IndexMeta.read(s, name)
+    val (d, w) = (meta("depth").toInt, meta("width").toInt)
+    // the grid folds to ≤ d·w rows — cheap enough to evaluate twice
+    // (once for N, once for the probe join) without pinning blocks
+    val grid = storedCells(s, name)
+      .groupBy(col("i"), col("bucket")).agg(sum(col("c")).as("c"))
+    val n = grid.filter(col("i") === 0).agg(coalesce(sum(col("c")), lit(0L)))
+      .head.getLong(0)
+    val bound = math.ceil(math.E / w * n).toLong
+    val exact = corpus
+      .select(explode(graft.operators.DedupOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc).limit(sampleTokens)
+    exact
+      .select(col("token"), col("exact_count"),
+        TextOps.cmsProbes(col("token"), d, w).as("cell"))
+      .select(col("token"), col("exact_count"),
+        col("cell.i").as("i"), col("cell.bucket").as("bucket"))
+      .join(broadcast(grid), Seq("i", "bucket"), "left")
+      .groupBy(col("token"), col("exact_count"))
+      .agg(greatest(min(coalesce(col("c"), lit(0L))), lit(0L)).as("cm_estimate"))
+      .select(col("token"), col("exact_count"), col("cm_estimate"),
+        lit(bound).as("bound"),
+        when(col("cm_estimate") >= col("exact_count"), 1L).otherwise(0L)
+          .as("under_ok"),
+        when(col("cm_estimate") <= col("exact_count") + bound, 1L).otherwise(0L)
+          .as("over_ok"))
+      .orderBy(col("exact_count").desc, col("token").asc)
+  }
+
   /** Compact every batch partition (and any pending negative cells)
     * back to ONE d×w grid under the build id — the stage-then-swap
     * discipline: the folded grid is durable under `__new` before the

@@ -1314,9 +1314,106 @@ object DedupOps extends QueryModule {
     benchBuild = Some((s, dir) =>
       keepBestPerCluster(s, T(s, dir, "documents"))))
 
+  /** PREFIX-FILTERED EXACT set-similarity self-join (the PPJoin/AllPairs
+    * family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08, both public):
+    * every document pair with token-set Jaccard ≥ `threshold`, with NO
+    * false negatives — the guarantee MinHash/LSH (`dd_minhash_lsh`)
+    * structurally cannot give. Candidate generation is still
+    * sub-quadratic: order each doc's distinct tokens by GLOBAL document
+    * frequency ascending (rarest first, token as tiebreak — one total
+    * order shared by all docs), keep only each doc's first
+    * |T| − ⌈t·|T|⌉ + 1 tokens (the prefix), and equi-join on prefix
+    * tokens. The prefix principle: two sets with J ≥ t must overlap in
+    * ≥ ⌈t·max(|A|,|B|)⌉ tokens, so skipping that many from either end of
+    * the shared order cannot skip ALL common tokens — any qualifying
+    * pair shares at least one PREFIX token. Survivors are verified with
+    * an exact intersection count over the candidate pairs only.
+    *
+    * Scale shape (100 TB): the prefix keeps the RAREST tokens, so the
+    * equi-join's per-token buckets are the small tail of the df
+    * distribution by construction — the frequent-token quadratic
+    * blowup an unfiltered token join suffers is excluded from
+    * candidate generation entirely (a stopword never enters any prefix
+    * unless a doc is nearly all stopwords, in which case t·|T| bounds
+    * it). Everything is equi-joins + keyed aggregates: shuffles carry
+    * (token, doc_id) pairs and candidate ids, never text. The verify
+    * cost is O(candidate pairs × avg tokens), and candidates ⊇ results
+    * with no misses — the audit (`PrefixJoinSpec`) pins equality with
+    * the brute-force all-pairs join. */
+  def prefixFilterJoin(documents: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("token").asc)
+    val toks = documents
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val prefix = toks
+      .join(freq, "token")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <=
+        col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1)
+      .select(col("doc_id"), col("token"))
+    val cands = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.token") === col("pb.token") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("doc_b") === col("tb.doc_id") &&
+          col("ta.token") === col("tb.token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        // one integer/integer division — the single IEEE op both engines
+        // round identically (the dd_ngram_jaccard convention)
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The oracle is the UNFILTERED all-pairs join — deliberately: a
+    * hash-match against it PROVES the prefix filter dropped no
+    * qualifying pair (exactness is this operator's whole claim over
+    * LSH). DuckDB's integer division yields DOUBLE, matching Spark's
+    * explicit cast. */
+  private val ddPrefixJoin = QueryDef(
+    "dd_prefix_filter_join",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS token
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+        sa.n_tok + sb.n_tok - i.n_inter AS n_union,
+        i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.6
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => prefixFilterJoin(T(s, dir, "documents")))
+
   override val defs: Seq[QueryDef] =
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
       ddClusterStats, ddSimhashHamming, ddIncremental, ddIncrementalIndexed,
       ddBoilerplate, ddNovelty, ddCorpusOverlap, ddRepeatedPassages,
-      ddKeepBest)
+      ddKeepBest, ddPrefixJoin)
 }

@@ -774,7 +774,164 @@ object MultimodalOps extends QueryModule {
       audioFrameEnergy(withSyntheticAudio(T(s, dir, "documents")))
         .orderBy(col("doc_id"), col("frame_idx"))))
 
+  /** Synthetic video with SCENE STRUCTURE: frames repeat within a scene
+    * (scene length 2–4 frames, varying per doc) and change at scene cuts,
+    * so boundary detection has real work to do — unlike
+    * [[withSyntheticVideo]]'s every-frame-distinct payloads. Same opaque
+    * one-binary-column ingestion shape. */
+  def withSceneVideo(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (lit(8) + pmod(col("doc_id"), lit(5))).cast(IntegerType).as("n_frames"),
+        (lit(2) + pmod(col("doc_id"), lit(3))).cast(IntegerType).as("scene_len"))
+      .select(col("doc_id"), col("n_frames"),
+        aggregate(
+          transform(sequence(lit(0), col("n_frames") - 1),
+            f => encode(videoFrameStr(col("doc_id"),
+              (f / col("scene_len")).cast(IntegerType)), "utf-8")),
+          lit(Array[Byte]()),
+          (acc, x) => concat(acc, x)).as("video"))
+
+  /** SHOT-BOUNDARY DETECTION — the video-pipeline segmentation primitive:
+    * slice every fixed-size frame out of the blob by byte arithmetic
+    * (codegen'd `substring` on binary, no decode, no UDF), fingerprint
+    * it, and cut a shot wherever consecutive fingerprints differ (lag
+    * window per video). Consecutive same-hash frames collapse into one
+    * shot row carrying start/length — the unit a frame-sampler or
+    * captioning stage consumes.
+    *
+    * Scale shape: the per-frame projection happens BEFORE anything
+    * shuffles, so what moves is (doc, frame_idx, 32-char hash), never
+    * video bytes; the lag + island pass is one keyed window per video.
+    * The oracle recomputes each frame's payload from the generator
+    * formula — the hash-match proves the Spark side's byte assembly and
+    * slicing end-to-end (the [[sampleFrames]] contract, plus windowing). */
+  def shotBoundaries(videos: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videos
+      .select(col("doc_id"), col("video"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(video, frame_idx * $videoFrameBytes + 1, $videoFrameBytes)"))
+          .as("frame_md5"))
+      .withColumn("cut",
+        when(lag(col("frame_md5"), 1).over(byDoc).isNull ||
+          lag(col("frame_md5"), 1).over(byDoc) =!= col("frame_md5"), 1L)
+          .otherwise(0L))
+      .withColumn("shot_idx", sum(col("cut")).over(byDoc).cast(IntegerType))
+      .groupBy(col("doc_id"), col("shot_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames_shot"),
+        min(col("frame_md5")).as("frame_md5")) // constant within a shot
+      .orderBy(col("doc_id"), col("shot_idx"))
+  }
+
+  private val mmShots = QueryDef(
+    "mm_shot_boundaries",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, CAST(8 + doc_id % 5 AS INTEGER) AS n_frames,
+          CAST(2 + doc_id % 3 AS INTEGER) AS scene_len
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx,
+          scene_len
+        FROM v),
+      h AS (
+        SELECT doc_id, frame_idx,
+          md5(rpad('f' || CAST(doc_id AS VARCHAR) || ':'
+                || CAST(frame_idx // scene_len AS VARCHAR) || ';', 32, 'x'))
+            AS frame_md5
+        FROM f),
+      cuts AS (
+        SELECT doc_id, frame_idx, frame_md5,
+          CASE WHEN lag(frame_md5) OVER w IS NULL
+                 OR lag(frame_md5) OVER w <> frame_md5 THEN 1 ELSE 0 END AS cut
+        FROM h
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+      shots AS (
+        SELECT doc_id, frame_idx, frame_md5,
+          CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS INTEGER)
+            AS shot_idx
+        FROM cuts)
+      SELECT doc_id, shot_idx, MIN(frame_idx) AS start_frame,
+        COUNT(*) AS n_frames_shot, MIN(frame_md5) AS frame_md5
+      FROM shots
+      GROUP BY doc_id, shot_idx
+      ORDER BY doc_id, shot_idx"""),
+    (s, dir) => shotBoundaries(withSceneVideo(T(s, dir, "documents"))))
+
+  /** VOICE-ACTIVITY SEGMENTATION on top of [[audioFrameEnergy]] — the
+    * speech-pipeline step after loudness profiling: a frame is "voiced"
+    * when its mean square exceeds a floor (integer cross-multiply, no
+    * division), and runs of consecutive voiced frames collapse to one
+    * utterance row (start/end/frames/energy). The gaps-and-islands pass
+    * is `frame_idx − row_number()` per doc — one keyed window, then a
+    * grouped aggregate; all outputs exact integers (the
+    * [[audioFrameEnergy]] portability lesson applied from birth).
+    *
+    * The default floor is the synthetic waveform's expected per-sample
+    * mean square (uniform residues in ±1001 → ≈ 1001·1002/3), so frames
+    * split on their genuine energy fluctuation — both branches real. */
+  def voiceSegments(frames: DataFrame,
+      perSampleFloor: Long = 334334L): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .filter(col("sum_sq") > col("n_samples") * perSampleFloor)
+      .withColumn("grp", col("frame_idx") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sum_sq")).as("sum_sq"))
+      .withColumn("seg_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("start_frame")))
+        .cast(IntegerType))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("sum_sq"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  private val mmVoice = QueryDef(
+    "mm_voice_segments",
+    Some("""
+      WITH samples AS (
+        SELECT d.doc_id, t.i,
+          ((d.doc_id * 31 + t.i * 17) % 2003) - 1001 AS s
+        FROM documents d, LATERAL (
+          SELECT unnest(generate_series(0,
+            CAST(160 + (d.doc_id % 3) * 80 AS BIGINT) - 1)) AS i) t),
+      frames AS (
+        SELECT doc_id, CAST(i // 80 AS INTEGER) AS frame_idx,
+          COUNT(*) AS n_samples, SUM(s * s) AS sum_sq
+        FROM samples GROUP BY 1, 2),
+      voiced AS (
+        SELECT doc_id, frame_idx, sum_sq,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rn
+        FROM frames WHERE sum_sq > n_samples * 334334),
+      segs AS (
+        SELECT doc_id, grp, MIN(frame_idx) AS start_frame,
+          MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames,
+          CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
+        FROM (SELECT doc_id, frame_idx, sum_sq, frame_idx - rn AS grp
+              FROM voiced)
+        GROUP BY doc_id, grp)
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame)
+          AS INTEGER) AS seg_idx,
+        start_frame, end_frame, n_frames, sum_sq
+      FROM segs
+      ORDER BY doc_id, seg_idx"""),
+    (s, dir) =>
+      voiceSegments(
+        audioFrameEnergy(withSyntheticAudio(T(s, dir, "documents")))
+          .drop("rms")))
+
   override val defs: Seq[QueryDef] =
     Seq(mmBinary, mmFeatures, mmDecode, mmDhash, mmImage, mmResize, mmFrames,
-      mmAudio)
+      mmAudio, mmShots, mmVoice)
 }

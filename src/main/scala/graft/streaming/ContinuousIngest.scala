@@ -143,6 +143,15 @@ object ContinuousIngest {
       sketchName: Option[String] = None,
       sketchDepth: Int = 4,
       sketchWidth: Int = 512,
+      // periodic sketch-vs-corpus reconcile ([[SketchStore.audit]]):
+      // each maintenance run exact-counts the N most frequent tokens in
+      // ONE corpus pass and checks the persisted estimates against the
+      // strict-turnstile floor (estimate ≥ exact — a violation proves
+      // over-deletion/corruption) and the e/w overestimate ceiling. A
+      // failing grid is REBUILT from the live corpus on the spot (the
+      // vacuumed-window rebuild's cost class — this audit is the
+      // reconcile sweep, not a per-batch leg). 0 = off.
+      sketchAuditTokens: Int = 0,
       // corpus [[FileBlooms]] columns (e.g. doc_id): point lookups and
       // point deletes — the data-deletion/compliance path — then open
       // only the files that can hold the key. Nil = no sidecar cost.
@@ -165,6 +174,20 @@ object ContinuousIngest {
       // index appends — and its report is still published, so the
       // rejection is observable, not silent. Nil = gate off.
       batchChecks: Seq[DataQuality.RowCheck] = Nil,
+      // WRITE-AUDIT-PUBLISH merge ([[ManifestTable.writeAuditPublishRetrying]]):
+      // when set (and `batchChecks` is non-empty), the batch is STAGED
+      // first and the checks run against the EXACT post-merge table
+      // state the commit would publish — what a pre-merge gate
+      // structurally cannot see (cross-batch key collisions after the
+      // upsert folds, total-row floors, containment against the merged
+      // reference). A rejected batch's staged bytes are abandoned:
+      // quarantine leaves ZERO readable trace at any version — no
+      // version consumed, time travel included — while the audit report
+      // still publishes to the quality table (scope `wap_audit`), so
+      // the rejection is observable. An OCC race re-stages AND
+      // re-audits against the winner's state. false = the pre-merge
+      // gate semantics (checks on the accept frame, then a plain merge).
+      wapAudit: Boolean = false,
       // STANDING table-health checks, evaluated on the corpus manifest
       // after each merge: checks the zone-map metadata can prove are
       // answered with ZERO data files opened
@@ -263,12 +286,35 @@ object ContinuousIngest {
     stamp("accept decided")
     try {
       if (accept.count() > 0) {
+        val useWap = cfg.wapAudit && cfg.batchChecks.nonEmpty
         // Batch-acceptance gate: one scan of the (checkpointed) accept
         // frame computes every metric; the report is published whether
         // the batch lands or not, so a rejection leaves evidence. The
         // publish rides the report table's OWN merge — a replay of this
         // batch upserts the identical rows and converges.
-        val gatePassed = cfg.batchChecks.isEmpty || {
+        val gatePassed =
+        if (useWap) {
+          // stage → audit the post-merge state → publish-or-abandon.
+          // The checks see the table AS IT WOULD PUBLISH; a rejection
+          // consumes no version and leaves no readable bytes, while the
+          // report (from the final attempt's audit) still lands beside
+          // the corpus so quarantine is observable.
+          var lastRep: Option[DataFrame] = None
+          val published = ManifestTable.writeAuditPublishRetrying(spark,
+            accept, cfg.corpusPath, cfg.keys, cfg.dateCol,
+            bloomCols = cfg.bloomCols) { merged =>
+            val rep = DataQuality.report(Seq(
+              DataQuality.rowChecks(merged, cfg.batchChecks))).localCheckpoint()
+            lastRep = Some(rep)
+            DataQuality.allPassed(rep)
+          }
+          lastRep.foreach(rep => publishReport(spark, cfg, bid, accept, rep
+            .withColumn("scope", lit("wap_audit"))
+            .withColumn("from_metadata", lit(0L))))
+          stamp(if (published.isDefined) "WAP audit passed, published"
+            else "batch REJECTED by WAP audit — staged bytes abandoned")
+          published.isDefined
+        } else cfg.batchChecks.isEmpty || {
           val rep = DataQuality.report(Seq(
             DataQuality.rowChecks(accept, cfg.batchChecks))).localCheckpoint()
           val ok = DataQuality.allPassed(rep)
@@ -285,10 +331,14 @@ object ContinuousIngest {
         if (gatePassed) {
         // OCC retry, not plain mergeInto: free absent conflicts, and a
         // second writer on the same corpus (backfill job, another
-        // stream) re-stages and lands instead of failing the batch
-        ManifestTable.mergeIntoRetrying(spark, accept, cfg.corpusPath,
-          cfg.keys, cfg.dateCol, bloomCols = cfg.bloomCols)
-        stamp("merged")
+        // stream) re-stages and lands instead of failing the batch.
+        // (The WAP path has already published atomically inside its
+        // audit loop — merging again would double-stage the batch.)
+        if (!useWap) {
+          ManifestTable.mergeIntoRetrying(spark, accept, cfg.corpusPath,
+            cfg.keys, cfg.dateCol, bloomCols = cfg.bloomCols)
+          stamp("merged")
+        }
         if (!BatchLog.isCommitted(spark, log, bid)) {
           if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
             MinhashIndex.append(spark, accept, cfg.indexName, bid)
@@ -475,6 +525,27 @@ object ContinuousIngest {
         // grid compaction: any number of batch partitions (and pending
         // negative cells) fold back to one d×w grid
         SketchStore.fold(spark, sn)
+        // reconcile sweep: exact-count the corpus's top tokens (one
+        // scan) and check the folded grid both ways — the turnstile
+        // floor (estimate ≥ exact; a violation PROVES over-deletion or
+        // corruption) and the e/w ceiling. A failing grid heals by
+        // rebuild from the live corpus, the vacuumed-window path's
+        // cost class. Advisory-loud, never throws: the corpus is the
+        // source of truth and stays untouched either way.
+        if (cfg.sketchAuditTokens > 0 &&
+            ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
+          val corpus = ManifestTable.read(spark, cfg.corpusPath)
+          val bad = SketchStore
+            .audit(spark, corpus, sn, cfg.sketchAuditTokens)
+            .filter(col("under_ok") === 0L || col("over_ok") === 0L)
+            .count()
+          if (bad > 0) {
+            println(s"[ingest] sketch $sn FAILED reconcile audit " +
+              s"($bad sampled tokens out of bounds) — rebuilding from corpus")
+            SketchStore.build(spark, corpus, sn,
+              depth = cfg.sketchDepth, width = cfg.sketchWidth)
+          }
+        }
       }
     cfg.ivfIndexPath
       .filter(graft.operators.IvfIndex.existsDir(spark, _))

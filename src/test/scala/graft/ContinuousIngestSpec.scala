@@ -620,6 +620,146 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("WAP merge: the post-merge audit catches what a batch gate cannot; quarantine invisible at every version") {
+    import graft.etl.DataQuality
+    import graft.etl.DataQuality._
+    val src = Files.createTempDirectory("ciw_src").toString + "/data"
+    val cp = Files.createTempDirectory("ciw_cp").toString
+    val corpus = Files.createTempDirectory("ciw_corpus").toString + "/corpus"
+    val mh = "ciw_idx"
+    // uniqueness of `source` is a MERGED-state property: any single batch
+    // with distinct sources passes it trivially, but a batch whose source
+    // already exists in the corpus breaks it only AFTER the upsert folds —
+    // exactly the class of check the WAP path exists for
+    val checks: Seq[RowCheck] = Seq(
+      Uniqueness("source", "corpus.source"),
+      NonNegative("n_chars", "corpus.n_chars"))
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      wapAudit = true, batchChecks = checks)
+    def srcDoc(id: Long, tag: String, source: String) =
+      (id, words(tag, 16), "en", source, 16L, day)
+    def rows(rs: Seq[(Long, String, String, String, Long, java.sql.Date)]) =
+      rs.toDF("doc_id", "text", "lang", "source", "n_chars", "doc_date")
+    def corpusIds(): Set[Long] = ManifestTable.read(spark, corpus)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      rows(Seq(srcDoc(1L, "w1", "srcA"), srcDoc(2L, "w2", "srcB"),
+        srcDoc(3L, "w3", "srcC"))).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def run(): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        ContinuousIngest.start(spark,
+          spark.readStream.schema(schema).parquet(src), cp, cfg)
+          .awaitTermination()
+      }
+
+      // ---- clean batch: audited on the post-merge state, published
+      run()
+      assert(corpusIds() == Set(1L, 2L, 3L))
+      assert(ManifestTable.versions(spark, corpus) == Seq(1))
+
+      // ---- poisoned batch: doc 4 reuses srcB. The batch ALONE passes
+      // every configured check (proving the pre-merge gate is blind to
+      // this), but the staged post-merge state has srcB twice
+      val bad = rows(Seq(srcDoc(4L, "w4", "srcB")))
+      assert(DataQuality.allPassed(DataQuality.report(Seq(
+        DataQuality.rowChecks(bad, checks)))),
+        "precondition: the batch gate would have PASSED this batch")
+      bad.write.mode("append").parquet(src)
+      run()
+      assert(corpusIds() == Set(1L, 2L, 3L), "rejected batch must not merge")
+      assert(ManifestTable.versions(spark, corpus) == Seq(1),
+        "a rejected WAP batch must not consume a version")
+      assert(!ManifestTable.readAt(spark, corpus, 1)
+        .select($"doc_id").collect().map(_.getLong(0)).contains(4L),
+        "time travel must not see quarantined bytes either")
+      // zero readable trace on disk: every data dir is referenced by a
+      // committed manifest (the staged rewrite was abandoned)
+      val dd = new org.apache.hadoop.fs.Path(corpus, "data")
+      val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = ManifestTable.versions(spark, corpus)
+        .flatMap(ManifestTable.snapshotAt(spark, corpus, _))
+        .flatMap(s => s.parts.values ++ s.deletes).toSet
+      assert(fs.listStatus(dd).map(_.getPath.getName).forall(live.contains),
+        "the rejected stage's dirs must be abandoned, not leaked")
+      assert(!spark.table(s"${mh}_sizes").select($"doc_id")
+        .collect().map(_.getLong(0)).contains(4L),
+        "a rejected batch must not reach the index legs")
+      // ...but the rejection is observable: the audit report published
+      val rep = ManifestTable.read(spark, ContinuousIngest.dqReportPath(cfg))
+        .filter($"batch_id" === "b1" && $"scope" === "wap_audit")
+        .select($"check_name", $"passed").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rep("uniqueness(corpus.source)") == 0L,
+        "the failing audit row must be published")
+      assert(rep("non_negative(corpus.n_chars)") == 1L)
+
+      // ---- the stream continues: a later clean batch lands normally
+      rows(Seq(srcDoc(5L, "w5", "srcE"))).write.mode("append").parquet(src)
+      run()
+      assert(corpusIds() == Set(1L, 2L, 3L, 5L))
+      assert(ManifestTable.versions(spark, corpus) == Seq(1, 2))
+    } finally {
+      Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("sketch reconcile audit: an over-deleted grid fails the turnstile floor and a rebuild heals it") {
+    val src = Files.createTempDirectory("cisa_src").toString + "/data"
+    val cp = Files.createTempDirectory("cisa_cp").toString
+    val corpus = Files.createTempDirectory("cisa_corpus").toString + "/corpus"
+    val (mh, sk, ref) = ("cisa_mh", "cisa_sk", "cisa_ref")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = mh,
+      sketchName = Some(sk), sketchAuditTokens = 8)
+    val probes = Seq("p1_1", "p3_2", "p6_16")
+    def est(name: String): Map[String, Long] =
+      graft.etl.SketchStore.estimate(spark, name, probes).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def auditViolations(): Long = graft.etl.SketchStore
+      .audit(spark, ManifestTable.read(spark, corpus), sk, 8)
+      .filter($"under_ok" === 0L || $"over_ok" === 0L).count()
+    try {
+      frame((1L to 6L).map(i => doc(i, words(s"p$i", 16))))
+        .write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      ContinuousIngest.start(spark,
+        spark.readStream.schema(schema).parquet(src), cp, cfg)
+        .awaitTermination()
+      // healthy grid: maintenance audits it and leaves it alone
+      assert(auditViolations() == 0L, "a fresh grid must pass its own audit")
+      ContinuousIngest.maintain(spark, cfg)
+      assert(est(sk)("p1_1") >= 1L)
+
+      // OVER-DELETION: subtract docs that were never removed from the
+      // corpus — each append/delete leg is individually exactly-once,
+      // but nothing in the turnstile itself can catch an operator
+      // feeding it a wrong pre-image. Estimates drop below exact counts.
+      graft.etl.SketchStore.applyDeletes(spark,
+        frame(Seq(doc(1L, words("p1", 16)), doc(2L, words("p2", 16)))),
+        sk, "phantom-del")
+      assert(auditViolations() > 0L,
+        "the audit must flag estimates below exact counts (turnstile floor)")
+
+      // the reconcile sweep detects the broken grid and heals by rebuild:
+      // post-maintenance estimates equal a fresh grid over the corpus
+      ContinuousIngest.maintain(spark, cfg)
+      assert(auditViolations() == 0L, "maintenance must heal a failing grid")
+      graft.etl.SketchStore.build(spark, ManifestTable.read(spark, corpus), ref)
+      assert(est(sk) == est(ref),
+        "the healed sketch must equal a from-scratch grid")
+    } finally {
+      (Seq(s"${mh}_banded", s"${mh}_shingles", s"${mh}_sizes", s"${mh}_meta") ++
+        Seq(sk, ref).flatMap(n => Seq(s"${n}_cells", s"${n}_meta")))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("drift watch: a batch that passes every floor but slides from the stream is stamped") {
     import graft.etl.DataQuality._
     val corpus = Files.createTempDirectory("cid_corpus").toString + "/corpus"

@@ -219,4 +219,64 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.pcmSamples("not audio at all".getBytes("UTF-8")).isEmpty)
     assert(MultimodalOps.pcmSamples(Array.empty[Byte]).isEmpty)
   }
+
+  test("shot boundaries: scene-repeated frames collapse, cuts land exactly at scene changes") {
+    // doc 9: n_frames = 8 + 9%5 = 12, scene_len = 2 + 9%3 = 2 -> 6 shots
+    // of 2 frames; doc 10: n_frames = 8 + 10%5 = 8, scene_len = 2 + 10%3
+    // = 3 -> shots of 3,3,2 frames (the tail scene is partial)
+    val vids = MultimodalOps.withSceneVideo(
+      Seq((9L, "x"), (10L, "y")).toDF("doc_id", "text"))
+    val shots = MultimodalOps.shotBoundaries(vids).collect()
+    val d9 = shots.filter(_.getAs[Long]("doc_id") == 9L)
+    assert(d9.length == 6)
+    assert(d9.map(_.getAs[Int]("start_frame")).sorted.toSeq ==
+      Seq(0, 2, 4, 6, 8, 10))
+    assert(d9.forall(_.getAs[Long]("n_frames_shot") == 2L))
+    val d10 = shots.filter(_.getAs[Long]("doc_id") == 10L)
+      .sortBy(_.getAs[Int]("shot_idx"))
+    assert(d10.map(_.getAs[Long]("n_frames_shot")).toSeq == Seq(3L, 3L, 2L))
+    assert(d10.map(_.getAs[Int]("start_frame")).toSeq == Seq(0, 3, 6))
+    // each shot's fingerprint is the md5 of its scene's formula payload —
+    // the byte-slicing is pinned to the generator, like sampleFrames
+    d10.zipWithIndex.foreach { case (r, scene) =>
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(("f10:" + scene + ";")
+          .padTo(MultimodalOps.videoFrameBytes, 'x').mkString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("frame_md5") == expected)
+    }
+    // shot indexes are 1-based and dense per doc
+    assert(d9.map(_.getAs[Int]("shot_idx")).sorted.toSeq == (1 to 6))
+  }
+
+  test("voice segments: threshold splits frames, islands merge, gaps separate, energies sum") {
+    // hand-built energy frames: doc 1 voiced at 0,1 then 3 (gap at 2),
+    // doc 2 all silent -> no rows. floor 100 per sample, 10 samples/frame
+    val frames = Seq(
+      (1L, 0, 10L, 2000L), (1L, 1, 10L, 1500L), (1L, 2, 10L, 900L),
+      (1L, 3, 10L, 1200L),
+      (2L, 0, 10L, 100L), (2L, 1, 10L, 999L))
+      .toDF("doc_id", "frame_idx", "n_samples", "sum_sq")
+    val segs = MultimodalOps.voiceSegments(frames, perSampleFloor = 100L)
+      .collect()
+    assert(segs.forall(_.getAs[Long]("doc_id") == 1L),
+      "an all-silent doc must produce no segments")
+    val s = segs.sortBy(_.getAs[Int]("seg_idx"))
+      .map(r => (r.getAs[Int]("seg_idx"), r.getAs[Int]("start_frame"),
+        r.getAs[Int]("end_frame"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("sum_sq"))).toSeq
+    // frame 2 (900 = 10*90 <= 10*100 floor? 900 <= 1000 -> silent) splits
+    // the run; frame 1 (1500 > 1000) and frame 3 (1200 > 1000) are voiced
+    assert(s == Seq((1, 0, 1, 2L, 3500L), (2, 3, 3, 1L, 1200L)))
+    // the declared query's synthetic corpus exercises BOTH branches
+    val real = MultimodalOps.voiceSegments(
+      MultimodalOps.audioFrameEnergy(MultimodalOps.withSyntheticAudio(
+        T(spark, sf0001, "documents"))).drop("rms"))
+    val voicedFrames = real.agg(org.apache.spark.sql.functions.sum($"n_frames"))
+      .head.getLong(0)
+    val allFrames = MultimodalOps.audioFrameEnergy(
+      MultimodalOps.withSyntheticAudio(T(spark, sf0001, "documents"))).count()
+    assert(voicedFrames > 0 && voicedFrames < allFrames,
+      s"default floor must split frames, got $voicedFrames of $allFrames voiced")
+  }
 }
