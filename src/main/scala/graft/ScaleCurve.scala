@@ -75,7 +75,10 @@ object ScaleCurve {
     "sim_mrl_recall",        // truncated-prefix search audit (2 brute passes)
     "ta_countmin_sketch",    // fixed d×w sketch grid + exact top-k audit
     "ev_type_pagerank",      // keyed-window pairs + driver power iteration
-    "ta_sketch_served")      // persisted-grid probe (corpus-size-free goal)
+    "ta_sketch_served",      // persisted-grid probe (corpus-size-free goal)
+    "dd_prefix_filter_join", // rarest-token prefix equi-join + exact verify
+    "mm_shot_boundaries",    // byte-sliced frame hashes + per-video lag window
+    "mm_voice_segments")     // PCM energies + per-doc gaps-and-islands
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

@@ -328,6 +328,42 @@ object AggOps extends QueryModule {
         .orderBy($"l_returnflag")
     })
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * year totals, status totals, and the grand total in ONE pass — the
+    * dashboard "three aggregation grains, one scan" shape. `grouping()`
+    * flags disambiguate a NULL group key from a subtotal row, the
+    * standard SQL marker both engines implement. One Expand + one
+    * aggregate — at 100 TB this replaces three scans with one, and the
+    * Expand factor is the set count (3), not the key cardinality. */
+  private val a18 = QueryDef(
+    "a18_grouping_sets",
+    Some("""
+      SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+      ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST"""),
+    (s, dir) => {
+      import s.implicits._
+      // the grouping-set exprs and the grouping cols must be the SAME
+      // expression (an alias wrapper breaks the match and nulls the
+      // key) — alias by rename after the aggregate instead
+      T(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(year($"o_orderdate")), Seq($"o_orderstatus"), Seq.empty),
+          year($"o_orderdate"), $"o_orderstatus")
+        .agg(
+          grouping(year($"o_orderdate")).cast("long").as("g_year"),
+          grouping($"o_orderstatus").cast("long").as("g_status"),
+          H.dbl(sum(H.dec2($"o_totalprice", 14))).as("revenue"),
+          count(lit(1)).as("n"))
+        .withColumnRenamed("year(o_orderdate)", "o_year")
+        .orderBy($"o_year".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15, a16, a17)
+    Seq(a1, a2, a3, a4, a6, a7, a8, a9, a11, a13, a14, a15, a16, a17, a18)
 }

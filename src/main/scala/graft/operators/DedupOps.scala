@@ -1316,64 +1316,75 @@ object DedupOps extends QueryModule {
 
   /** PREFIX-FILTERED EXACT set-similarity self-join (the PPJoin/AllPairs
     * family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08, both public):
-    * every document pair with token-set Jaccard ≥ `threshold`, with NO
+    * every document pair with SHINGLE-set Jaccard ≥ `threshold`, with NO
     * false negatives — the guarantee MinHash/LSH (`dd_minhash_lsh`)
-    * structurally cannot give. Candidate generation is still
-    * sub-quadratic: order each doc's distinct tokens by GLOBAL document
-    * frequency ascending (rarest first, token as tiebreak — one total
-    * order shared by all docs), keep only each doc's first
-    * |T| − ⌈t·|T|⌉ + 1 tokens (the prefix), and equi-join on prefix
-    * tokens. The prefix principle: two sets with J ≥ t must overlap in
-    * ≥ ⌈t·max(|A|,|B|)⌉ tokens, so skipping that many from either end of
-    * the shared order cannot skip ALL common tokens — any qualifying
-    * pair shares at least one PREFIX token. Survivors are verified with
-    * an exact intersection count over the candidate pairs only.
+    * structurally cannot give. Candidate generation is sub-quadratic:
+    * order each doc's distinct shingles by GLOBAL document frequency
+    * ascending (rarest first, shingle as tiebreak — one total order
+    * shared by all docs), keep only each doc's first |S| − ⌈t·|S|⌉ + 1
+    * shingles (the prefix), and equi-join on prefix shingles. The prefix
+    * principle: two sets with J ≥ t must overlap in ≥ ⌈t·max(|A|,|B|)⌉
+    * elements, so skipping that many from either end of the shared order
+    * cannot skip ALL common elements — any qualifying pair shares at
+    * least one PREFIX shingle. The candidate join also carries the
+    * AllPairs LENGTH filter (J ≥ t forces t·|A| ≤ |B| ≤ |A|/t), and
+    * survivors are verified with one `array_intersect` per pair —
+    * pairs-sized rows, never pairs × elements (the exploded re-join was
+    * measured 60× slower).
     *
-    * Scale shape (100 TB): the prefix keeps the RAREST tokens, so the
-    * equi-join's per-token buckets are the small tail of the df
-    * distribution by construction — the frequent-token quadratic
-    * blowup an unfiltered token join suffers is excluded from
-    * candidate generation entirely (a stopword never enters any prefix
-    * unless a doc is nearly all stopwords, in which case t·|T| bounds
-    * it). Everything is equi-joins + keyed aggregates: shuffles carry
-    * (token, doc_id) pairs and candidate ids, never text. The verify
-    * cost is O(candidate pairs × avg tokens), and candidates ⊇ results
-    * with no misses — the audit (`PrefixJoinSpec`) pins equality with
-    * the brute-force all-pairs join. */
-  def prefixFilterJoin(documents: DataFrame,
-      threshold: Double = 0.6): DataFrame = {
+    * The set unit is the word 3-GRAM, deliberately the same sets as
+    * `dd_ngram_jaccard`: shingle space is where near-dup structure is
+    * sparse. Token-level sets on this corpus are degenerate — its
+    * whitespace vocabulary is 31 words, so ~every doc pair shares ~every
+    * token and the TRUE answer at t=0.6 is ~7.1M of 12.5M possible pairs
+    * at sf0.1 (measured; no algorithm makes an inherently quadratic
+    * OUTPUT sub-quadratic). Shingle df distributions have the long rare
+    * tail the prefix needs: a boilerplate shingle never enters a prefix
+    * unless a doc is nearly all boilerplate, in which case t·|S| bounds
+    * it. Shuffles carry (shingle, doc_id) pairs and candidate ids, never
+    * text; the audit (`PrefixJoinSpec`) pins equality with the
+    * brute-force all-pairs join. */
+  def prefixFilterJoin(documents: DataFrame, threshold: Double = 0.6,
+      n: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("token").asc)
-    val toks = documents
-      .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("token"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val prefix = toks
-      .join(freq, "token")
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    val sh = shingleRows(documents, n) // distinct (doc_id, shingle)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh
+      .join(freq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rnk") <=
-        col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1)
-      .select(col("doc_id"), col("token"))
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shingle"), col("n_sh"))
     val cands = prefix.as("pa")
       .join(prefix.as("pb"),
-        col("pa.token") === col("pb.token") &&
-          col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.shingle") === col("pb.shingle") &&
+          col("pa.doc_id") < col("pb.doc_id") &&
+          lit(threshold) * col("pa.n_sh") <= col("pb.n_sh") &&
+          lit(threshold) * col("pb.n_sh") <= col("pa.n_sh"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    val inter = cands
-      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(toks.as("tb"),
-        col("doc_b") === col("tb.doc_id") &&
-          col("ta.token") === col("tb.token"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), "doc_b")
+    // per-doc sorted shingle arrays for the one-row-per-pair verify
+    // (two-step select: the shingleRows quadratic-lambda lesson)
+    val docSh = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        array_sort(array_distinct(shinglesFromTokens(col("toks"), n)))
+          .as("sset"))
+    val verified = cands
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sset").as("ss_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sset").as("ss_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast(LongType)
+          .as("n_inter"),
+        size(col("ss_a")).cast(LongType).as("n_a"),
+        size(col("ss_b")).cast(LongType).as("n_b"))
+    verified
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
         // one integer/integer division — the single IEEE op both engines
@@ -1384,30 +1395,34 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The oracle is the UNFILTERED all-pairs join — deliberately: a
-    * hash-match against it PROVES the prefix filter dropped no
+  /** The oracle is the UNFILTERED all-pairs shingle join — deliberately:
+    * a hash-match against it PROVES the prefix filter dropped no
     * qualifying pair (exactness is this operator's whole claim over
-    * LSH). DuckDB's integer division yields DOUBLE, matching Spark's
-    * explicit cast. */
+    * LSH). Same shingle CTEs as `dd_ngram_jaccard`; DuckDB's integer
+    * division yields DOUBLE, matching Spark's explicit cast. */
   private val ddPrefixJoin = QueryDef(
     "dd_prefix_filter_join",
     Some("""
       WITH toks AS (
-        SELECT doc_id, unnest(list_distinct(
-          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS token
+        SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
         FROM documents),
-      sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+        FROM toks WHERE len(ws) >= 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT i.doc_a, i.doc_b, i.n_inter,
-        sa.n_tok + sb.n_tok - i.n_inter AS n_union,
-        i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
+        sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+        i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
       FROM inter i
       JOIN sizes sa ON i.doc_a = sa.doc_id
       JOIN sizes sb ON i.doc_b = sb.doc_id
-      WHERE i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.6
+      WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
       ORDER BY doc_a, doc_b"""),
     (s, dir) => prefixFilterJoin(T(s, dir, "documents")))
 

@@ -1405,8 +1405,112 @@ object SimilarityOps extends QueryModule {
       mrlRecall(s, emb, emb.filter(col("vec_id") < 10))
     })
 
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein, SIGIR'98
+    * — public): greedy diversified top-k over a candidate pool.
+    * Selection i maximizes λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the
+    * redundancy penalty that keeps a retrieval result from being k
+    * near-copies of the same best hit, the standard rerank between ANN
+    * retrieval and a RAG prompt.
+    *
+    * The production split at 100 TB: candidate generation is the
+    * distributed part (brute or ANN top-`pool` — O(corpus), swap-in
+    * [[LshIndex.search]] at scale) and the greedy rerank is O(pool²)
+    * DRIVER math over the collected candidate similarities — rerankers
+    * run on candidate sets by construction, never the corpus (the
+    * |types|²-bounded collect discipline of `ev_type_pagerank`).
+    *
+    * Float portability: every cosine is the proven codegen fold
+    * ([[CosineSimilarity.cosineNative]], oracle-replayed left-to-right);
+    * λ is EXACTLY 0.5 so the driver's `0.5*r − 0.5*maxSim` is two exact
+    * halvings and one IEEE subtract, replayed identically by the
+    * oracle's unrolled greedy CTE chain. */
+  def mmrRerank(s: SparkSession, embeddings: DataFrame, queryId: Long = 0L,
+      pool: Int = 20, k: Int = 5): DataFrame = {
+    import s.implicits._
+    require(pool >= k && k >= 1, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val e = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" === queryId).select($"v".as("qv"))
+    val rel = e.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"v",
+        CosineSimilarity.cosineNative(s, $"v", $"qv").as("r"))
+      .orderBy($"r".desc, $"vec_id".asc)
+      .limit(pool)
+    val cands = rel.select($"vec_id", $"r").collect() // pool-bounded
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val sims = rel.as("a").crossJoin(rel.as("b")) // pool²-bounded collect
+      .filter($"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("ca"), $"b.vec_id".as("cb"),
+        CosineSimilarity.cosineNative(s, $"a.v", $"b.v").as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cands: _*)
+    (1 to math.min(k, cands.length)).foreach { rank =>
+      val scored = remaining.toSeq.map { case (id, r) =>
+        val score =
+          if (selected.isEmpty) 0.5 * r
+          else 0.5 * r - 0.5 * selected.map(sel => sims((id, sel._2))).max
+        (id, r, score)
+      }
+      val best = scored.minBy { case (id, _, score) => (-score, id) }
+      selected += ((rank, best._1, best._2, best._3))
+      remaining.remove(best._1)
+    }
+    s.createDataFrame(selected.toSeq)
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+      .orderBy($"rank")
+  }
+
+  /** The oracle unrolls the greedy loop as k chained CTE steps — each
+    * picks the argmax of 0.5·r − 0.5·max-sim-to-selected over the
+    * not-yet-picked pool with the same (score desc, id asc) tie-break
+    * the driver loop uses. */
+  private def mmrOracle(pool: Int, k: Int): String = {
+    val cos = cosineSql("a.v", "b.v")
+    val qcos = cosineSql("e.v", "q.qv")
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (
+        SELECT c.vec_id, c.r,
+          0.5 * c.r - 0.5 * (SELECT MAX(s.s) FROM sim s
+                             JOIN p${i - 1} p ON s.cb = p.vec_id
+                             WHERE s.ca = c.vec_id) AS score
+        FROM relv c WHERE c.vec_id NOT IN (SELECT vec_id FROM p${i - 1})
+        ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+      p$i AS (SELECT vec_id FROM p${i - 1}
+              UNION ALL SELECT vec_id FROM s$i)"""
+    }.mkString(",\n      ")
+    val finals = (1 to k)
+      .map(i => s"SELECT $i AS rank, vec_id, r AS relevance, score AS mmr_score FROM s$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      rel AS (
+        SELECT e.vec_id, $qcos AS r
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY r DESC, e.vec_id ASC LIMIT $pool),
+      relv AS (SELECT rel.vec_id, rel.r, e.v FROM rel JOIN e USING (vec_id)),
+      sim AS (
+        SELECT a.vec_id AS ca, b.vec_id AS cb, $cos AS s
+        FROM relv a JOIN relv b ON a.vec_id <> b.vec_id),
+      s1 AS (SELECT vec_id, r, 0.5 * r AS score FROM relv
+             ORDER BY score DESC, vec_id ASC LIMIT 1),
+      p1 AS (SELECT vec_id FROM s1),
+      $steps
+      $finals
+      ORDER BY rank"""
+  }
+
+  private val simMmr = QueryDef(
+    "sim_mmr_rerank",
+    Some(mmrOracle(pool = 20, k = 5)),
+    (s, dir) => mmrRerank(s, T(s, dir, "embeddings")))
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
       simAnnRecall, simHardNeg, simHardNegAnn, simQuantize, simQuantTopK,
-      simIvfQuant, simSemDedup, simChunkRetrieval, simChunkIndexed, simMrl)
+      simIvfQuant, simSemDedup, simChunkRetrieval, simChunkIndexed, simMrl,
+      simMmr)
 }
