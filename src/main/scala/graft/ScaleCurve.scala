@@ -76,9 +76,11 @@ object ScaleCurve {
     "ta_countmin_sketch",    // fixed d×w sketch grid + exact top-k audit
     "ev_type_pagerank",      // keyed-window pairs + driver power iteration
     "ta_sketch_served",      // persisted-grid probe (corpus-size-free goal)
-    "dd_prefix_filter_join", // rarest-token prefix equi-join + exact verify
+    "dd_prefix_filter_join", // rarest-shingle prefix equi-join + exact verify
     "mm_shot_boundaries",    // byte-sliced frame hashes + per-video lag window
-    "mm_voice_segments")     // PCM energies + per-doc gaps-and-islands
+    "mm_voice_segments",     // PCM energies + per-doc gaps-and-islands
+    "sim_mmr_rerank",        // distributed candidate pool + pool²-driver greedy
+    "a18_grouping_sets")     // one-Expand multi-grain aggregate
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
