@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -801,8 +801,52 @@ object TextOps extends QueryModule {
     benchSetup = Some((s, dir) =>
       graft.etl.SketchStore.build(s, T(s, dir, "documents"), "cms_b")))
 
+  /** EXACT heavy hitters with bounded-state plumbing: pass 1 runs the
+    * Misra-Gries summary ([[graft.functions.HeavyHittersAggregate]] —
+    * partial aggregates carry ≤ k entries per map task, so the shuffle
+    * is O(k·partitions) regardless of vocabulary) plus the stream
+    * length in ONE aggregate; pass 2 exact-counts ONLY the ≤ k
+    * candidates (an isin filter pushed to the scan) and keeps tokens
+    * at ≥ 1/`pctDen` (default 2.5%) of all occurrences. MG's guarantee — any item
+    * with count > n/(k+1) survives the summary — makes the composite
+    * EXACT whenever k+1 > pctDen, which is why a plain GROUP BY oracle
+    * can hash-match it: approximation in the plumbing, none in the
+    * answer. */
+  def heavyHitterTokens(s: SparkSession, docs: DataFrame, k: Int = 63,
+      pctDen: Int = 40): DataFrame = {
+    require(k + 1 > pctDen,
+      s"MG guarantee needs k+1 > pctDen for an exact answer, got k=$k pctDen=$pctDen")
+    val toks = docs.select(explode(DedupOps.tokens(col("text"))).as("token"))
+    val summary = toks.agg(
+      graft.functions.HeavyHittersAggregate.heavyHitters(s, col("token"), k)
+        .as("cands"),
+      count(lit(1)).as("n_total")).head
+    val n = summary.getLong(1)
+    // ≤ k candidate strings — driver-bounded by the aggregate's capacity
+    val cands = summary.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(pctDen.toLong) >= lit(n))
+      .select(col("token"), col("cnt"), lit(n).as("n_total"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  private val taHeavyHitters = QueryDef(
+    "ta_heavy_hitters",
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM toks),
+      cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+      SELECT c.token, c.cnt, t.n AS n_total
+      FROM cnts c, tot t
+      WHERE c.cnt * 40 >= t.n
+      ORDER BY cnt DESC, token ASC"""),
+    (s, dir) => heavyHitterTokens(s, T(s, dir, "documents")))
+
   override val defs: Seq[QueryDef] =
     Seq(taTokens, taQuality, taLangId, taFingerprint, taBpe, taPii, taTfidf,
       taBigramLm, taLmScore, taBm25, taBm25Indexed, taSimpson, taHybrid,
-      taBlocklist, taCountMin, taSketchServed)
+      taBlocklist, taCountMin, taSketchServed, taHeavyHitters)
 }
