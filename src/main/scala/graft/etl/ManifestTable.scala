@@ -198,6 +198,73 @@ object ManifestTable {
     readSnapshot(spark, basePath, snap)
   }
 
+  /** Commit wall-clock of each retained version — the manifest file's
+    * mtime, i.e. the instant the atomic rename made it readable. */
+  private def commitTimes(spark: SparkSession,
+      basePath: String): Seq[(Int, Long)] = {
+    val md = manifestDir(basePath)
+    val f = fs(spark, md)
+    versions(spark, basePath).map { v =>
+      v -> f.getFileStatus(new Path(md, s"${vdir(v)}.txt")).getModificationTime
+    }
+  }
+
+  /** Read the table AS OF a wall-clock instant (the Iceberg/Delta
+    * `TIMESTAMP AS OF` form): resolves the newest version whose commit
+    * time is ≤ `asOf` — ties (same-millisecond commits) resolve to the
+    * higher version, matching what a reader at that instant saw.
+    * History older than vacuum retention is gone like [[readAt]]'s. */
+  def readAsOf(spark: SparkSession, basePath: String,
+      asOf: java.sql.Timestamp): DataFrame = {
+    val at = commitTimes(spark, basePath)
+      .filter(_._2 <= asOf.getTime)
+      .sortBy { case (v, t) => (t, v) }
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"no version of $basePath committed at or before $asOf " +
+          "(table did not exist yet, or that history was vacuumed)"))
+    readAt(spark, basePath, at._1)
+  }
+
+  /** `history` METADATA TABLE (the Iceberg `table$history` shape): one
+    * row per retained version with its commit time and manifest-level
+    * shape — what changed when, answerable without opening a single
+    * data file. Driver cost O(versions). */
+  def history(spark: SparkSession, basePath: String): DataFrame = {
+    import spark.implicits._
+    val times = commitTimes(spark, basePath).toMap
+    versions(spark, basePath).flatMap { v =>
+      snapshotAt(spark, basePath, v).map { snap =>
+        (v, new java.sql.Timestamp(times(v)), snap.parts.size,
+          snap.parts.values.count(d => dirVersion(d).contains(v)),
+          snap.deletes.size,
+          snap.schema.map(_.fields.length.toLong).getOrElse(-1L))
+      }
+    }.toDF("version", "committed_at", "n_partitions", "n_rewritten_dirs",
+      "n_delete_dirs", "n_schema_cols")
+  }
+
+  /** `files` METADATA TABLE (the Iceberg `table$files` shape): one row
+    * per live data file in the current snapshot — partition, dir, name,
+    * bytes, mtime — from pure listings (the vacuum planning loop's cost
+    * class: O(files) metadata reads, zero data bytes). The operational
+    * "is this table fragmented / which partition is heavy" view that
+    * drives compaction decisions. */
+  def filesMeta(spark: SparkSession, basePath: String): DataFrame = {
+    import spark.implicits._
+    val snap = currentSnapshot(spark, basePath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $basePath"))
+    val dd = dataDir(basePath)
+    val f = fs(spark, dd)
+    snap.parts.toSeq.sortBy(_._1).flatMap { case (y, dir) =>
+      val pdir = new Path(dd, s"$dir/part_year=$y")
+      if (!f.exists(pdir)) Nil
+      else f.listStatus(pdir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (y, dir, st.getPath.getName, st.getLen,
+          new java.sql.Timestamp(st.getModificationTime)))
+    }.toDF("part_year", "dir", "file", "bytes", "modified_at")
+  }
+
   /** Every partition dir read WITH the snapshot's recorded schema:
     * dirs written before a column existed surface it as null, and time
     * travel returns the schema the version recorded. Legacy manifests
