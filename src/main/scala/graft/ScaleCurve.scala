@@ -81,7 +81,8 @@ object ScaleCurve {
     "mm_voice_segments",     // PCM energies + per-doc gaps-and-islands
     "sim_mmr_rerank",        // distributed candidate pool + pool²-driver greedy
     "a18_grouping_sets",     // one-Expand multi-grain aggregate
-    "ta_heavy_hitters")      // k-bounded MG partials + candidate recount
+    "ta_heavy_hitters",      // k-bounded MG partials + candidate recount
+    "sim_mmr_ann")           // bucket-join candidates + pool²-driver greedy
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

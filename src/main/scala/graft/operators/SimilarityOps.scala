@@ -1436,6 +1436,17 @@ object SimilarityOps extends QueryModule {
         CosineSimilarity.cosineNative(s, $"v", $"qv").as("r"))
       .orderBy($"r".desc, $"vec_id".asc)
       .limit(pool)
+    mmrSelect(s, rel, k)
+  }
+
+  /** The greedy MMR selection shared by the brute and the ANN-served
+    * candidate generators: `rel` carries ≤ pool rows of
+    * (vec_id, v, r = relevance-to-query). Pairwise candidate cosines
+    * come from the SAME proven codegen fold the relevances used, then
+    * the O(pool·k) argmax loop runs on the driver over the two
+    * pool-bounded collects. */
+  private def mmrSelect(s: SparkSession, rel: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     val cands = rel.select($"vec_id", $"r").collect() // pool-bounded
       .map(r => r.getLong(0) -> r.getDouble(1))
     val sims = rel.as("a").crossJoin(rel.as("b")) // pool²-bounded collect
@@ -1463,13 +1474,38 @@ object SimilarityOps extends QueryModule {
       .orderBy($"rank")
   }
 
+  /** [[mmrRerank]] with ANN candidate generation — the scale form: the
+    * pool comes from the LSH bucket join (O(matching candidates), not
+    * O(corpus)), and only the ≤ pool survivors pay exact cosines and the
+    * driver greedy. Same plane-literal oracle machinery as
+    * `sim_lsh_ann`, so the WHOLE composite — buckets, candidate set,
+    * rerank, diversification — stays hash-checkable. */
+  def mmrRerankAnn(s: SparkSession, embeddings: DataFrame,
+      queryId: Long = 0L, pool: Int = 20, k: Int = 5, tables: Int = 16,
+      planesPerTable: Int = 4, dims: Int = 64, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    require(pool >= k && k >= 1, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val e = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val rel = lshAnn(s, embeddings,
+      embeddings.filter($"vec_id" === queryId), topK = pool,
+      tables = tables, planesPerTable = planesPerTable, dims = dims,
+      seed = seed)
+      .select($"neighbor_id".as("vec_id"), $"cosine_sim".as("r"))
+      .join(e, "vec_id")
+    mmrSelect(s, rel, k)
+  }
+
   /** The oracle unrolls the greedy loop as k chained CTE steps — each
     * picks the argmax of 0.5·r − 0.5·max-sim-to-selected over the
     * not-yet-picked pool with the same (score desc, id asc) tie-break
     * the driver loop uses. */
-  private def mmrOracle(pool: Int, k: Int): String = {
+  /** The greedy tail shared by both MMR oracles: assumes CTEs
+    * `e(vec_id, v)` and `rel(vec_id, r)` (≤ pool rows) are defined
+    * upstream; unrolls k selection steps, each the argmax of
+    * 0.5·r − 0.5·max-sim-to-selected with the driver loop's
+    * (score desc, id asc) tie-break. */
+  private def mmrTail(k: Int): String = {
     val cos = cosineSql("a.v", "b.v")
-    val qcos = cosineSql("e.v", "q.qv")
     val steps = (2 to k).map { i =>
       s"""s$i AS (
         SELECT c.vec_id, c.r,
@@ -1484,14 +1520,7 @@ object SimilarityOps extends QueryModule {
     val finals = (1 to k)
       .map(i => s"SELECT $i AS rank, vec_id, r AS relevance, score AS mmr_score FROM s$i")
       .mkString("\n      UNION ALL ")
-    s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      rel AS (
-        SELECT e.vec_id, $qcos AS r
-        FROM e, q WHERE e.vec_id <> 0
-        ORDER BY r DESC, e.vec_id ASC LIMIT $pool),
-      relv AS (SELECT rel.vec_id, rel.r, e.v FROM rel JOIN e USING (vec_id)),
+    s"""relv AS (SELECT rel.vec_id, rel.r, e.v FROM rel JOIN e USING (vec_id)),
       sim AS (
         SELECT a.vec_id AS ca, b.vec_id AS cb, $cos AS s
         FROM relv a JOIN relv b ON a.vec_id <> b.vec_id),
@@ -1503,14 +1532,70 @@ object SimilarityOps extends QueryModule {
       ORDER BY rank"""
   }
 
+  private def mmrOracle(pool: Int, k: Int): String = {
+    val qcos = cosineSql("e.v", "q.qv")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      rel AS (
+        SELECT e.vec_id, $qcos AS r
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY r DESC, e.vec_id ASC LIMIT $pool),
+      ${mmrTail(k)}"""
+  }
+
+  /** ANN-candidate MMR oracle: the sim_lsh_ann plane-literal bucket CTEs
+    * feed `rel` instead of the brute scan; the greedy tail is shared. */
+  private def mmrAnnOracle(pool: Int, k: Int, tables: Int,
+      planesPerTable: Int, dims: Int, seed: Long): String = {
+    val planes = lshPlanes(tables, planesPerTable, dims, seed)
+    val planeRows = planes.zipWithIndex.flatMap { case (ps, t) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        val w = 1L << (planesPerTable - 1 - i)
+        s"($t, $w, [${p.map(_.toString).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n          ")
+    val qcos = cosineSql("e.v", "q.qv")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      planes(tbl, pw, p) AS (VALUES
+          $planeRows),
+      cb AS (
+        SELECT e.vec_id, pl.tbl,
+          SUM(CASE WHEN ${dotSql("pl.p", "e.v")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.tbl),
+      qb AS (
+        SELECT pl.tbl,
+          SUM(CASE WHEN ${dotSql("pl.p", "q.qv")} >= 0 THEN pl.pw ELSE 0 END) AS bucket
+        FROM q CROSS JOIN planes pl
+        GROUP BY pl.tbl),
+      cands AS (
+        SELECT DISTINCT cb.vec_id
+        FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE cb.vec_id <> 0),
+      rel AS (
+        SELECT e.vec_id, $qcos AS r
+        FROM cands c JOIN e ON e.vec_id = c.vec_id, q
+        ORDER BY r DESC, e.vec_id ASC LIMIT $pool),
+      ${mmrTail(k)}"""
+  }
+
   private val simMmr = QueryDef(
     "sim_mmr_rerank",
     Some(mmrOracle(pool = 20, k = 5)),
     (s, dir) => mmrRerank(s, T(s, dir, "embeddings")))
 
+  private val simMmrAnn = QueryDef(
+    "sim_mmr_ann",
+    Some(mmrAnnOracle(pool = 20, k = 5, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)),
+    (s, dir) => mmrRerankAnn(s, T(s, dir, "embeddings")))
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
       simAnnRecall, simHardNeg, simHardNegAnn, simQuantize, simQuantTopK,
       simIvfQuant, simSemDedup, simChunkRetrieval, simChunkIndexed, simMrl,
-      simMmr)
+      simMmr, simMmrAnn)
 }

@@ -443,6 +443,18 @@ object ContinuousIngest {
     * BEFORE vacuum, so the CDC diff window the bookmark points into is
     * never reclaimed out from under the sync. */
   private[graft] def maintain(spark: SparkSession, cfg: Config): Unit = {
+    // the deletion-sync diff set (and the chunk translation inside) are
+    // localCheckpoints — pinned blocks the cache manager never frees; a
+    // long-lived stream would leak one set per maintenance. Drop exactly
+    // what this run pinned once every family has folded (the ingestBatch
+    // discipline; nothing reads the set after the bookmark advances).
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try maintainInner(spark, cfg)
+    finally (spark.sparkContext.getPersistentRDDs -- pinnedBefore.toSeq)
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
+  private def maintainInner(spark: SparkSession, cfg: Config): Unit = {
     val pending =
       if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
         ManifestTable.compact(spark, cfg.corpusPath)

@@ -98,6 +98,10 @@ class DedupSpec extends SparkSpec {
     // share its distinct()'s shuffle in the EXECUTED adaptive plan — a
     // regression here means the corpus gets re-shingled per consumer
     // (or someone re-added the persist that measured 3x slower).
+    // relative, not absolute: other suites sharing this session may
+    // legitimately hold pinned blocks (e.g. an index-maintenance
+    // localCheckpoint); the assertion is that THIS query pins nothing
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("dd_ngram_jaccard")(spark, sf0001)
     df.collect() // execute through this QueryExecution so AQE materializes
     val plan = df.queryExecution.executedPlan.toString
@@ -105,7 +109,8 @@ class DedupSpec extends SparkSpec {
     val finalPlan = if (initialIdx >= 0) plan.substring(0, initialIdx) else plan
     val reused = "ReusedExchange".r.findAllIn(finalPlan).length
     assert(reused >= 2, s"expected >=2 ReusedExchange in final plan, got $reused")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).isEmpty,
+      "dd_ngram_jaccard must not pin blocks")
   }
 
   test("boilerplateCoverage marks exactly the positions under a shared 8-gram") {
