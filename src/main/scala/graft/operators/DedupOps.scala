@@ -1353,6 +1353,12 @@ object DedupOps extends QueryModule {
     val sh = shingleRows(documents, n) // distinct (doc_id, shingle)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // deliberately NOT checkpointed/persisted: both candidate-join sides
+    // read this subtree, but its exchanges (the distinct, the df join,
+    // the rank window) are shared via ReuseExchange in the adaptive
+    // plan — a localCheckpoint here measured 13.8 s vs 4.9 s at sf0.1
+    // (materialization broke the reuse and paid block writes), the same
+    // lesson as dd_ngram_jaccard's round-2 persist.
     val prefix = sh
       .join(freq, "shingle")
       .withColumn("rnk", row_number().over(w))
