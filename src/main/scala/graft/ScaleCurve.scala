@@ -82,7 +82,8 @@ object ScaleCurve {
     "sim_mmr_rerank",        // distributed candidate pool + pool²-driver greedy
     "a18_grouping_sets",     // one-Expand multi-grain aggregate
     "ta_heavy_hitters",      // k-bounded MG partials + candidate recount
-    "sim_mmr_ann")           // bucket-join candidates + pool²-driver greedy
+    "sim_mmr_ann",           // bucket-join candidates + pool²-driver greedy
+    "dd_levenshtein_verify") // banded candidates + per-pair edit-distance DP
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

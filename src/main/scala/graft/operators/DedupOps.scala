@@ -1401,6 +1401,59 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** EDIT-DISTANCE VERIFY over MinHash candidates — the third rung of
+    * the dedup ladder (bucket-join candidates → set-overlap verify →
+    * CHARACTER-level confirm): Levenshtein distance on the candidate
+    * pairs' full texts, flagged similar when the distance is ≤ 20% of
+    * the longer text (integer cross-multiply, no division). Catches
+    * what shingle Jaccard conflates — transpositions and small in-place
+    * edits that preserve most shingles score the same as appends, but
+    * have very different edit distances — and is the standard last
+    * filter before declaring two crawl snapshots "the same page".
+    *
+    * Scale shape: text moves ONLY for candidate pairs (the banded join
+    * bounds them), and the O(len_a·len_b) DP runs once per pair inside
+    * codegen (`levenshtein` is a native function in Spark AND DuckDB,
+    * bit-identical classic DP — which is what lets the whole composite
+    * hash-match). All outputs exact integers. */
+  def levenshteinVerify(s: SparkSession, documents: DataFrame,
+      threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))
+  ): DataFrame = {
+    val pairs = minhashNearDups(s, documents, threshold, hashFn = hashFn)
+      .select(col("doc_a"), col("doc_b"))
+    val texts = documents.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).cast(LongType).as("edit_dist"),
+        greatest(length(col("t_a")), length(col("t_b"))).cast(LongType)
+          .as("max_len"))
+      .withColumn("similar",
+        when(col("edit_dist") * 5 <= col("max_len"), 1L).otherwise(0L))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val ddLevenshtein = QueryDef(
+    "dd_levenshtein_verify",
+    Some(s"""
+      WITH ${minhashCtes(threshold = 0.5, numPerms = 32, bands = 8)}
+      SELECT p.doc_a, p.doc_b,
+        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+        CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+        CAST(CASE WHEN levenshtein(da.text, db.text) * 5
+                    <= greatest(length(da.text), length(db.text))
+             THEN 1 ELSE 0 END AS BIGINT) AS similar
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+      ORDER BY p.doc_a, p.doc_b"""),
+    (s, dir) => levenshteinVerify(s, T(s, dir, "documents"),
+      hashFn = portableSeededHash),
+    benchBuild = Some((s, dir) =>
+      levenshteinVerify(s, T(s, dir, "documents"))))
+
   /** The oracle is the UNFILTERED all-pairs shingle join — deliberately:
     * a hash-match against it PROVES the prefix filter dropped no
     * qualifying pair (exactness is this operator's whole claim over
@@ -1436,5 +1489,5 @@ object DedupOps extends QueryModule {
     Seq(ddExact, ddJaccard, ddMinhash, ddSimhash, ddEmbedding, ddComponents,
       ddClusterStats, ddSimhashHamming, ddIncremental, ddIncrementalIndexed,
       ddBoilerplate, ddNovelty, ddCorpusOverlap, ddRepeatedPassages,
-      ddKeepBest, ddPrefixJoin)
+      ddKeepBest, ddPrefixJoin, ddLevenshtein)
 }

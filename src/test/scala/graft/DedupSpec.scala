@@ -113,6 +113,40 @@ class DedupSpec extends SparkSpec {
       "dd_ngram_jaccard must not pin blocks")
   }
 
+  test("levenshteinVerify: small in-place edits pass, large appends fail, distances exact") {
+    // pair (1,2): one word swapped in place — shingle-similar AND
+    // edit-similar; pair (3,4): a long append — still shingle-similar
+    // (all base shingles shared) but FAR over the 20% edit budget,
+    // exactly the distinction this verify stage exists to draw
+    val base1 = (1 to 16).map(i => s"alpha_$i").mkString(" ")
+    val edit1 = base1.replace("alpha_9", "edited9")
+    val base3 = (1 to 20).map(i => s"beta_$i").mkString(" ")
+    val append = (1 to 10).map(i => s"appendix_$i").mkString(" ")
+    val docs = Seq(
+      (1L, base1), (2L, edit1),
+      (3L, base3), (4L, s"$base3 $append")).toDF("doc_id", "text")
+    val out = DedupOps.levenshteinVerify(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)),
+      s"both planted near-pairs must surface as candidates: ${out.keySet}")
+    // reference DP for the exact distances
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    assert(out((1L, 2L)) ==
+      ((lev(base1, edit1), math.max(base1.length, edit1.length).toLong, 1L)),
+      "in-place edit must be similar with the exact DP distance")
+    val (d34, m34, s34) = out((3L, 4L))
+    assert(d34 == (append.length + 1).toLong && s34 == 0L,
+      s"append distance must be the appended chars and fail the 20% budget ($d34/$m34)")
+  }
+
   test("boilerplateCoverage marks exactly the positions under a shared 8-gram") {
     // docs 1 and 2 share one 8-token passage at different offsets; doc 3
     // is disjoint. Coverage = the 8 positions of that window, nothing else.
