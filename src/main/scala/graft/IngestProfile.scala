@@ -189,6 +189,36 @@ object IngestProfile {
           .foreach(c => DataQuality.provableFromMetadata(spark, corpus, c))
       }
     }
+    // the round-13 legs: sketch maintenance and the WAP merge form
+    locally {
+      import graft.etl.{DataQuality, SketchStore}
+      import graft.etl.DataQuality._
+      val cms = cfg.sketchName.get
+      t("sketch append (O(batch) grid)") {
+        SketchStore.append(spark, accept, cms, bid)
+      }
+      t("sketch reconcile audit (1 corpus scan)") {
+        val bad = SketchStore
+          .audit(spark, ManifestTable.read(spark, corpus), cms, 16)
+          .filter(col("under_ok") === 0L || col("over_ok") === 0L).count()
+        println(s"[profile]   audit violations: $bad")
+      }
+      // WAP: the same checks the pre-merge gate would run, but staged
+      // and audited against the post-merge state — the timing isolates
+      // what the stage+audit+publish protocol costs over a plain merge
+      val inc2 = withCols(docs.filter(col("doc_id") % 10 === 5).limit(500))
+      val accept2 = ContinuousIngest.accepted(spark, inc2, cfg).localCheckpoint()
+      println(s"[profile]   wap batch rows: ${accept2.count()}")
+      t("WAP merge (stage+audit+publish)") {
+        ManifestTable.writeAuditPublishRetrying(spark, accept2, corpus,
+          cfg.keys, cfg.dateCol) { merged =>
+          DataQuality.allPassed(DataQuality.report(Seq(
+            DataQuality.rowChecks(merged, Seq(
+              NonNegative("n_chars", "corpus.n_chars"),
+              MinRows("corpus", 1.0))))))
+        }
+      }
+    }
     accept.unpersist(blocking = false)
     t("empty-batch drain") {
       ContinuousIngest.ingestBatch(spark, inc.limit(0), 2L, cfg)
