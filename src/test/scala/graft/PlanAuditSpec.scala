@@ -201,6 +201,69 @@ class PlanAuditSpec extends SparkSpec {
       "no window function may consume gram-partitioned position rows")
     assert(finalPlan.contains("BroadcastHashJoin"),
       "the shared-gram dictionary must join via broadcast")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("prefix join: equi-joins only, per-doc rank window, pair-sized verify (dd)") {
+    val plan = executed("dd_prefix_filter_join")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"nested-loop join found in:\n$plan")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"cartesian product found in:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the prefix rank window must be per-doc partitioned — a global " +
+        "window would serialize the shingle table")
+    // the verify is one array_intersect per pair (a projection), never a
+    // pairs × elements re-join: after the candidate distinct, no further
+    // explode may appear (the only Generates are shingle extraction)
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size <= 3,
+      s"expected only shingle-extraction explodes, found ${gens.size}")
+  }
+
+  test("media windowing: per-doc windows, never single-partition (mm)") {
+    Seq("mm_voice_segments", "mm_shot_boundaries").foreach { q =>
+      val plan = executed(q)
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$q: every window must be doc-partitioned:\n$plan")
+    }
+  }
+
+  test("grouping sets: one Expand, one scan (a18)") {
+    val plan = executed("a18_grouping_sets")
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1,
+      s"three grains must share ONE Expand pass, found ${expands.size}:\n$plan")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"one scan must feed all grains, got ${scans.size}")
+  }
+
+  test("heavy hitters: the MG aggregate plans into ObjectHashAggregate with a partial stage (ta)") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val toks = graft.core.T(spark, sf0001, "documents")
+        .select(explode(graft.operators.DedupOps.tokens(col("text"))).as("token"))
+      val df = toks.agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(spark, col("token"), 63))
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val aggs = plan.collect {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o }
+      assert(aggs.size >= 2,
+        s"expected partial + final ObjectHashAggregate stages (map-side " +
+          s"truncation is the point), got ${aggs.size}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
