@@ -1324,10 +1324,33 @@ object ManifestTable {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val vs = versions(spark, basePath)
     if (vs.isEmpty) return 0
+    vacuumRetaining(spark, basePath, vs, vs.takeRight(retainVersions))
+  }
+
+  /** AGE-based snapshot expiry (the Iceberg `expire_snapshots(older_than)`
+    * shape): retain the head, every tagged version, and every version
+    * committed strictly AFTER `cutoff`; everything older expires under
+    * the same liveness rules as [[vacuum]] — data/delete dirs survive
+    * while ANY retained snapshot references them, manifests below the
+    * retention window drop unless tagged. The time-retention policy a
+    * compliance deployment states ("90 days of table history") expressed
+    * directly, instead of guessing a version count. */
+  def vacuumOlderThan(spark: SparkSession, basePath: String,
+      cutoff: java.sql.Timestamp): Int = {
+    val vs = versions(spark, basePath)
+    if (vs.isEmpty) return 0
+    val times = commitTimes(spark, basePath).toMap
+    val recent = vs.filter(v => times(v) > cutoff.getTime)
+    // the head is never expired — a table always has a readable state
+    val window = if (recent.isEmpty) Seq(vs.last) else recent
+    vacuumRetaining(spark, basePath, vs, window)
+  }
+
+  private def vacuumRetaining(spark: SparkSession, basePath: String,
+      vs: Seq[Int], window: Seq[Int]): Int = {
     // tagged versions are pinned: retained exactly like the head window
     val tagged = tags(spark, basePath).values.toSet
-    val retained = (vs.takeRight(retainVersions) ++
-      vs.filter(tagged.contains)).distinct.sorted
+    val retained = (window ++ vs.filter(tagged.contains)).distinct.sorted
     val maxCommitted = vs.last
     val dd = dataDir(basePath)
     val f = fs(spark, dd)
@@ -1351,7 +1374,6 @@ object ManifestTable {
     // window, and sparing every manifest above it would leave DANGLING
     // manifests — time-travel-resolvable versions whose data dirs this
     // same pass just deleted.
-    val window = vs.takeRight(retainVersions)
     val md = manifestDir(basePath)
     f.listStatus(md).toSeq.foreach { st =>
       val n = st.getPath.getName

@@ -63,4 +63,43 @@ class ManifestMetaSpec extends SparkSpec {
     assert(ManifestTable.readAsOf(spark, base,
       new java.sql.Timestamp(times(2) + 60000)).count() == 3L)
   }
+
+  test("vacuumOlderThan expires by age: tags and the head survive, expired history is gone") {
+    val base = Files.createTempDirectory("manifest_age").toString + "/fact"
+    val keys = Seq("id", "date")
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k1", "2023-03-01", 10.0))), base, keys, "date")
+    Thread.sleep(5)
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k2", "2024-05-02", 20.0))), base, keys, "date")
+    Thread.sleep(5)
+    ManifestTable.mergeInto(spark,
+      frame(Seq(("k3", "2024-07-04", 30.0))), base, keys, "date")
+    val times = ManifestTable.history(spark, base).orderBy($"version")
+      .collect().map(_.getTimestamp(1).getTime)
+
+    // cutoff between v1 and v2: v1 expires, v2/v3 stay time-travelable
+    ManifestTable.vacuumOlderThan(spark, base,
+      new java.sql.Timestamp(times(1) - 1))
+    assert(ManifestTable.versions(spark, base) == Seq(2, 3),
+      "versions at or before the cutoff must expire")
+    assert(ManifestTable.readAt(spark, base, 2).count() == 2L)
+    assert(ManifestTable.read(spark, base).count() == 3L)
+
+    // a tag pins an old version through age expiry
+    ManifestTable.tag(spark, base, "pinned", Some(2))
+    ManifestTable.vacuumOlderThan(spark, base,
+      new java.sql.Timestamp(times(2) - 1))
+    assert(ManifestTable.versions(spark, base) == Seq(2, 3),
+      "a tagged version must survive age expiry")
+    assert(ManifestTable.readTag(spark, base, "pinned").count() == 2L)
+
+    // everything old + far-future cutoff: the HEAD is never expired
+    assert(ManifestTable.dropTag(spark, base, "pinned"))
+    ManifestTable.vacuumOlderThan(spark, base,
+      new java.sql.Timestamp(System.currentTimeMillis() + 3600000))
+    assert(ManifestTable.versions(spark, base) == Seq(3),
+      "the head must survive any cutoff")
+    assert(ManifestTable.read(spark, base).count() == 3L)
+  }
 }
