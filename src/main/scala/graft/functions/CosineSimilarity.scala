@@ -111,6 +111,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TopKAggregate].getName, TopKAggregate.FUNC_NAME),
         (exprs: Seq[Expression]) => TopKAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(HeavyHittersAggregate.FUNC_NAME),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[HeavyHittersAggregate].getName, HeavyHittersAggregate.FUNC_NAME),
+        (exprs: Seq[Expression]) => HeavyHittersAggregate(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.DimBroadcastRule)
   }
 }

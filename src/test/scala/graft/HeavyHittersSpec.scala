@@ -76,6 +76,26 @@ class HeavyHittersSpec extends SparkSpec {
       s"bounded-state composite diverged from exact: $got vs $want")
   }
 
+  test("the SQL-registered form works and coerces non-string items") {
+    HeavyHittersAggregate.register(spark)
+    Seq("a", "a", "b").toDF("t").createOrReplaceTempView("hh_fixture")
+    val viaSql = spark.sql(
+      "SELECT graft_heavy_hitters(t, 4) AS s FROM hh_fixture")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == Map("a" -> 2L, "b" -> 1L))
+    // non-string items: ImplicitCastInputTypes inserts the cast at
+    // analysis time instead of ClassCastException-ing mid-job
+    spark.range(3).createOrReplaceTempView("hh_ints")
+    val viaInts = spark.sql(
+      "SELECT graft_heavy_hitters(id, 4) AS s FROM hh_ints")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0)).toSet
+    assert(viaInts == Set("0", "1", "2"))
+    spark.catalog.dropTempView("hh_fixture")
+    spark.catalog.dropTempView("hh_ints")
+  }
+
   test("guards: k must be a positive literal; nulls are skipped") {
     intercept[IllegalArgumentException] {
       TextOps.heavyHitterTokens(spark, Seq((1L, "x")).toDF("doc_id", "text"),
