@@ -19,6 +19,14 @@ import graft.streaming.ContinuousIngest
   * doc ids), and the persisted count-min sketch (corpus-wide token
   * frequency monitoring from O(d·w) state).
   *
+  * Env toggles for the quality machinery:
+  * `SPARK_GRAFT_WAP=1` merges via write-audit-publish (the batch
+  * checks audit the exact post-merge state; a rejected batch leaves
+  * zero readable trace at any version), and when a sketch is enabled
+  * `SPARK_GRAFT_SKETCH_AUDIT=<n>` reconciles the persisted grid
+  * against exact counts of the corpus's top-n tokens each maintenance
+  * run, rebuilding a broken grid in place.
+  *
   * Each invocation drains everything new in `srcDir` (AvailableNow) and
   * exits; re-running resumes from the checkpoint. Crash anywhere —
   * including between the merge and the index append — and the next run
@@ -70,7 +78,13 @@ object ContinuousIngestMain {
         annIndexName = args.lift(5),
         ivfIndexPath = args.lift(6),
         chunkIndexName = args.lift(7),
-        sketchName = args.lift(8)))
+        sketchName = args.lift(8),
+        batchChecks = Seq(
+          graft.etl.DataQuality.Completeness("text", "batch.text"),
+          graft.etl.DataQuality.NonNegative("n_chars", "batch.n_chars")),
+        wapAudit = sys.env.get("SPARK_GRAFT_WAP").contains("1"),
+        sketchAuditTokens = sys.env.get("SPARK_GRAFT_SKETCH_AUDIT")
+          .map(_.toInt).getOrElse(0)))
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     // an empty drain on a brand-new corpus (no rows arrived, or every
