@@ -74,6 +74,17 @@ class SurfaceCountSpec extends AnyFunSuite {
     }
   }
 
+  test("every curve-listed query has a recorded row in SCALE.md's curve table") {
+    // the round-12 verdict gap made structural: a query added to
+    // ScaleCurve.curveQueries without its measured 1x/3x/10x row in
+    // SCALE.md is an unrecorded claim — fail the build until the run
+    // is recorded (or the query deliberately removed from the list).
+    val scale = scala.io.Source.fromFile("SCALE.md", "UTF-8").mkString
+    val missing = ScaleCurve.curveQueries.filterNot(q => scale.contains(s"| $q "))
+    assert(missing.isEmpty,
+      s"curve queries without a SCALE.md curve-table row: ${missing.mkString(", ")}")
+  }
+
   test("the rows-only set is exactly the one documented exception") {
     val rowsOnlyNames = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnlyNames == Set("a15_approx_count_distinct"),
