@@ -118,6 +118,13 @@ object SketchStore {
     *  - `over_ok`: estimate ≤ exact + ⌈e/w · N⌉, the classic CMS bound
     *    at the grid's own width, with N taken from the grid itself
     *    (row-0 cell sum — exact under a strict turnstile, free to read).
+    *    ADVISORY ONLY: the bound holds per token with probability
+    *    1−e^−d (~98% at d=4), and hash collisions are deterministic
+    *    for a given corpus — a healthy grid whose sampled token
+    *    collides will exceed the ceiling on EVERY sweep. Callers must
+    *    never auto-heal on `over_ok` alone (a rebuild reproduces the
+    *    identical grid and flaps forever); only `under_ok` is a
+    *    rebuild trigger.
     *
     * Cost class: the exact-count side is one corpus pass (the same
     * class as the vacuumed-window rebuild) — this is the periodic

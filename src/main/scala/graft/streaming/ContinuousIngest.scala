@@ -538,22 +538,33 @@ object ContinuousIngest {
         // negative cells) fold back to one d×w grid
         SketchStore.fold(spark, sn)
         // reconcile sweep: exact-count the corpus's top tokens (one
-        // scan) and check the folded grid both ways — the turnstile
-        // floor (estimate ≥ exact; a violation PROVES over-deletion or
-        // corruption) and the e/w ceiling. A failing grid heals by
-        // rebuild from the live corpus, the vacuumed-window path's
-        // cost class. Advisory-loud, never throws: the corpus is the
-        // source of truth and stays untouched either way.
+        // scan) and check the folded grid both ways. ONLY the
+        // turnstile floor (estimate ≥ exact) triggers a rebuild: it is
+        // deterministic under a strict turnstile, so a violation PROVES
+        // over-deletion or corruption. The e/w ceiling is advisory-only
+        // — it holds per token with probability 1−e^−d, and hash
+        // collisions are deterministic for a given corpus, so a healthy
+        // grid can exceed it on EVERY sweep; rebuilding on it would
+        // reproduce the identical grid and flap forever. A failing grid
+        // heals by rebuild from the live corpus, the vacuumed-window
+        // path's cost class. Advisory-loud, never throws: the corpus is
+        // the source of truth and stays untouched either way.
         if (cfg.sketchAuditTokens > 0 &&
             ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
           val corpus = ManifestTable.read(spark, cfg.corpusPath)
-          val bad = SketchStore
+          val report = SketchStore
             .audit(spark, corpus, sn, cfg.sketchAuditTokens)
-            .filter(col("under_ok") === 0L || col("over_ok") === 0L)
-            .count()
-          if (bad > 0) {
+            .select(col("under_ok"), col("over_ok"))
+            .collect() // ≤ sketchAuditTokens rows by construction
+          val floorBad = report.count(_.getLong(0) == 0L)
+          val ceilBad = report.count(_.getLong(1) == 0L)
+          if (ceilBad > 0)
+            println(s"[ingest] sketch $sn: $ceilBad sampled tokens over " +
+              "the e/w ceiling (expected for collided tokens; advisory)")
+          if (floorBad > 0) {
             println(s"[ingest] sketch $sn FAILED reconcile audit " +
-              s"($bad sampled tokens out of bounds) — rebuilding from corpus")
+              s"($floorBad sampled tokens under the turnstile floor — " +
+              "over-deletion or corruption) — rebuilding from corpus")
             SketchStore.build(spark, corpus, sn,
               depth = cfg.sketchDepth, width = cfg.sketchWidth)
           }
