@@ -1,13 +1,18 @@
 package graft
 object Bench {
-  /** Per-query reference seconds from the PREVIOUS invocation
-    * (`target/bench.json`, written by every run) falling back to the
-    * committed idle-host anchor (`tools/bench_baseline.json`). Parsed
-    * with a two-field regex — the file is this main's own output, one
-    * flat `"name":seconds` map under `"queries"`. */
+  /** Per-query reference seconds: the PER-QUERY MIN across the previous
+    * invocation (`target/bench.json`, written by every run) and the
+    * committed idle-host anchor (`tools/bench_baseline.json`). The min —
+    * not first-source-wins — because a load-poisoned previous run would
+    * otherwise inflate every reference and silently defeat the suspect
+    * detector, the exact failure mode the detector exists for; the
+    * committed anchor caps how far a poisoned prior can drift the
+    * reference. Parsed with a two-field regex — the files are this
+    * main's own output, one flat `"name":seconds` map under
+    * `"queries"`. */
   private def priorTimes(): Map[String, Double] = {
     val candidates = Seq("target/bench.json", "tools/bench_baseline.json")
-    candidates.iterator.flatMap { p =>
+    val maps = candidates.flatMap { p =>
       val f = java.nio.file.Paths.get(p)
       if (!java.nio.file.Files.exists(f)) None
       else {
@@ -18,7 +23,13 @@ object Bench {
           .map(g => g.group(1) -> g.group(2).toDouble).toMap
         if (m.nonEmpty) Some(m) else None
       }
-    }.nextOption().getOrElse(Map.empty)
+    }
+    maps.foldLeft(Map.empty[String, Double]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) =>
+        if (v <= 0) a
+        else a.updated(k, a.get(k).fold(v)(math.min(_, v)))
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,16 +95,22 @@ object Bench {
     // committed idle-host anchor tools/bench_baseline.json — is re-run
     // AFTER the full sweep (transient load has had the whole suite's
     // duration to subside) and reports min-across-passes. Queries that
-    // STILL exceed 5x after the retry are named in "load_suspect": either
-    // real regressions or a persistently loaded host — both mean "do not
-    // trust this number without isolating it", which is exactly what the
-    // artifact's reader needs to know. Sub-second references are exempt
-    // (5x of 80ms is scheduler jitter, not signal).
+    // STILL exceed the rule after the retry are named in "load_suspect":
+    // either real regressions or a persistently loaded host — both mean
+    // "do not trust this number without isolating it", which is exactly
+    // what the artifact's reader needs to know. Sub-second references are
+    // exempt from the ratio term (5x of 80ms is scheduler jitter, not
+    // signal). The ABSOLUTE term (v > p + 10s) closes the slow-query
+    // blind spot: a 9.7s-anchor query riding at 36s is a 3.7x load
+    // artifact that slides under 5x but carries ~26 phantom seconds into
+    // the headline — 10 extra wall seconds is load, whatever the ratio.
     val prior = priorTimes()
     val SuspectFactor = 5.0
+    val SuspectAbsSec = 10.0
     def suspect(name: String, v: Double): Boolean =
       v >= 0 && prior.get(name).exists(p =>
-        p > 0 && v > SuspectFactor * p && v > math.max(1.0, p + 0.5))
+        p > 0 && ((v > SuspectFactor * p && v > math.max(1.0, p + 0.5)) ||
+          v > p + SuspectAbsSec))
     val retried = firstPass.map { case (name, v) =>
       if (!suspect(name, v)) name -> v
       else {
