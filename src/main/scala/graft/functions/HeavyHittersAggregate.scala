@@ -83,12 +83,22 @@ case class HeavyHittersAggregate(
       InternalRow(UTF8String.fromString(t), c)
     })
 
+  // Tokens travel as int-length-prefixed UTF-8 byte arrays, NOT
+  // DataOutputStream.writeUTF: writeUTF throws UTFDataFormatException
+  // past 65535 encoded bytes, and one pathological unbroken token (an
+  // embedded base64 blob surviving whitespace tokenization) must not
+  // crash the whole aggregation at shuffle time.
   override def serialize(buf: HeavyHittersAggregate.Buffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     val entries = buf.sortedBestFirst
     out.writeInt(entries.length)
-    entries.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    entries.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.close()
     bytes.toByteArray
   }
@@ -97,7 +107,13 @@ case class HeavyHittersAggregate(
     val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
     val buf = new HeavyHittersAggregate.Buffer(k)
     val n = in.readInt()
-    (0 until n).foreach(_ => buf.offer(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.offer(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     buf.shrinkToCapacity()
     buf
   }
