@@ -79,9 +79,19 @@ object ContinuousIngestMain {
         ivfIndexPath = args.lift(6),
         chunkIndexName = args.lift(7),
         sketchName = args.lift(8),
-        batchChecks = Seq(
-          graft.etl.DataQuality.Completeness("text", "batch.text"),
-          graft.etl.DataQuality.NonNegative("n_chars", "batch.n_chars")),
+        // The audit gate is OPT-IN: enabled with SPARK_GRAFT_WAP=1 (the
+        // checks are what WAP audits) or standalone with
+        // SPARK_GRAFT_BATCH_CHECKS=1. With neither set, batchChecks is
+        // empty and plain ingest semantics are unchanged — no per-batch
+        // check cost, no batch ever rejected — so existing deployments
+        // keep their behavior unless they ask for the gate.
+        batchChecks =
+          if (sys.env.get("SPARK_GRAFT_WAP").contains("1") ||
+              sys.env.get("SPARK_GRAFT_BATCH_CHECKS").contains("1"))
+            Seq(
+              graft.etl.DataQuality.Completeness("text", "batch.text"),
+              graft.etl.DataQuality.NonNegative("n_chars", "batch.n_chars"))
+          else Nil,
         wapAudit = sys.env.get("SPARK_GRAFT_WAP").contains("1"),
         sketchAuditTokens = sys.env.get("SPARK_GRAFT_SKETCH_AUDIT")
           .map(_.toInt).getOrElse(0)))
