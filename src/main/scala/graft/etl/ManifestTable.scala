@@ -1222,8 +1222,13 @@ object ManifestTable {
     * legacy bare `name.txt` reads as generation 0) and a re-tag WRITES A
     * NEW GENERATION rather than touching the old one: `@` is outside the
     * tag-name charset so parsing is unambiguous, the fresh file lands by
-    * dot-tmp + rename-to-new-name (never a clobbering rename, never a
-    * delete-then-rename window), readers resolve the HIGHEST generation,
+    * dot-tmp + rename-to-a-new-generation-name (never a delete-then-
+    * rename window; note Hadoop's local FS delegates to POSIX rename,
+    * which CLOBBERS an existing destination — so two CONCURRENT tag()
+    * calls that compute the same next generation resolve last-writer-
+    * wins rather than failing loudly; acceptable because a tag is a
+    * named pointer with set-semantics, and the no-tag-window guarantee
+    * below is unaffected), readers resolve the HIGHEST generation,
     * and only after the new pointer is durable are older generations
     * garbage-collected best-effort. A crash or a racing reader/vacuum at
     * any instant therefore sees at least one pointer for the tag — the
