@@ -741,14 +741,16 @@ object MultimodalOps extends QueryModule {
       .withColumn("rms", sqrt(col("sum_sq").cast(DoubleType) / col("n_samples")))
   }
 
-  /** Declared form is INTEGER-ONLY: `rms = sqrt(sum_sq / n_samples)` is
-    * derivable from the two exact integers it ships, and as the query's
-    * lone irrational double it was the only candidate for the round-12
-    * driver-side hash mismatch (rows and schema matched; values verified
-    * exact locally — the divergence was float canonicalization, not
-    * math). Same declared/bench split as `dd_minhash_lsh`: Verify hashes
-    * the portable integer columns; Bench times the production pipeline
-    * with the RMS expression on top. */
+  /** Declared form is INTEGER-ONLY, and the oracle's final integer SUM
+    * is cast to BIGINT. Both halves matter for driver-hash portability:
+    * DuckDB types an uncast integer `SUM` as HUGEINT (int128) while
+    * Spark ships int64, so even value-identical results hash-diverge
+    * under a type-width-sensitive compare (the actual root cause of the
+    * r12/r13 reds — not float canonicalization). `CAST(... AS BIGINT)`
+    * on every final-output integer aggregate is the repo-wide oracle
+    * convention, enforced by OraclePortabilitySpec. Same declared/bench
+    * split as `dd_minhash_lsh`: Verify hashes the portable integer
+    * columns; Bench times the production pipeline with RMS on top. */
   private val mmAudio = QueryDef(
     "mm_audio_windows",
     Some("""
@@ -763,7 +765,7 @@ object MultimodalOps extends QueryModule {
           SUM(s * s) AS sum_sq
         FROM samples GROUP BY 1, 2)
       SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_samples,
-        sum_sq
+        CAST(sum_sq AS BIGINT) AS sum_sq
       FROM frames
       ORDER BY doc_id, frame_idx"""),
     (s, dir) =>
