@@ -1413,8 +1413,8 @@ object SimilarityOps extends QueryModule {
     * retrieval and a RAG prompt.
     *
     * The production split at 100 TB: candidate generation is the
-    * distributed part (brute or ANN top-`pool` — O(corpus), swap-in
-    * [[LshIndex.search]] at scale) and the greedy rerank is O(pool²)
+    * distributed part (brute, ANN, or the persisted-index probe
+    * [[mmrRerankIndexed]] at scale) and the greedy rerank is O(pool²)
     * DRIVER math over the collected candidate similarities — rerankers
     * run on candidate sets by construction, never the corpus (the
     * |types|²-bounded collect discipline of `ev_type_pagerank`).
@@ -1582,6 +1582,31 @@ object SimilarityOps extends QueryModule {
       ${mmrTail(k)}"""
   }
 
+  /** [[mmrRerankAnn]] with the candidate pool served from a PERSISTED
+    * [[graft.etl.LshIndex]] instead of the ad-hoc bucket join — the
+    * end-to-end serving shape (`sim_chunk_indexed`'s discipline applied
+    * to MMR): the corpus is bucketed ONCE at build time, the probe reads
+    * buckets in place (corpus-exchange-free, plan-asserted in
+    * LshIndexSpec's family machinery), and only the ≤ pool candidates
+    * pay exact cosines and the driver greedy. `LshIndex.search` reads
+    * its plane parameters from the index meta, and `build`'s defaults
+    * are exactly the `sim_lsh_ann` literals, so the recompute oracle
+    * [[mmrAnnOracle]] replays this value-for-value — a green row proves
+    * index-served == recomputed. */
+  def mmrRerankIndexed(s: SparkSession, embeddings: DataFrame,
+      indexName: String, queryId: Long = 0L, pool: Int = 20,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    require(pool >= k && k >= 1, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val e = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val rel = graft.etl.LshIndex
+      .search(s, embeddings.filter($"vec_id" === queryId), indexName,
+        topK = pool)
+      .select($"neighbor_id".as("vec_id"), $"cosine_sim".as("r"))
+      .join(e, "vec_id")
+    mmrSelect(s, rel, k)
+  }
+
   private val simMmr = QueryDef(
     "sim_mmr_rerank",
     Some(mmrOracle(pool = 20, k = 5)),
@@ -1593,9 +1618,23 @@ object SimilarityOps extends QueryModule {
       dims = 64, seed = 42L)),
     (s, dir) => mmrRerankAnn(s, T(s, dir, "embeddings")))
 
+  private val simMmrIndexed = QueryDef(
+    "sim_mmr_indexed",
+    Some(mmrAnnOracle(pool = 20, k = 5, tables = 16, planesPerTable = 4,
+      dims = 64, seed = 42L)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.etl.LshIndex.build(s, emb, "mmr_lsh_v")
+      mmrRerankIndexed(s, emb, "mmr_lsh_v")
+    },
+    benchBuild = Some((s, dir) =>
+      mmrRerankIndexed(s, T(s, dir, "embeddings"), "mmr_lsh_b")),
+    benchSetup = Some((s, dir) =>
+      graft.etl.LshIndex.build(s, T(s, dir, "embeddings"), "mmr_lsh_b")))
+
   override val defs: Seq[QueryDef] =
     Seq(simTopK, simCentroid, simLsh, simLshIndexed, simIvf, simIvfIndexed,
       simAnnRecall, simHardNeg, simHardNegAnn, simQuantize, simQuantTopK,
       simIvfQuant, simSemDedup, simChunkRetrieval, simChunkIndexed, simMrl,
-      simMmr, simMmrAnn)
+      simMmr, simMmrAnn, simMmrIndexed)
 }
