@@ -703,6 +703,108 @@ object LakeOps extends QueryModule {
     }),
     benchSetup = Some((s, dir) => buildWap(s, dir, lakeDir(dir, "wap22_b"))))
 
+  /** Scripted commit sequence shared by the metadata-table queries: a
+    * full-orders merge (every year dir written), a one-year merge (only
+    * that dir rewritten), and a MoR key delete (zero data dirs touched,
+    * one equality-delete dir added). Each step's manifest-level shape is
+    * derivable from the source table alone, so `history`/`files` become
+    * oracle-checkable modulo timestamps. */
+  private def buildMetaSeq(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    wipe(s, path)
+    val keys = Seq("o_orderkey", "o_orderdate")
+    val orders = T(s, dir, "orders")
+    ManifestTable.mergeInto(s, orders, path, keys, dateCol = "o_orderdate")
+    ManifestTable.mergeInto(s,
+      orders.filter(year($"o_orderdate") === 1996)
+        .withColumn("o_totalprice", $"o_totalprice" + 100.0),
+      path, keys, dateCol = "o_orderdate")
+    val n = ManifestTable.deleteKeysMoR(s, path,
+      orders.filter(year($"o_orderdate") === 1996 && $"o_orderkey" % 10 === 0),
+      keys)
+    require(n > 0, "the MoR delete step must match rows at every SF")
+  }
+
+  /** S23: `history` METADATA TABLE read — after the scripted
+    * merge/merge/MoR-delete sequence, the timestamp-free projection of
+    * [[ManifestTable.history]] is fully determined by the protocol:
+    * v1 writes every year dir, v2 rewrites exactly the one merged year,
+    * v3 (MoR delete) rewrites ZERO data dirs and adds ONE delete dir.
+    * The oracle derives partition and column counts from the source
+    * table itself (COUNT(DISTINCT year), DESCRIBE count), so the row
+    * stays green across SFs and testdata schema changes. Answerable
+    * from O(versions) manifest listings — no data bytes open. */
+  private val s23 = QueryDef(
+    "s23_history_read",
+    Some("""
+      WITH y AS (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS INTEGER)
+                   AS ny FROM orders),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM (DESCRIBE orders))
+      SELECT CAST(t.v AS INTEGER) AS version,
+        y.ny AS n_partitions,
+        CAST(CASE t.v WHEN 1 THEN y.ny WHEN 2 THEN 1 ELSE 0 END AS INTEGER)
+          AS n_rewritten_dirs,
+        CAST(CASE t.v WHEN 3 THEN 1 ELSE 0 END AS INTEGER) AS n_delete_dirs,
+        c.nc AS n_schema_cols
+      FROM (VALUES (1), (2), (3)) t(v), y, c
+      ORDER BY version"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "meta23_v")
+      buildMetaSeq(s, dir, path)
+      ManifestTable.history(s, path)
+        .select($"version", $"n_partitions", $"n_rewritten_dirs",
+          $"n_delete_dirs", $"n_schema_cols")
+        .orderBy($"version")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.history(s, lakeDir(dir, "meta23_b"))
+        .select($"version", $"n_partitions", $"n_rewritten_dirs",
+          $"n_delete_dirs", $"n_schema_cols")
+        .orderBy($"version")
+    }),
+    benchSetup = Some((s, dir) => buildMetaSeq(s, dir, lakeDir(dir, "meta23_b"))))
+
+  /** S24: `files` METADATA TABLE read — the same scripted sequence plus
+    * a [[ManifestTable.compact]]: compaction folds the pending MoR
+    * tuples and rewrites every multi-file or delete-carrying partition
+    * to its byte-derived target (one file per year at test scale), so
+    * the per-partition file count from [[ManifestTable.filesMeta]]'s
+    * pure listings is exactly 1 — a leaked stale file, an unfolded
+    * delete dir, or a miscounted listing all break the hash. This is
+    * the operational "is this table fragmented" view that drives
+    * compaction decisions, at O(files) metadata cost. */
+  private val s24 = QueryDef(
+    "s24_files_read",
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS part_year,
+        CAST(1 AS BIGINT) AS n_files
+      FROM orders
+      GROUP BY 1
+      ORDER BY part_year"""),
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir(dir, "meta24_v")
+      buildMetaSeq(s, dir, path)
+      ManifestTable.compact(s, path)
+      ManifestTable.filesMeta(s, path)
+        .groupBy($"part_year").agg(count(lit(1)).as("n_files"))
+        .orderBy($"part_year")
+    },
+    benchBuild = Some((s, dir) => {
+      import s.implicits._
+      ManifestTable.filesMeta(s, lakeDir(dir, "meta24_b"))
+        .groupBy($"part_year").agg(count(lit(1)).as("n_files"))
+        .orderBy($"part_year")
+    }),
+    benchSetup = Some((s, dir) => {
+      val path = lakeDir(dir, "meta24_b")
+      buildMetaSeq(s, dir, path)
+      ManifestTable.compact(s, path)
+    }))
+
   override val defs: Seq[QueryDef] =
-    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12, s21, s22)
+    Seq(s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, j12, s21, s22,
+      s23, s24)
 }
