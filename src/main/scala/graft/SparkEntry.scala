@@ -27,7 +27,8 @@ object SparkEntry {
     EmbeddingStatsOps,
     MultimodalOps,
     LakeOps,
-    QualityOps)
+    QualityOps,
+    graft.streaming.WatermarkQueries)
 
   private def extraDefs: Seq[QueryDef] =
     CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange, graft.etl.ZOrderLayout.f18)
