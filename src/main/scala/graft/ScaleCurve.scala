@@ -83,7 +83,11 @@ object ScaleCurve {
     "a18_grouping_sets",     // one-Expand multi-grain aggregate
     "ta_heavy_hitters",      // k-bounded MG partials + candidate recount
     "sim_mmr_ann",           // bucket-join candidates + pool²-driver greedy
-    "dd_levenshtein_verify") // banded candidates + per-pair edit-distance DP
+    "dd_levenshtein_verify", // banded candidates + per-pair edit-distance DP
+    "ev_watermark_late",     // 3-trigger watermarked streaming window
+    "sim_mmr_indexed",       // persisted-index MMR probe (corpus-size-free goal)
+    "s23_history_read",      // manifest history listing (O(versions) goal)
+    "s24_files_read")        // files metadata listing (O(files) goal)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
