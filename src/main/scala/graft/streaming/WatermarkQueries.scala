@@ -136,6 +136,38 @@ object WatermarkQueries extends QueryModule {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** [[runWindowed]]'s sibling for STREAMING DEDUPLICATION: the same
+    * staged arrival sequence through `withWatermark` →
+    * `dropDuplicatesWithinWatermark(key)` → append sink. Emits each
+    * first arrival exactly once; what happens to re-arrivals and to
+    * late first-arrivals is the watermark algebra the declared query's
+    * oracle replays. */
+  private[graft] def runDedup(s: SparkSession, base: String,
+      slices: Seq[DataFrame], delay: String, key: String): DataFrame = {
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = ss.read.parquet(s"$base/in").schema
+    val deduped = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(key)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out").orderBy(col(key))
+  }
+
   /** The declared arrival sequence over the events table: slice 1 is
     * everything before [[SplitDate]] except the `event_id % 4 == 0`
     * holdback; slice 2 is the timeline tail (at/after the split — it
@@ -158,6 +190,164 @@ object WatermarkQueries extends QueryModule {
     * (`window_end <= max(all) − delay`). A value drift in ANY of
     * Spark's three watermark decisions — advancement, late-drop,
     * flush — breaks the hash. */
+  /** STREAM-STREAM interval join harness: two file sources (left staged
+    * as one file, right as an mtime-ordered file PER SLICE), both sides
+    * watermarked, joined on `joinExpr`. Batch 0 consumes the left file
+    * plus the right's first slice (both watermarks seed from it); each
+    * later right slice arrives against the watermark the previous batch
+    * established — the same one-batch late-event lag the windowed and
+    * dedup harnesses pin. */
+  private[graft] def runStreamJoin(s: SparkSession, base: String,
+      left: DataFrame, rightSlices: Seq[DataFrame], delay: String,
+      joinExpr: String, project: Seq[String]): DataFrame = {
+    wipe(s, base)
+    stageFile(s, left, s"$base/stageL", s"$base/inL/0000.parquet", 100000L)
+    rightSlices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stageR$i", f"$base/inR/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    def src(dir: String) = ss.readStream
+      .schema(ss.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val joined = src(s"$base/inL").alias("v").withWatermark("ts", delay)
+      .join(src(s"$base/inR").alias("c").withWatermark("ts", delay),
+        expr(joinExpr))
+      .selectExpr(project: _*)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .orderBy(project.map(p => col(p.split(" AS ").last.trim)): _*)
+  }
+
+  private def dedupRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/sd_$safe"
+  }
+
+  /** Streaming dedup arrival sequence: slice 2 carries the timeline
+    * tail PLUS re-arrivals of `id % 16 == 1` on-time rows (their keys'
+    * state is live — suppressed); slice 3 carries the late first-
+    * arrival holdback PLUS re-arrivals of `id % 16 == 5` rows (state
+    * either still live → suppressed, or evicted → the row is by then
+    * below the late-event watermark and filtered — both paths emit
+    * nothing, which is what makes the oracle a plain UNION). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val slice2 = ev.filter(col("ts") >= split)
+      .unionByName(onTime.filter(col("event_id") % 16 === 1))
+    val slice3 = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+      .unionByName(onTime.filter(col("event_id") % 16 === 5))
+    runDedup(s, dedupRoot(dir), Seq(onTime, slice2, slice3),
+      s"$DelayDays days", "event_id")
+  }
+
+  /** Streaming dedup declared: every first arrival exactly once, every
+    * planted re-arrival suppressed, and a late first-arrival kept iff
+    * its ts clears the late-event watermark (row-ts keyed — dedup has
+    * no windows; verified empirically alongside the windowed query's
+    * semantics). The oracle is a UNION of the three slices' survivors:
+    * any duplicate leaking through, or any wrong late-drop decision,
+    * changes the row set and breaks the hash. */
+  private val evStreamDedup = QueryDef(
+    "ev_stream_dedup",
+    Some(s"""
+      WITH f1 AS (
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0),
+      f2 AS (
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'),
+      f3 AS (
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0),
+      wml AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM f1)
+      SELECT * FROM (
+        SELECT event_id, ts, event_type FROM f1
+        UNION ALL
+        SELECT event_id, ts, event_type FROM f2
+        UNION ALL
+        SELECT f3.event_id, f3.ts, f3.event_type FROM f3
+        WHERE f3.ts >= (SELECT w FROM wml))
+      ORDER BY event_id"""),
+    (s, dir) => streamDedup(s, dir))
+
+  private def joinRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/sj_$safe"
+  }
+
+  /** STREAM-STREAM attribution join declared: views joined to clicks on
+    * (same user, click within 1 hour of the view) across a three-wave
+    * click arrival. Wave 1 rides in view state's first batch; wave 2
+    * burns a batch so wave 3 faces a real late-event watermark
+    * (the one-batch lag again); wave-3 clicks below `wml =
+    * least(max view ts, max wave-1 ts) − delay` are dropped.
+    *
+    * The algebra that keeps the oracle a PLAIN interval join is the
+    * condition-DERIVED state eviction, verified empirically: a view is
+    * evicted only once the watermark passes `view.ts + 1 hour`, so no
+    * surviving click can ever miss its view (any click with
+    * `c.ts ≥ wml` needs `v.ts ≥ c.ts − 1h ≥ wml − 1h`, exactly the
+    * state the eviction rule retains) — join-state GC at 100 TB costs
+    * ZERO matches by construction, and the oracle's only non-join term
+    * is the late-click filter. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view").drop("event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val r0 = clicks.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4)
+    val r1 = clicks.filter(col("event_id") % 8 === 4)
+    val r2 = clicks.filter(col("event_id") % 8 === 0)
+    runStreamJoin(s, joinRoot(dir), views, Seq(r0, r1, r2), s"$DelayDays days",
+      "v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
+      Seq("v.event_id AS view_id", "c.event_id AS click_id",
+        "v.user_id AS user_id"))
+  }
+
+  private val evStreamJoin = QueryDef(
+    "ev_stream_join",
+    Some(s"""
+      WITH v AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+      c0 AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'click' AND event_id % 8 NOT IN (0, 4)),
+      c1 AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'click' AND event_id % 8 = 4),
+      c2 AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'click' AND event_id % 8 = 0),
+      wml AS (
+        SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM c0))
+               - INTERVAL $DelayDays DAY AS w),
+      cc AS (
+        SELECT event_id, ts, user_id FROM c0
+        UNION ALL
+        SELECT event_id, ts, user_id FROM c1
+        UNION ALL
+        SELECT c2.event_id, c2.ts, c2.user_id FROM c2
+        WHERE c2.ts >= (SELECT w FROM wml))
+      SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+      FROM v JOIN cc c
+        ON v.user_id = c.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY view_id, click_id"""),
+    (s, dir) => streamJoin(s, dir))
+
   private val evWatermark = QueryDef(
     "ev_watermark_late",
     Some(s"""
@@ -189,5 +379,5 @@ object WatermarkQueries extends QueryModule {
       ORDER BY window_start, event_type"""),
     (s, dir) => watermarkLate(s, dir))
 
-  override val defs: Seq[QueryDef] = Seq(evWatermark)
+  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup, evStreamJoin)
 }

@@ -46,6 +46,65 @@ class WatermarkLateSpec extends SparkSpec {
     assert(!out.contains("2024-01-20"), "the window past the final watermark must stay in state")
   }
 
+  test("stream dedup: live-state dupes suppress; evicted-key re-arrivals and late firsts drop; open firsts land") {
+    val f1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-10 10:00:00"), "a")).toDF("event_id", "ts", "event_type")
+    val f2 = Seq(
+      (6L, ts("2024-01-20 10:00:00"), "a"), // new max → eviction wm Jan 17
+      (1L, ts("2024-01-01 10:00:00"), "X")) // dupe, state live → SUPPRESS
+      .toDF("event_id", "ts", "event_type")
+    val f3 = Seq(
+      (2L, ts("2024-01-10 10:00:00"), "X"), // dupe of live-state key → SUPPRESS
+      (1L, ts("2024-01-01 10:00:00"), "X"), // dupe of EVICTED key, below late wm → no re-emit
+      (7L, ts("2024-01-05 10:00:00"), "a"), // first arrival below late wm Jan 7 → DROP
+      (8L, ts("2024-01-08 10:00:00"), "a")) // first arrival above late wm → LAND
+      .toDF("event_id", "ts", "event_type")
+    val out = WatermarkQueries.runDedup(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/sd_spec",
+      Seq(f1, f2, f3), "3 days", "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    // every surviving row carries its FIRST arrival's payload ("a"):
+    // a leaked re-arrival would surface as "X" or a duplicate key
+    assert(out == Map(1L -> "a", 2L -> "a", 6L -> "a", 8L -> "a"),
+      s"emitted state was $out")
+  }
+
+  test("stream-stream join: late clicks drop on own ts; eviction is condition-derived, losing zero matches") {
+    val views = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),  // long-evicted by wave 3
+      (2L, ts("2024-01-20 10:00:00"), 100L),  // sets view max → wm Jan 17 10:00
+      (9L, ts("2024-01-17 09:40:00"), 200L),  // state live at wave 3
+      (10L, ts("2024-01-17 09:30:00"), 300L)) // ts < wm but ts+1h > wm → retained
+      .toDF("event_id", "ts", "user_id")
+    val wave1 = Seq(
+      (3L, ts("2024-01-01 10:30:00"), 100L),  // matches view 1 in the seed batch
+      (4L, ts("2024-01-20 10:30:00"), 100L))  // carries wave-1 max
+      .toDF("event_id", "ts", "user_id")
+    val wave2 = Seq(
+      (7L, ts("2024-01-20 10:40:00"), 100L))  // burns a batch; still pre-watermark
+      .toDF("event_id", "ts", "user_id")
+    val wave3 = Seq(
+      (5L, ts("2024-01-01 11:00:00"), 100L),  // below late wm → DROP (view 1 also evicted)
+      (6L, ts("2024-01-20 10:45:00"), 100L),  // above late wm → matches view 2
+      (8L, ts("2024-01-17 09:50:00"), 200L),  // below late wm though view 9 is LIVE → DROP
+      (11L, ts("2024-01-17 10:20:00"), 300L)) // above late wm; view 10 below wm but
+      .toDF("event_id", "ts", "user_id")      //   within the condition bound → MATCH
+    val out = WatermarkQueries.runStreamJoin(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/sj_spec",
+      views, Seq(wave1, wave2, wave3), "3 days",
+      "v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
+      Seq("v.event_id AS view_id", "c.event_id AS click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 3L), (2L, 4L), (2L, 7L), (2L, 6L), (10L, 11L)),
+      s"matches were $out")
+    // (10,11) is the load-bearing pair: a raw-ts eviction rule would have
+    // dropped view 10's state and lost it — condition-derived GC keeps
+    // exactly the state surviving clicks can reach.
+  }
+
   test("declared query's emitted total is a strict, nonzero subset of the corpus") {
     val dir = "/root/testdata/sf0.001"
     val rows = WatermarkQueries.watermarkLate(spark, dir).collect()
