@@ -85,6 +85,8 @@ object ScaleCurve {
     "sim_mmr_ann",           // bucket-join candidates + pool²-driver greedy
     "dd_levenshtein_verify", // banded candidates + per-pair edit-distance DP
     "ev_watermark_late",     // 3-trigger watermarked streaming window
+    "ev_stream_dedup",       // watermark-bounded streaming dedup
+    "ev_stream_join",        // interval stream-stream join, condition-derived GC
     "sim_mmr_indexed",       // persisted-index MMR probe (corpus-size-free goal)
     "s23_history_read",      // manifest history listing (O(versions) goal)
     "s24_files_read")        // files metadata listing (O(files) goal)
