@@ -228,6 +228,41 @@ object WatermarkQueries extends QueryModule {
       .orderBy(project.map(p => col(p.split(" AS ").last.trim)): _*)
   }
 
+  /** [[runWindowed]]'s sibling for SESSION WINDOWS: `session_window`
+    * with an inactivity `gap`, grouped per user, append mode. A session
+    * emits exactly once, when the watermark passes its end
+    * (last event + gap); late rows are judged by their own would-be
+    * session end (`ts + gap` vs the late-event watermark). */
+  private[graft] def runSessions(s: SparkSession, base: String,
+      slices: Seq[DataFrame], delay: String, gap: String): DataFrame = {
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = ss.read.parquet(s"$base/in").schema
+    val agg = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   private def dedupRoot(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_stream/sd_$safe"
@@ -348,6 +383,77 @@ object WatermarkQueries extends QueryModule {
       ORDER BY view_id, click_id"""),
     (s, dir) => streamJoin(s, dir))
 
+  private def sessionsRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/ss_$safe"
+  }
+
+  /** STREAMING SESSIONIZATION declared: `session_window` (30-minute
+    * inactivity gap) per user across a three-slice arrival where the
+    * holdback is WHOLE USERS (`user_id % 5 == 0`), not a time slice.
+    * That containment is what keeps the oracle exact: a late row can
+    * never adjoin a session that already emitted (emitted sessions end
+    * ≤ the watermark, 3 days before anything in the tail, and held
+    * users share no sessions with on-time users), so the final session
+    * set equals a batch gaps-and-islands over the ACCEPTED rows — the
+    * only watermark terms are the late filter (a row is judged by its
+    * own would-be session end, `ts + gap`, against the late-event
+    * watermark; empirically pinned, same probe discipline as the
+    * window/dedup/join queries) and the flush (sessions whose end
+    * cleared `max(all ts) − delay`). Sessions merging ACROSS arrival
+    * slices (a tail row extending a pre-split session, late rows
+    * bridging into islands) are exercised by construction. */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("ts"), col("user_id"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val held = col("user_id") % 5 === 0
+    val f1 = ev.filter(!held && col("ts") < split)
+    val f2 = ev.filter(!held && col("ts") >= split)
+    val f3 = ev.filter(held)
+    runSessions(s, sessionsRoot(dir), Seq(f1, f2, f3),
+      s"$DelayDays days", "30 minutes")
+  }
+
+  private val evStreamSessions = QueryDef(
+    "ev_stream_sessions",
+    Some(s"""
+      WITH f1 AS (
+        SELECT ts, user_id FROM events
+        WHERE user_id % 5 <> 0 AND ts < TIMESTAMP '$SplitDate 00:00:00'),
+      f2 AS (
+        SELECT ts, user_id FROM events
+        WHERE user_id % 5 <> 0 AND ts >= TIMESTAMP '$SplitDate 00:00:00'),
+      f3 AS (SELECT ts, user_id FROM events WHERE user_id % 5 = 0),
+      wml AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM f1),
+      wmf AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM events),
+      accepted AS (
+        SELECT ts, user_id FROM f1
+        UNION ALL
+        SELECT ts, user_id FROM f2
+        UNION ALL
+        SELECT f3.ts, f3.user_id FROM f3
+        WHERE f3.ts + INTERVAL 30 MINUTE > (SELECT w FROM wml)),
+      marked AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM accepted),
+      islands AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      sessions AS (
+        SELECT MIN(ts) AS session_start, user_id,
+          COUNT(*) AS n_events, MAX(ts) AS last_ts
+        FROM islands GROUP BY user_id, sid)
+      SELECT session_start, user_id, n_events
+      FROM sessions
+      WHERE last_ts + INTERVAL 30 MINUTE <= (SELECT w FROM wmf)
+      ORDER BY user_id, session_start"""),
+    (s, dir) => streamSessions(s, dir))
+
   private val evWatermark = QueryDef(
     "ev_watermark_late",
     Some(s"""
@@ -379,5 +485,5 @@ object WatermarkQueries extends QueryModule {
       ORDER BY window_start, event_type"""),
     (s, dir) => watermarkLate(s, dir))
 
-  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup, evStreamJoin)
+  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup, evStreamJoin, evStreamSessions)
 }

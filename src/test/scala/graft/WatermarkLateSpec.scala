@@ -105,6 +105,35 @@ class WatermarkLateSpec extends SparkSpec {
     // exactly the state surviving clicks can reach.
   }
 
+  test("session windows: late row judged by its own session end; merged sessions emit once; open sessions withheld") {
+    val f1 = Seq(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:10:00"), 1L),   // merges with the row above
+      (ts("2024-01-20 10:00:00"), 1L))   // slice-1 max → late wm Jan 17 10:00
+      .toDF("ts", "user_id")
+    val f2 = Seq(
+      (ts("2024-01-20 10:20:00"), 1L),   // extends the OPEN Jan 20 session across slices
+      (ts("2024-01-21 10:00:00"), 1L))   // global max → final wm Jan 18 10:00
+      .toDF("ts", "user_id")
+    val f3 = Seq(
+      (ts("2024-01-02 10:00:00"), 2L),   // ts+gap ≤ late wm → DROP
+      (ts("2024-01-17 09:50:00"), 2L),   // ts < wm but ts+gap > wm → LAND (session-end keyed)
+      (ts("2024-01-17 10:05:00"), 2L))   // lands and MERGES with the row above
+      .toDF("ts", "user_id")
+    val out = WatermarkQueries.runSessions(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/ss_spec",
+      Seq(f1, f2, f3), "3 days", "30 minutes")
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0).toString.take(16), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      (1L, "2024-01-01 10:00", 2L),  // flushed pre-split session
+      (2L, "2024-01-17 09:50", 2L)), // the boundary-late row anchors a merged session
+      s"emitted sessions were $out")
+    // user 1's Jan 20–21 sessions end past the final watermark → withheld;
+    // user 2's Jan 2 row is judged by ITS session end (Jan 2 10:30) and drops.
+  }
+
   test("declared query's emitted total is a strict, nonzero subset of the corpus") {
     val dir = "/root/testdata/sf0.001"
     val rows = WatermarkQueries.watermarkLate(spark, dir).collect()
