@@ -1,5 +1,21 @@
 package graft
 object Bench {
+  /** The load-suspect rule, factored out for direct testing: a measured
+    * `v` seconds is suspect against a prior `p` when it exceeds 5× the
+    * prior (sub-second priors exempt — 5× of 80 ms is scheduler jitter)
+    * OR exceeds it by 10 absolute seconds (the slow-query blind spot: a
+    * 9.7 s-anchor query riding at 36 s is a 3.7× load artifact that
+    * slides under 5× while carrying ~26 phantom seconds into the
+    * headline). A failed measurement (−1) or a missing/invalid prior is
+    * never suspect — there is nothing to compare against. */
+  private[graft] def isLoadSuspect(v: Double, prior: Option[Double]): Boolean = {
+    val SuspectFactor = 5.0
+    val SuspectAbsSec = 10.0
+    v >= 0 && prior.exists(p =>
+      p > 0 && ((v > SuspectFactor * p && v > math.max(1.0, p + 0.5)) ||
+        v > p + SuspectAbsSec))
+  }
+
   /** Per-query reference seconds: the PER-QUERY MIN across the previous
     * invocation (`target/bench.json`, written by every run) and the
     * committed idle-host anchor (`tools/bench_baseline.json`). The min —
@@ -24,13 +40,18 @@ object Bench {
         if (m.nonEmpty) Some(m) else None
       }
     }
+    mergePriors(maps)
+  }
+
+  /** Per-query min across reference sources, dropping non-positive
+    * entries (a −1 failure sentinel must never become a reference). */
+  private[graft] def mergePriors(maps: Seq[Map[String, Double]]): Map[String, Double] =
     maps.foldLeft(Map.empty[String, Double]) { (acc, m) =>
       m.foldLeft(acc) { case (a, (k, v)) =>
         if (v <= 0) a
         else a.updated(k, a.get(k).fold(v)(math.min(_, v)))
       }
     }
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,12 +126,8 @@ object Bench {
     // artifact that slides under 5x but carries ~26 phantom seconds into
     // the headline — 10 extra wall seconds is load, whatever the ratio.
     val prior = priorTimes()
-    val SuspectFactor = 5.0
-    val SuspectAbsSec = 10.0
     def suspect(name: String, v: Double): Boolean =
-      v >= 0 && prior.get(name).exists(p =>
-        p > 0 && ((v > SuspectFactor * p && v > math.max(1.0, p + 0.5)) ||
-          v > p + SuspectAbsSec))
+      Bench.isLoadSuspect(v, prior.get(name))
     val retried = firstPass.map { case (name, v) =>
       if (!suspect(name, v)) name -> v
       else {

@@ -88,6 +88,7 @@ object ScaleCurve {
     "ev_stream_dedup",       // watermark-bounded streaming dedup
     "ev_stream_join",        // interval stream-stream join, condition-derived GC
     "ev_stream_sessions",    // session_window merge/flush across arrival slices
+    "ev_stream_running_count", // flatMapGroupsWithState cross-batch state carry
     "sim_mmr_indexed",       // persisted-index MMR probe (corpus-size-free goal)
     "s23_history_read",      // manifest history listing (O(versions) goal)
     "s24_files_read")        // files metadata listing (O(files) goal)

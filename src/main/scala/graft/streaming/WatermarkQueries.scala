@@ -383,6 +383,52 @@ object WatermarkQueries extends QueryModule {
       ORDER BY view_id, click_id"""),
     (s, dir) => streamJoin(s, dir))
 
+  /** [[runWindowed]]'s sibling for ARBITRARY KEYED STATE
+    * (`flatMapGroupsWithState`): per user, carry a running event count
+    * across micro-batches and emit `(user_id, cumulative)` for every
+    * batch the user appears in. No watermark, `NoTimeout`: state is
+    * O(|users|), the bounded-key-domain regime (endless key domains
+    * take event-time timeouts — `StreamingIngest.dedupWithinWatermark`
+    * is that form). What this pins is the state CARRY itself: the
+    * emitted prefix sums are correct only if every batch read back
+    * exactly what the previous batch committed. */
+  private[graft] def runRunningCount(s: SparkSession, base: String,
+      slices: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    val schema = ss.read.parquet(s"$base/in").schema
+    val counted = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .selectExpr("CAST(user_id AS LONG) AS user_id")
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val cum = state.getOption.getOrElse(0L) + rows.size
+          state.update(cum)
+          Iterator((user, cum))
+      }
+      .toDF("user_id", "cum_events")
+    val q = counted.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .orderBy(col("user_id"), col("cum_events"))
+  }
+
   private def sessionsRoot(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_stream/ss_$safe"
@@ -414,6 +460,53 @@ object WatermarkQueries extends QueryModule {
     runSessions(s, sessionsRoot(dir), Seq(f1, f2, f3),
       s"$DelayDays days", "30 minutes")
   }
+
+  private def stateRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/st_$safe"
+  }
+
+  /** flatMapGroupsWithState declared: the per-user running count over
+    * the standard three-slice arrival. The oracle is three per-slice
+    * prefix sums — for each user, one emitted row per slice they appear
+    * in, carrying the cumulative count THROUGH that slice. Any state
+    * loss, double-count, or replayed batch between micro-batches would
+    * shift a prefix sum and break the hash. */
+  def streamRunningCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val tail = ev.filter(col("ts") >= split)
+    val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+    runRunningCount(s, stateRoot(dir), Seq(onTime, tail, holdback))
+  }
+
+  private val evStreamState = QueryDef(
+    "ev_stream_running_count",
+    Some(s"""
+      WITH s1 AS (
+        SELECT user_id, COUNT(*) AS n FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0
+        GROUP BY 1),
+      s2 AS (
+        SELECT user_id, COUNT(*) AS n FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'
+        GROUP BY 1),
+      s3 AS (
+        SELECT user_id, COUNT(*) AS n FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT user_id, n AS cum_events FROM s1
+        UNION ALL
+        SELECT s2.user_id, COALESCE(s1.n, 0) + s2.n
+        FROM s2 LEFT JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT s3.user_id, COALESCE(s1.n, 0) + COALESCE(s2.n, 0) + s3.n
+        FROM s3 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id))
+      ORDER BY user_id, cum_events"""),
+    (s, dir) => streamRunningCount(s, dir))
 
   private val evStreamSessions = QueryDef(
     "ev_stream_sessions",
@@ -485,5 +578,5 @@ object WatermarkQueries extends QueryModule {
       ORDER BY window_start, event_type"""),
     (s, dir) => watermarkLate(s, dir))
 
-  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup, evStreamJoin, evStreamSessions)
+  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup, evStreamJoin, evStreamSessions, evStreamState)
 }

@@ -134,6 +134,24 @@ class WatermarkLateSpec extends SparkSpec {
     // user 2's Jan 2 row is judged by ITS session end (Jan 2 10:30) and drops.
   }
 
+  test("flatMapGroupsWithState: running count carries across micro-batches, emits only on appearance") {
+    def rows(xs: (String, Long)*) =
+      xs.map { case (t, u) => (ts(t), u) }.toDF("ts", "user_id")
+    val f1 = rows("2024-01-01 10:00:00" -> 1L, "2024-01-01 11:00:00" -> 1L,
+      "2024-01-01 12:00:00" -> 2L)
+    val f2 = rows("2024-01-02 10:00:00" -> 1L, "2024-01-02 11:00:00" -> 3L)
+    val f3 = rows("2024-01-03 10:00:00" -> 2L, "2024-01-03 11:00:00" -> 2L)
+    val out = WatermarkQueries.runRunningCount(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/st_spec",
+      Seq(f1, f2, f3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1: 2 then 3 (prefix CARRY across batches); user 2: 1 then 3
+    // (skipping the middle batch emits nothing — no phantom rows);
+    // user 3: first seen in batch 2
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L)),
+      s"emitted state was $out")
+  }
+
   test("declared query's emitted total is a strict, nonzero subset of the corpus") {
     val dir = "/root/testdata/sf0.001"
     val rows = WatermarkQueries.watermarkLate(spark, dir).collect()
