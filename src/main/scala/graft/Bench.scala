@@ -152,12 +152,13 @@ object Bench {
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"target/bench.json"""" else ""
-      val fl = if (failed.nonEmpty)
-        failed.map(f => "\"" + f._1 + "\"").mkString(""","failed":[""", ",", "]")
-      else ""
-      val ls = if (loadSuspect.nonEmpty)
-        loadSuspect.map(q => "\"" + q + "\"").mkString(""","load_suspect":[""", ",", "]")
-      else ""
+      // "failed"/"load_suspect" are emitted UNCONDITIONALLY (empty = []):
+      // an absent key is ambiguous between "nothing failed" and "not
+      // computed", and the artifact's reader must be able to tell.
+      val fl = failed.map(f => "\"" + f._1 + "\"")
+        .mkString(""","failed":[""", ",", "]")
+      val ls = loadSuspect.map(q => "\"" + q + "\"")
+        .mkString(""","load_suspect":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(succeeded.map(_._2).sum)},"unit":"sec","queries_ok":${succeeded.size},"queries":$qs$om$fl$ls,"sf":"$sfDir"}"""
     }
     val full = render(succeeded, 0)

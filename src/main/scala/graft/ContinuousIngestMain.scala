@@ -19,10 +19,13 @@ import graft.streaming.ContinuousIngest
   * doc ids), and the persisted count-min sketch (corpus-wide token
   * frequency monitoring from O(d·w) state).
   *
-  * Env toggles for the quality machinery:
+  * Env toggles for the quality machinery: batch quality checks
+  * (text completeness, non-negative `n_chars`) run by default and
+  * reject a failing batch — `SPARK_GRAFT_BATCH_CHECKS=0` opts out;
   * `SPARK_GRAFT_WAP=1` merges via write-audit-publish (the batch
   * checks audit the exact post-merge state; a rejected batch leaves
-  * zero readable trace at any version), and when a sketch is enabled
+  * zero readable trace at any version — WAP keeps the checks on even
+  * under the opt-out, since they are the audit), and when a sketch is enabled
   * `SPARK_GRAFT_SKETCH_AUDIT=<n>` reconciles the persisted grid
   * against exact counts of the corpus's top-n tokens each maintenance
   * run, rebuilding a broken grid in place.
@@ -79,19 +82,20 @@ object ContinuousIngestMain {
         ivfIndexPath = args.lift(6),
         chunkIndexName = args.lift(7),
         sketchName = args.lift(8),
-        // The audit gate is OPT-IN: enabled with SPARK_GRAFT_WAP=1 (the
-        // checks are what WAP audits) or standalone with
-        // SPARK_GRAFT_BATCH_CHECKS=1. With neither set, batchChecks is
-        // empty and plain ingest semantics are unchanged — no per-batch
-        // check cost, no batch ever rejected — so existing deployments
-        // keep their behavior unless they ask for the gate.
+        // The batch quality gate is ON BY DEFAULT (the pre-round-14
+        // behavior: a poison batch is rejected, never silently
+        // committed) with an EXPLICIT opt-out — SPARK_GRAFT_BATCH_CHECKS=0
+        // disables it for deployments that gate upstream. The opt-out is
+        // ignored under SPARK_GRAFT_WAP=1: WAP's audit step IS these
+        // checks, so WAP with an empty check list would publish every
+        // staged batch unaudited.
         batchChecks =
-          if (sys.env.get("SPARK_GRAFT_WAP").contains("1") ||
-              sys.env.get("SPARK_GRAFT_BATCH_CHECKS").contains("1"))
+          if (sys.env.get("SPARK_GRAFT_BATCH_CHECKS").contains("0") &&
+              !sys.env.get("SPARK_GRAFT_WAP").contains("1")) Nil
+          else
             Seq(
               graft.etl.DataQuality.Completeness("text", "batch.text"),
-              graft.etl.DataQuality.NonNegative("n_chars", "batch.n_chars"))
-          else Nil,
+              graft.etl.DataQuality.NonNegative("n_chars", "batch.n_chars")),
         wapAudit = sys.env.get("SPARK_GRAFT_WAP").contains("1"),
         sketchAuditTokens = sys.env.get("SPARK_GRAFT_SKETCH_AUDIT")
           .map(_.toInt).getOrElse(0)))

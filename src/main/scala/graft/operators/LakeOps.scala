@@ -788,8 +788,24 @@ object LakeOps extends QueryModule {
       val path = lakeDir(dir, "meta24_v")
       buildMetaSeq(s, dir, path)
       ManifestTable.compact(s, path)
-      ManifestTable.filesMeta(s, path)
-        .groupBy($"part_year").agg(count(lit(1)).as("n_files"))
+      val files = ManifestTable.filesMeta(s, path)
+      // The oracle's "exactly 1 file per year" holds only while each
+      // year's bytes fit one compaction target file (128 MB default) —
+      // true through sf0.1/curve scales, NOT a correctness property at
+      // arbitrary SF (orders crosses it around sf>=100). Guard it so a
+      // scale-driven break is a named error here, not a bare hash
+      // mismatch at the driver. Bounded collect: one row per year.
+      val target = 128L * 1024 * 1024
+      val oversize = files.groupBy($"part_year")
+        .agg(sum($"bytes").as("part_bytes"))
+        .filter($"part_bytes" >= target).collect()
+      require(oversize.isEmpty,
+        s"s24_files_read's 1-file-per-partition oracle assumes every year " +
+          s"fits one $target-byte compaction target; oversize years: " +
+          oversize.map(r => s"${r.get(0)}=${r.get(1)}B").mkString(", ") +
+          " — rerun at a smaller SF or derive the oracle's expected " +
+          "count as ceil(part_bytes / target)")
+      files.groupBy($"part_year").agg(count(lit(1)).as("n_files"))
         .orderBy($"part_year")
     },
     benchBuild = Some((s, dir) => {

@@ -227,8 +227,10 @@ object QualityOps extends QueryModule {
                     ELSE CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER)
                END AS bucket
         FROM orders WHERE o_totalprice IS NOT NULL)
-      SELECT bucket, 0.0 + bucket * 50000.0 AS lo_edge,
-        0.0 + (bucket + 1) * 50000.0 AS hi_edge, COUNT(*) AS n_rows
+      SELECT bucket,
+        CAST(0.0 + bucket * 50000.0 AS DOUBLE) AS lo_edge,
+        CAST(0.0 + (bucket + 1) * 50000.0 AS DOUBLE) AS hi_edge,
+        COUNT(*) AS n_rows
       FROM b GROUP BY bucket ORDER BY bucket"""),
     (s, dir) => DataQuality.histogram(T(s, dir, "orders"), "o_totalprice",
       lo = 0.0, hi = 600000.0, buckets = 12))

@@ -39,8 +39,15 @@ def duck_family(t):
         return "hugeint"  # hash-fatal: arrow export turns int128 into DOUBLE
     if s.startswith("TIMESTAMP"):
         return "ts"
-    if re.match(r"DECIMAL\(", s):
-        return "float"  # renders like a float; empirically hash-safe vs double
+    m = re.match(r"DECIMAL\((\d+)", s)
+    if m:
+        # The float-family exemption was MEASURED on specific precisions:
+        # a decimal is only hash-safe vs double while every value
+        # round-trips through a 53-bit mantissa (<= 15 significant
+        # digits). Wider decimals can pass the family gate yet render
+        # differently from the double Spark ships — flag them like
+        # HUGEINT instead of waving them through.
+        return "float" if int(m.group(1)) <= 15 else "wide_decimal"
     return DUCK_FAMILY.get(s)
 
 
@@ -63,6 +70,10 @@ def type_check(con, name, sql, spark_schema):
         if fam == "hugeint":
             bad.append(f"{cname}: duckdb type {duck_raw[cname]} is hash-fatal "
                        f"(arrow-exports as DOUBLE) — CAST(... AS BIGINT)")
+        elif fam == "wide_decimal":
+            bad.append(f"{cname}: duckdb type {duck_raw[cname]} exceeds the "
+                       f"double-round-trippable precision (15 digits) — "
+                       f"CAST to DOUBLE or a DECIMAL(<=15, s)")
         elif fam is None:
             bad.append(f"{cname}: duckdb type {duck_raw[cname]} outside the "
                        f"portable families — cast to a scalar type")
@@ -71,7 +82,7 @@ def type_check(con, name, sql, spark_schema):
             want = arrow_family(field.type)
             got = duck.get(field.name)
             if want is not None and got is not None and \
-                    got not in ("hugeint",) and got != want:
+                    got not in ("hugeint", "wide_decimal") and got != want:
                 bad.append(f"{field.name}: family mismatch spark={field.type}"
                            f"({want}) duckdb={duck_raw[field.name]}({got})")
     return bad
