@@ -89,6 +89,38 @@ object WatermarkQueries extends QueryModule {
     fs.delete(sp, true)
   }
 
+  /** Post-run assertion of the Spark-internal scheduling facts every
+    * oracle here bakes in: one data-carrying micro-batch per staged file
+    * (Trigger.AvailableNow + `maxFilesPerTrigger = 1` + the (mtime, path)
+    * FileStreamSource order), and a monotonically advancing event-time
+    * watermark that actually moved off epoch. A Spark upgrade changing
+    * any of these (batching two files, reordering sources, stalling the
+    * watermark) now fails with a NAMED assertion at the harness instead
+    * of a bare oracle hash mismatch at the driver.
+    *
+    * `expectWatermark = false` for the watermark-free harness
+    * (runRunningCount, NoTimeout keyed state): its progress carries no
+    * eventTime watermark entry. */
+  private def assertProgress(q: org.apache.spark.sql.streaming.StreamingQuery,
+      expectDataBatches: Int, expectWatermark: Boolean = true): Unit = {
+    val progs = q.recentProgress.toSeq
+    val dataBatches = progs.count(_.numInputRows > 0)
+    require(dataBatches == expectDataBatches,
+      s"oracle assumes $expectDataBatches one-file data micro-batches " +
+        s"(maxFilesPerTrigger=1 admission), observed $dataBatches — " +
+        "Spark's file-admission scheduling drifted; re-derive the oracles")
+    if (expectWatermark) {
+      val wms = progs
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(java.time.Instant.parse)
+      require(wms.nonEmpty && wms.last.isAfter(java.time.Instant.EPOCH),
+        "oracle assumes the event-time watermark advanced off epoch; " +
+          "the run's progress never carried one")
+      require(wms.zip(wms.drop(1)).forall { case (a, b) => !b.isBefore(a) },
+        s"event-time watermark regressed across micro-batches: $wms")
+    }
+  }
+
   /** Run the watermark pipeline over `slices` (arrival order) and return
     * the batch read of everything the append sink emitted. Shared by the
     * declared query (events-table slices) and WatermarkLateSpec's
@@ -130,6 +162,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assertProgress(q, slices.size)
     // read back on the CALLER's session — the result must not carry the
     // derived session's fixture conf into downstream plans
     s.read.parquet(s"$base/out")
@@ -165,6 +198,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assertProgress(q, slices.size)
     s.read.parquet(s"$base/out").orderBy(col(key))
   }
 
@@ -199,7 +233,8 @@ object WatermarkQueries extends QueryModule {
     * dedup harnesses pin. */
   private[graft] def runStreamJoin(s: SparkSession, base: String,
       left: DataFrame, rightSlices: Seq[DataFrame], delay: String,
-      joinExpr: String, project: Seq[String]): DataFrame = {
+      joinExpr: String, project: Seq[String],
+      joinType: String = "inner"): DataFrame = {
     wipe(s, base)
     stageFile(s, left, s"$base/stageL", s"$base/inL/0000.parquet", 100000L)
     rightSlices.zipWithIndex.foreach { case (df, i) =>
@@ -214,7 +249,7 @@ object WatermarkQueries extends QueryModule {
       .parquet(dir)
     val joined = src(s"$base/inL").alias("v").withWatermark("ts", delay)
       .join(src(s"$base/inR").alias("c").withWatermark("ts", delay),
-        expr(joinExpr))
+        expr(joinExpr), joinType)
       .selectExpr(project: _*)
     val q = joined.writeStream
       .outputMode("append")
@@ -224,6 +259,9 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // batch 0 consumes the left file plus the right's first slice, so
+    // data batches track the right-slice count
+    assertProgress(q, rightSlices.size)
     s.read.parquet(s"$base/out")
       .orderBy(project.map(p => col(p.split(" AS ").last.trim)): _*)
   }
@@ -259,6 +297,126 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assertProgress(q, slices.size)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** [[runSessions]]'s ARBITRARY-STATE sibling: per-user sessionization
+    * via `flatMapGroupsWithState` + **EventTimeTimeout** — the
+    * unbounded-key-domain regime [[runRunningCount]]'s `NoTimeout` form
+    * deliberately avoids. State is evicted by TIMER, not by key-domain
+    * boundedness: each open session registers a timeout at
+    * `last event + gap`; when the watermark passes it, the session is
+    * emitted and the key's state REMOVED — so state is O(open sessions),
+    * and a key that went quiet costs nothing forever after, which is the
+    * only shape that survives an endless key domain at 100 TB.
+    *
+    * Emission discipline (each rule is load-bearing for the oracle):
+    *  - rows for a key are sessionized in event-time order within the
+    *    batch (break when the gap is ≥ `gap`); every session CLOSED BY A
+    *    LATER ROW is emitted right there — data-driven close needs no
+    *    watermark;
+    *  - the still-open last session either registers a timeout at
+    *    `last + gap` (allowed only at/above the current watermark) or,
+    *    when that instant is already BELOW the watermark, is emitted
+    *    immediately — it could never fire;
+    *  - a timeout invocation emits the stored session and removes state.
+    *
+    * Net effect the oracle replays: non-final sessions always emit;
+    * a user's FINAL session emits iff `last + gap < max(all ts) − delay`
+    * (the final no-data micro-batch fires timers against the terminal
+    * watermark; Spark's timer fire and the set-guard are both STRICT,
+    * verified empirically on 4.1.2). Contrast with [[runSessions]]
+    * (session_window): there a session emits only when the watermark
+    * passes its end — here data-driven closes emit unconditionally, and
+    * the late filter keys on the ROW's ts (no windows), not `ts + gap`.
+    *
+    * The per-key batch sort is bounded by one user's rows in one
+    * micro-batch — the same per-key working set every keyed-state
+    * operator holds. */
+  private[graft] def runTimeoutSessions(s: SparkSession, base: String,
+      slices: Seq[DataFrame], delay: String, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    val gapMs = gapMinutes * 60000L
+    val schema = ss.read.parquet(s"$base/in").schema
+    val sessions = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .withWatermark("ts", delay)
+      .selectExpr("CAST(user_id AS LONG) AS user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) => // (startUs, lastUs, n)
+          // state carries MICROSECOND epochs: `Timestamp.getTime` is
+          // ms-truncating, and the emitted session_start must round-trip
+          // the source's µs precision exactly (the oracle hashes it).
+          // Only the TIMER drops to ms — the GroupState API's unit.
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          def fromUs(u: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(u / 1000L)
+            t.setNanos(((u % 1000000L) * 1000L).toInt)
+            t
+          }
+          val gapUs = gapMs * 1000L
+          if (state.hasTimedOut) {
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator.single((user, fromUs(start), n))
+          } else {
+            val ts = rows.map(r => us(r._2)).toArray.sorted
+            val closed = scala.collection.mutable.ListBuffer
+              .empty[(Long, java.sql.Timestamp, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some((start, last, n)) if t - last < gapUs =>
+                  Some((start, math.max(last, t), n + 1))
+                case Some((start, _, n)) =>
+                  closed += ((user, fromUs(start), n))
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { case (start, last, n) =>
+              val wm = state.getCurrentWatermarkMs()
+              val timerMs = last / 1000L + gapMs
+              if (timerMs < wm) {
+                // no valid timer exists below the watermark — the session
+                // is already final; emit it now (same outcome a timer
+                // would have produced) and drop the state
+                closed += ((user, fromUs(start), n))
+                state.remove()
+              } else {
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(timerMs)
+              }
+            }
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "session_start", "n_events")
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertProgress(q, slices.size)
     s.read.parquet(s"$base/out")
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -383,6 +541,156 @@ object WatermarkQueries extends QueryModule {
       ORDER BY view_id, click_id"""),
     (s, dir) => streamJoin(s, dir))
 
+  private def outerJoinRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/oj_$safe"
+  }
+
+  /** STREAM-STREAM **LEFT OUTER** interval join declared — the subtlest
+    * semantic in streaming joins, and the form production attribution
+    * actually runs: a view with no click inside its 1-hour window is
+    * NULL-EXTENDED and emitted only once the watermark passes the
+    * window's end (`v.ts + 1 hour < final watermark` — until then "no
+    * match yet" is indistinguishable from "match still in flight", so
+    * the row must stay in state, unemitted). Same three-wave click
+    * arrival, same condition-derived state GC as [[streamJoin]] (the
+    * inner form's oracle proved that GC loses zero matches, so the
+    * matched half of this oracle is the identical plain interval join);
+    * what this query adds is the null-extension decision: emit too
+    * early and a late-but-acceptable click double-reports its view,
+    * emit too late (or never) and unmatched views silently vanish —
+    * either way the UNION's row set shifts and the hash breaks. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view").drop("event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val r0 = clicks.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4)
+    val r1 = clicks.filter(col("event_id") % 8 === 4)
+    val r2 = clicks.filter(col("event_id") % 8 === 0)
+    runStreamJoin(s, outerJoinRoot(dir), views, Seq(r0, r1, r2),
+      s"$DelayDays days",
+      "v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
+      Seq("v.event_id AS view_id", "c.event_id AS click_id",
+        "v.user_id AS user_id"),
+      joinType = "left_outer")
+  }
+
+  private val evStreamOuterJoin = QueryDef(
+    "ev_stream_outer_join",
+    Some(s"""
+      WITH v AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+      c0 AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'click' AND event_id % 8 NOT IN (0, 4)),
+      c1 AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'click' AND event_id % 8 = 4),
+      c2 AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'click' AND event_id % 8 = 0),
+      wml AS (
+        SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM c0))
+               - INTERVAL $DelayDays DAY AS w),
+      wmf AS (
+        SELECT LEAST((SELECT MAX(ts) FROM v),
+                     (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+               - INTERVAL $DelayDays DAY AS w),
+      cc AS (
+        SELECT event_id, ts, user_id FROM c0
+        UNION ALL
+        SELECT event_id, ts, user_id FROM c1
+        UNION ALL
+        SELECT c2.event_id, c2.ts, c2.user_id FROM c2
+        WHERE c2.ts >= (SELECT w FROM wml)),
+      matched AS (
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+          v.user_id AS user_id
+        FROM v JOIN cc c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR),
+      unmatched AS (
+        SELECT v.event_id AS view_id,
+          CAST(NULL AS BIGINT) AS click_id, v.user_id AS user_id
+        FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cc c
+            WHERE c.user_id = v.user_id
+              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)
+          AND v.ts + INTERVAL 1 HOUR < (SELECT w FROM wmf))
+      SELECT * FROM (
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+      ORDER BY view_id, click_id"""),
+    (s, dir) => streamOuterJoin(s, dir))
+
+  private def timeoutRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/to_$safe"
+  }
+
+  /** EventTimeTimeout sessionization over the SAME arrival sequence as
+    * [[streamSessions]] — deliberately, so the two declared queries pin
+    * the semantic gap between `session_window` (emit only when the
+    * watermark passes a session's end; late rows judged by their
+    * would-be session end) and timer-driven arbitrary state (data-closed
+    * sessions emit unconditionally; late rows judged by their OWN ts —
+    * no windows exist; the final open session emits iff its timer,
+    * `last + gap`, lands strictly below the terminal watermark). */
+  def streamTimeoutSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("ts"), col("user_id"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val held = col("user_id") % 5 === 0
+    val f1 = ev.filter(!held && col("ts") < split)
+    val f2 = ev.filter(!held && col("ts") >= split)
+    val f3 = ev.filter(held)
+    runTimeoutSessions(s, timeoutRoot(dir), Seq(f1, f2, f3),
+      s"$DelayDays days", gapMinutes = 30)
+  }
+
+  private val evStreamTimeout = QueryDef(
+    "ev_stream_timeout",
+    Some(s"""
+      WITH f1 AS (
+        SELECT ts, user_id FROM events
+        WHERE user_id % 5 <> 0 AND ts < TIMESTAMP '$SplitDate 00:00:00'),
+      f2 AS (
+        SELECT ts, user_id FROM events
+        WHERE user_id % 5 <> 0 AND ts >= TIMESTAMP '$SplitDate 00:00:00'),
+      f3 AS (SELECT ts, user_id FROM events WHERE user_id % 5 = 0),
+      wml AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM f1),
+      wmf AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM events),
+      accepted AS (
+        SELECT ts, user_id FROM f1
+        UNION ALL
+        SELECT ts, user_id FROM f2
+        UNION ALL
+        SELECT f3.ts, f3.user_id FROM f3
+        WHERE f3.ts >= (SELECT w FROM wml)),
+      marked AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM accepted),
+      islands AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      sessions AS (
+        SELECT user_id, MIN(ts) AS session_start,
+          COUNT(*) AS n_events, MAX(ts) AS last_ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY MIN(ts) DESC) AS from_latest
+        FROM islands GROUP BY user_id, sid)
+      SELECT CAST(user_id AS BIGINT) AS user_id, session_start, n_events
+      FROM sessions
+      WHERE from_latest > 1
+         OR last_ts + INTERVAL 30 MINUTE < (SELECT w FROM wmf)
+      ORDER BY user_id, session_start"""),
+    (s, dir) => streamTimeoutSessions(s, dir))
+
   /** [[runWindowed]]'s sibling for ARBITRARY KEYED STATE
     * (`flatMapGroupsWithState`): per user, carry a running event count
     * across micro-batches and emit `(user_id, cumulative)` for every
@@ -425,6 +733,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assertProgress(q, slices.size, expectWatermark = false)
     s.read.parquet(s"$base/out")
       .orderBy(col("user_id"), col("cum_events"))
   }
@@ -578,5 +887,7 @@ object WatermarkQueries extends QueryModule {
       ORDER BY window_start, event_type"""),
     (s, dir) => watermarkLate(s, dir))
 
-  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup, evStreamJoin, evStreamSessions, evStreamState)
+  override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup,
+    evStreamJoin, evStreamOuterJoin, evStreamSessions, evStreamTimeout,
+    evStreamState)
 }

@@ -105,6 +105,70 @@ class WatermarkLateSpec extends SparkSpec {
     // exactly the state surviving clicks can reach.
   }
 
+  test("left-outer stream join: unmatched view null-extends exactly once after its window closes; open windows withheld") {
+    val views = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),  // never matched; window long closed
+      (2L, ts("2024-01-20 10:00:00"), 100L),  // matched by all three waves
+      (4L, ts("2024-01-16 12:00:00"), 300L),  // never matched; closes Jan 16 13:00 < wmf
+      (5L, ts("2024-01-17 09:45:00"), 300L))  // never matched; closes Jan 17 10:45 > wmf → WITHHELD
+      .toDF("event_id", "ts", "user_id")
+    val wave1 = Seq((3L, ts("2024-01-20 10:30:00"), 100L))
+      .toDF("event_id", "ts", "user_id")
+    val wave2 = Seq((6L, ts("2024-01-20 10:40:00"), 100L))
+      .toDF("event_id", "ts", "user_id")
+    val wave3 = Seq((7L, ts("2024-01-20 10:45:00"), 100L))
+      .toDF("event_id", "ts", "user_id")
+    // wmf = min(max view Jan 20 10:00, max click Jan 20 10:45) − 3d = Jan 17 10:00
+    val rows = WatermarkQueries.runStreamJoin(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/oj_spec",
+      views, Seq(wave1, wave2, wave3), "3 days",
+      "v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
+      Seq("v.event_id AS view_id", "c.event_id AS click_id"),
+      joinType = "left_outer")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // exactly-once on the null extensions: a Seq (not Set) comparison
+    // would catch a double emission
+    assert(rows.count(_ == (1L, None)) == 1, s"view 1 must null-extend once: ${rows.toSeq}")
+    assert(rows.count(_ == (4L, None)) == 1, s"view 4 must null-extend once: ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, None), (4L, None),
+      (2L, Some(3L)), (2L, Some(6L)), (2L, Some(7L))),
+      s"emitted rows were ${rows.toSeq}")
+    // view 5's window is still open against the final watermark — "no
+    // match yet" is not "no match"; it must stay in state, unemitted
+    assert(!rows.exists(_._1 == 5L), "open-window view must be withheld")
+  }
+
+  test("event-time timeout: expired key's state is GONE — re-arrival starts fresh, no double emission") {
+    def rows(xs: (String, Long)*) =
+      xs.map { case (t, u) => (ts(t), u) }.toDF("ts", "user_id")
+    val f1 = rows("2024-01-01 10:00:00" -> 1L, "2024-01-10 10:00:00" -> 9L)
+    val f2 = rows("2024-01-20 10:00:00" -> 9L)
+    val f3 = rows("2024-01-18 10:00:00" -> 1L,
+      "2024-01-21 10:00:00" -> 9L, "2024-01-21 11:00:00" -> 9L)
+    // user 1's Jan 1 session times out in batch 2 (timer Jan 1 10:30 <
+    // wm Jan 7 10:00) → emitted, state REMOVED. Its Jan 18 re-arrival
+    // must start a fresh session (count 1) — lingering state would have
+    // closed the old session a second time (duplicate row) or resumed
+    // it (count 2). Final wm = Jan 21 11:00 − 3d = Jan 18 11:00 fires
+    // the fresh session's Jan 18 10:30 timer; user 9's open Jan 21
+    // 11:00 session (timer 11:30) stays withheld.
+    val out = WatermarkQueries.runTimeoutSessions(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/to_spec",
+      Seq(f1, f2, f3), "3 days", gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(16), r.getLong(2)))
+    assert(out.length == out.distinct.length,
+      s"a session emitted twice — timed-out state was not removed: ${out.toSeq}")
+    assert(out.toSet == Set(
+      (1L, "2024-01-01 10:00", 1L),  // emitted by the TIMER, batch 2
+      (1L, "2024-01-18 10:00", 1L),  // fresh post-timeout session, count 1
+      (9L, "2024-01-10 10:00", 1L),  // closed by data, batch 2
+      (9L, "2024-01-20 10:00", 1L),  // closed by data, batch 3
+      (9L, "2024-01-21 10:00", 1L)), // closed by data WITHIN batch 3
+      s"emitted sessions were ${out.toSeq}")
+  }
+
   test("session windows: late row judged by its own session end; merged sessions emit once; open sessions withheld") {
     val f1 = Seq(
       (ts("2024-01-01 10:00:00"), 1L),
