@@ -91,7 +91,10 @@ object ScaleCurve {
     "ev_stream_running_count", // flatMapGroupsWithState cross-batch state carry
     "sim_mmr_indexed",       // persisted-index MMR probe (corpus-size-free goal)
     "s23_history_read",      // manifest history listing (O(versions) goal)
-    "s24_files_read")        // files metadata listing (O(files) goal)
+    "s24_files_read",        // files metadata listing (O(files) goal)
+    "ev_stream_outer_join",  // left-outer interval join, null-extension on wm passage
+    "ev_stream_timeout",     // EventTimeTimeout keyed sessions, timer-evicted state
+    "s25_ingest_e2e")        // e2e ingest: published-table read (pipeline = setup)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

@@ -28,7 +28,8 @@ object SparkEntry {
     MultimodalOps,
     LakeOps,
     QualityOps,
-    graft.streaming.WatermarkQueries)
+    graft.streaming.WatermarkQueries,
+    graft.streaming.IngestE2E)
 
   private def extraDefs: Seq[QueryDef] =
     CorpusPipeline.defs ++ Seq(AsOfJoin.evAsOf, RangeJoin.evRange, graft.etl.ZOrderLayout.f18)
