@@ -94,6 +94,9 @@ object ScaleCurve {
     "s24_files_read",        // files metadata listing (O(files) goal)
     "ev_stream_outer_join",  // left-outer interval join, null-extension on wm passage
     "ev_stream_timeout",     // EventTimeTimeout keyed sessions, timer-evicted state
+    "ev_stream_gold",        // update-mode windowed agg, foreachBatch keyed upsert
+    "ev_stream_distinct",    // transformWithState MapState distinct tracking
+    "ev_stream_bootstrap",   // initial-state TWS: batch-seeded stream state
     "s25_ingest_e2e")        // e2e ingest: published-table read (pipeline = setup)
 
   private def span(df: DataFrame, keyCol: String): Long =

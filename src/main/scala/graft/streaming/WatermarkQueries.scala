@@ -541,6 +541,358 @@ object WatermarkQueries extends QueryModule {
       ORDER BY view_id, click_id"""),
     (s, dir) => streamJoin(s, dir))
 
+  /** [[runWindowed]]'s UPDATE-MODE sibling: the same watermarked
+    * windowed count, but emitted in update mode and UPSERTED into a
+    * keyed gold table per micro-batch
+    * ([[StreamingIngest.mergeIntoParquet]] inside `foreachBatch`) — the
+    * most common production streaming-gold shape. The contract this
+    * pins is CONVERGENCE, not exactly-once emission: update mode
+    * re-emits a window every batch that changes it (including still-
+    * open windows append mode would withhold), and the keyed upsert
+    * keeps the last value — so the final gold table equals the batch
+    * aggregate over the watermark-ACCEPTED rows, with NO flush term at
+    * all. The one-batch late-watermark lag (SPARK-40925) is
+    * load-bearing here in a way worth naming: a late row passes the
+    * filter iff its window end clears the LAGGING watermark, and state
+    * is evicted against the CURRENT one — so an accepted late row
+    * always finds its window's state still alive and merges into the
+    * true count; were the two watermarks equal, an accepted late row
+    * could re-open an evicted window at count 1 and the upsert would
+    * clobber the correct gold value. At 100 TB the same shape holds:
+    * per-batch upsert cost is O(changed windows), state is
+    * watermark-bounded, and the gold table is correct at every commit
+    * (eventually-correct dashboards read it mid-stream). */
+  private[graft] def runUpdateGold(s: SparkSession, base: String,
+      slices: Seq[DataFrame], delay: String): DataFrame = {
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = ss.read.parquet(s"$base/in").schema
+    val agg = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val gold = s"$base/gold"
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        StreamingIngest.mergeIntoParquet(ss, batch, gold,
+          Seq("window_start", "event_type"))
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertProgress(q, slices.size)
+    s.read.parquet(gold)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** [[runRunningCount]]'s sibling on the CURRENT arbitrary-state API
+    * (`transformWithState`, Spark 4's StatefulProcessor — fMGWS's
+    * successor): per event type, EXACT cumulative distinct-user
+    * tracking across micro-batches. The processor composes the API's
+    * two genuinely new capabilities: multiple NAMED state variables per
+    * key — a `MapState` holding the seen-user set (point lookups and
+    * inserts against RocksDB, never a full-set deserialize like a
+    * fMGWS value would pay) and a `ValueState` counter bumped only on
+    * first sight, so per-batch cost is O(new users), not O(seen) —
+    * and the RocksDB state store TWS requires (set on the derived
+    * session; the default HDFS-backed provider refuses TWS).
+    *
+    * Regime note: exact distinct state is O(types × users) — right for
+    * this lake's bounded type/user domains; open-ended domains take the
+    * sketch families instead (`a15` HLL, `ta_countmin_sketch`), trading
+    * exactness for O(d·w) state. */
+  private class DistinctUsersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long)] {
+    import org.apache.spark.sql.{Encoders, streaming => st}
+    @transient private var seen: st.MapState[Long, Boolean] = _
+    @transient private var nDistinct: st.ValueState[Long] = _
+    override def init(outputMode: st.OutputMode, timeMode: st.TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, st.TTLConfig.NONE)
+      nDistinct = getHandle.getValueState[Long]("n_distinct",
+        Encoders.scalaLong, st.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: st.TimerValues): Iterator[(String, Long)] = {
+      var n = if (nDistinct.exists()) nDistinct.get() else 0L
+      rows.foreach { case (_, u) =>
+        if (!seen.containsKey(u)) { seen.updateValue(u, true); n += 1 }
+      }
+      nDistinct.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  private[graft] def runDistinctUsers(s: SparkSession, base: String,
+      slices: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val schema = ss.read.parquet(s"$base/in").schema
+    val counted = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .selectExpr("event_type", "CAST(user_id AS LONG) AS user_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DistinctUsersProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("event_type", "n_distinct_users")
+    val q = counted.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertProgress(q, slices.size, expectWatermark = false)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("event_type"), col("n_distinct_users"))
+  }
+
+  /** [[DistinctUsersProcessor]]'s INITIAL-STATE form — the state
+    * MIGRATION story `transformWithState` exists to make first-class:
+    * a new streaming pipeline warm-starts from a batch table (here the
+    * pre-split user sets, one `collect_set` row per type) instead of
+    * replaying history through the stream. `handleInitialState` seeds
+    * the MapState + counter BEFORE the first micro-batch and emits
+    * nothing — seeded users suppress stream re-arrivals and count
+    * toward every emitted cumulative, exactly as if the stream had
+    * seen them. Idempotent inserts (bump only on `!containsKey`), so
+    * the handler is correct whatever per-key invocation multiplicity
+    * the engine chooses. */
+  private class SeededDistinctProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, (String, Long), (String, Long), (String, Array[Long])] {
+    import org.apache.spark.sql.{Encoders, streaming => st}
+    @transient private var seen: st.MapState[Long, Boolean] = _
+    @transient private var nDistinct: st.ValueState[Long] = _
+    override def init(outputMode: st.OutputMode, timeMode: st.TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, st.TTLConfig.NONE)
+      nDistinct = getHandle.getValueState[Long]("n_distinct",
+        Encoders.scalaLong, st.TTLConfig.NONE)
+    }
+    private def insertAll(users: Iterator[Long]): Long = {
+      var n = if (nDistinct.exists()) nDistinct.get() else 0L
+      users.foreach { u =>
+        if (!seen.containsKey(u)) { seen.updateValue(u, true); n += 1 }
+      }
+      nDistinct.update(n)
+      n
+    }
+    override def handleInitialState(key: String,
+        seed: (String, Array[Long]), tv: st.TimerValues): Unit = {
+      insertAll(seed._2.iterator)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: st.TimerValues): Iterator[(String, Long)] =
+      Iterator.single((key, insertAll(rows.map(_._2))))
+  }
+
+  private[graft] def runSeededDistinct(s: SparkSession, base: String,
+      seed: DataFrame, slices: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    wipe(s, base)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    // one initial-state row per key, the API's contract: the batch
+    // table collapses to (type, user-set) via collect_set
+    val init = seed
+      .groupBy(col("event_type"))
+      .agg(collect_set(col("user_id").cast("long")).as("users"))
+      .as[(String, Array[Long])]
+      .groupByKey(_._1)
+    val schema = ss.read.parquet(s"$base/in").schema
+    val counted = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .selectExpr("event_type", "CAST(user_id AS LONG) AS user_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededDistinctProcessor,
+        TimeMode.None(), OutputMode.Append(), init)
+      .toDF("event_type", "n_distinct_users")
+    val q = counted.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertProgress(q, slices.size, expectWatermark = false)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("event_type"), col("n_distinct_users"))
+  }
+
+  private def bootstrapRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/bs_$safe"
+  }
+
+  /** Initial-state transformWithState declared: the pre-split on-time
+    * rows play the EXISTING BATCH TABLE (seeded, never emitted); the
+    * tail and holdback slices stream in as two micro-batches. Emitted
+    * rows carry cumulative distincts THROUGH seed + stream — a seed
+    * user re-arriving in the stream must not bump the count, a lost
+    * seed undercounts every row, and a seed that spuriously EMITS
+    * (bootstrap is not a batch) adds rows: all three break the hash. */
+  def streamSeededDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val seed = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val tail = ev.filter(col("ts") >= split)
+    val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+    runSeededDistinct(s, bootstrapRoot(dir), seed, Seq(tail, holdback))
+  }
+
+  private val evStreamBootstrap = QueryDef(
+    "ev_stream_bootstrap",
+    Some(s"""
+      WITH pres AS (
+        SELECT 1 AS sl, event_type, user_id FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0
+        UNION ALL
+        SELECT 2, event_type, user_id FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'
+        UNION ALL
+        SELECT 3, event_type, user_id FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0),
+      -- the seed (sl=1) counts toward every prefix but never emits
+      appears AS (SELECT DISTINCT sl, event_type FROM pres WHERE sl > 1)
+      SELECT a.event_type,
+        (SELECT COUNT(DISTINCT p.user_id) FROM pres p
+         WHERE p.event_type = a.event_type AND p.sl <= a.sl)
+          AS n_distinct_users
+      FROM appears a
+      ORDER BY event_type, n_distinct_users"""),
+    (s, dir) => streamSeededDistinct(s, dir))
+
+  private def distinctRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/dn_$safe"
+  }
+
+  /** transformWithState declared: the standard three-slice arrival, one
+    * emitted row per (type, batch-the-type-appears-in) carrying the
+    * exact cumulative distinct-user count THROUGH that batch. The
+    * oracle is three per-slice prefix distincts — any lost MapState
+    * entry (undercount), double-counted re-arrival (overcount), or
+    * dropped/duplicated emission changes the multiset and breaks the
+    * hash. */
+  def streamDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val tail = ev.filter(col("ts") >= split)
+    val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+    runDistinctUsers(s, distinctRoot(dir), Seq(onTime, tail, holdback))
+  }
+
+  private val evStreamDistinct = QueryDef(
+    "ev_stream_distinct",
+    Some(s"""
+      WITH pres AS (
+        SELECT 1 AS sl, event_type, user_id FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0
+        UNION ALL
+        SELECT 2, event_type, user_id FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'
+        UNION ALL
+        SELECT 3, event_type, user_id FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0),
+      appears AS (SELECT DISTINCT sl, event_type FROM pres)
+      SELECT a.event_type,
+        (SELECT COUNT(DISTINCT p.user_id) FROM pres p
+         WHERE p.event_type = a.event_type AND p.sl <= a.sl)
+          AS n_distinct_users
+      FROM appears a
+      ORDER BY event_type, n_distinct_users"""),
+    (s, dir) => streamDistinctUsers(s, dir))
+
+  private def goldRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stream/ug_$safe"
+  }
+
+  /** Update-mode streaming gold declared: same three-slice arrival as
+    * [[watermarkLate]], so the pair of queries pins the append-vs-update
+    * semantic gap on identical data — the oracle here is the batch
+    * aggregate over the ACCEPTED rows with NO flush term (open tail
+    * windows are present with their current counts; `ev_watermark_late`
+    * withholds them), and any upsert defect — a window inserted twice,
+    * a stale value surviving an update, a late-accepted row re-opening
+    * evicted state — shifts a count or a key and breaks the hash. */
+  def streamUpdateGold(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val tail = ev.filter(col("ts") >= split)
+    val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+    runUpdateGold(s, goldRoot(dir), Seq(onTime, tail, holdback),
+      s"$DelayDays days")
+  }
+
+  private val evStreamGold = QueryDef(
+    "ev_stream_gold",
+    Some(s"""
+      WITH f1 AS (
+        SELECT ts, event_type FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0),
+      f2 AS (
+        SELECT ts, event_type FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'),
+      f3 AS (
+        SELECT ts, event_type FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0),
+      wml AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM f1),
+      accepted AS (
+        SELECT ts, event_type FROM f1
+        UNION ALL
+        SELECT ts, event_type FROM f2
+        UNION ALL
+        SELECT f3.ts, f3.event_type FROM f3
+        WHERE time_bucket(INTERVAL 1 DAY, f3.ts) + INTERVAL 1 DAY
+              > (SELECT w FROM wml))
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+        event_type, COUNT(*) AS n_events
+      FROM accepted
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+    (s, dir) => streamUpdateGold(s, dir))
+
   private def outerJoinRoot(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_stream/oj_$safe"
@@ -889,5 +1241,5 @@ object WatermarkQueries extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup,
     evStreamJoin, evStreamOuterJoin, evStreamSessions, evStreamTimeout,
-    evStreamState)
+    evStreamState, evStreamGold, evStreamDistinct, evStreamBootstrap)
 }

@@ -46,6 +46,32 @@ class WatermarkLateSpec extends SparkSpec {
     assert(!out.contains("2024-01-20"), "the window past the final watermark must stay in state")
   }
 
+  test("update-mode gold: open tail window present, too-late row excluded, keys unique (upsert converged)") {
+    val onTime = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-10 10:00:00"), "a")).toDF("event_id", "ts", "event_type")
+    val tail = Seq(
+      (6L, ts("2024-01-20 10:00:00"), "a")).toDF("event_id", "ts", "event_type")
+    val late = Seq(
+      (3L, ts("2024-01-02 10:00:00"), "a"), // window end Jan 3 ≤ wml Jan 7 → DROP
+      (4L, ts("2024-01-07 09:00:00"), "a"), // open window → LAND
+      (5L, ts("2024-01-07 12:00:00"), "a")) // open window → LAND
+      .toDF("event_id", "ts", "event_type")
+    val rows = WatermarkQueries.runUpdateGold(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/ug_spec",
+      Seq(onTime, tail, late), "3 days")
+      .collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(2))
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"duplicate gold keys — the upsert inserted instead of updating: ${rows.toSeq}")
+    assert(rows.toMap == Map(
+      "2024-01-01" -> 1L,
+      "2024-01-07" -> 2L,  // both accepted late rows folded in
+      "2024-01-10" -> 1L,
+      "2024-01-20" -> 1L), // the OPEN tail window append mode withholds
+      s"gold table was ${rows.toSeq}")
+  }
+
   test("stream dedup: live-state dupes suppress; evicted-key re-arrivals and late firsts drop; open firsts land") {
     val f1 = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),
@@ -196,6 +222,39 @@ class WatermarkLateSpec extends SparkSpec {
       s"emitted sessions were $out")
     // user 1's Jan 20–21 sessions end past the final watermark → withheld;
     // user 2's Jan 2 row is judged by ITS session end (Jan 2 10:30) and drops.
+  }
+
+  test("transformWithState: distinct tracking suppresses re-arrivals, carries MapState across batches") {
+    def rows(xs: (String, Long)*) = xs.toDF("event_type", "user_id")
+    val f1 = rows("a" -> 1L, "a" -> 2L, "b" -> 1L)
+    val f2 = rows("a" -> 1L)                 // pure re-arrival: count must NOT move
+    val f3 = rows("a" -> 3L, "b" -> 9L)
+    val out = WatermarkQueries.runDistinctUsers(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/dn_spec",
+      Seq(f1, f2, f3))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // multiset, not set: batch 2's re-arrival emits the UNCHANGED count
+    // — a (a,2) duplicate row — which is exactly what proves the
+    // MapState suppressed it while the emission contract still fired
+    assert(out.sorted == Seq(("a", 2L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L)).sorted,
+      s"emitted rows were $out")
+  }
+
+  test("transformWithState initial state: seed counts without emitting, suppresses stream re-arrivals") {
+    def rows(xs: (String, Long)*) = xs.toDF("event_type", "user_id")
+    val seed = rows("a" -> 1L, "a" -> 2L, "b" -> 5L)
+    val f1 = rows("a" -> 1L, "b" -> 6L) // u1 is seeded → count must not move
+    val f2 = rows("a" -> 3L)
+    val out = WatermarkQueries.runSeededDistinct(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/bs_spec",
+      seed, Seq(f1, f2))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exactly 3 rows: one per (type, stream batch) — a 4th row would
+    // mean the seed emitted; (a,2) proves the seeded users were counted
+    // AND the re-arrival suppressed
+    assert(out.sorted == Seq(("a", 2L), ("a", 3L), ("b", 2L)).sorted,
+      s"emitted rows were $out")
   }
 
   test("flatMapGroupsWithState: running count carries across micro-batches, emits only on appearance") {
