@@ -1137,8 +1137,13 @@ object ManifestTable {
     * (e.g. a [[ZOrderLayout.interleave16]] Morton key), so the same
     * atomic flip that fixes file counts also installs file-level
     * min/max locality for data skipping. */
+  /** Compaction's default per-file byte target — shared so callers
+    * deriving expectations from it (s24's oracle guard) can never
+    * silently diverge from what compact actually does. */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
   def compact(spark: SparkSession, basePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024,
+      targetFileBytes: Long = DefaultTargetFileBytes,
       clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Int = {
     val snap = currentSnapshot(spark, basePath).getOrElse(return 0)
     val dd = dataDir(basePath)

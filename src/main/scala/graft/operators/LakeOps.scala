@@ -795,10 +795,10 @@ object LakeOps extends QueryModule {
       // arbitrary SF (orders crosses it around sf>=100). Guard it so a
       // scale-driven break is a named error here, not a bare hash
       // mismatch at the driver. Bounded collect: one row per year.
-      val target = 128L * 1024 * 1024
+      val target = ManifestTable.DefaultTargetFileBytes
       val oversize = files.groupBy($"part_year")
         .agg(sum($"bytes").as("part_bytes"))
-        .filter($"part_bytes" >= target).collect()
+        .filter($"part_bytes" > target).collect()
       require(oversize.isEmpty,
         s"s24_files_read's 1-file-per-partition oracle assumes every year " +
           s"fits one $target-byte compaction target; oversize years: " +

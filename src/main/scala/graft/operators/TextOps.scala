@@ -204,18 +204,25 @@ object TextOps extends QueryModule {
       regexp_replace(c, p, s"<$kind>")
     }
 
+  /** The DuckDB mirror of [[scrubPii]]: the same pattern list, order,
+    * and placeholders folded into a `regexp_replace` chain over the
+    * given column expression — shared by every oracle that replays the
+    * scrub (`ta_pii_scrub`, `s25_ingest_e2e`), so the SQL form can
+    * never drift from the engine's fold independently. */
+  def scrubSqlChain(col: String): String =
+    piiPatterns.foldLeft(col) { case (acc, (kind, p)) =>
+      s"regexp_replace($acc, '$p', '<$kind>', 'g')"
+    }
+
   private val taPii = QueryDef(
     "ta_pii_scrub",
     Some {
-      val repl = piiPatterns.foldLeft("text") { case (acc, (kind, p)) =>
-        s"regexp_replace($acc, '$p', '<$kind>', 'g')"
-      }
       val counts = piiPatterns.map { case (kind, p) =>
         s"len(regexp_extract_all(text, '$p')) AS n_$kind"
       }.mkString(",\n        ")
       s"""
       SELECT doc_id,
-        $repl AS scrubbed,
+        ${scrubSqlChain("text")} AS scrubbed,
         $counts
       FROM documents
       ORDER BY doc_id"""

@@ -143,13 +143,10 @@ object IngestE2E extends QueryModule {
     rollup(s, s"$base/corpus")
   }
 
-  /** DuckDB fragment: the PII scrub chain over `text` (identical
-    * pattern list/order as [[TextOps.scrubPii]] — built from the same
-    * [[TextOps.piiPatterns]] the engine folds). */
-  private def scrubSql: String =
-    TextOps.piiPatterns.foldLeft("text") { case (acc, (kind, p)) =>
-      s"regexp_replace($acc, '$p', '<$kind>', 'g')"
-    }
+  /** DuckDB fragment: the PII scrub chain over `text` — the shared
+    * mirror of [[TextOps.scrubPii]] (one definition for every oracle
+    * replaying the scrub). */
+  private def scrubSql: String = TextOps.scrubSqlChain("text")
 
   private val s25 = QueryDef(
     "s25_ingest_e2e",
@@ -165,7 +162,13 @@ object IngestE2E extends QueryModule {
         SELECT 1, doc_id + $PlantedOffset, norm, n_chars FROM b
         WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
         UNION ALL
-        SELECT 2, doc_id, norm || ' upd' || CAST(doc_id AS VARCHAR),
+        -- re-normalize the appended suffix: the engine normalizes the
+        -- CONCATENATED text, so a blank base norm must collapse to the
+        -- single token 'upd<id>' (and fail the 2-gram gate), not gain a
+        -- phantom leading empty token
+        SELECT 2, doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
           n_chars + 1000
         FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3),
       -- gates at the pinned thresholds: non-empty normalized text

@@ -58,9 +58,11 @@ object WatermarkQueries extends QueryModule {
   private val SplitDate = "2024-01-25"
   private val DelayDays = 3
 
-  private def root(sfDir: String): String = {
+  /** Per-(harness, sfDir) scratch root — ONE definition of the
+    * sanitize-and-prefix convention for all ten fixtures. */
+  private def streamRoot(prefix: String, sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/wm_$safe"
+    s"${sys.props("java.io.tmpdir")}/graft_stream/${prefix}_$safe"
   }
 
   private def wipe(s: SparkSession, path: String): Unit = {
@@ -87,6 +89,23 @@ object WatermarkQueries extends QueryModule {
       throw new IllegalStateException(s"stage rename failed: $part -> $dp")
     fs.setTimes(dp, mtimeMs, -1)
     fs.delete(sp, true)
+  }
+
+  /** Stage each slice as one mtime-ordered file under `base/<sub>` and
+    * return each slice's NON-EMPTINESS (from the staged parquet
+    * footers): an empty slice still stages a file and burns a trigger,
+    * but its micro-batch reports zero input rows, so
+    * [[assertProgress]]'s expected data-batch count must skip it
+    * rather than blame Spark's scheduling for the shortfall. */
+  private def stageSlices(s: SparkSession, base: String,
+      slices: Seq[DataFrame], sub: String = "in"): Seq[Boolean] = {
+    slices.zipWithIndex.foreach { case (df, i) =>
+      stageFile(s, df, s"$base/stage$sub$i", f"$base/$sub/$i%04d.parquet",
+        100000L * (i + 1))
+    }
+    slices.indices.map { i =>
+      s.read.parquet(f"$base/$sub/$i%04d.parquet").count() > 0
+    }
   }
 
   /** Post-run assertion of the Spark-internal scheduling facts every
@@ -138,10 +157,7 @@ object WatermarkQueries extends QueryModule {
   private[graft] def runWindowed(s: SparkSession, base: String,
       slices: Seq[DataFrame], delay: String): DataFrame = {
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val schema = ss.read.parquet(s"$base/in").schema
@@ -162,7 +178,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size)
+    assertProgress(q, dataSlices)
     // read back on the CALLER's session — the result must not carry the
     // derived session's fixture conf into downstream plans
     s.read.parquet(s"$base/out")
@@ -178,10 +194,7 @@ object WatermarkQueries extends QueryModule {
   private[graft] def runDedup(s: SparkSession, base: String,
       slices: Seq[DataFrame], delay: String, key: String): DataFrame = {
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val schema = ss.read.parquet(s"$base/in").schema
@@ -198,7 +211,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size)
+    assertProgress(q, dataSlices)
     s.read.parquet(s"$base/out").orderBy(col(key))
   }
 
@@ -215,7 +228,7 @@ object WatermarkQueries extends QueryModule {
     val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
     val tail = ev.filter(col("ts") >= split)
     val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
-    runWindowed(s, root(dir), Seq(onTime, tail, holdback), s"$DelayDays days")
+    runWindowed(s, streamRoot("wm", dir), Seq(onTime, tail, holdback), s"$DelayDays days")
   }
 
   /** The oracle replays the watermark algebra in plain SQL: the
@@ -236,11 +249,8 @@ object WatermarkQueries extends QueryModule {
       joinExpr: String, project: Seq[String],
       joinType: String = "inner"): DataFrame = {
     wipe(s, base)
-    stageFile(s, left, s"$base/stageL", s"$base/inL/0000.parquet", 100000L)
-    rightSlices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stageR$i", f"$base/inR/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val leftNonEmpty = stageSlices(s, base, Seq(left), sub = "inL").head
+    val rightFlags = stageSlices(s, base, rightSlices, sub = "inR")
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     def src(dir: String) = ss.readStream
@@ -259,9 +269,11 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // batch 0 consumes the left file plus the right's first slice, so
-    // data batches track the right-slice count
-    assertProgress(q, rightSlices.size)
+    // batch i consumes right slice i (plus the left file at i = 0), so
+    // a batch carries data iff that right slice is non-empty or it is
+    // the seed batch of a non-empty left
+    assertProgress(q, rightFlags.zipWithIndex.count { case (ne, i) =>
+      ne || (i == 0 && leftNonEmpty) })
     s.read.parquet(s"$base/out")
       .orderBy(project.map(p => col(p.split(" AS ").last.trim)): _*)
   }
@@ -274,10 +286,7 @@ object WatermarkQueries extends QueryModule {
   private[graft] def runSessions(s: SparkSession, base: String,
       slices: Seq[DataFrame], delay: String, gap: String): DataFrame = {
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val schema = ss.read.parquet(s"$base/in").schema
@@ -297,7 +306,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size)
+    assertProgress(q, dataSlices)
     s.read.parquet(s"$base/out")
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -339,10 +348,7 @@ object WatermarkQueries extends QueryModule {
       slices: Seq[DataFrame], delay: String, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     import ss.implicits._
@@ -416,14 +422,9 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size)
+    assertProgress(q, dataSlices)
     s.read.parquet(s"$base/out")
       .orderBy(col("user_id"), col("session_start"))
-  }
-
-  private def dedupRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/sd_$safe"
   }
 
   /** Streaming dedup arrival sequence: slice 2 carries the timeline
@@ -442,7 +443,7 @@ object WatermarkQueries extends QueryModule {
       .unionByName(onTime.filter(col("event_id") % 16 === 1))
     val slice3 = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
       .unionByName(onTime.filter(col("event_id") % 16 === 5))
-    runDedup(s, dedupRoot(dir), Seq(onTime, slice2, slice3),
+    runDedup(s, streamRoot("sd", dir), Seq(onTime, slice2, slice3),
       s"$DelayDays days", "event_id")
   }
 
@@ -476,11 +477,6 @@ object WatermarkQueries extends QueryModule {
       ORDER BY event_id"""),
     (s, dir) => streamDedup(s, dir))
 
-  private def joinRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/sj_$safe"
-  }
-
   /** STREAM-STREAM attribution join declared: views joined to clicks on
     * (same user, click within 1 hour of the view) across a three-wave
     * click arrival. Wave 1 rides in view state's first batch; wave 2
@@ -504,7 +500,7 @@ object WatermarkQueries extends QueryModule {
     val r0 = clicks.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4)
     val r1 = clicks.filter(col("event_id") % 8 === 4)
     val r2 = clicks.filter(col("event_id") % 8 === 0)
-    runStreamJoin(s, joinRoot(dir), views, Seq(r0, r1, r2), s"$DelayDays days",
+    runStreamJoin(s, streamRoot("sj", dir), views, Seq(r0, r1, r2), s"$DelayDays days",
       "v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
       Seq("v.event_id AS view_id", "c.event_id AS click_id",
         "v.user_id AS user_id"))
@@ -565,10 +561,7 @@ object WatermarkQueries extends QueryModule {
   private[graft] def runUpdateGold(s: SparkSession, base: String,
       slices: Seq[DataFrame], delay: String): DataFrame = {
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val schema = ss.read.parquet(s"$base/in").schema
@@ -591,7 +584,7 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size)
+    assertProgress(q, dataSlices)
     s.read.parquet(gold)
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -599,50 +592,15 @@ object WatermarkQueries extends QueryModule {
   /** [[runRunningCount]]'s sibling on the CURRENT arbitrary-state API
     * (`transformWithState`, Spark 4's StatefulProcessor — fMGWS's
     * successor): per event type, EXACT cumulative distinct-user
-    * tracking across micro-batches. The processor composes the API's
-    * two genuinely new capabilities: multiple NAMED state variables per
-    * key — a `MapState` holding the seen-user set (point lookups and
-    * inserts against RocksDB, never a full-set deserialize like a
-    * fMGWS value would pay) and a `ValueState` counter bumped only on
-    * first sight, so per-batch cost is O(new users), not O(seen) —
-    * and the RocksDB state store TWS requires (set on the derived
-    * session; the default HDFS-backed provider refuses TWS).
-    *
-    * Regime note: exact distinct state is O(types × users) — right for
-    * this lake's bounded type/user domains; open-ended domains take the
-    * sketch families instead (`a15` HLL, `ta_countmin_sketch`), trading
-    * exactness for O(d·w) state. */
-  private class DistinctUsersProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        String, (String, Long), (String, Long)] {
-    import org.apache.spark.sql.{Encoders, streaming => st}
-    @transient private var seen: st.MapState[Long, Boolean] = _
-    @transient private var nDistinct: st.ValueState[Long] = _
-    override def init(outputMode: st.OutputMode, timeMode: st.TimeMode): Unit = {
-      seen = getHandle.getMapState[Long, Boolean]("seen",
-        Encoders.scalaLong, Encoders.scalaBoolean, st.TTLConfig.NONE)
-      nDistinct = getHandle.getValueState[Long]("n_distinct",
-        Encoders.scalaLong, st.TTLConfig.NONE)
-    }
-    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
-        tv: st.TimerValues): Iterator[(String, Long)] = {
-      var n = if (nDistinct.exists()) nDistinct.get() else 0L
-      rows.foreach { case (_, u) =>
-        if (!seen.containsKey(u)) { seen.updateValue(u, true); n += 1 }
-      }
-      nDistinct.update(n)
-      Iterator.single((key, n))
-    }
-  }
-
+    * tracking across micro-batches via [[DistinctUsersProcessor]]
+    * (seedless overload), on the RocksDB state store TWS requires
+    * (set on the derived session; the default HDFS-backed provider
+    * refuses TWS). */
   private[graft] def runDistinctUsers(s: SparkSession, base: String,
       slices: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -666,23 +624,33 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size, expectWatermark = false)
+    assertProgress(q, dataSlices, expectWatermark = false)
     s.read.parquet(s"$base/out")
       .orderBy(col("event_type"), col("n_distinct_users"))
   }
 
-  /** [[DistinctUsersProcessor]]'s INITIAL-STATE form — the state
-    * MIGRATION story `transformWithState` exists to make first-class:
-    * a new streaming pipeline warm-starts from a batch table (here the
-    * pre-split user sets, one `collect_set` row per type) instead of
-    * replaying history through the stream. `handleInitialState` seeds
-    * the MapState + counter BEFORE the first micro-batch and emits
-    * nothing — seeded users suppress stream re-arrivals and count
-    * toward every emitted cumulative, exactly as if the stream had
-    * seen them. Idempotent inserts (bump only on `!containsKey`), so
-    * the handler is correct whatever per-key invocation multiplicity
-    * the engine chooses. */
-  private class SeededDistinctProcessor
+  /** ONE processor serves both transformWithState queries (a
+    * `StatefulProcessorWithInitialState` IS a `StatefulProcessor`, so
+    * the seedless overload takes it too — the distinct-counting
+    * semantics are defined once): per event type, a `MapState`
+    * seen-user set probed point-wise against RocksDB plus a
+    * `ValueState` counter bumped only on first sight, so per-batch
+    * cost is O(new users), not O(seen). The initial-state leg is the
+    * state MIGRATION story the API exists to make first-class: a new
+    * streaming pipeline warm-starts from a batch table (one
+    * `collect_set` row per type) instead of replaying history through
+    * the stream — `handleInitialState` seeds the MapState + counter
+    * BEFORE the first micro-batch and emits nothing; seeded users
+    * suppress stream re-arrivals and count toward every emitted
+    * cumulative, exactly as if the stream had seen them. Idempotent
+    * inserts (bump only on `!containsKey`), so the handler is correct
+    * whatever per-key invocation multiplicity the engine chooses.
+    *
+    * Regime note: exact distinct state is O(types × users) — right for
+    * this lake's bounded type/user domains; open-ended domains take the
+    * sketch families instead (`a15` HLL, `ta_countmin_sketch`), trading
+    * exactness for O(d·w) state. */
+  private class DistinctUsersProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
         String, (String, Long), (String, Long), (String, Array[Long])] {
     import org.apache.spark.sql.{Encoders, streaming => st}
@@ -715,10 +683,7 @@ object WatermarkQueries extends QueryModule {
       seed: DataFrame, slices: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -738,7 +703,7 @@ object WatermarkQueries extends QueryModule {
       .selectExpr("event_type", "CAST(user_id AS LONG) AS user_id")
       .as[(String, Long)]
       .groupByKey(_._1)
-      .transformWithState(new SeededDistinctProcessor,
+      .transformWithState(new DistinctUsersProcessor,
         TimeMode.None(), OutputMode.Append(), init)
       .toDF("event_type", "n_distinct_users")
     val q = counted.writeStream
@@ -749,14 +714,9 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size, expectWatermark = false)
+    assertProgress(q, dataSlices, expectWatermark = false)
     s.read.parquet(s"$base/out")
       .orderBy(col("event_type"), col("n_distinct_users"))
-  }
-
-  private def bootstrapRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/bs_$safe"
   }
 
   /** Initial-state transformWithState declared: the pre-split on-time
@@ -773,7 +733,7 @@ object WatermarkQueries extends QueryModule {
     val seed = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
     val tail = ev.filter(col("ts") >= split)
     val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
-    runSeededDistinct(s, bootstrapRoot(dir), seed, Seq(tail, holdback))
+    runSeededDistinct(s, streamRoot("bs", dir), seed, Seq(tail, holdback))
   }
 
   private val evStreamBootstrap = QueryDef(
@@ -798,11 +758,6 @@ object WatermarkQueries extends QueryModule {
       ORDER BY event_type, n_distinct_users"""),
     (s, dir) => streamSeededDistinct(s, dir))
 
-  private def distinctRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/dn_$safe"
-  }
-
   /** transformWithState declared: the standard three-slice arrival, one
     * emitted row per (type, batch-the-type-appears-in) carrying the
     * exact cumulative distinct-user count THROUGH that batch. The
@@ -817,7 +772,7 @@ object WatermarkQueries extends QueryModule {
     val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
     val tail = ev.filter(col("ts") >= split)
     val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
-    runDistinctUsers(s, distinctRoot(dir), Seq(onTime, tail, holdback))
+    runDistinctUsers(s, streamRoot("dn", dir), Seq(onTime, tail, holdback))
   }
 
   private val evStreamDistinct = QueryDef(
@@ -841,11 +796,6 @@ object WatermarkQueries extends QueryModule {
       ORDER BY event_type, n_distinct_users"""),
     (s, dir) => streamDistinctUsers(s, dir))
 
-  private def goldRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/ug_$safe"
-  }
-
   /** Update-mode streaming gold declared: same three-slice arrival as
     * [[watermarkLate]], so the pair of queries pins the append-vs-update
     * semantic gap on identical data — the oracle here is the batch
@@ -861,7 +811,7 @@ object WatermarkQueries extends QueryModule {
     val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
     val tail = ev.filter(col("ts") >= split)
     val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
-    runUpdateGold(s, goldRoot(dir), Seq(onTime, tail, holdback),
+    runUpdateGold(s, streamRoot("ug", dir), Seq(onTime, tail, holdback),
       s"$DelayDays days")
   }
 
@@ -893,11 +843,6 @@ object WatermarkQueries extends QueryModule {
       ORDER BY window_start, event_type"""),
     (s, dir) => streamUpdateGold(s, dir))
 
-  private def outerJoinRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/oj_$safe"
-  }
-
   /** STREAM-STREAM **LEFT OUTER** interval join declared — the subtlest
     * semantic in streaming joins, and the form production attribution
     * actually runs: a view with no click inside its 1-hour window is
@@ -920,7 +865,7 @@ object WatermarkQueries extends QueryModule {
     val r0 = clicks.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4)
     val r1 = clicks.filter(col("event_id") % 8 === 4)
     val r2 = clicks.filter(col("event_id") % 8 === 0)
-    runStreamJoin(s, outerJoinRoot(dir), views, Seq(r0, r1, r2),
+    runStreamJoin(s, streamRoot("oj", dir), views, Seq(r0, r1, r2),
       s"$DelayDays days",
       "v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
       Seq("v.event_id AS view_id", "c.event_id AS click_id",
@@ -976,11 +921,6 @@ object WatermarkQueries extends QueryModule {
       ORDER BY view_id, click_id"""),
     (s, dir) => streamOuterJoin(s, dir))
 
-  private def timeoutRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/to_$safe"
-  }
-
   /** EventTimeTimeout sessionization over the SAME arrival sequence as
     * [[streamSessions]] — deliberately, so the two declared queries pin
     * the semantic gap between `session_window` (emit only when the
@@ -997,7 +937,7 @@ object WatermarkQueries extends QueryModule {
     val f1 = ev.filter(!held && col("ts") < split)
     val f2 = ev.filter(!held && col("ts") >= split)
     val f3 = ev.filter(held)
-    runTimeoutSessions(s, timeoutRoot(dir), Seq(f1, f2, f3),
+    runTimeoutSessions(s, streamRoot("to", dir), Seq(f1, f2, f3),
       s"$DelayDays days", gapMinutes = 30)
   }
 
@@ -1056,10 +996,7 @@ object WatermarkQueries extends QueryModule {
       slices: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     wipe(s, base)
-    slices.zipWithIndex.foreach { case (df, i) =>
-      stageFile(s, df, s"$base/stage$i", f"$base/in/$i%04d.parquet",
-        100000L * (i + 1))
-    }
+    val dataSlices = stageSlices(s, base, slices).count(identity)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     import ss.implicits._
@@ -1085,14 +1022,9 @@ object WatermarkQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assertProgress(q, slices.size, expectWatermark = false)
+    assertProgress(q, dataSlices, expectWatermark = false)
     s.read.parquet(s"$base/out")
       .orderBy(col("user_id"), col("cum_events"))
-  }
-
-  private def sessionsRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/ss_$safe"
   }
 
   /** STREAMING SESSIONIZATION declared: `session_window` (30-minute
@@ -1118,13 +1050,8 @@ object WatermarkQueries extends QueryModule {
     val f1 = ev.filter(!held && col("ts") < split)
     val f2 = ev.filter(!held && col("ts") >= split)
     val f3 = ev.filter(held)
-    runSessions(s, sessionsRoot(dir), Seq(f1, f2, f3),
+    runSessions(s, streamRoot("ss", dir), Seq(f1, f2, f3),
       s"$DelayDays days", "30 minutes")
-  }
-
-  private def stateRoot(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stream/st_$safe"
   }
 
   /** flatMapGroupsWithState declared: the per-user running count over
@@ -1140,7 +1067,7 @@ object WatermarkQueries extends QueryModule {
     val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
     val tail = ev.filter(col("ts") >= split)
     val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
-    runRunningCount(s, stateRoot(dir), Seq(onTime, tail, holdback))
+    runRunningCount(s, streamRoot("st", dir), Seq(onTime, tail, holdback))
   }
 
   private val evStreamState = QueryDef(
