@@ -6,14 +6,22 @@ object Bench {
     * OR exceeds it by 10 absolute seconds (the slow-query blind spot: a
     * 9.7 s-anchor query riding at 36 s is a 3.7× load artifact that
     * slides under 5× while carrying ~26 phantom seconds into the
-    * headline). A failed measurement (−1) or a missing/invalid prior is
+    * headline) OR — the mid-range term, closing the blind spot the
+    * round-15 driver artifact proved (cp_diversity rode 4.85 s against a
+    * 1.08 s anchor, 4.5×, into the headline unflagged and isolated back
+    * to 1.09 s idle) — exceeds 3× a ≥0.5 s prior by more than 2 absolute
+    * seconds. A failed measurement (−1) or a missing/invalid prior is
     * never suspect — there is nothing to compare against. */
   private[graft] def isLoadSuspect(v: Double, prior: Option[Double]): Boolean = {
     val SuspectFactor = 5.0
     val SuspectAbsSec = 10.0
+    val MidFactor = 3.0
+    val MidAbsSec = 2.0
+    val MidMinPrior = 0.5
     v >= 0 && prior.exists(p =>
       p > 0 && ((v > SuspectFactor * p && v > math.max(1.0, p + 0.5)) ||
-        v > p + SuspectAbsSec))
+        v > p + SuspectAbsSec ||
+        (p >= MidMinPrior && v > MidFactor * p && v > p + MidAbsSec)))
   }
 
   /** Per-query reference seconds: the PER-QUERY MIN across the previous

@@ -14,7 +14,13 @@ class BenchRulesSpec extends AnyFunSuite {
 
   test("ratio term: 5x over a >=1s prior is suspect") {
     assert(Bench.isLoadSuspect(6.0, Some(1.0)))
-    assert(!Bench.isLoadSuspect(4.9, Some(1.0)))
+    // 4.9 vs 1.0 slid under the 5x term for rounds 3-15; since round 16
+    // the mid-range term (3x AND +2s, priors >= 0.5s) catches it — the
+    // pure 5x boundary now only decides the 0.5-1s prior band, pinned
+    // by the next vectors (mid-range exempt below 0.5s)
+    assert(Bench.isLoadSuspect(4.9, Some(1.0)))
+    assert(Bench.isLoadSuspect(1.6, Some(0.3)))  // 5.3x, above the 1s floor
+    assert(!Bench.isLoadSuspect(1.4, Some(0.3))) // 4.7x — under 5x, mid-exempt
   }
 
   test("absolute term: the round-13 blind spot self-labels") {
@@ -30,6 +36,24 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(!Bench.isLoadSuspect(0.9, Some(0.1)))  // 9x but still sub-second
     // ...but the absolute term still applies to tiny anchors
     assert(Bench.isLoadSuspect(10.2, Some(0.1)))
+  }
+
+  test("mid-range term: the round-15 escapees self-label") {
+    // Round-15 driver artifact carried ~10 phantom seconds on four
+    // queries that sat in the 5×/+10 s rules' mid-range blind spot —
+    // none flagged, all isolated back to anchor speed on identical code.
+    // The 3×-and-+2 s term (priors ≥ 0.5 s) catches the worst of them:
+    // cp_diversity rode 4.85 s against a 1.08 s anchor (4.5×, +3.8 s).
+    assert(Bench.isLoadSuspect(4.85, Some(1.08)))
+    // ...while ordinary scheduler jitter on a fast query must NOT flag
+    assert(!Bench.isLoadSuspect(0.66, Some(0.52)))
+    // nor a slow query riding mildly above anchor (a15: 4.03 vs 3.15)
+    assert(!Bench.isLoadSuspect(4.03, Some(3.15)))
+    // sub-0.5 s priors stay exempt from the mid-range term too — 3× of
+    // 0.3 s is still scheduler noise even past the +2 s offset
+    assert(!Bench.isLoadSuspect(2.2, Some(0.45)))
+    // but a ≥0.5 s prior tripled AND +2 s over is load, not jitter
+    assert(Bench.isLoadSuspect(3.2, Some(0.9)))
   }
 
   test("failed measurements and missing/invalid priors are never suspect") {
