@@ -97,7 +97,11 @@ object ScaleCurve {
     "ev_stream_gold",        // update-mode windowed agg, foreachBatch keyed upsert
     "ev_stream_distinct",    // transformWithState MapState distinct tracking
     "ev_stream_bootstrap",   // initial-state TWS: batch-seeded stream state
-    "s25_ingest_e2e")        // e2e ingest: published-table read (pipeline = setup)
+    "s25_ingest_e2e",        // e2e ingest: published-table read (pipeline = setup)
+    "s26_ingest_e2e_fuzzy",  // fuzzy e2e ingest: exact-candidate probe (pipeline = setup)
+    "s27_ingest_delete_sync", // delete+purge+resurrect e2e (pipeline = setup)
+    "ev_stream_ttl",         // processing-time TTL state expiry (TWS, RocksDB)
+    "ev_stream_chained")     // dedup -> windowed agg, two chained stateful ops
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
@@ -118,8 +122,17 @@ object ScaleCurve {
   /** Replicate `srcDir`'s tables m× into `outDir` (same `<table>.parquet`
     * layout, so `T()` and every declared query work unchanged). File
     * count scales with m — a real lake's file population grows with its
-    * data; scan parallelism must be part of what the curve measures. */
-  def replicate(spark: SparkSession, srcDir: String, outDir: String, m: Int): Unit = {
+    * data; scan parallelism must be part of what the curve measures.
+    *
+    * `userScaled = true` additionally offsets `events.user_id` per
+    * replica: users ×m with per-user event density HELD CONSTANT — the
+    * growth shape real event fleets follow (more users, not denser
+    * ones). The default (users fixed, events ×m densified) stresses
+    * per-key state depth instead; the interval-join decade rides both
+    * to separate state growth from output-volume growth (the ~900×
+    * match densification SCALE.md's 30× streaming decade calls out). */
+  def replicate(spark: SparkSession, srcDir: String, outDir: String, m: Int,
+      userScaled: Boolean = false): Unit = {
     require(m >= 1, s"multiplier must be >= 1, got $m")
     def write(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
@@ -137,11 +150,13 @@ object ScaleCurve {
     write(offsetKey(expand(T(spark, srcDir, "lineitem"), m), "l_orderkey", oSpan)
       .drop("r"), "lineitem", factParts)
 
-    // events: ids disjoint, users and time range fixed — per-user windows
-    // get ×m denser, which is what a growing event stream does.
+    // events: ids disjoint; by default users and time range are fixed —
+    // per-user windows get ×m denser. userScaled offsets users per
+    // replica instead: fleet ×m, per-user density constant.
     val events = T(spark, srcDir, "events")
-    write(offsetKey(expand(events, m), "event_id", span(events, "event_id"))
-      .drop("r"), "events", factParts)
+    val ev = offsetKey(expand(events, m), "event_id", span(events, "event_id"))
+    write((if (userScaled) offsetKey(ev, "user_id", span(events, "user_id"))
+      else ev).drop("r"), "events", factParts)
 
     // documents: replica 0 is the original corpus; every other replica
     // suffixes a replica tag onto EVERY whitespace token, so all shingles
@@ -189,6 +204,7 @@ object ScaleCurve {
       .split(",").map(_.trim.toInt).toSeq
     val qNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(curveQueries)
+    val userScaled = sys.env.get("SPARK_GRAFT_SCALE_USERSCALED").contains("1")
     val root = "target/scalecurve"
 
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -210,10 +226,11 @@ object ScaleCurve {
       val dir =
         if (m == 1) sfDir
         else {
-          val d = s"$root/m$m"
+          val d = if (userScaled) s"$root/m${m}u" else s"$root/m$m"
           if (!replicaReady(d, m)) {
-            System.err.println(s"[scalecurve] building ${m}x replica at $d")
-            replicate(spark, sfDir, d, m)
+            System.err.println(s"[scalecurve] building ${m}x" +
+              s"${if (userScaled) " user-scaled" else ""} replica at $d")
+            replicate(spark, sfDir, d, m, userScaled)
           }
           d
         }
@@ -255,7 +272,7 @@ object ScaleCurve {
       s""""$name":{$cells${ratio.map(r => s""","ratio":$r""").getOrElse("")}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scalecurve","sf":"$sfDir","mults":[${mults.mkString(",")}],"reps":$reps,"queries":$qJson}"""
+      s"""{"metric":"scalecurve","sf":"$sfDir","mults":[${mults.mkString(",")}],"reps":$reps,"user_scaled":$userScaled,"queries":$qJson}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(java.nio.file.Paths.get("target/scalecurve.json"),
       line.getBytes("UTF-8"))

@@ -306,4 +306,43 @@ object MinhashIndex {
       stored(s, t.shingles), stored(s, t.banded), stored(s, t.sizes),
       threshold)
   }
+
+  /** EXACT cross-frame near-dup pairs against the indexed corpus — the
+    * completeness rung of [[incrementalPairs]]: candidates are every
+    * (corpus doc, batch doc) pair sharing at least one stored shingle,
+    * complete by construction for any τ > 0 (a qualifying pair has
+    * n_inter ≥ 1 — the same zero-false-negative guarantee
+    * [[graft.operators.DedupOps.prefixFilterJoin]] proves within one
+    * frame), with the identical exact-Jaccard verify math. The batch's
+    * (doc, shingle) rows ride a BROADCAST into the stored shingle
+    * table, so the corpus side is read in place with no exchange and
+    * only matching rows reach the pairs-sized aggregate; cost is
+    * O(corpus shingle rows scanned + matched rows shuffled) — more
+    * than the banded candidate set, far less than any corpus
+    * recompute, and the price of banding-independent recall.
+    * Production probes stay [[incrementalPairs]]; this is the
+    * compliance/oracle-grade rung (`s26_ingest_e2e_fuzzy`). */
+  def exactIncrementalPairs(s: SparkSession, batch: DataFrame, name: String,
+      threshold: Double): DataFrame = {
+    val t = tables(name)
+    val shNew = DedupOps.shingleRows(batch)
+    val shNewJ = if (isHashed(s, name)) hashShingleCol(shNew) else shNew
+    val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = stored(s, t.shingles)
+      .select(col("doc_id").as("doc_old"), col("shingle"))
+      .join(broadcast(shNewJ.select(col("doc_id").as("doc_new"), col("shingle"))),
+        "shingle")
+      .groupBy(col("doc_old"), col("doc_new"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(stored(s, t.sizes)
+        .select(col("doc_id").as("doc_old"), col("n_sh").as("n_old")), "doc_old")
+      .join(broadcast(sizesNew
+        .select(col("doc_id").as("doc_new"), col("n_sh").as("n_new"))), "doc_new")
+      .select(col("doc_old"), col("doc_new"),
+        (col("n_inter") / (col("n_old") + col("n_new") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_old"), col("doc_new"))
+  }
 }

@@ -105,6 +105,18 @@ object ContinuousIngest {
       maxBlocklistDensity: Double = 0.1,
       thresholds: CorpusPipeline.Thresholds = CorpusPipeline.Thresholds(),
       nearDupThreshold: Double = 0.5,
+      // EXACT near-dup candidate generation — zero false negatives at
+      // any τ, the banding-independent regime a replayable fuzzy accept
+      // set requires (`s26_ingest_e2e_fuzzy`): the within-batch collapse
+      // routes through the proven-complete prefix-filter join
+      // ([[DedupOps.prefixFilterJoin]], exactness proved against the
+      // all-pairs oracle in `dd_prefix_filter_join`) and the cross-batch
+      // probe through the shared-shingle exact join
+      // ([[MinhashIndex.exactIncrementalPairs]]). Costs more than the
+      // banded path (candidates = every shingle-sharing pair; the whole
+      // stored shingle table is scanned in place) — the price of
+      // completeness; production keeps the banded default.
+      exactCandidates: Boolean = false,
       compactEvery: Int = 0,
       retainVersions: Int = 2,
       textIndexName: Option[String] = None,
@@ -241,14 +253,30 @@ object ContinuousIngest {
     // gates subtree re-evaluates per action (measured ~2 s of repeat
     // work per 500-doc batch at sf0.1)
     val deduped = CorpusPipeline.exactDedup(safe).localCheckpoint()
-    val losers = DedupOps
-      .minhashComponents(spark, deduped, cfg.nearDupThreshold)
-      .filter(col("component") =!= col("doc_id"))
-      .select(col("doc_id"))
+    val losers =
+      if (cfg.exactCandidates)
+        // exact within-batch pairs (prefix principle, zero false
+        // negatives) → same transitive min-id collapse as the banded path
+        graft.operators.ConnectedComponents.components(spark,
+          DedupOps.prefixFilterJoin(deduped, cfg.nearDupThreshold)
+            .select(col("doc_a"), col("doc_b")))
+          .filter(col("component") =!= col("node"))
+          .select(col("node").as("doc_id"))
+      else
+        DedupOps
+          .minhashComponents(spark, deduped, cfg.nearDupThreshold)
+          .filter(col("component") =!= col("doc_id"))
+          .select(col("doc_id"))
     val keepers = deduped.join(losers, Seq("doc_id"), "left_anti")
     if (spark.catalog.tableExists(s"${cfg.indexName}_banded")) {
-      val dupOfCorpus = MinhashIndex
-        .incrementalPairs(spark, keepers, cfg.indexName, cfg.nearDupThreshold)
+      val corpusPairs =
+        if (cfg.exactCandidates)
+          MinhashIndex.exactIncrementalPairs(spark, keepers, cfg.indexName,
+            cfg.nearDupThreshold)
+        else
+          MinhashIndex.incrementalPairs(spark, keepers, cfg.indexName,
+            cfg.nearDupThreshold)
+      val dupOfCorpus = corpusPairs
         .filter(col("doc_old") =!= col("doc_new")) // replay: indexed self
         .select(col("doc_new").as("doc_id")).distinct()
       keepers.join(dupOfCorpus, Seq("doc_id"), "left_anti")

@@ -6,8 +6,8 @@ import graft.operators.{CorpusPipeline, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The END-TO-END continuous-ingest leg as a DECLARED, oracle-checked
-  * query — the engine's most operationally important path, previously
+/** The END-TO-END continuous-ingest leg as DECLARED, oracle-checked
+  * queries — the engine's most operationally important path, previously
   * unit-green only (ContinuousIngestSpec's crash seams): a staged
   * three-batch documents stream runs the real
   * [[ContinuousIngest]] `foreachBatch` pipeline — PII scrub → quality +
@@ -18,51 +18,70 @@ import org.apache.spark.sql.functions._
   * TABLE STATE is hash-checked against a DuckDB oracle that replays the
   * accept algebra and the keyed-upsert merge in plain SQL.
   *
-  * The config pins the accept semantics to an oracle-expressible core
-  * (nothing is stubbed — these are real knobs a deployment sets):
+  * Three declared regimes:
   *
-  *  - gate thresholds at their permissive bounds (`minTokens = 1`,
-  *    ratio caps at 1.0): the surviving gate terms are exactly
-  *    "non-empty normalized text" and "has a 2-gram" (docs too short to
-  *    have 2-grams fail closed in [[CorpusPipeline.repetitionFilter]]);
-  *  - `nearDupThreshold = 1.0`: [[graft.operators.DedupOps.crossPairs]]
-  *    verifies EXACT shingle Jaccard on every banded candidate, so at
-  *    1.0 both the within-batch component collapse and the cross-batch
-  *    index probe drop a doc iff its 3-gram shingle SET is identical to
-  *    a surviving/accepted doc's — which DuckDB replays with a
-  *    canonical sorted-distinct-shingle key (banding cannot miss an
-  *    identical signature, so candidates are complete at this
-  *    threshold).
+  *  - [[s25]] `s25_ingest_e2e` — the EXACT-duplicate regime
+  *    (`nearDupThreshold = 1.0`): byte-copies planted under fresh ids
+  *    must be dropped by the index probe, updated re-arrivals must be
+  *    upserted. At τ = 1.0 the banded candidates are complete (an
+  *    identical shingle set cannot miss its own signature), so the
+  *    oracle replays Jaccard 1.0 as equality of canonical
+  *    sorted-distinct-shingle keys.
+  *  - [[s26]] `s26_ingest_e2e_fuzzy` — the PRODUCTION fuzzy regime
+  *    (τ = 0.8), where banding recall would otherwise make the accept
+  *    set unreplayable: `exactCandidates = true` routes the
+  *    within-batch collapse through the proven-complete prefix-filter
+  *    join ([[graft.operators.DedupOps.prefixFilterJoin]], zero false
+  *    negatives vs the all-pairs oracle in `dd_prefix_filter_join`) and
+  *    the cross-batch probe through the shared-shingle exact join
+  *    ([[graft.etl.MinhashIndex.exactIncrementalPairs]]) — so DuckDB
+  *    replays true pairwise Jaccard at τ < 1. Planted FUZZY copies
+  *    (8 appended tokens) land on both sides of the τ boundary
+  *    depending on the source doc's shingle count; the oracle decides
+  *    per doc.
+  *  - [[s27]] `s27_ingest_delete_sync` — the ADVERSARIAL superseded-
+  *    index ordering `s25` deliberately avoids: docs are DELETED from
+  *    the corpus between batches, maintenance
+  *    ([[ContinuousIngest.maintain]]) purges their ghost index rows via
+  *    [[graft.etl.IndexDeleteSync]], and byte-copies of the DELETED
+  *    texts then arrive under fresh ids. The pinned outcome: after the
+  *    purge the copies are ACCEPTED (nothing similar remains indexed) —
+  *    if ghost rows linger past compaction, the probe drops the copies,
+  *    `n_docs`/`id_sum` shift, and the hash breaks. (IngestE2ESpec's
+  *    sibling proves the negative control: WITHOUT the maintenance leg
+  *    the same copies are rejected against the ghosts — the documented
+  *    conservative behavior between maintenance runs.)
   *
-  * The three-slice arrival (same mtime-staged discipline as
-  * [[WatermarkQueries]]) exercises every merge path:
+  * Shared config pins the accept semantics to an oracle-expressible
+  * core (nothing is stubbed — these are real knobs a deployment sets):
+  * gate thresholds at their permissive bounds (`minTokens = 1`, ratio
+  * caps at 1.0: the surviving gate terms are exactly "non-empty
+  * normalized text" and "has a 2-gram"), WAP ON with completeness/
+  * non-negativity checks (every batch stages, audits the post-merge
+  * state, publishes through one atomic manifest flip). Updates arrive
+  * in the LAST batch by design in s25/s26: no later batch probes
+  * against the superseded index rows of an UPDATED (still-live) doc —
+  * that interleaving is exactly what s27 exercises for DELETED docs,
+  * where the purge machinery exists; superseded rows of live updated
+  * docs have no delete feed and are deliberately out of scope (the
+  * probes' documented blind window).
   *
-  *  - slice 0: all `doc_id % 3 == 0` docs — builds corpus + index;
-  *  - slice 1: the `% 3 == 1` docs PLUS planted byte-copies of slice-0
-  *    docs under fresh ids (`+10,000,000`) — the copies must be dropped
-  *    by the INDEX PROBE (skipping the probe inflates `n_docs` and
-  *    breaks the hash);
-  *  - slice 2: the `% 3 == 2` docs PLUS updated re-arrivals of slice-0
-  *    keys (`% 10 == 3`: text gains a unique ` upd<id>` token,
-  *    `n_chars` gains 1000) — the merge must UPSERT them (an
-  *    insert-only merge double-counts the key; a dropped update misses
-  *    the +1000 in `sum_chars`). Updates arrive in the LAST batch by
-  *    design: no later batch probes against the superseded index rows,
-  *    so the oracle never has to model stale-version index state
-  *    (delete-sync for updated docs rides compaction, off here).
-  *
-  * WAP is ON with the standard completeness/non-negativity checks: every
-  * batch stages, audits the post-merge state, and publishes through one
-  * atomic manifest flip — the declared output hashes what a reader of
-  * the published table actually sees, per date partition. At 100 TB this
-  * is the same pipeline shape: per-batch cost is O(batch) gates plus an
-  * index probe that shuffles only the batch, and the merge rewrites only
-  * touched date partitions behind the manifest commit.
+  * At 100 TB this is the same pipeline shape: per-batch cost is
+  * O(batch) gates plus an index probe that shuffles only the batch
+  * (banded) or only matched shingle rows (exact — the whole stored
+  * shingle table is scanned in place, the price of zero false
+  * negatives), and the merge rewrites only touched date partitions
+  * behind one atomic manifest flip.
   */
 object IngestE2E extends QueryModule {
 
   private val PlantedOffset = 10000000L
   private val Epoch = "2023-12-29" // id % 7 spreads dates across 2 years
+  private val FuzzyTau = 0.8
+  // 7 letter-only filler tokens + the unique fz<id> token = 8 appended
+  // tokens = 8 fresh shingles, landing J = n/(n+8) on either side of τ
+  // by source-doc shingle count n (accepted iff n < 32 at τ = 0.8)
+  private val FuzzyFiller = "qa qb qc qd qe qf qg"
 
   private def root(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
@@ -78,12 +97,21 @@ object IngestE2E extends QueryModule {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** The three arrival slices (final ids; `doc_date` derived from the
-    * ARRIVING id so both engines compute it identically). */
-  private[graft] def slices(s: SparkSession, dir: String): Seq[DataFrame] = {
-    val docs = T(s, dir, "documents")
+  private def docsOf(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("n_chars", col("n_chars").cast("long"))
+
+  /** `doc_date` derived from the ARRIVING id so both engines compute it
+    * identically. */
+  private def dated(df: DataFrame): DataFrame =
+    df.withColumn("doc_date",
+      date_add(lit(java.sql.Date.valueOf(Epoch)),
+        (col("doc_id") % 7).cast("int")))
+
+  /** The s25 arrival slices (byte-copies + updates — see object doc). */
+  private[graft] def slices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = docsOf(s, dir)
     val s0 = docs.filter(col("doc_id") % 3 === 0)
     val planted = s0.filter(col("doc_id") % 5 === 0)
       .withColumn("doc_id", col("doc_id") + PlantedOffset)
@@ -93,20 +121,89 @@ object IngestE2E extends QueryModule {
         col("doc_id").cast("string")))
       .withColumn("n_chars", col("n_chars") + 1000L)
     val s2 = docs.filter(col("doc_id") % 3 === 2).unionByName(updates)
-    Seq(s0, s1, s2).map(_.withColumn("doc_date",
-      date_add(lit(java.sql.Date.valueOf(Epoch)),
-        (col("doc_id") % 7).cast("int"))))
+    Seq(s0, s1, s2).map(dated)
   }
 
-  /** Run the staged pipeline and return the per-date rollup of the
-    * published table. Idempotent: wipes the corpus/checkpoint root, the
-    * index family's catalog tables, and its batch log before staging. */
-  def ingestE2E(s: SparkSession, dir: String): DataFrame =
-    runIngest(s, dir, root(dir), indexName(dir))
+  /** The s26 arrival slices: FUZZY plants instead of byte-copies — the
+    * slice-0 `% 5 == 0` docs re-arrive in slice 1 under fresh ids with
+    * 8 appended tokens, so their Jaccard vs the original is n/(n+8)
+    * (n = source shingle count): short docs clear τ = 0.8 and are
+    * ACCEPTED as genuinely-new, long docs are DROPPED as near-dups —
+    * the oracle replays the exact per-doc decision. Updates arrive
+    * last, as in s25. */
+  private[graft] def fuzzySlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = docsOf(s, dir)
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+    val planted = s0.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + PlantedOffset)
+      .withColumn("text", concat(col("text"), lit(" fz"),
+        col("doc_id").cast("string"), lit(s" $FuzzyFiller")))
+    val s1 = docs.filter(col("doc_id") % 3 === 1).unionByName(planted)
+    val updates = s0.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" upd"),
+        col("doc_id").cast("string")))
+      .withColumn("n_chars", col("n_chars") + 1000L)
+    val s2 = docs.filter(col("doc_id") % 3 === 2).unionByName(updates)
+    Seq(s0, s1, s2).map(dated)
+  }
 
-  /** Per-date rollup of the published corpus — what the oracle hashes
-    * and what [[s25]]'s benchBuild times (the serving read of the table
-    * the pipeline publishes). */
+  /** The s27 slices: no plants in slices 0/1; slice 2 carries
+    * byte-copies of the docs the scripted DELETE removed (`% 10 == 6`
+    * of slice 0) under fresh ids — the resurrection probes. */
+  private[graft] def deleteSyncSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = docsOf(s, dir)
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+    val s1 = docs.filter(col("doc_id") % 3 === 1)
+    val copies = s0.filter(col("doc_id") % 10 === 6)
+      .withColumn("doc_id", col("doc_id") + PlantedOffset)
+    val s2 = docs.filter(col("doc_id") % 3 === 2).unionByName(copies)
+    Seq(s0, s1, s2).map(dated)
+  }
+
+  private def mkCfg(base: String, idx: String, tau: Double,
+      exact: Boolean): ContinuousIngest.Config =
+    ContinuousIngest.Config(
+      corpusPath = s"$base/corpus",
+      indexName = idx,
+      thresholds = CorpusPipeline.Thresholds(minTokens = 1,
+        maxPunctRatio = 1.0, maxDupTokenFrac = 1.0, maxTop2gramFrac = 1.0),
+      nearDupThreshold = tau,
+      exactCandidates = exact,
+      batchChecks = Seq(
+        DataQuality.Completeness("text", "batch.text"),
+        DataQuality.NonNegative("n_chars", "batch.n_chars")),
+      wapAudit = true)
+
+  /** Idempotent reset: corpus/checkpoint root, the index family's
+    * catalog tables, its batch log. */
+  private def wipeAll(s: SparkSession, base: String, idx: String): Unit = {
+    wipe(s, base)
+    wipe(s, BatchLog.logDir(s, idx).toString)
+    Seq("banded", "shingles", "sizes", "meta", "meta__new")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${idx}_$t"))
+  }
+
+  /** Stage `slices` as mtime-ordered files (numbered from `from`) and
+    * drain the pipeline over them (AvailableNow + checkpoint: calling
+    * again with later files resumes incrementally — the s27 script). */
+  private def stageAndRun(s: SparkSession, base: String,
+      slices: Seq[DataFrame], cfg: ContinuousIngest.Config,
+      from: Int = 0): Unit = {
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val j = from + i
+      WatermarkQueries.stageFile(s, df, s"$base/stage$j",
+        f"$base/in/$j%04d.parquet", 100000L * (j + 1))
+    }
+    val schema = s.read.parquet(s"$base/in").schema
+    ContinuousIngest.start(s,
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in"),
+      s"$base/ck", cfg).awaitTermination()
+  }
+
+  /** Per-date rollup of the published corpus — what the oracles hash
+    * and what the bench builds time (the serving read of the table the
+    * pipeline publishes). */
   private def rollup(s: SparkSession, corpusPath: String): DataFrame =
     ManifestTable.read(s, corpusPath)
       .groupBy(col("doc_date"))
@@ -115,32 +212,49 @@ object IngestE2E extends QueryModule {
         sum(col("doc_id")).cast("long").as("id_sum"))
       .orderBy(col("doc_date"))
 
+  def ingestE2E(s: SparkSession, dir: String): DataFrame =
+    runIngest(s, dir, root(dir), indexName(dir))
+
   private[graft] def runIngest(s: SparkSession, dir: String,
       base: String, idx: String): DataFrame = {
-    wipe(s, base)
-    wipe(s, BatchLog.logDir(s, idx).toString)
-    Seq("banded", "shingles", "sizes", "meta", "meta__new")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${idx}_$t"))
-    slices(s, dir).zipWithIndex.foreach { case (df, i) =>
-      WatermarkQueries.stageFile(s, df, s"$base/stage$i",
-        f"$base/in/$i%04d.parquet", 100000L * (i + 1))
-    }
-    val schema = s.read.parquet(s"$base/in").schema
-    val cfg = ContinuousIngest.Config(
-      corpusPath = s"$base/corpus",
-      indexName = idx,
-      thresholds = CorpusPipeline.Thresholds(minTokens = 1,
-        maxPunctRatio = 1.0, maxDupTokenFrac = 1.0, maxTop2gramFrac = 1.0),
-      nearDupThreshold = 1.0,
-      batchChecks = Seq(
-        DataQuality.Completeness("text", "batch.text"),
-        DataQuality.NonNegative("n_chars", "batch.n_chars")),
-      wapAudit = true)
-    ContinuousIngest.start(s,
-      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/in"),
-      s"$base/ck", cfg).awaitTermination()
+    wipeAll(s, base, idx)
+    stageAndRun(s, base, slices(s, dir), mkCfg(base, idx, 1.0, exact = false))
     rollup(s, s"$base/corpus")
+  }
+
+  def ingestE2EFuzzy(s: SparkSession, dir: String): DataFrame =
+    runIngestFuzzy(s, dir, s"${root(dir)}_fz", indexName(dir) + "_fz")
+
+  private[graft] def runIngestFuzzy(s: SparkSession, dir: String,
+      base: String, idx: String): DataFrame = {
+    wipeAll(s, base, idx)
+    stageAndRun(s, base, fuzzySlices(s, dir),
+      mkCfg(base, idx, FuzzyTau, exact = true))
+    rollup(s, s"$base/corpus")
+  }
+
+  def ingestDeleteSync(s: SparkSession, dir: String): DataFrame =
+    runIngestDeleteSync(s, dir, s"${root(dir)}_ds", indexName(dir) + "_ds",
+      withMaintenance = true)
+
+  /** The s27 script: drain batches 0–1, DELETE the `% 10 == 6` slice-0
+    * docs from the corpus, run the maintenance leg (compaction-borne
+    * [[graft.etl.IndexDeleteSync]] — first sync, so the RECONCILE
+    * degrade path: bookmark absent, purge = retain-live-ids sweep),
+    * then drain batch 2 carrying byte-copies of the deleted texts.
+    * `withMaintenance = false` is the spec's negative control: ghosts
+    * linger and the copies are rejected. */
+  private[graft] def runIngestDeleteSync(s: SparkSession, dir: String,
+      base: String, idx: String, withMaintenance: Boolean): DataFrame = {
+    wipeAll(s, base, idx)
+    val cfg = mkCfg(base, idx, 1.0, exact = false)
+    val sl = deleteSyncSlices(s, dir)
+    stageAndRun(s, base, sl.take(2), cfg)
+    ManifestTable.deleteWhere(s, cfg.corpusPath,
+      col("doc_id") % 3 === 0 && col("doc_id") % 10 === 6)
+    if (withMaintenance) ContinuousIngest.maintain(s, cfg)
+    stageAndRun(s, base, sl.drop(2), cfg, from = 2)
+    rollup(s, cfg.corpusPath)
   }
 
   /** DuckDB fragment: the PII scrub chain over `text` — the shared
@@ -148,15 +262,33 @@ object IngestE2E extends QueryModule {
     * replaying the scrub). */
   private def scrubSql: String = TextOps.scrubSqlChain("text")
 
-  private val s25 = QueryDef(
-    "s25_ingest_e2e",
-    Some(s"""
-      WITH b AS (
+  /** Shared oracle CTE prefix: scrub+normalize, gates, within-slice
+    * exact dedup — identical accept algebra across the three declared
+    * regimes; `arrSql` supplies each regime's arrival slices. */
+  private def gatesCtes(arrSql: String): String = s"""
+      b AS (
         SELECT doc_id,
           lower(trim(regexp_replace($scrubSql, '\\s+', ' ', 'g'))) AS norm,
           CAST(n_chars AS BIGINT) AS n_chars
         FROM documents),
-      arr AS (
+      arr AS ($arrSql),
+      -- gates at the pinned thresholds: non-empty normalized text
+      -- (punct ratio is NULL on '' and fails closed) + has a 2-gram
+      gated AS (
+        SELECT slice, id, norm, n_chars, string_split(norm, ' ') AS ws
+        FROM arr
+        WHERE len(norm) > 0 AND len(string_split(norm, ' ')) >= 2),
+      -- within-batch exact dedup: min id per normalized fingerprint
+      dedup AS (
+        SELECT slice, id, norm, n_chars, ws FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, norm
+                                       ORDER BY id) AS rn
+          FROM gated) WHERE rn = 1)"""
+
+  private val s25 = QueryDef(
+    "s25_ingest_e2e",
+    Some(s"""
+      WITH ${gatesCtes(s"""
         SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
         UNION ALL
         SELECT 1, doc_id + $PlantedOffset, norm, n_chars FROM b
@@ -170,19 +302,7 @@ object IngestE2E extends QueryModule {
           lower(trim(regexp_replace(
             norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
           n_chars + 1000
-        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3),
-      -- gates at the pinned thresholds: non-empty normalized text
-      -- (punct ratio is NULL on '' and fails closed) + has a 2-gram
-      gated AS (
-        SELECT slice, id, norm, n_chars, string_split(norm, ' ') AS ws
-        FROM arr
-        WHERE len(norm) > 0 AND len(string_split(norm, ' ')) >= 2),
-      -- within-batch exact dedup: min id per normalized fingerprint
-      dedup AS (
-        SELECT slice, id, norm, n_chars, ws FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, norm
-                                       ORDER BY id) AS rn
-          FROM gated) WHERE rn = 1),
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
       -- canonical 3-gram shingle-SET key (exact Jaccard 1.0 <=> equal
       -- sets); docs with < 3 tokens have no shingles and can neither
       -- drop nor be dropped by the near-dup machinery
@@ -251,5 +371,173 @@ object IngestE2E extends QueryModule {
       ()
     }))
 
-  override val defs: Seq[QueryDef] = Seq(s25)
+  private val s26 = QueryDef(
+    "s26_ingest_e2e_fuzzy",
+    Some(s"""
+      WITH RECURSIVE ${gatesCtes(s"""
+        SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
+        UNION ALL
+        -- fuzzy plants: 8 appended tokens, re-normalized (blank base
+        -- collapses instead of gaining a phantom empty token)
+        SELECT 1, doc_id + $PlantedOffset,
+          lower(trim(regexp_replace(
+            norm || ' fz' || CAST(doc_id + $PlantedOffset AS VARCHAR)
+                 || ' $FuzzyFiller', '\\s+', ' ', 'g'))),
+          n_chars
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT 2, doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
+          n_chars + 1000
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
+      -- distinct 3-gram shingles per surviving instance (docs with < 3
+      -- tokens have none and can neither drop nor be dropped)
+      sh AS (
+        SELECT d.slice, d.id, s.sh AS shingle
+        FROM dedup d, LATERAL (
+          SELECT unnest(list_distinct(list_transform(
+            range(1, greatest(len(d.ws) - 1, 1)),
+            i -> d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2]))) AS sh) s
+        WHERE len(d.ws) >= 3),
+      sizes AS (SELECT slice, id, COUNT(*) AS n_sh FROM sh GROUP BY 1, 2),
+      -- EXACT pairwise Jaccard between every two instances sharing a
+      -- shingle — the completeness the engine's exactCandidates path
+      -- guarantees (prefix-filter within a batch, shared-shingle probe
+      -- across batches); banding recall never enters the accept set
+      jac AS (
+        SELECT a.slice AS s_a, a.id AS i_a, b2.slice AS s_b, b2.id AS i_b,
+          COUNT(*) AS n_inter
+        FROM sh a JOIN sh b2 ON a.shingle = b2.shingle
+          AND (a.slice <> b2.slice OR a.id <> b2.id)
+        GROUP BY 1, 2, 3, 4),
+      jp AS (
+        SELECT j.s_a, j.i_a, j.s_b, j.i_b,
+          j.n_inter / (za.n_sh + zb.n_sh - j.n_inter) AS jaccard
+        FROM jac j
+        JOIN sizes za ON za.slice = j.s_a AND za.id = j.i_a
+        JOIN sizes zb ON zb.slice = j.s_b AND zb.id = j.i_b),
+      -- within-slice transitive collapse at tau: recursive min-label
+      -- walk over the qualifying-pair graph (the ConnectedComponents
+      -- semantics), min id kept per component
+      edges AS (
+        SELECT s_a AS slice, i_a AS a, i_b AS b FROM jp
+        WHERE s_a = s_b AND jaccard >= $FuzzyTau),
+      walk(slice, node, reach) AS (
+        SELECT slice, a, a FROM edges
+        UNION
+        SELECT w.slice, w.node, e.b FROM walk w
+        JOIN edges e ON e.slice = w.slice AND e.a = w.reach),
+      wcomp AS (
+        SELECT slice, node AS id, MIN(reach) AS component
+        FROM walk GROUP BY slice, node),
+      surv AS (
+        SELECT d.slice, d.id, d.n_chars FROM dedup d
+        LEFT JOIN wcomp c ON c.slice = d.slice AND c.id = d.id
+        WHERE c.id IS NULL OR c.component = d.id),
+      -- cross-batch exact probe: a survivor is dropped iff an ACCEPTED
+      -- earlier-batch doc under a DIFFERENT id is >= tau similar (the
+      -- same-id exclusion is the updated-doc self-pair filter)
+      acc0 AS (SELECT * FROM surv WHERE slice = 0),
+      acc1 AS (
+        SELECT s.* FROM surv s WHERE s.slice = 1 AND NOT EXISTS (
+          SELECT 1 FROM jp JOIN acc0 o ON jp.s_a = 0 AND jp.i_a = o.id
+          WHERE jp.s_b = 1 AND jp.i_b = s.id
+            AND jp.jaccard >= $FuzzyTau AND jp.i_a <> s.id)),
+      acc2 AS (
+        SELECT s.* FROM surv s WHERE s.slice = 2 AND NOT EXISTS (
+          SELECT 1 FROM jp
+          WHERE jp.s_b = 2 AND jp.i_b = s.id
+            AND jp.jaccard >= $FuzzyTau AND jp.i_a <> s.id
+            AND ((jp.s_a = 0 AND EXISTS (
+                    SELECT 1 FROM acc0 o WHERE o.id = jp.i_a))
+              OR (jp.s_a = 1 AND EXISTS (
+                    SELECT 1 FROM acc1 o WHERE o.id = jp.i_a))))),
+      final AS (
+        SELECT id, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY slice DESC) AS rn3
+          FROM (SELECT * FROM acc0 UNION ALL
+                SELECT * FROM acc1 UNION ALL
+                SELECT * FROM acc2)) WHERE rn3 = 1)
+      SELECT DATE '$Epoch' + CAST(id % 7 AS INTEGER) AS doc_date,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(id) AS BIGINT) AS id_sum
+      FROM final
+      GROUP BY 1
+      ORDER BY doc_date"""),
+    (s, dir) => ingestE2EFuzzy(s, dir),
+    benchBuild = Some((s, dir) =>
+      rollup(s, s"${root(dir)}_fzb/corpus")),
+    benchSetup = Some((s, dir) => {
+      runIngestFuzzy(s, dir, s"${root(dir)}_fzb", indexName(dir) + "_fzb")
+      ()
+    }))
+
+  private val s27 = QueryDef(
+    "s27_ingest_delete_sync",
+    Some(s"""
+      WITH ${gatesCtes(s"""
+        SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
+        UNION ALL
+        -- byte-copies of the to-be-DELETED docs arrive in slice 2
+        SELECT 2, doc_id + $PlantedOffset, norm, n_chars FROM b
+        WHERE doc_id % 3 = 0 AND doc_id % 10 = 6""")},
+      skeys AS (
+        SELECT d.slice, d.id,
+          md5(string_agg(s.sh, chr(1) ORDER BY s.sh)) AS skey
+        FROM dedup d, LATERAL (
+          SELECT unnest(list_distinct(list_transform(
+            range(1, greatest(len(d.ws) - 1, 1)),
+            i -> d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2]))) AS sh) s
+        WHERE len(d.ws) >= 3
+        GROUP BY d.slice, d.id),
+      dk AS (
+        SELECT d.slice, d.id, d.n_chars, k.skey
+        FROM dedup d LEFT JOIN skeys k
+          ON k.slice = d.slice AND k.id = d.id),
+      comp AS (
+        SELECT slice, id, n_chars, skey FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, skey
+                                       ORDER BY id) AS rn2
+          FROM dk WHERE skey IS NOT NULL) WHERE rn2 = 1
+        UNION ALL
+        SELECT slice, id, n_chars, skey FROM dk WHERE skey IS NULL),
+      acc0 AS (SELECT * FROM comp WHERE slice = 0),
+      acc1 AS (
+        SELECT * FROM comp WHERE slice = 1 AND (skey IS NULL OR
+          skey NOT IN (SELECT skey FROM acc0 WHERE skey IS NOT NULL))),
+      -- the scripted DELETE + maintenance: the % 10 = 6 docs leave the
+      -- corpus AND (via the delete-sync purge) the index before slice 2
+      -- arrives — slice 2's probe reference is the PURGED accept set
+      live01 AS (
+        SELECT * FROM (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1)
+        WHERE NOT (id % 3 = 0 AND id % 10 = 6)),
+      acc2 AS (
+        SELECT * FROM comp WHERE slice = 2 AND (skey IS NULL OR
+          skey NOT IN (SELECT skey FROM live01 WHERE skey IS NOT NULL))),
+      final AS (
+        SELECT id, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY slice DESC) AS rn3
+          FROM (SELECT * FROM live01 UNION ALL SELECT * FROM acc2))
+        WHERE rn3 = 1)
+      SELECT DATE '$Epoch' + CAST(id % 7 AS INTEGER) AS doc_date,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(id) AS BIGINT) AS id_sum
+      FROM final
+      GROUP BY 1
+      ORDER BY doc_date"""),
+    (s, dir) => ingestDeleteSync(s, dir),
+    benchBuild = Some((s, dir) =>
+      rollup(s, s"${root(dir)}_dsb/corpus")),
+    benchSetup = Some((s, dir) => {
+      runIngestDeleteSync(s, dir, s"${root(dir)}_dsb",
+        indexName(dir) + "_dsb", withMaintenance = true)
+      ()
+    }))
+
+  override val defs: Seq[QueryDef] = Seq(s25, s26, s27)
 }

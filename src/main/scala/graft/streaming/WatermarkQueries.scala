@@ -125,10 +125,20 @@ object WatermarkQueries extends QueryModule {
     *
     * `expectWatermark = false` for the watermark-free harness
     * (runRunningCount, NoTimeout keyed state): its progress carries no
-    * eventTime watermark entry. */
+    * eventTime watermark entry.
+    *
+    * `recentProgress` retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * entries, so this count is sound only while a run stays under that
+    * cap — guarded below; a harness that ever stages ≥100 slices must
+    * switch to a StreamingQueryListener tally instead. */
   private def assertProgress(q: org.apache.spark.sql.streaming.StreamingQuery,
       expectDataBatches: Int, expectWatermark: Boolean = true): Unit = {
     val progs = q.recentProgress.toSeq
+    require(progs.size < 100,
+      s"${progs.size} progress entries — at recentProgress's retention " +
+        "cap the data-batch count may be truncated; count via a " +
+        "StreamingQueryListener before staging this many slices")
     val dataBatches = progs.count(_.numInputRows > 0)
     require(dataBatches == expectDataBatches,
       s"oracle assumes $expectDataBatches one-file data micro-batches " +
@@ -404,6 +414,10 @@ object WatermarkQueries extends QueryModule {
             }
             cur.foreach { case (start, last, n) =>
               val wm = state.getCurrentWatermarkMs()
+              // the timer unit is MILLISECONDS (the GroupState API's
+              // contract), so `last / 1000L` floors sub-ms event time —
+              // the ev_stream_timeout oracle ms-truncates last_ts before
+              // adding the gap so both sides evaluate the same boundary
               val timerMs = last / 1000L + gapMs
               if (timerMs < wm) {
                 // no valid timer exists below the watermark — the session
@@ -985,7 +999,13 @@ object WatermarkQueries extends QueryModule {
       SELECT CAST(user_id AS BIGINT) AS user_id, session_start, n_events
       FROM sessions
       WHERE from_latest > 1
-         OR last_ts + INTERVAL 30 MINUTE < (SELECT w FROM wmf)
+         -- millisecond-truncate to match the engine's timer unit: the
+         -- GroupState timeout timestamp is ms-granular (last/1000 + gap
+         -- floors sub-ms event time), so the boundary must be evaluated
+         -- on the SAME truncated value or a µs-granularity last_ts near
+         -- the watermark could flip the final session's emit decision
+         OR date_trunc('millisecond', last_ts) + INTERVAL 30 MINUTE
+            < (SELECT w FROM wmf)
       ORDER BY user_id, session_start"""),
     (s, dir) => streamTimeoutSessions(s, dir))
 
@@ -1172,7 +1192,286 @@ object WatermarkQueries extends QueryModule {
       ORDER BY window_start, event_type"""),
     (s, dir) => watermarkLate(s, dir))
 
+  /** [[runDistinctUsers]]'s STATE-TTL sibling — the third state-bounding
+    * mechanism (after watermark eviction and timer eviction), and the one
+    * production reaches for on unbounded key domains WITHOUT event time:
+    * every state entry carries a processing-time TTL and the store
+    * filters expired entries at read. TTL in transformWithState is
+    * BATCH-CLOCKED (expiry timestamps derive from the micro-batch's
+    * processing timestamp, and reads filter against the same clock), so
+    * with a TTL smaller than every inter-batch gap — asserted from the
+    * run's progress timestamps, not assumed — the semantics are
+    * deterministic: an entry written in batch N is expired for every
+    * later batch, and can never expire within its own batch.
+    *
+    * The processor splits the two regimes across two states: the
+    * seen-user MapState carries the finite TTL (all entries expired by
+    * the next batch — a re-arriving user RE-COUNTS), while the running
+    * total keeps TTLConfig.NONE (survives every batch). Each emitted row
+    * then pins both at once: `n_batch_users` = the batch's own distinct
+    * users (a surviving seen-entry would shrink it — TTL failed to
+    * expire), `n_cumulative` = the running sum of per-batch distincts (a
+    * counter lost to spurious expiry breaks accumulation). Contrast with
+    * [[evStreamDistinct]] (same arrival, TTLConfig.NONE on the
+    * seen-set): there a re-arrival is suppressed forever — the two
+    * declared hashes differ exactly by TTL expiry. */
+  private[graft] val TtlMs = 1L
+
+  private class TtlDistinctUsersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long)] {
+    import org.apache.spark.sql.{Encoders, streaming => st}
+    @transient private var seen: st.MapState[Long, Boolean] = _
+    @transient private var total: st.ValueState[Long] = _
+    override def init(outputMode: st.OutputMode, timeMode: st.TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean,
+        st.TTLConfig(java.time.Duration.ofMillis(TtlMs)))
+      total = getHandle.getValueState[Long]("total",
+        Encoders.scalaLong, st.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: st.TimerValues): Iterator[(String, Long, Long)] = {
+      // intra-batch dedup in MEMORY: each distinct user probes RocksDB
+      // exactly once per batch (cost O(batch distincts)); expiry is
+      // batch-clocked, so this batch's own writes are never expired for
+      // this batch's probes whatever wall time the batch takes
+      val batchUsers = scala.collection.mutable.LinkedHashSet.empty[Long]
+      rows.foreach(r => batchUsers += r._2)
+      var fresh = 0L
+      batchUsers.foreach { u =>
+        if (!seen.containsKey(u)) fresh += 1
+        seen.updateValue(u, true)
+      }
+      val cum = (if (total.exists()) total.get() else 0L) + fresh
+      total.update(cum)
+      Iterator.single((key, fresh, cum))
+    }
+  }
+
+  /** Unlike every other harness here, this one cannot ride
+    * `Trigger.AvailableNow` + `awaitTermination`: a
+    * `TimeMode.ProcessingTime` transformWithState keeps constructing
+    * housekeeping micro-batches forever (each advances the processing-
+    * time clock for TTL eviction — measured: thousands of batches, the
+    * query never self-terminates, and `processAllAvailable` never
+    * latches because "no new data" is never reached). The run is
+    * bounded from the OUTPUT side instead: a
+    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] counts
+    * data-carrying batches (progress events fire after the batch
+    * commits, so the sink rows are durable), and the harness stops the
+    * query once all staged files have been processed — or fails loudly
+    * on a bounded deadline if Spark's file-admission scheduling
+    * drifted. Housekeeping batches emit nothing and touch no counted
+    * state, so the output is the same deterministic function of the
+    * data batches. */
+  private[graft] def runTtlDistinct(s: SparkSession, base: String,
+      slices: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener, TimeMode}
+    wipe(s, base)
+    val dataSlices = stageSlices(s, base, slices).count(identity)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val qName = s"graft_ttl_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stamps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          stamps.add(java.time.Instant.parse(e.progress.timestamp).toEpochMilli)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    ss.streams.addListener(listener)
+    try {
+      val schema = ss.read.parquet(s"$base/in").schema
+      val counted = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .selectExpr("event_type", "CAST(user_id AS LONG) AS user_id")
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TtlDistinctUsersProcessor,
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF("event_type", "n_batch_users", "n_cumulative")
+      val q = counted.writeStream
+        .queryName(qName)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      try {
+        // wait until every staged file has ridden a committed data
+        // batch (listener fires post-commit); bounded, never forever
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (stamps.size < dataSlices && q.isActive &&
+            System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally { q.stop(); q.awaitTermination() }
+      require(stamps.size == dataSlices,
+        s"oracle assumes $dataSlices one-file data micro-batches " +
+          s"(maxFilesPerTrigger=1 admission), observed ${stamps.size} — " +
+          "Spark's file-admission scheduling drifted; re-derive the oracle")
+      // the one scheduling fact the oracle bakes in beyond the batch
+      // count: every inter-batch gap exceeds the TTL (batch-clocked
+      // expiry), so every prior batch's seen-entries are expired at
+      // probe time. A violation fails LOUDLY here instead of
+      // hash-mismatching at the driver.
+      val ts = {
+        val it = stamps.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result().sorted
+      }
+      require(ts.zip(ts.drop(1)).forall { case (a, b) => b - a > TtlMs },
+        s"oracle assumes every inter-batch gap exceeds the $TtlMs ms state " +
+          s"TTL; observed batch timestamps $ts")
+    } finally ss.streams.removeListener(listener)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("event_type"), col("n_cumulative"))
+  }
+
+  /** State-TTL transformWithState declared: the standard three-slice
+    * arrival; one emitted row per (type, batch) carrying that batch's
+    * own distinct-user count (the TTL'd seen-set observes every prior
+    * entry expired) and the running sum of those counts (the TTL-free
+    * counter). A seen-entry surviving past its TTL shrinks a batch
+    * count; a counter lost to spurious expiry breaks the running sum;
+    * either breaks the hash. */
+  def streamTtlDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val tail = ev.filter(col("ts") >= split)
+    val holdback = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+    runTtlDistinct(s, streamRoot("tt", dir), Seq(onTime, tail, holdback))
+  }
+
+  private val evStreamTtl = QueryDef(
+    "ev_stream_ttl",
+    Some(s"""
+      WITH pres AS (
+        SELECT 1 AS sl, event_type, user_id FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0
+        UNION ALL
+        SELECT 2, event_type, user_id FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'
+        UNION ALL
+        SELECT 3, event_type, user_id FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0),
+      perb AS (
+        SELECT sl, event_type,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_batch_users
+        FROM pres GROUP BY 1, 2)
+      SELECT event_type, n_batch_users,
+        CAST(SUM(n_batch_users) OVER (
+          PARTITION BY event_type ORDER BY sl) AS BIGINT) AS n_cumulative
+      FROM perb
+      ORDER BY event_type, n_cumulative"""),
+    (s, dir) => streamTtlDistinct(s, dir))
+
+  /** CHAINED STATEFUL OPERATORS — `dropDuplicatesWithinWatermark` →
+    * watermarked windowed count in ONE streaming query, the production
+    * dedup-then-aggregate gold shape (Spark 4 multi-stateful-operator
+    * support). Each half's algebra is already declared in isolation
+    * ([[evStreamDedup]], the windowed `ev_watermark_late`); what this
+    * query pins is the INTER-OPERATOR propagation: the upstream dedup's
+    * ROW-level late filter (`ts >= late watermark`) gates what reaches
+    * the window, so a late row whose 1-day window is still open but
+    * whose own ts has fallen behind the watermark — accepted by the
+    * window-only query — is dropped here, and planted re-arrivals are
+    * swallowed by dedup state before they can inflate a window count.
+    * The dedup stage adds no event-time delay (output rows keep their
+    * ts), so the downstream flush term is the plain
+    * `window_end <= final watermark` the windowed query pins. */
+  private[graft] def runChained(s: SparkSession, base: String,
+      slices: Seq[DataFrame], delay: String): DataFrame = {
+    wipe(s, base)
+    val dataSlices = stageSlices(s, base, slices).count(identity)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = ss.read.parquet(s"$base/in").schema
+    val agg = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertProgress(q, dataSlices)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Same arrival sequence as [[streamDedup]] — planted re-arrivals and
+    * all — so the chained query pins dedup suppression AND window
+    * finalization on one stream. */
+  def streamChained(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val split = lit(java.sql.Timestamp.valueOf(s"$SplitDate 00:00:00"))
+    val onTime = ev.filter(col("ts") < split && col("event_id") % 4 =!= 0)
+    val slice2 = ev.filter(col("ts") >= split)
+      .unionByName(onTime.filter(col("event_id") % 16 === 1))
+    val slice3 = ev.filter(col("ts") < split && col("event_id") % 4 === 0)
+      .unionByName(onTime.filter(col("event_id") % 16 === 5))
+    runChained(s, streamRoot("ch", dir), Seq(onTime, slice2, slice3),
+      s"$DelayDays days")
+  }
+
+  private val evStreamChained = QueryDef(
+    "ev_stream_chained",
+    Some(s"""
+      WITH f1 AS (
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 <> 0),
+      f2 AS (
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts >= TIMESTAMP '$SplitDate 00:00:00'),
+      f3 AS (
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts < TIMESTAMP '$SplitDate 00:00:00' AND event_id % 4 = 0),
+      wml AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM f1),
+      wmf AS (SELECT MAX(ts) - INTERVAL $DelayDays DAY AS w FROM events),
+      -- dedup survivors: re-arrivals suppressed (never in these CTEs),
+      -- late first-arrivals gated by their OWN ts against the lagging
+      -- late-event watermark — the ROW-level filter the upstream
+      -- stateful operator applies before the window ever sees the row
+      surv AS (
+        SELECT ts, event_type FROM f1
+        UNION ALL
+        SELECT ts, event_type FROM f2
+        UNION ALL
+        SELECT f3.ts, f3.event_type FROM f3
+        WHERE f3.ts >= (SELECT w FROM wml))
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+        event_type, COUNT(*) AS n_events
+      FROM surv
+      GROUP BY 1, 2
+      HAVING time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY
+             <= (SELECT w FROM wmf)
+      ORDER BY window_start, event_type"""),
+    (s, dir) => streamChained(s, dir))
+
   override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup,
     evStreamJoin, evStreamOuterJoin, evStreamSessions, evStreamTimeout,
-    evStreamState, evStreamGold, evStreamDistinct, evStreamBootstrap)
+    evStreamState, evStreamGold, evStreamDistinct, evStreamBootstrap,
+    evStreamTtl, evStreamChained)
 }

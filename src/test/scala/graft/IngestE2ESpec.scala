@@ -43,7 +43,12 @@ class IngestE2ESpec extends SparkSpec {
       val updRows = table.filter($"doc_id".isin(updatedIds.toSeq: _*))
         .collect()
       assert(updRows.map(_.getLong(0)).toSet == updatedIds,
-        "every updated key must be present exactly once")
+        "every updated key must be present")
+      // the toSet comparison alone would collapse a duplicated key (an
+      // insert-instead-of-update regression) — pin row count too
+      assert(updRows.length == updatedIds.size,
+        s"updated keys must be unique: ${updRows.length} rows for " +
+          s"${updatedIds.size} keys")
       updRows.foreach { r =>
         assert(r.getString(2).contains(s" upd${r.getLong(0)}"),
           s"doc ${r.getLong(0)} must carry the updated text")

@@ -50,6 +50,23 @@ class ScaleCurveSpec extends SparkSpec {
       == base.agg(countDistinct(col("user_id"))).head.getLong(0))
   }
 
+  test("userScaled replication grows the fleet x_m with per-user density fixed") {
+    val d = java.nio.file.Files.createTempDirectory("graft-scalecurve-u").toString
+    ScaleCurve.replicate(spark, sf0001, d, m, userScaled = true)
+    val base = T(spark, sf0001, "events")
+    val rep = T(spark, d, "events")
+    assert(rep.count() == m * base.count())
+    assert(rep.agg(countDistinct(col("user_id"))).head.getLong(0)
+      == m * base.agg(countDistinct(col("user_id"))).head.getLong(0),
+      "user population must scale x_m (disjoint per replica)")
+    // per-user density unchanged: the max events-per-user is preserved
+    def maxPerUser(df: org.apache.spark.sql.DataFrame): Long = df
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(maxPerUser(rep) == maxPerUser(base),
+      "per-user event density must be held constant")
+  }
+
   test("document duplicate structure preserved within, dissimilar across replicas") {
     val base = T(spark, sf0001, "documents")
     val rep = T(spark, dir, "documents")
