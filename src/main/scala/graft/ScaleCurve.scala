@@ -100,6 +100,7 @@ object ScaleCurve {
     "s25_ingest_e2e",        // e2e ingest: published-table read (pipeline = setup)
     "s26_ingest_e2e_fuzzy",  // fuzzy e2e ingest: exact-candidate probe (pipeline = setup)
     "s27_ingest_delete_sync", // delete+purge+resurrect e2e (pipeline = setup)
+    "s28_ingest_update_reindex", // update-reindex e2e (pipeline = setup)
     "ev_stream_ttl",         // processing-time TTL state expiry (TWS, RocksDB)
     "ev_stream_chained")     // dedup -> windowed agg, two chained stateful ops
 

@@ -124,7 +124,8 @@ object IndexCompaction {
   private[etl] def fold(s: SparkSession, table: String,
       committed: Set[String], nBuckets: Int,
       bucketCols: Seq[String], foldId: String,
-      deletes: Option[(String, DeleteSet)] = None): Unit = {
+      deletes: Option[(String, DeleteSet)] = None,
+      protect: Option[String] = None): Unit = {
     heal(s, table)
     val stage = stageName(table)
     MinhashIndex.dropTable(s, stage)
@@ -139,13 +140,24 @@ object IndexCompaction {
     s.conf.set(bucketedRead, "false")
     try {
       val live = s.table(table)
-      val folded0 = (if (orphans.isEmpty) live
-        else live.filter(!col("batch_id").isin(orphans: _*)))
-        .drop("batch_id")
+      val nonOrphan = if (orphans.isEmpty) live
+        else live.filter(!col("batch_id").isin(orphans: _*))
       // deletes ride the rewrite: an anti/semi-join against the (small
-      // or id-column-sized) set — broadcastable, never a corpus shuffle
-      val folded = deletes.fold(folded0) { case (idCol, ds) =>
-        applyDeleteSet(folded0, idCol, ds) }
+      // or id-column-sized) set — broadcastable, never a corpus shuffle.
+      // `protect` exempts ONE committed partition from the delete set —
+      // the updated-doc reindex protocol's crash seam: its Remove set
+      // names ids whose CURRENT rows live in the just-appended reindex
+      // partition, and a maintenance replay (crash after the reindex
+      // append committed, before the bookmark advanced) must purge only
+      // the STALE generations, never the replacement it re-appended.
+      val folded = deletes.fold(nonOrphan) { case (idCol, ds) =>
+        protect match {
+          case None => applyDeleteSet(nonOrphan, idCol, ds)
+          case Some(p) =>
+            applyDeleteSet(nonOrphan.filter(col("batch_id") =!= p), idCol, ds)
+              .unionByName(nonOrphan.filter(col("batch_id") === p))
+        }
+      }.drop("batch_id")
       MinhashIndex.writeBucketed(folded, stage, nBuckets,
         append = false, foldId, bucketCols: _*)
     } finally s.conf.set(bucketedRead, prev)
@@ -179,7 +191,8 @@ object IndexCompaction {
   private[etl] def compactFamily(s: SparkSession, name: String,
       tables: Seq[(String, Seq[String])],
       deletes: Option[(String, DeleteSet)] = None,
-      targetRowsPerBucket: Long = 0): Unit = {
+      targetRowsPerBucket: Long = 0,
+      protect: Option[String] = None): Unit = {
     val meta = IndexMeta.read(s, name)
     val nBuckets = {
       val cur = meta("n_buckets").toInt
@@ -212,6 +225,6 @@ object IndexCompaction {
     BatchLog.commit(s, log, foldId)
     val committed = BatchLog.committed(s, log)
     tables.foreach { case (t, cols) =>
-      fold(s, t, committed, nBuckets, cols, foldId, deletes) }
+      fold(s, t, committed, nBuckets, cols, foldId, deletes, protect) }
   }
 }

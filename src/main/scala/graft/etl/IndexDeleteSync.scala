@@ -85,6 +85,62 @@ object IndexDeleteSync {
         Report(fromV, toV, "reconcile", -1L)))
   }
 
+  /** One maintenance cycle's full sync set: ghost purge PLUS updated-doc
+    * reindex. `deletes` is what [[pending]] computes (None = nothing to
+    * purge); `reindex` carries the UPDATED docs' CURRENT rows straight
+    * from the CDC feed (the diff emits the new side's full content) —
+    * the text-derived index families purge those ids' SUPERSEDED rows
+    * during the fold and re-append the current version, closing the
+    * staleness window [[pending]] alone leaves open: an updated doc
+    * otherwise keeps BOTH generations' rows under one id, ghost-matching
+    * copies of the retired text and double-counting shingle
+    * intersections against probes. Updates are only knowable in CDC
+    * mode; the RECONCILE degrade path returns `reindex = None` (content
+    * staleness is invisible without the diff window — stale update rows
+    * then persist until a CDC-mode pass, the same conservative class as
+    * ghosts between maintenance runs). */
+  final case class SyncSet(toVersion: Int,
+      deletes: Option[IndexCompaction.DeleteSet],
+      reindex: Option[DataFrame], report: Report)
+
+  /** [[pending]] extended with the updated-doc reindex feed. None =
+    * nothing to do at all (no corpus, no version advance, or an empty
+    * CDC window — bookmark advanced here in that last case). Unlike
+    * [[pending]], a window with zero deletes but pending UPDATES still
+    * returns a SyncSet (deletes = None), so the reindex is never
+    * silently skipped by the early advance. */
+  def pendingFull(spark: SparkSession, corpusPath: String,
+      bookmarkPath: String, keys: Seq[String], idCol: String = "doc_id")
+      : Option[SyncSet] = {
+    val toV = ManifestTable.currentSnapshot(spark, corpusPath)
+      .map(_.version).getOrElse(return None)
+    val fromV = IncrementalGold.readBookmark(spark, bookmarkPath)
+      .map(_.toInt).getOrElse(0)
+    if (toV <= fromV) return None
+    val diffable = fromV > 0 &&
+      ManifestTable.snapshotAt(spark, corpusPath, fromV).isDefined
+    if (diffable) {
+      val diff = ManifestTable.changes(spark, corpusPath, fromV, toV, keys)
+        .localCheckpoint() // one CDC read serves both the purge and the reindex
+      val delIds = diff.filter(col("change") === "delete").select(col(idCol))
+      val upd = diff.filter(col("change") === "update")
+      val nDel = delIds.count()
+      val nUpd = upd.count()
+      if (nDel == 0 && nUpd == 0) {
+        IncrementalGold.writeBookmark(spark, bookmarkPath, toV.toString)
+        None
+      } else Some(SyncSet(toV,
+        if (nDel == 0) None else Some(IndexCompaction.Remove(delIds)),
+        if (nUpd == 0) None else Some(upd),
+        Report(fromV, toV, "cdc", nDel)))
+    } else
+      Some(SyncSet(toV,
+        Some(IndexCompaction.Retain(
+          ManifestTable.read(spark, corpusPath).select(col(idCol))
+            .localCheckpoint())),
+        None, Report(fromV, toV, "reconcile", -1L)))
+  }
+
   /** Advance the bookmark — call strictly AFTER every index family has
     * applied the pending set (idempotence covers a crash before this). */
   def advance(spark: SparkSession, bookmarkPath: String, toVersion: Int): Unit =

@@ -201,13 +201,14 @@ object MinhashIndex {
     * manifest CDC feed. */
   def compact(s: SparkSession, name: String,
       deletes: Option[IndexCompaction.DeleteSet] = None,
-      targetRowsPerBucket: Long = 0): Unit = {
+      targetRowsPerBucket: Long = 0,
+      protect: Option[String] = None): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.shingles -> Seq("doc_id", "shingle"),
       t.sizes -> Seq("doc_id"),
       t.banded -> Seq("band", "bucket")),
-      deletes.map("doc_id" -> _), targetRowsPerBucket)
+      deletes.map("doc_id" -> _), targetRowsPerBucket, protect)
   }
 
   /** Remove `ids` (single doc-id column) from all three tables — the

@@ -103,12 +103,13 @@ object TextIndex {
     * remains, not the one that was). */
   def compact(s: SparkSession, name: String,
       deletes: Option[IndexCompaction.DeleteSet] = None,
-      targetRowsPerBucket: Long = 0): Unit = {
+      targetRowsPerBucket: Long = 0,
+      protect: Option[String] = None): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.postings -> Seq("token"),
       t.doclens -> Seq("doc_id")),
-      deletes.map("doc_id" -> _), targetRowsPerBucket)
+      deletes.map("doc_id" -> _), targetRowsPerBucket, protect)
     if (deletes.isDefined) refreshStats(s, t)
   }
 

@@ -483,18 +483,54 @@ object ContinuousIngest {
   }
 
   private def maintainInner(spark: SparkSession, cfg: Config): Unit = {
-    val pending =
+    val sync =
       if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty) {
         ManifestTable.compact(spark, cfg.corpusPath)
-        IndexDeleteSync.pending(spark, cfg.corpusPath,
+        IndexDeleteSync.pendingFull(spark, cfg.corpusPath,
           deleteBookmarkPath(cfg), cfg.keys)
       } else None
-    val ds = pending.map(_._2)
-    if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
-      MinhashIndex.compact(spark, cfg.indexName, ds, cfg.storageRowsPerBucket)
+    val ds = sync.flatMap(_.deletes)
+    val reindex = sync.flatMap(_.reindex)
+    val reidxId = sync.map(ss => s"reidx-v${ss.toVersion}")
+    // TEXT-DERIVED families (MinHash, BM25) additionally purge the
+    // SUPERSEDED generations of UPDATED docs and re-append the current
+    // version from the CDC feed's new-side rows: without this, an
+    // updated doc keeps BOTH generations' rows under one id — ghost
+    // candidates for copies of the retired text, double-counted shingle
+    // intersections against probes. The purge rides the same fold; the
+    // re-append is exactly-once behind the family's batch log under the
+    // version-derived `reidx-v<N>` id, and the fold PROTECTS that
+    // partition from its own Remove set so every crash window (before
+    // append, mid-append, after append but before the bookmark) replays
+    // to convergence. Embedding-derived families (LSH/IVF/chunk) stay
+    // delete-only: an updated doc's vectors are the ENCODER feed's
+    // concern (a different pipeline seam), not derivable from the text
+    // diff here.
+    val dsText: Option[graft.etl.IndexCompaction.DeleteSet] =
+      (ds, reindex) match {
+        case (d, None) => d
+        case (Some(graft.etl.IndexCompaction.Remove(ids)), Some(upd)) =>
+          Some(graft.etl.IndexCompaction.Remove(
+            ids.toDF("doc_id").unionByName(upd.select(col("doc_id"))).distinct()))
+        case (None, Some(upd)) =>
+          Some(graft.etl.IndexCompaction.Remove(
+            upd.select(col("doc_id")).distinct()))
+        case (retain, Some(_)) => retain // unreachable: reconcile carries no diff
+      }
+    val protectReidx = if (reindex.isDefined) reidxId else None
+    if (spark.catalog.tableExists(s"${cfg.indexName}_banded")) {
+      MinhashIndex.compact(spark, cfg.indexName, dsText,
+        cfg.storageRowsPerBucket, protectReidx)
+      reindex.foreach(upd =>
+        MinhashIndex.append(spark, upd, cfg.indexName, reidxId.get))
+    }
     cfg.textIndexName
       .filter(tn => spark.catalog.tableExists(s"${tn}_postings"))
-      .foreach(TextIndex.compact(spark, _, ds, cfg.storageRowsPerBucket))
+      .foreach { tn =>
+        TextIndex.compact(spark, tn, dsText, cfg.storageRowsPerBucket,
+          protectReidx)
+        reindex.foreach(upd => TextIndex.append(spark, upd, tn, reidxId.get))
+      }
     cfg.annIndexName
       .filter(an => LshIndex.exists(spark, an))
       .foreach { an =>
@@ -544,23 +580,37 @@ object ContinuousIngest {
     cfg.sketchName
       .filter(SketchStore.exists(spark, _))
       .foreach { sn =>
-        pending.foreach {
-          case (toV, graft.etl.IndexCompaction.Remove(ids), rep) =>
-            // the sketch subtracts CONTENT, not ids: the deleted docs'
-            // pre-image text reads from the bookmarked snapshot — within
-            // vacuum retention by construction on the CDC path. The
-            // version-derived batch id keys exactly-once: a maintenance
-            // replay (crash before the bookmark advanced) no-ops here.
-            val pre = ManifestTable
-              .readAt(spark, cfg.corpusPath, rep.fromVersion)
-              .join(ids.toDF("del_id"),
-                col("doc_id") === col("del_id"), "left_semi")
-            SketchStore.applyDeletes(spark, pre, sn, s"del-v$toV")
-          case (_, graft.etl.IndexCompaction.Retain(_), _) =>
-            // diff window vacuumed: pre-image text unknowable — rebuild
-            // from the live corpus, the reconcile sweep's cost class
-            SketchStore.build(spark, ManifestTable.read(spark, cfg.corpusPath),
-              sn, depth = cfg.sketchDepth, width = cfg.sketchWidth)
+        sync.foreach { ss =>
+          ss.deletes match {
+            case Some(graft.etl.IndexCompaction.Retain(_)) =>
+              // diff window vacuumed: pre-image text unknowable — rebuild
+              // from the live corpus, the reconcile sweep's cost class
+              SketchStore.build(spark, ManifestTable.read(spark, cfg.corpusPath),
+                sn, depth = cfg.sketchDepth, width = cfg.sketchWidth)
+            case _ =>
+              // the sketch subtracts CONTENT, not ids: the pre-image text
+              // of DELETED and UPDATED docs reads from the bookmarked
+              // snapshot — within vacuum retention by construction on the
+              // CDC path — and UPDATED docs then re-add their current
+              // content (the sketch is linear, so subtract-old + add-new
+              // keeps the strict turnstile property). Version-derived
+              // batch ids key exactly-once: a maintenance replay (crash
+              // before the bookmark advanced) no-ops both legs.
+              val delIds = ss.deletes.map(_.ids.toDF("g_id"))
+              val updIds = reindex.map(_.select(col("doc_id").as("g_id")))
+              val gone = (delIds, updIds) match {
+                case (Some(d), Some(u)) => Some(d.unionByName(u).distinct())
+                case (d, u) => d.orElse(u)
+              }
+              gone.foreach { ids =>
+                val pre = ManifestTable
+                  .readAt(spark, cfg.corpusPath, ss.report.fromVersion)
+                  .join(ids, col("doc_id") === col("g_id"), "left_semi")
+                SketchStore.applyDeletes(spark, pre, sn, s"del-v${ss.toVersion}")
+              }
+              reindex.foreach(upd =>
+                SketchStore.append(spark, upd, sn, s"reidx-v${ss.toVersion}"))
+          }
         }
         // grid compaction: any number of batch partitions (and pending
         // negative cells) fold back to one d×w grid
@@ -610,8 +660,8 @@ object ContinuousIngest {
             && ds.isDefined)
           graft.operators.IvfIndex.compactIndexDir(spark, p, ds)
       }
-    pending.foreach { case (toV, _, _) =>
-      IndexDeleteSync.advance(spark, deleteBookmarkPath(cfg), toV) }
+    sync.foreach(ss =>
+      IndexDeleteSync.advance(spark, deleteBookmarkPath(cfg), ss.toVersion))
     if (ManifestTable.versions(spark, cfg.corpusPath).nonEmpty)
       ManifestTable.vacuum(spark, cfg.corpusPath, cfg.retainVersions)
   }

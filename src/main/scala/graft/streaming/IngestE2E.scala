@@ -147,6 +147,31 @@ object IngestE2E extends QueryModule {
     Seq(s0, s1, s2).map(dated)
   }
 
+  /** The s28 slices: slice 1 carries the UPDATES (`% 10 == 3` of
+    * slice 0 re-arrive with new text under the SAME id); slice 2 then
+    * probes both generations — byte-copies of the updated docs' OLD
+    * text under `+PlantedOffset` ids (must be ACCEPTED once the
+    * update-reindex purged the superseded rows) and byte-copies of
+    * their NEW text under `+2·PlantedOffset` ids (must be DROPPED
+    * against the reindexed current version). */
+  private[graft] def updateReindexSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = docsOf(s, dir)
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+    val updKeys = s0.filter(col("doc_id") % 10 === 3)
+    val updates = updKeys
+      .withColumn("text", concat(col("text"), lit(" upd"),
+        col("doc_id").cast("string")))
+      .withColumn("n_chars", col("n_chars") + 1000L)
+    val s1 = docs.filter(col("doc_id") % 3 === 1).unionByName(updates)
+    val oldCopies = updKeys
+      .withColumn("doc_id", col("doc_id") + PlantedOffset)
+    val newCopies = updates
+      .withColumn("doc_id", col("doc_id") + 2L * PlantedOffset)
+    val s2 = docs.filter(col("doc_id") % 3 === 2)
+      .unionByName(oldCopies).unionByName(newCopies)
+    Seq(s0, s1, s2).map(dated)
+  }
+
   /** The s27 slices: no plants in slices 0/1; slice 2 carries
     * byte-copies of the docs the scripted DELETE removed (`% 10 == 6`
     * of slice 0) under fresh ids — the resurrection probes. */
@@ -253,6 +278,34 @@ object IngestE2E extends QueryModule {
     ManifestTable.deleteWhere(s, cfg.corpusPath,
       col("doc_id") % 3 === 0 && col("doc_id") % 10 === 6)
     if (withMaintenance) ContinuousIngest.maintain(s, cfg)
+    stageAndRun(s, base, sl.drop(2), cfg, from = 2)
+    rollup(s, cfg.corpusPath)
+  }
+
+  def ingestUpdateReindex(s: SparkSession, dir: String): DataFrame =
+    runIngestUpdateReindex(s, dir, s"${root(dir)}_ur", indexName(dir) + "_ur")
+
+  /** The s28 script: drain batch 0, run maintenance A (reconcile — its
+    * only job here is establishing the CDC bookmark), drain batch 1
+    * (the updates merge as a keyed upsert AND append their new rows to
+    * the index — the superseded generation's rows now coexist under the
+    * same ids), run maintenance B (CDC mode: the update-reindex purges
+    * the superseded generations during the fold and the `reidx-v<N>`
+    * append restores exactly the current version), then drain batch 2
+    * carrying byte-copies of BOTH generations' texts under fresh ids. */
+  private[graft] def runIngestUpdateReindex(s: SparkSession, dir: String,
+      base: String, idx: String, withReindex: Boolean = true): DataFrame = {
+    wipeAll(s, base, idx)
+    val cfg = mkCfg(base, idx, 1.0, exact = false)
+    val sl = updateReindexSlices(s, dir)
+    stageAndRun(s, base, sl.take(1), cfg)
+    ContinuousIngest.maintain(s, cfg) // bookmark only (reconcile, no-op sweep)
+    stageAndRun(s, base, sl.slice(1, 2), cfg, from = 1)
+    // the purge+reindex under test; `withReindex = false` is the spec's
+    // negative control — superseded generations linger and ghost-reject
+    // the old-text copies
+    if (withReindex)
+      ContinuousIngest.maintain(s, cfg) // CDC: purge superseded + reindex
     stageAndRun(s, base, sl.drop(2), cfg, from = 2)
     rollup(s, cfg.corpusPath)
   }
@@ -539,5 +592,90 @@ object IngestE2E extends QueryModule {
       ()
     }))
 
-  override val defs: Seq[QueryDef] = Seq(s25, s26, s27)
+  private val s28 = QueryDef(
+    "s28_ingest_update_reindex",
+    Some(s"""
+      WITH ${gatesCtes(s"""
+        SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
+        UNION ALL
+        -- the UPDATES: same id, new text, merged as a keyed upsert
+        SELECT 1, doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
+          n_chars + 1000
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3
+        UNION ALL
+        -- byte-copies of the updated docs' OLD text under fresh ids:
+        -- accepted iff the superseded index generation was purged
+        SELECT 2, doc_id + $PlantedOffset, norm, n_chars FROM b
+        WHERE doc_id % 3 = 0 AND doc_id % 10 = 3
+        UNION ALL
+        -- byte-copies of their NEW text: must match the reindexed
+        -- current version and be dropped
+        SELECT 2, doc_id + ${2 * PlantedOffset},
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
+          n_chars + 1000
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
+      skeys AS (
+        SELECT d.slice, d.id,
+          md5(string_agg(s.sh, chr(1) ORDER BY s.sh)) AS skey
+        FROM dedup d, LATERAL (
+          SELECT unnest(list_distinct(list_transform(
+            range(1, greatest(len(d.ws) - 1, 1)),
+            i -> d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2]))) AS sh) s
+        WHERE len(d.ws) >= 3
+        GROUP BY d.slice, d.id),
+      dk AS (
+        SELECT d.slice, d.id, d.n_chars, k.skey
+        FROM dedup d LEFT JOIN skeys k
+          ON k.slice = d.slice AND k.id = d.id),
+      comp AS (
+        SELECT slice, id, n_chars, skey FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, skey
+                                       ORDER BY id) AS rn2
+          FROM dk WHERE skey IS NOT NULL) WHERE rn2 = 1
+        UNION ALL
+        SELECT slice, id, n_chars, skey FROM dk WHERE skey IS NULL),
+      acc0 AS (SELECT * FROM comp WHERE slice = 0),
+      -- same-id pairs are EXCLUDED (the engine's indexed-self filter):
+      -- an update never matches its own superseded version
+      acc1 AS (
+        SELECT c.* FROM comp c WHERE c.slice = 1 AND (c.skey IS NULL OR
+          NOT EXISTS (SELECT 1 FROM acc0 o
+                      WHERE o.skey = c.skey AND o.id <> c.id))),
+      -- the probe reference after the update-reindex: exactly ONE
+      -- generation per id — the LATEST accepted version (the purge
+      -- dropped the superseded rows, the reidx append restored current)
+      ref AS (
+        SELECT id, n_chars, skey FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY slice DESC) AS rnv
+          FROM (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1))
+        WHERE rnv = 1),
+      acc2 AS (
+        SELECT c.* FROM comp c WHERE c.slice = 2 AND (c.skey IS NULL OR
+          NOT EXISTS (SELECT 1 FROM ref r
+                      WHERE r.skey = c.skey AND r.id <> c.id))),
+      final AS (
+        SELECT id, n_chars FROM ref
+        UNION ALL
+        SELECT id, n_chars FROM acc2)
+      SELECT DATE '$Epoch' + CAST(id % 7 AS INTEGER) AS doc_date,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(id) AS BIGINT) AS id_sum
+      FROM final
+      GROUP BY 1
+      ORDER BY doc_date"""),
+    (s, dir) => ingestUpdateReindex(s, dir),
+    benchBuild = Some((s, dir) =>
+      rollup(s, s"${root(dir)}_urb/corpus")),
+    benchSetup = Some((s, dir) => {
+      runIngestUpdateReindex(s, dir, s"${root(dir)}_urb",
+        indexName(dir) + "_urb")
+      ()
+    }))
+
+  override val defs: Seq[QueryDef] = Seq(s25, s26, s27, s28)
 }

@@ -59,6 +59,40 @@ class IngestVariantsSpec extends SparkSpec {
     } finally table.unpersist()
   }
 
+  test("s28: update-reindex frees the OLD text's copies, still rejects the NEW text's") {
+    val rollup = IngestE2E.ingestUpdateReindex(spark, sf0001).collect()
+    assert(rollup.nonEmpty && rollup.map(_.getLong(1)).sum > 0)
+    val updatedIds = graft.core.T(spark, sf0001, "documents")
+      .select($"doc_id".cast("long").as("doc_id"))
+      .filter($"doc_id" % 3 === 0 && $"doc_id" % 10 === 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(updatedIds.nonEmpty, "fixture must contain update keys")
+    def copies(corpus: String): (Set[Long], Set[Long]) = {
+      val t = graft.etl.ManifestTable.read(spark, corpus)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      (t.filter(id => id >= Offset && id < 2 * Offset),
+        t.filter(_ >= 2 * Offset))
+    }
+    val (oldAccepted, newAccepted) = copies(corpusOf("_ur"))
+    assert(oldAccepted.nonEmpty,
+      "no OLD-text copy was accepted — the superseded generation still " +
+        "ghost-matches, so the update-reindex purge did not happen")
+    assert(newAccepted.isEmpty,
+      s"NEW-text copies ${newAccepted} were accepted — the reindexed " +
+        "current generation is missing from the index")
+
+    // negative control: skip the update-reindex maintenance — the
+    // superseded generation's ghost rows must reject the old-text copies
+    IngestE2E.runIngestUpdateReindex(spark, sf0001,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/ie_${safe(sf0001)}_urn",
+      "ingest_e2e_" + safe(sf0001).toLowerCase + "_urn", withReindex = false)
+    val (oldGhosted, _) = copies(corpusOf("_urn"))
+    assert(oldGhosted.subsetOf(oldAccepted))
+    assert(oldGhosted != oldAccepted,
+      "the no-reindex arm accepted every old-text copy — superseded rows " +
+        "rejected nothing, so the declared query no longer witnesses the purge")
+  }
+
   test("s27: purge frees the deleted texts' copies; without maintenance the ghosts reject them") {
     val rollup = IngestE2E.ingestDeleteSync(spark, sf0001).collect()
     assert(rollup.nonEmpty && rollup.map(_.getLong(1)).sum > 0)

@@ -1,0 +1,105 @@
+package graft
+
+import graft.etl.{IndexCompaction, IndexDeleteSync, ManifestTable, MinhashIndex}
+import org.apache.spark.sql.functions._
+
+/** The UPDATE-REINDEX protocol in isolation — the machinery behind
+  * `s28_ingest_update_reindex`: an updated doc otherwise keeps BOTH
+  * generations' rows in the MinHash index under one id (ghost matches
+  * for copies of the retired text, double-counted intersections). The
+  * sync purges the superseded generation during the fold and re-appends
+  * the current version exactly-once; the fold PROTECTS the reindex
+  * partition from its own Remove set, which is what makes every crash
+  * window replay to convergence — including the nastiest one (crash
+  * after the reindex append committed, before the bookmark advanced),
+  * where an unprotected replay would purge the replacement it just
+  * wrote and the exactly-once append would refuse to restore it. */
+class UpdateReindexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshNames(): (String, String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    (java.nio.file.Files.createTempDirectory(s"urx_$tag").toString + "/corpus",
+      s"urx_idx_$tag",
+      java.nio.file.Files.createTempDirectory(s"urxb_$tag").toString + "/bm")
+  }
+
+  private def docs(ids: Seq[Long], suffix: Long => String) =
+    ids.map(i => (i, s"alpha bravo charlie d$i e$i f$i${suffix(i)}",
+      java.sql.Date.valueOf("2024-03-01")))
+      .toDF("doc_id", "text", "doc_date")
+
+  private def generations(idx: String, id: Long): Long =
+    spark.table(s"${idx}_sizes").filter(col("doc_id") === id).count()
+
+  test("pendingFull: updates-only window yields a reindex set; empty window advances") {
+    val (corpus, _, bookmark) = freshNames()
+    val keys = Seq("doc_id", "doc_date")
+    ManifestTable.mergeInto(spark, docs(1L to 10L, _ => ""), corpus, keys, "doc_date")
+    val v1 = ManifestTable.currentSnapshot(spark, corpus).get.version
+    IndexDeleteSync.advance(spark, bookmark, v1)
+    // updates only — no deletes — must still surface as a SyncSet
+    ManifestTable.mergeInto(spark,
+      docs(Seq(5L, 10L), i => s" upd$i"), corpus, keys, "doc_date")
+    val ss = IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).get
+    assert(ss.deletes.isEmpty, "no deletes in this window")
+    val reidx = ss.reindex.get.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(reidx == Set(5L, 10L))
+    assert(ss.reindex.get.filter($"doc_id" === 5L).head.getAs[String]("text")
+      .endsWith("upd5"), "reindex rows must carry the CURRENT content")
+    // the bookmark must NOT have advanced (the caller applies first)
+    assert(IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).isDefined)
+    IndexDeleteSync.advance(spark, bookmark, ss.toVersion)
+    assert(IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).isEmpty)
+  }
+
+  test("purge+reindex leaves ONE current generation and survives every crash-window replay") {
+    val (corpus, idx, bookmark) = freshNames()
+    val keys = Seq("doc_id", "doc_date")
+    val base = docs(1L to 10L, _ => "")
+    ManifestTable.mergeInto(spark, base, corpus, keys, "doc_date")
+    MinhashIndex.build(spark, base, idx)
+    IndexDeleteSync.advance(spark, bookmark,
+      ManifestTable.currentSnapshot(spark, corpus).get.version)
+    // the updates merge AND append (the per-batch pipeline legs) — the
+    // index now holds BOTH generations under the updated ids
+    val upd = docs(Seq(3L, 7L), i => s" upd$i")
+    ManifestTable.mergeInto(spark, upd, corpus, keys, "doc_date")
+    MinhashIndex.append(spark, upd, idx, "b1")
+    assert(generations(idx, 3L) == 2, "both generations present pre-sync")
+
+    val ss = IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).get
+    val reidxId = s"reidx-v${ss.toVersion}"
+    val updIds = ss.reindex.get.select($"doc_id").distinct()
+    def applyMinhashLeg(): Unit = {
+      MinhashIndex.compact(spark, idx,
+        Some(IndexCompaction.Remove(updIds)), protect = Some(reidxId))
+      MinhashIndex.append(spark, ss.reindex.get, idx, reidxId)
+    }
+    // crash window A: fold ran, append did not — replay converges
+    MinhashIndex.compact(spark, idx,
+      Some(IndexCompaction.Remove(updIds)), protect = Some(reidxId))
+    assert(generations(idx, 3L) == 0, "fold purged both stale generations")
+    applyMinhashLeg()
+    assert(generations(idx, 3L) == 1, "exactly the current generation")
+    // the surviving rows are the NEW text's: a probe with the OLD text
+    // finds nothing, a probe with the NEW text matches
+    val oldProbe = MinhashIndex.incrementalPairs(spark,
+      docs(Seq(3L), _ => "").withColumn("doc_id", lit(333L)), idx, 1.0)
+    assert(oldProbe.count() == 0, "superseded text must not ghost-match")
+    val newProbe = MinhashIndex.incrementalPairs(spark,
+      docs(Seq(3L), i => s" upd$i").withColumn("doc_id", lit(333L)), idx, 1.0)
+    assert(newProbe.count() == 1, "current text must match the reindexed rows")
+
+    // crash window B (the protect fact): append committed, bookmark
+    // NOT advanced — the replay's fold must not purge the replacement
+    applyMinhashLeg()
+    assert(generations(idx, 3L) == 1,
+      "replay after the append committed must keep the current generation")
+    assert(MinhashIndex.incrementalPairs(spark,
+      docs(Seq(3L), i => s" upd$i").withColumn("doc_id", lit(333L)), idx, 1.0)
+      .count() == 1, "current rows survive the replayed fold")
+    IndexDeleteSync.advance(spark, bookmark, ss.toVersion)
+    assert(IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).isEmpty)
+  }
+}
