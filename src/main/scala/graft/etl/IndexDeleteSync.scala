@@ -47,68 +47,31 @@ object IndexDeleteSync {
   final case class Report(fromVersion: Int, toVersion: Int, mode: String,
       deleteRows: Long)
 
-  /** The purge set accumulated since the bookmark, plus the version the
-    * bookmark should advance to once it is applied. None = nothing to do
-    * (no committed corpus, no version advance, or an empty CDC delete
-    * window — the bookmark is advanced here in that last case, since
-    * there is nothing for the caller to apply first). */
-  def pending(spark: SparkSession, corpusPath: String, bookmarkPath: String,
-      keys: Seq[String], idCol: String = "doc_id")
-      : Option[(Int, IndexCompaction.DeleteSet, Report)] = {
-    val toV = ManifestTable.currentSnapshot(spark, corpusPath)
-      .map(_.version).getOrElse(return None)
-    val fromV = IncrementalGold.readBookmark(spark, bookmarkPath)
-      .map(_.toInt).getOrElse(0)
-    if (toV <= fromV) return None
-    val diffable = fromV > 0 &&
-      ManifestTable.snapshotAt(spark, corpusPath, fromV).isDefined
-    if (diffable) {
-      // localCheckpoint: the set feeds one fold PER INDEX TABLE (up to
-      // seven across the three families) — materialize the CDC diff once
-      // instead of re-reading the changed partitions per fold
-      val ids = ManifestTable.changes(spark, corpusPath, fromV, toV, keys)
-        .filter(col("change") === "delete")
-        .select(col(idCol))
-        .localCheckpoint()
-      val n = ids.count() // driver-small action over O(changed partitions)
-      if (n == 0) {
-        // version moved with zero deletes (the common case): advance now,
-        // spare every family the no-op anti-join
-        IncrementalGold.writeBookmark(spark, bookmarkPath, toV.toString)
-        None
-      } else Some((toV, IndexCompaction.Remove(ids),
-        Report(fromV, toV, "cdc", n)))
-    } else
-      Some((toV, IndexCompaction.Retain(
-        ManifestTable.read(spark, corpusPath).select(col(idCol))
-          .localCheckpoint()), // id column only, read once for all folds
-        Report(fromV, toV, "reconcile", -1L)))
-  }
-
-  /** One maintenance cycle's full sync set: ghost purge PLUS updated-doc
-    * reindex. `deletes` is what [[pending]] computes (None = nothing to
-    * purge); `reindex` carries the UPDATED docs' CURRENT rows straight
-    * from the CDC feed (the diff emits the new side's full content) —
-    * the text-derived index families purge those ids' SUPERSEDED rows
-    * during the fold and re-append the current version, closing the
-    * staleness window [[pending]] alone leaves open: an updated doc
-    * otherwise keeps BOTH generations' rows under one id, ghost-matching
-    * copies of the retired text and double-counting shingle
-    * intersections against probes. Updates are only knowable in CDC
-    * mode; the RECONCILE degrade path returns `reindex = None` (content
-    * staleness is invisible without the diff window — stale update rows
-    * then persist until a CDC-mode pass, the same conservative class as
+  /** One maintenance cycle's full sync set: ghost purge PLUS the
+    * stale-generation reindex feed. `deletes` is the purge set (None =
+    * nothing deleted); `reindex` carries the CURRENT rows of every id
+    * the window INSERTED OR UPDATED, straight from the CDC feed (the
+    * diff emits the new side's full content). Insert rows are
+    * candidates too, not just updates: a doc inserted and then updated
+    * WITHIN one window net-diffs to a single `insert` row, yet its
+    * index already holds both generations — the consumer intersects the
+    * candidates with its own stale-generation witness
+    * ([[MinhashIndex.staleGenerationIds]]: committed generation count
+    * ≠ 1) to find the actually-stale docs, purges their superseded rows
+    * during the fold, and re-appends the current version. Updates are only knowable in CDC mode; the
+    * RECONCILE degrade path returns `reindex = None` (content staleness
+    * is invisible without the diff window — stale generations then
+    * persist until a CDC-mode pass, the same conservative class as
     * ghosts between maintenance runs). */
   final case class SyncSet(toVersion: Int,
       deletes: Option[IndexCompaction.DeleteSet],
       reindex: Option[DataFrame], report: Report)
 
-  /** [[pending]] extended with the updated-doc reindex feed. None =
-    * nothing to do at all (no corpus, no version advance, or an empty
-    * CDC window — bookmark advanced here in that last case). Unlike
-    * [[pending]], a window with zero deletes but pending UPDATES still
-    * returns a SyncSet (deletes = None), so the reindex is never
-    * silently skipped by the early advance. */
+  /** The sync set accumulated since the bookmark, plus the version the
+    * bookmark should advance to once it is applied. None = nothing to
+    * do at all (no committed corpus, no version advance, or a CDC
+    * window with zero changed rows — bookmark advanced here in that
+    * last case, since there is nothing for any consumer to apply). */
   def pendingFull(spark: SparkSession, corpusPath: String,
       bookmarkPath: String, keys: Seq[String], idCol: String = "doc_id")
       : Option[SyncSet] = {
@@ -120,26 +83,54 @@ object IndexDeleteSync {
     val diffable = fromV > 0 &&
       ManifestTable.snapshotAt(spark, corpusPath, fromV).isDefined
     if (diffable) {
+      // localCheckpoint: the diff feeds one fold PER INDEX TABLE (up to
+      // seven across the families) plus the reindex appends —
+      // materialize the changed partitions' read once
       val diff = ManifestTable.changes(spark, corpusPath, fromV, toV, keys)
-        .localCheckpoint() // one CDC read serves both the purge and the reindex
-      val delIds = diff.filter(col("change") === "delete").select(col(idCol))
-      val upd = diff.filter(col("change") === "update")
-      val nDel = delIds.count()
-      val nUpd = upd.count()
-      if (nDel == 0 && nUpd == 0) {
+        .localCheckpoint()
+      // one aggregation answers every emptiness question (the previous
+      // two-actions form paid a job per change kind)
+      val counts = diff.groupBy(col("change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDel = counts.getOrElse("delete", 0L)
+      val nCand = counts.getOrElse("update", 0L) + counts.getOrElse("insert", 0L)
+      if (nDel == 0 && nCand == 0) {
+        // version moved with zero changed rows (pure compaction):
+        // advance now, spare every family the no-op anti-join
         IncrementalGold.writeBookmark(spark, bookmarkPath, toV.toString)
         None
       } else Some(SyncSet(toV,
-        if (nDel == 0) None else Some(IndexCompaction.Remove(delIds)),
-        if (nUpd == 0) None else Some(upd),
+        if (nDel == 0) None
+        else Some(IndexCompaction.Remove(
+          diff.filter(col("change") === "delete").select(col(idCol)))),
+        if (nCand == 0) None
+        else Some(diff.filter(col("change").isin("update", "insert"))),
         Report(fromV, toV, "cdc", nDel)))
     } else
       Some(SyncSet(toV,
         Some(IndexCompaction.Retain(
           ManifestTable.read(spark, corpusPath).select(col(idCol))
-            .localCheckpoint())),
+            .localCheckpoint())), // id column only, read once for all folds
         None, Report(fromV, toV, "reconcile", -1L)))
   }
+
+  /** Delete-only view of [[pendingFull]] — the original consumer
+    * contract, now a thin adapter so the bookmark/diffable/reconcile
+    * skeleton exists ONCE: a window with no deletes (whatever inserts
+    * or updates it carries) advances the bookmark and returns None,
+    * exactly the historical semantics delete-only consumers rely on. */
+  def pending(spark: SparkSession, corpusPath: String, bookmarkPath: String,
+      keys: Seq[String], idCol: String = "doc_id")
+      : Option[(Int, IndexCompaction.DeleteSet, Report)] =
+    pendingFull(spark, corpusPath, bookmarkPath, keys, idCol).flatMap { ss =>
+      ss.deletes match {
+        case Some(d) => Some((ss.toVersion, d, ss.report))
+        case None =>
+          IncrementalGold.writeBookmark(spark, bookmarkPath,
+            ss.toVersion.toString)
+          None
+      }
+    }
 
   /** Advance the bookmark — call strictly AFTER every index family has
     * applied the pending set (idempotence covers a crash before this). */

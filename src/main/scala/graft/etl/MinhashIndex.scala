@@ -308,6 +308,34 @@ object MinhashIndex {
       threshold)
   }
 
+  /** The candidate ids whose index state is NOT exactly one COMMITTED
+    * generation — the witness set the update-reindex protocol
+    * intersects its CDC insert∪update candidates with. Every per-batch
+    * append (and every reindex) writes one sizes row per doc, so a
+    * committed count of 2+ proves a superseded generation lingers, and
+    * a count of 0 proves a half-done reindex (stale rows purged, the
+    * replacement append crashed uncommitted — its orphan partition is
+    * EXCLUDED here exactly as the fold excludes it, or the replay would
+    * see the partial rows as a healthy generation, skip the re-append,
+    * and the next fold would drop the doc from the index entirely).
+    * Cost: an id-column scan of the sizes table, O(index docs). */
+  def staleGenerationIds(s: SparkSession, name: String,
+      candidateIds: DataFrame): DataFrame = {
+    val t = tables(name)
+    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+    val orphans = s.sql(s"SHOW PARTITIONS ${t.sizes}").collect()
+      .map(_.getString(0).stripPrefix("batch_id="))
+      .filterNot(committed).toSeq
+    val live = s.table(t.sizes)
+    val gens = (if (orphans.isEmpty) live
+      else live.filter(!col("batch_id").isin(orphans: _*)))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+    candidateIds.toDF("doc_id")
+      .join(gens, Seq("doc_id"), "left_outer")
+      .filter(col("g").isNull || col("g") =!= 1)
+      .select(col("doc_id"))
+  }
+
   /** EXACT cross-frame near-dup pairs against the indexed corpus — the
     * completeness rung of [[incrementalPairs]]: candidates are every
     * (corpus doc, batch doc) pair sharing at least one stored shingle,

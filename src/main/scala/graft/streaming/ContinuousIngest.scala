@@ -490,22 +490,36 @@ object ContinuousIngest {
           deleteBookmarkPath(cfg), cfg.keys)
       } else None
     val ds = sync.flatMap(_.deletes)
-    val reindex = sync.flatMap(_.reindex)
     val reidxId = sync.map(ss => s"reidx-v${ss.toVersion}")
     // TEXT-DERIVED families (MinHash, BM25) additionally purge the
-    // SUPERSEDED generations of UPDATED docs and re-append the current
+    // SUPERSEDED generations of changed docs and re-append the current
     // version from the CDC feed's new-side rows: without this, an
     // updated doc keeps BOTH generations' rows under one id — ghost
     // candidates for copies of the retired text, double-counted shingle
-    // intersections against probes. The purge rides the same fold; the
-    // re-append is exactly-once behind the family's batch log under the
-    // version-derived `reidx-v<N>` id, and the fold PROTECTS that
+    // intersections against probes. The stale set is the CDC
+    // insert∪update CANDIDATES intersected with the index's own
+    // multi-generation ids (insert rows matter too: a doc inserted and
+    // then updated within ONE window net-diffs to a single insert, yet
+    // its index holds both generations). The purge rides the same fold;
+    // the re-append is exactly-once behind the family's batch log under
+    // the version-derived `reidx-v<N>` id, and the fold PROTECTS that
     // partition from its own Remove set so every crash window (before
     // append, mid-append, after append but before the bookmark) replays
     // to convergence. Embedding-derived families (LSH/IVF/chunk) stay
     // delete-only: an updated doc's vectors are the ENCODER feed's
     // concern (a different pipeline seam), not derivable from the text
     // diff here.
+    val candidates = sync.flatMap(_.reindex)
+    val reindex = candidates.flatMap { cand =>
+      if (!spark.catalog.tableExists(s"${cfg.indexName}_banded")) None
+      else {
+        val stale = cand.join(
+          MinhashIndex.staleGenerationIds(spark, cfg.indexName,
+            cand.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi").localCheckpoint()
+        if (stale.isEmpty) None else Some(stale)
+      }
+    }
     val dsText: Option[graft.etl.IndexCompaction.DeleteSet] =
       (ds, reindex) match {
         case (d, None) => d
@@ -589,16 +603,23 @@ object ContinuousIngest {
                 sn, depth = cfg.sketchDepth, width = cfg.sketchWidth)
             case _ =>
               // the sketch subtracts CONTENT, not ids: the pre-image text
-              // of DELETED and UPDATED docs reads from the bookmarked
+              // of DELETED and CHANGED docs reads from the bookmarked
               // snapshot — within vacuum retention by construction on the
-              // CDC path — and UPDATED docs then re-add their current
-              // content (the sketch is linear, so subtract-old + add-new
-              // keeps the strict turnstile property). Version-derived
-              // batch ids key exactly-once: a maintenance replay (crash
-              // before the bookmark advanced) no-ops both legs.
+              // CDC path. Subtract-old is the WHOLE update story here: the
+              // per-batch ingest leg already appended the new generation's
+              // content when the update batch was accepted, so re-adding
+              // it would double-count (the sketch has no id-keyed rows to
+              // purge, unlike the index families). Inserted-only ids in
+              // the candidate set are absent from the pre-image and
+              // subtract nothing; a generation superseded WITHIN one
+              // window leaves its content counted until a rebuild — CMS
+              // estimates stay upper bounds either way (the turnstile
+              // floor is untouched), the documented overestimate class.
+              // The version-derived batch id keys exactly-once: a
+              // maintenance replay no-ops.
               val delIds = ss.deletes.map(_.ids.toDF("g_id"))
-              val updIds = reindex.map(_.select(col("doc_id").as("g_id")))
-              val gone = (delIds, updIds) match {
+              val candIds = candidates.map(_.select(col("doc_id").as("g_id")))
+              val gone = (delIds, candIds) match {
                 case (Some(d), Some(u)) => Some(d.unionByName(u).distinct())
                 case (d, u) => d.orElse(u)
               }
@@ -608,8 +629,6 @@ object ContinuousIngest {
                   .join(ids, col("doc_id") === col("g_id"), "left_semi")
                 SketchStore.applyDeletes(spark, pre, sn, s"del-v${ss.toVersion}")
               }
-              reindex.foreach(upd =>
-                SketchStore.append(spark, upd, sn, s"reidx-v${ss.toVersion}"))
           }
         }
         // grid compaction: any number of batch partitions (and pending

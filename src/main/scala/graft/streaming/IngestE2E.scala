@@ -338,27 +338,14 @@ object IngestE2E extends QueryModule {
                                        ORDER BY id) AS rn
           FROM gated) WHERE rn = 1)"""
 
-  private val s25 = QueryDef(
-    "s25_ingest_e2e",
-    Some(s"""
-      WITH ${gatesCtes(s"""
-        SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
-        UNION ALL
-        SELECT 1, doc_id + $PlantedOffset, norm, n_chars FROM b
-        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
-        UNION ALL
-        -- re-normalize the appended suffix: the engine normalizes the
-        -- CONCATENATED text, so a blank base norm must collapse to the
-        -- single token 'upd<id>' (and fail the 2-gram gate), not gain a
-        -- phantom leading empty token
-        SELECT 2, doc_id,
-          lower(trim(regexp_replace(
-            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
-          n_chars + 1000
-        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
-      -- canonical 3-gram shingle-SET key (exact Jaccard 1.0 <=> equal
-      -- sets); docs with < 3 tokens have no shingles and can neither
-      -- drop nor be dropped by the near-dup machinery
+  /** Shared oracle CTE block (the τ = 1.0 regimes): canonical 3-gram
+    * shingle-SET key per surviving instance (exact Jaccard 1.0 <=>
+    * equal sets; docs with < 3 tokens have no shingles and can neither
+    * drop nor be dropped), NULL-skey passthrough, and the within-batch
+    * component collapse (min id per shingle-set key). ONE definition —
+    * a fix to the canonical key applies to every oracle that hashes
+    * against it (s25/s27/s28). */
+  private def skeyCtes: String = """
       skeys AS (
         SELECT d.slice, d.id,
           md5(string_agg(s.sh, chr(1) ORDER BY s.sh)) AS skey
@@ -380,7 +367,27 @@ object IngestE2E extends QueryModule {
                                        ORDER BY id) AS rn2
           FROM dk WHERE skey IS NOT NULL) WHERE rn2 = 1
         UNION ALL
-        SELECT slice, id, n_chars, skey FROM dk WHERE skey IS NULL),
+        SELECT slice, id, n_chars, skey FROM dk WHERE skey IS NULL)"""
+
+  private val s25 = QueryDef(
+    "s25_ingest_e2e",
+    Some(s"""
+      WITH ${gatesCtes(s"""
+        SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
+        UNION ALL
+        SELECT 1, doc_id + $PlantedOffset, norm, n_chars FROM b
+        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        UNION ALL
+        -- re-normalize the appended suffix: the engine normalizes the
+        -- CONCATENATED text, so a blank base norm must collapse to the
+        -- single token 'upd<id>' (and fail the 2-gram gate), not gain a
+        -- phantom leading empty token
+        SELECT 2, doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
+          n_chars + 1000
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
+      $skeyCtes,
       -- cross-batch index probe: a doc is dropped iff an ACCEPTED doc
       -- of an earlier batch carries the identical shingle set
       acc0 AS (SELECT * FROM comp WHERE slice = 0),
@@ -537,26 +544,7 @@ object IngestE2E extends QueryModule {
         -- byte-copies of the to-be-DELETED docs arrive in slice 2
         SELECT 2, doc_id + $PlantedOffset, norm, n_chars FROM b
         WHERE doc_id % 3 = 0 AND doc_id % 10 = 6""")},
-      skeys AS (
-        SELECT d.slice, d.id,
-          md5(string_agg(s.sh, chr(1) ORDER BY s.sh)) AS skey
-        FROM dedup d, LATERAL (
-          SELECT unnest(list_distinct(list_transform(
-            range(1, greatest(len(d.ws) - 1, 1)),
-            i -> d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2]))) AS sh) s
-        WHERE len(d.ws) >= 3
-        GROUP BY d.slice, d.id),
-      dk AS (
-        SELECT d.slice, d.id, d.n_chars, k.skey
-        FROM dedup d LEFT JOIN skeys k
-          ON k.slice = d.slice AND k.id = d.id),
-      comp AS (
-        SELECT slice, id, n_chars, skey FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, skey
-                                       ORDER BY id) AS rn2
-          FROM dk WHERE skey IS NOT NULL) WHERE rn2 = 1
-        UNION ALL
-        SELECT slice, id, n_chars, skey FROM dk WHERE skey IS NULL),
+      $skeyCtes,
       acc0 AS (SELECT * FROM comp WHERE slice = 0),
       acc1 AS (
         SELECT * FROM comp WHERE slice = 1 AND (skey IS NULL OR
@@ -617,26 +605,7 @@ object IngestE2E extends QueryModule {
             norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
           n_chars + 1000
         FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
-      skeys AS (
-        SELECT d.slice, d.id,
-          md5(string_agg(s.sh, chr(1) ORDER BY s.sh)) AS skey
-        FROM dedup d, LATERAL (
-          SELECT unnest(list_distinct(list_transform(
-            range(1, greatest(len(d.ws) - 1, 1)),
-            i -> d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2]))) AS sh) s
-        WHERE len(d.ws) >= 3
-        GROUP BY d.slice, d.id),
-      dk AS (
-        SELECT d.slice, d.id, d.n_chars, k.skey
-        FROM dedup d LEFT JOIN skeys k
-          ON k.slice = d.slice AND k.id = d.id),
-      comp AS (
-        SELECT slice, id, n_chars, skey FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, skey
-                                       ORDER BY id) AS rn2
-          FROM dk WHERE skey IS NOT NULL) WHERE rn2 = 1
-        UNION ALL
-        SELECT slice, id, n_chars, skey FROM dk WHERE skey IS NULL),
+      $skeyCtes,
       acc0 AS (SELECT * FROM comp WHERE slice = 0),
       -- same-id pairs are EXCLUDED (the engine's indexed-self filter):
       -- an update never matches its own superseded version

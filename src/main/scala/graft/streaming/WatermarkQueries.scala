@@ -1307,14 +1307,25 @@ object WatermarkQueries extends QueryModule {
         .option("checkpointLocation", s"$base/ck")
         .trigger(Trigger.ProcessingTime("1 second"))
         .start()
+      // the drain bound must scale with input (this harness rides the
+      // scale curve at 10-30x data) and is env-overridable for unusual
+      // hosts; hitting it is reported as a TIMEOUT, not misattributed
+      // to admission scheduling
+      val drainSecs = sys.env.getOrElse("SPARK_GRAFT_TTL_DRAIN_SECS", "600").toLong
+      var timedOut = false
       try {
         // wait until every staged file has ridden a committed data
         // batch (listener fires post-commit); bounded, never forever
-        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + drainSecs * 1000 * 1000 * 1000
         while (stamps.size < dataSlices && q.isActive &&
             System.nanoTime() < deadline)
           Thread.sleep(100)
+        timedOut = stamps.size < dataSlices && System.nanoTime() >= deadline
       } finally { q.stop(); q.awaitTermination() }
+      require(!timedOut,
+        s"TTL harness drain exceeded $drainSecs s with ${stamps.size} of " +
+          s"$dataSlices data batches committed — raise " +
+          "SPARK_GRAFT_TTL_DRAIN_SECS for this data size")
       require(stamps.size == dataSlices,
         s"oracle assumes $dataSlices one-file data micro-batches " +
           s"(maxFilesPerTrigger=1 admission), observed ${stamps.size} — " +

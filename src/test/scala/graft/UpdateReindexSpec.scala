@@ -102,4 +102,69 @@ class UpdateReindexSpec extends SparkSpec {
     IndexDeleteSync.advance(spark, bookmark, ss.toVersion)
     assert(IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).isEmpty)
   }
+
+  test("insert-then-update within ONE window: the net 'insert' row still reindexes") {
+    // the CDC endpoint diff collapses insert+update to a single
+    // change='insert' row — pendingFull therefore carries INSERTS as
+    // candidates too, and the stale-generation witness (committed
+    // count != 1) picks out exactly the ids that actually hold a
+    // superseded generation
+    val (corpus, idx, bookmark) = freshNames()
+    val keys = Seq("doc_id", "doc_date")
+    val base = docs(1L to 5L, _ => "")
+    ManifestTable.mergeInto(spark, base, corpus, keys, "doc_date")
+    MinhashIndex.build(spark, base, idx)
+    IndexDeleteSync.advance(spark, bookmark,
+      ManifestTable.currentSnapshot(spark, corpus).get.version)
+    // window: id 42 INSERTED (gen 1 indexed) then UPDATED (gen 2 indexed)
+    val ins = docs(Seq(42L), _ => " genone")
+    ManifestTable.mergeInto(spark, ins, corpus, keys, "doc_date")
+    MinhashIndex.append(spark, ins, idx, "b1")
+    val upd = docs(Seq(42L), _ => " gentwo")
+    ManifestTable.mergeInto(spark, upd, corpus, keys, "doc_date")
+    MinhashIndex.append(spark, upd, idx, "b2")
+    assert(generations(idx, 42L) == 2)
+
+    val ss = IndexDeleteSync.pendingFull(spark, corpus, bookmark, keys).get
+    val cand = ss.reindex.get
+    assert(cand.filter($"doc_id" === 42L).head.getAs[String]("text")
+      .endsWith("gentwo"), "the net-insert row must carry the CURRENT content")
+    // the witness: 42 is stale (2 committed generations); a plain
+    // single-generation doc in the candidates would NOT be
+    val stale = MinhashIndex.staleGenerationIds(spark, idx,
+      cand.select($"doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stale == Set(42L))
+    val reidxId = s"reidx-v${ss.toVersion}"
+    MinhashIndex.compact(spark, idx,
+      Some(IndexCompaction.Remove(cand.select($"doc_id")
+        .join(stale.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"))),
+      protect = Some(reidxId))
+    MinhashIndex.append(spark, cand.join(stale.toSeq.toDF("doc_id"),
+      Seq("doc_id"), "left_semi"), idx, reidxId)
+    assert(generations(idx, 42L) == 1, "exactly the current generation")
+    assert(MinhashIndex.incrementalPairs(spark,
+      docs(Seq(42L), _ => " genone").withColumn("doc_id", lit(333L)), idx, 1.0)
+      .count() == 0, "the within-window superseded generation must be purged")
+    assert(MinhashIndex.incrementalPairs(spark,
+      docs(Seq(42L), _ => " gentwo").withColumn("doc_id", lit(333L)), idx, 1.0)
+      .count() == 1, "the current generation must match")
+  }
+
+  test("stale witness flags a half-done reindex (zero committed generations)") {
+    val (corpus, idx, bookmark) = freshNames()
+    val base = docs(1L to 5L, _ => "")
+    ManifestTable.mergeInto(spark, base, corpus, Seq("doc_id", "doc_date"), "doc_date")
+    MinhashIndex.build(spark, base, idx)
+    // simulate: the fold purged doc 3's stale rows, the replacement
+    // append crashed UNCOMMITTED (partial partition, no marker) — the
+    // witness must treat the orphan rows as absent, or the replay would
+    // skip the re-append and the next fold would drop the doc entirely
+    MinhashIndex.applyDeletes(spark, idx, Seq(3L).toDF("doc_id"))
+    MinhashIndex.writeBucketed(Seq((3L, 5L)).toDF("doc_id", "n_sh"),
+      s"${idx}_sizes", 32, append = true, "reidx-v9", "doc_id")
+    val stale = MinhashIndex.staleGenerationIds(spark, idx,
+      Seq(1L, 3L).toDF("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stale == Set(3L),
+      s"uncommitted orphan rows must not count as a healthy generation: $stale")
+  }
 }
