@@ -103,6 +103,11 @@ object ScaleCurve {
     "s28_ingest_update_reindex", // update-reindex e2e (pipeline = setup)
     "ev_stream_ttl",         // processing-time TTL state expiry (TWS, RocksDB)
     "ev_stream_chained")     // dedup -> windowed agg, two chained stateful ops
+  // round-17 newcomers measured separately before joining curveQueries
+  // (SurfaceCountSpec: a curve-listed query without its recorded
+  // SCALE.md row is an unrecorded claim): ev_stream_ttl2,
+  // s29_ingest_vector_reindex, s30_ingest_blind_window enter the list
+  // in the same commit as their measured rows.
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
@@ -224,6 +229,11 @@ object ScaleCurve {
       scala.collection.mutable.LinkedHashMap[Int, Double]]()
 
     mults.foreach { m =>
+      // the TTL-retention band widens with the multiplier: its asserted
+      // gap₁ tracks batch duration, which grows with data (the oracle is
+      // band-independent — only the straddle pattern is pinned)
+      sys.props("graft.ttl2.ms") =
+        (4000L * math.max(1L, m.toLong / 3L)).toString
       val dir =
         if (m == 1) sfDir
         else {

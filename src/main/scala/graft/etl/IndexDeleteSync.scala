@@ -118,7 +118,15 @@ object IndexDeleteSync {
     * contract, now a thin adapter so the bookmark/diffable/reconcile
     * skeleton exists ONCE: a window with no deletes (whatever inserts
     * or updates it carries) advances the bookmark and returns None,
-    * exactly the historical semantics delete-only consumers rely on. */
+    * exactly the historical semantics delete-only consumers rely on.
+    *
+    * A [[pending]] consumer and a [[pendingFull]] consumer must NEVER
+    * share a bookmark path: this adapter CONSUMES delete-free windows
+    * as a side effect (the bookmark advances past them), permanently
+    * discarding the reindex feed a pendingFull consumer at the same
+    * path still needs — update windows would silently skip their
+    * reindex. One bookmark per consumer, named for it (the
+    * ContinuousIngest path is pendingFull's alone). */
   def pending(spark: SparkSession, corpusPath: String, bookmarkPath: String,
       keys: Seq[String], idCol: String = "doc_id")
       : Option[(Int, IndexCompaction.DeleteSet, Report)] =

@@ -222,15 +222,23 @@ object LshIndex {
     * `deletes` purges vector ids during the same rewrite — the set's
     * single column aligns to `vec_id` positionally, so the one
     * corpus-wide delete feed serves this family too (doc_id == vec_id
-    * under [[graft.streaming.ContinuousIngest]]'s wiring). */
+    * under [[graft.streaming.ContinuousIngest]]'s wiring).
+    *
+    * `protect` exempts one batch partition from the Remove set — the
+    * update-reindex protocol's `reidx-v<N>` partition, exactly
+    * [[MinhashIndex.compact]]'s contract: without it, a replayed fold
+    * would purge the replacement vectors the crashed attempt already
+    * committed and the exactly-once re-append would refuse to restore
+    * them. */
   def compact(s: SparkSession, name: String,
       deletes: Option[IndexCompaction.DeleteSet] = None,
-      targetRowsPerBucket: Long = 0): Unit = {
+      targetRowsPerBucket: Long = 0,
+      protect: Option[String] = None): Unit = {
     val meta = IndexMeta.read(s, name)
     IndexCompaction.compactFamily(s, name, Seq(
       tables(name).vectors -> Seq("vec_id"),
       bucketsTable(meta, name) -> Seq("tbl", "bucket")),
-      deletes.map("vec_id" -> _), targetRowsPerBucket)
+      deletes.map("vec_id" -> _), targetRowsPerBucket, protect)
   }
 
   /** Remove `ids` (single vec-id column) from both tables — the

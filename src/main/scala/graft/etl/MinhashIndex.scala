@@ -318,18 +318,42 @@ object MinhashIndex {
     * EXCLUDED here exactly as the fold excludes it, or the replay would
     * see the partial rows as a healthy generation, skip the re-append,
     * and the next fold would drop the doc from the index entirely).
-    * Cost: an id-column scan of the sizes table, O(index docs). */
+    * Cost: an id-column scan of the sizes table, O(index docs).
+    *
+    * `perDocTable` generalizes the witness to any index family with a
+    * per-doc-per-batch table and its own [[BatchLog]] under `name`
+    * (e.g. [[TextIndex]]'s `_doclens`, [[LshIndex]]'s `_vectors`) — the
+    * update-reindex protocol makes its replay decision PER FAMILY from
+    * that family's own state, so a crash between two families' reindex
+    * legs replays each leg to convergence independently (a shared
+    * single-family witness would report "healthy" once the first
+    * family's re-append committed, stranding the others mid-protocol).
+    * `idExpr` maps the table's rows to the candidate doc-id domain
+    * (`vec_id` for doc-level vector tables; `vec_id div span` for
+    * chunk-level composites). Generations are counted as ROWS matching
+    * `rowFilter` — never as distinct batch partitions, because
+    * [[IndexCompaction.fold]] collapses every committed partition into
+    * one fold id, which would hide a multi-generation doc from a
+    * partition-count witness. One-row-per-doc-per-generation tables use
+    * the default filter; the chunk family counts each generation's
+    * single chunk-0 row (`vec_id % span = 0`) so variable chunk counts
+    * can't masquerade as extra generations. */
   def staleGenerationIds(s: SparkSession, name: String,
-      candidateIds: DataFrame): DataFrame = {
-    val t = tables(name)
+      candidateIds: DataFrame, perDocTable: String = "",
+      idExpr: Column = col("doc_id"),
+      rowFilter: Column = lit(true)): DataFrame = {
+    val perDoc =
+      if (perDocTable.nonEmpty) perDocTable else tables(name).sizes
     val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
-    val orphans = s.sql(s"SHOW PARTITIONS ${t.sizes}").collect()
+    val orphans = s.sql(s"SHOW PARTITIONS $perDoc").collect()
       .map(_.getString(0).stripPrefix("batch_id="))
       .filterNot(committed).toSeq
-    val live = s.table(t.sizes)
+    val live = s.table(perDoc)
     val gens = (if (orphans.isEmpty) live
       else live.filter(!col("batch_id").isin(orphans: _*)))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+      .filter(rowFilter)
+      .groupBy(idExpr.as("doc_id"))
+      .agg(count(lit(1)).as("g"))
     candidateIds.toDF("doc_id")
       .join(gens, Seq("doc_id"), "left_outer")
       .filter(col("g").isNull || col("g") =!= 1)
@@ -350,7 +374,24 @@ object MinhashIndex {
     * than the banded candidate set, far less than any corpus
     * recompute, and the price of banding-independent recall.
     * Production probes stay [[incrementalPairs]]; this is the
-    * compliance/oracle-grade rung (`s26_ingest_e2e_fuzzy`). */
+    * compliance/oracle-grade rung (`s26_ingest_e2e_fuzzy`).
+    *
+    * The broadcast hints carry the same contract as every probe in the
+    * family: the BATCH side must be broadcast-sized (its shingle rows
+    * ride into every stored-table read — that is what keeps the corpus
+    * side exchange-free). A batch whose shingle frame approaches the
+    * broadcast limit (default 8 GB) should be split upstream — the
+    * micro-batch cadence ContinuousIngest runs at is orders of
+    * magnitude under it; the hint makes an oversized batch fail loudly
+    * at the broadcast rather than silently shuffling the corpus.
+    *
+    * Denominators take ONE size per stored doc (max over committed
+    * generations): under the pinned updates-last arrival every doc has
+    * exactly one generation and the max is the identity, but a probe
+    * issued between an update and its reindex maintenance would
+    * otherwise emit duplicate (doc_old, doc_new) pairs with conflicting
+    * jaccard values — the max keeps the pair set well-defined (one row,
+    * the conservative smaller-jaccard denominator) in that window. */
   def exactIncrementalPairs(s: SparkSession, batch: DataFrame, name: String,
       threshold: Double): DataFrame = {
     val t = tables(name)
@@ -359,13 +400,18 @@ object MinhashIndex {
     val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = stored(s, t.shingles)
       .select(col("doc_id").as("doc_old"), col("shingle"))
+      // distinct: a doc with a superseded generation still pending its
+      // reindex holds BOTH generations' shingle rows — shared shingles
+      // must not double-count the intersection
+      .distinct()
       .join(broadcast(shNewJ.select(col("doc_id").as("doc_new"), col("shingle"))),
         "shingle")
       .groupBy(col("doc_old"), col("doc_new"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(stored(s, t.sizes)
-        .select(col("doc_id").as("doc_old"), col("n_sh").as("n_old")), "doc_old")
+        .groupBy(col("doc_id").as("doc_old"))
+        .agg(max(col("n_sh")).as("n_old")), "doc_old")
       .join(broadcast(sizesNew
         .select(col("doc_id").as("doc_new"), col("n_sh").as("n_new"))), "doc_new")
       .select(col("doc_old"), col("doc_new"),

@@ -281,6 +281,30 @@ object IvfIndex {
       batchId: String): Unit =
     appendIndex(s, newVecs, readCentroids(s, path), path, batchId)
 
+  /** The candidate ids whose stored vector state is NOT exactly one
+    * committed row — [[graft.etl.MinhashIndex.staleGenerationIds]] for
+    * the directory layout: every committed generation contributes one
+    * `(vec_id, v)` row (appends assign one row per vector; folds and
+    * retrains rewrite rows but never merge them), so a row count of 2+
+    * proves a superseded vector lingers and 0 proves a half-done
+    * reindex (purged, the replacement append crashed uncommitted — its
+    * orphan partition is excluded exactly as the fold excludes it).
+    * Cost: a two-column scan of the lists, O(index vectors). */
+  def staleGenerationIdsDir(s: SparkSession, path: String,
+      candidateIds: DataFrame): DataFrame = {
+    import graft.etl.BatchLog
+    import s.implicits._
+    val committed = BatchLog.committed(s, BatchLog.logDirAt(path))
+    val gens = s.read.parquet(path)
+      .filter($"batch_id".isin(committed.toSeq: _*))
+      .groupBy($"vec_id".as("doc_id"))
+      .agg(count(lit(1)).as("g"))
+    candidateIds.toDF("doc_id")
+      .join(gens, Seq("doc_id"), "left_outer")
+      .filter($"g".isNull || $"g" =!= 1)
+      .select($"doc_id")
+  }
+
   /** [[searchIndexDir]] with the quantizer resolved FROM the index dir. */
   def searchIndexDirAuto(s: SparkSession, indexPath: String,
       queries: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame =

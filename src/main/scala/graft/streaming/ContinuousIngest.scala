@@ -491,64 +491,101 @@ object ContinuousIngest {
       } else None
     val ds = sync.flatMap(_.deletes)
     val reidxId = sync.map(ss => s"reidx-v${ss.toVersion}")
-    // TEXT-DERIVED families (MinHash, BM25) additionally purge the
-    // SUPERSEDED generations of changed docs and re-append the current
-    // version from the CDC feed's new-side rows: without this, an
-    // updated doc keeps BOTH generations' rows under one id — ghost
-    // candidates for copies of the retired text, double-counted shingle
-    // intersections against probes. The stale set is the CDC
-    // insert∪update CANDIDATES intersected with the index's own
-    // multi-generation ids (insert rows matter too: a doc inserted and
-    // then updated within ONE window net-diffs to a single insert, yet
-    // its index holds both generations). The purge rides the same fold;
-    // the re-append is exactly-once behind the family's batch log under
-    // the version-derived `reidx-v<N>` id, and the fold PROTECTS that
-    // partition from its own Remove set so every crash window (before
-    // append, mid-append, after append but before the bookmark) replays
-    // to convergence. Embedding-derived families (LSH/IVF/chunk) stay
-    // delete-only: an updated doc's vectors are the ENCODER feed's
-    // concern (a different pipeline seam), not derivable from the text
-    // diff here.
+    // UPDATE-REINDEX: changed docs additionally purge their SUPERSEDED
+    // index generations and re-append the current version from the CDC
+    // feed's new-side rows — without this, an updated doc keeps BOTH
+    // generations' rows under one id (ghost candidates for copies of
+    // retired text, double-counted shingle intersections, stale vectors
+    // serving ANN probes). The stale set is the CDC insert∪update
+    // CANDIDATES intersected with each family's own multi-generation
+    // ids (insert rows matter too: a doc inserted and then updated
+    // within ONE window net-diffs to a single insert, yet its index
+    // holds both generations). The purge rides the fold each family's
+    // compaction performs anyway; the re-append is exactly-once behind
+    // the family's batch log under the version-derived `reidx-v<N>` id,
+    // and the fold PROTECTS that partition from its own Remove set so
+    // every crash window (before append, mid-append, after append but
+    // before the bookmark) replays to convergence.
+    //
+    // Text-derived families (MinHash, BM25, and the chunk index —
+    // whose stand-in embeddings derive deterministically from chunk
+    // text) reindex from the CDC rows' text. EMBEDDING-carried families
+    // (doc-level LSH, IVF) join the protocol when the corpus rows CARRY
+    // the embedding column (the stream fed it, the merge persisted it —
+    // the CDC new-side rows then hold the current vectors); a corpus
+    // without that column is fed by an external encoder pipeline, and
+    // its vector staleness is that seam's to close (documented
+    // asymmetry, delete-only here).
     val candidates = sync.flatMap(_.reindex)
-    val reindex = candidates.flatMap { cand =>
-      if (!spark.catalog.tableExists(s"${cfg.indexName}_banded")) None
-      else {
+    // The replay decision is PER FAMILY: each text-derived family
+    // intersects the CDC candidates with a stale-generation witness
+    // computed from ITS OWN per-doc table and batch log, so a crash
+    // between the MinHash leg and the TextIndex leg replays each leg to
+    // convergence independently. (A shared MinHash-only witness computed
+    // once would report "healthy" after the MinHash re-append committed,
+    // stranding the text index either double-generationed forever —
+    // crash before its compact — or missing the updated docs entirely —
+    // crash between its compact and its append.)
+    def staleFor(famName: String, perDocTable: String,
+        idExpr: org.apache.spark.sql.Column = col("doc_id"),
+        rowFilter: org.apache.spark.sql.Column = lit(true))
+        : Option[DataFrame] =
+      candidates.flatMap { cand =>
         val stale = cand.join(
-          MinhashIndex.staleGenerationIds(spark, cfg.indexName,
-            cand.select(col("doc_id"))),
+          MinhashIndex.staleGenerationIds(spark, famName,
+            cand.select(col("doc_id")), perDocTable, idExpr, rowFilter),
           Seq("doc_id"), "left_semi").localCheckpoint()
         if (stale.isEmpty) None else Some(stale)
       }
+    // embedding-family reindex feed: only when the corpus rows carry
+    // the vectors (see the protocol note above)
+    def vecCandidates: Boolean =
+      candidates.exists(_.columns.contains(cfg.embeddingCol))
+    def withReindex(upd: Option[DataFrame])
+        : Option[graft.etl.IndexCompaction.DeleteSet] = (ds, upd) match {
+      case (d, None) => d
+      case (Some(graft.etl.IndexCompaction.Remove(ids)), Some(u)) =>
+        Some(graft.etl.IndexCompaction.Remove(
+          ids.toDF("doc_id").unionByName(u.select(col("doc_id"))).distinct()))
+      case (None, Some(u)) =>
+        Some(graft.etl.IndexCompaction.Remove(
+          u.select(col("doc_id")).distinct()))
+      case (retain, Some(_)) => retain // unreachable: reconcile carries no diff
     }
-    val dsText: Option[graft.etl.IndexCompaction.DeleteSet] =
-      (ds, reindex) match {
-        case (d, None) => d
-        case (Some(graft.etl.IndexCompaction.Remove(ids)), Some(upd)) =>
-          Some(graft.etl.IndexCompaction.Remove(
-            ids.toDF("doc_id").unionByName(upd.select(col("doc_id"))).distinct()))
-        case (None, Some(upd)) =>
-          Some(graft.etl.IndexCompaction.Remove(
-            upd.select(col("doc_id")).distinct()))
-        case (retain, Some(_)) => retain // unreachable: reconcile carries no diff
-      }
-    val protectReidx = if (reindex.isDefined) reidxId else None
     if (spark.catalog.tableExists(s"${cfg.indexName}_banded")) {
-      MinhashIndex.compact(spark, cfg.indexName, dsText,
-        cfg.storageRowsPerBucket, protectReidx)
-      reindex.foreach(upd =>
+      val reindexMh = staleFor(cfg.indexName, s"${cfg.indexName}_sizes")
+      MinhashIndex.compact(spark, cfg.indexName, withReindex(reindexMh),
+        cfg.storageRowsPerBucket, if (reindexMh.isDefined) reidxId else None)
+      reindexMh.foreach(upd =>
         MinhashIndex.append(spark, upd, cfg.indexName, reidxId.get))
     }
     cfg.textIndexName
       .filter(tn => spark.catalog.tableExists(s"${tn}_postings"))
       .foreach { tn =>
-        TextIndex.compact(spark, tn, dsText, cfg.storageRowsPerBucket,
-          protectReidx)
-        reindex.foreach(upd => TextIndex.append(spark, upd, tn, reidxId.get))
+        val reindexTxt = staleFor(tn, s"${tn}_doclens")
+        TextIndex.compact(spark, tn, withReindex(reindexTxt),
+          cfg.storageRowsPerBucket,
+          if (reindexTxt.isDefined) reidxId else None)
+        reindexTxt.foreach(upd => TextIndex.append(spark, upd, tn, reidxId.get))
       }
     cfg.annIndexName
       .filter(an => LshIndex.exists(spark, an))
       .foreach { an =>
-        LshIndex.compact(spark, an, ds, cfg.storageRowsPerBucket)
+        // EMBEDDING-family update-reindex (the text families' protocol,
+        // per-family witness from this family's OWN vectors table): an
+        // updated doc's stale VECTOR otherwise keeps serving ANN probes
+        // until the doc is deleted — the one index-staleness class the
+        // text-side reindex can't reach, since vectors aren't derivable
+        // from the text diff. The current embedding rides the CDC rows.
+        val reindexAnn =
+          if (vecCandidates) staleFor(an, s"${an}_vectors", col("vec_id"))
+          else None
+        LshIndex.compact(spark, an, withReindex(reindexAnn),
+          cfg.storageRowsPerBucket,
+          if (reindexAnn.isDefined) reidxId else None)
+        reindexAnn.foreach(upd => LshIndex.append(spark,
+          upd.select(col("doc_id").as("vec_id"),
+            col(cfg.embeddingCol).as("embedding")), an, reidxId.get))
         // geometry follows corpus growth — after the fold (fewer files
         // to read for the vector count), widen the planes if the
         // accumulated corpus has outgrown the recorded sizing
@@ -575,13 +612,34 @@ object ContinuousIngest {
             .localCheckpoint()
         val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
         try {
-          val chunkDs = ds.map {
+          // chunk-level update-reindex: this family is TEXT-derived
+          // (chunks embed via the deterministic stand-in in
+          // [[graft.operators.SimilarityOps.chunkIndexFrame]]), so it
+          // reindexes whenever the text families do — no embedding
+          // column needed. The witness maps stored chunk ids back to
+          // their source docs and counts each generation's single
+          // chunk-0 row (variable chunk counts — and folds that
+          // collapse batch partitions — can't masquerade as extra
+          // generations); the purge removes EVERY stored chunk of a
+          // stale doc — both generations', the current one included,
+          // since chunk boundaries move with the text — and the
+          // re-append re-chunks + re-embeds the CURRENT rows under the
+          // protected reidx partition.
+          val reindexChunk =
+            staleFor(cn, s"${cn}_vectors", expr(s"vec_id div $span"),
+              expr(s"vec_id % $span = 0"))
+          val chunkDs = withReindex(reindexChunk).map {
             case graft.etl.IndexCompaction.Remove(ids) =>
               graft.etl.IndexCompaction.Remove(chunkIdsOf(ids))
             case graft.etl.IndexCompaction.Retain(ids) =>
               graft.etl.IndexCompaction.Retain(chunkIdsOf(ids))
           }
-          LshIndex.compact(spark, cn, chunkDs, cfg.storageRowsPerBucket)
+          LshIndex.compact(spark, cn, chunkDs, cfg.storageRowsPerBucket,
+            if (reindexChunk.isDefined) reidxId else None)
+          reindexChunk.foreach(upd => LshIndex.append(spark,
+            graft.operators.SimilarityOps
+              .chunkIndexFrame(spark, upd, cfg.chunkDims),
+            cn, reidxId.get))
           if (cfg.annTargetOccupancy > 0)
             LshIndex.regrow(spark, cn, cfg.annTargetOccupancy)
         } finally {
@@ -670,14 +728,40 @@ object ContinuousIngest {
     cfg.ivfIndexPath
       .filter(graft.operators.IvfIndex.existsDir(spark, _))
       .foreach { p =>
+        // IVF update-reindex: the witness counts committed rows per
+        // vec_id from the family's OWN lists (rows survive folds and
+        // retrains, so generations can't hide in a collapsed
+        // partition); stale candidates join the delete feed, then the
+        // current vectors re-append against the persisted quantizer
+        // under the version-derived reidx id. Ordering purge-then-
+        // append + the witness makes every crash window replay to
+        // convergence without a protect partition: the staged-rename
+        // fold is atomic, and a replay after the re-append committed
+        // computes a healthy witness (g = 1), so nothing re-purges the
+        // replacement.
+        val reindexIvf =
+          if (vecCandidates)
+            candidates.flatMap { cand =>
+              val stale = cand.join(
+                graft.operators.IvfIndex.staleGenerationIdsDir(spark, p,
+                  cand.select(col("doc_id"))),
+                Seq("doc_id"), "left_semi").localCheckpoint()
+              if (stale.isEmpty) None else Some(stale)
+            }
+          else None
+        val ivfDs = withReindex(reindexIvf)
         // ONE rewrite either way: a triggered retrain is itself the
         // family's fold (and applies the delete set to the survivors it
         // trains on); when the quantizer still covers the corpus, the
         // fold-with-deletes runs only if there is something to purge —
         // an idle maintenance pass costs this family nothing
-        if (!graft.operators.IvfIndex.retrainIndexDir(spark, p, deletes = ds)
-            && ds.isDefined)
-          graft.operators.IvfIndex.compactIndexDir(spark, p, ds)
+        if (!graft.operators.IvfIndex.retrainIndexDir(spark, p, deletes = ivfDs)
+            && ivfDs.isDefined)
+          graft.operators.IvfIndex.compactIndexDir(spark, p, ivfDs)
+        reindexIvf.foreach(upd => graft.operators.IvfIndex.appendIndexDir(
+          spark,
+          upd.select(col("doc_id").as("vec_id"),
+            col(cfg.embeddingCol).as("embedding")), p, reidxId.get))
       }
     sync.foreach(ss =>
       IndexDeleteSync.advance(spark, deleteBookmarkPath(cfg), ss.toVersion))

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * TABLE STATE is hash-checked against a DuckDB oracle that replays the
   * accept algebra and the keyed-upsert merge in plain SQL.
   *
-  * Three declared regimes:
+  * Six declared regimes (s28 adds the update-reindex: superseded TEXT
+  * generations purged+reindexed at maintenance; s29 the EMBEDDING
+  * sibling: an updated doc's stale VECTOR purged+reindexed, pinned by
+  * ANN probes of both generations' embeddings; s30 the blind-window
+  * negative: updates then old-text copies with NO maintenance between —
+  * the conservative ghost rejection is the declared hash):
   *
   *  - [[s25]] `s25_ingest_e2e` — the EXACT-duplicate regime
   *    (`nearDupThreshold = 1.0`): byte-copies planted under fresh ids
@@ -172,6 +177,37 @@ object IngestE2E extends QueryModule {
     Seq(s0, s1, s2).map(dated)
   }
 
+  /** Deterministic 16-dim embedding, a pure function of the doc id —
+    * the s29 stream's encoder stand-in. `neg` flips every coordinate
+    * (cosine −1 against the original), so an update's NEW vector is
+    * maximally far from its OLD one: the two probes' hit/miss outcomes
+    * are sign-separated, never a near-threshold coin flip. */
+  private[graft] val VecDims = 16
+  private[graft] def vecExpr(neg: Boolean): org.apache.spark.sql.Column = {
+    val sign = if (neg) -1.0 else 1.0
+    transform(sequence(lit(0), lit(VecDims - 1)),
+      j => lit(sign) *
+        (pmod(xxhash64(col("doc_id"), j), lit(1000L)).cast("double")
+          / lit(500.0) - lit(1.0)))
+  }
+
+  /** The s29 slices: slice 0 is the base corpus CARRYING an embedding
+    * column (the stream feeds the vectors, the merge persists them —
+    * the precondition for the embedding-family update-reindex); slice 1
+    * re-arrives the `% 10 == 3` docs with new text AND a new (negated)
+    * embedding under the SAME ids. */
+  private[graft] def vectorSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = docsOf(s, dir)
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("embedding", vecExpr(neg = false))
+    val updates = s0.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" upd"),
+        col("doc_id").cast("string")))
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .withColumn("embedding", vecExpr(neg = true))
+    Seq(s0, updates).map(dated)
+  }
+
   /** The s27 slices: no plants in slices 0/1; slice 2 carries
     * byte-copies of the docs the scripted DELETE removed (`% 10 == 6`
     * of slice 0) under fresh ids — the resurrection probes. */
@@ -308,6 +344,126 @@ object IngestE2E extends QueryModule {
       ContinuousIngest.maintain(s, cfg) // CDC: purge superseded + reindex
     stageAndRun(s, base, sl.drop(2), cfg, from = 2)
     rollup(s, cfg.corpusPath)
+  }
+
+  /** The s30 slices: the s28 arrival WITHOUT the new-text copies — the
+    * between-maintenance interleaving s25/s26 deliberately avoid
+    * (updates last) and s28 resolves (maintenance between): the updates
+    * land in slice 1, byte-copies of their OLD text arrive in slice 2,
+    * and the script runs NO maintenance, so the copies probe an index
+    * still holding both generations. */
+  private[graft] def blindWindowSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = docsOf(s, dir)
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+    val updKeys = s0.filter(col("doc_id") % 10 === 3)
+    val updates = updKeys
+      .withColumn("text", concat(col("text"), lit(" upd"),
+        col("doc_id").cast("string")))
+      .withColumn("n_chars", col("n_chars") + 1000L)
+    val s1 = docs.filter(col("doc_id") % 3 === 1).unionByName(updates)
+    val oldCopies = updKeys
+      .withColumn("doc_id", col("doc_id") + PlantedOffset)
+    val s2 = docs.filter(col("doc_id") % 3 === 2).unionByName(oldCopies)
+    Seq(s0, s1, s2).map(dated)
+  }
+
+  def ingestBlindWindow(s: SparkSession, dir: String): DataFrame =
+    runIngestBlindWindow(s, dir, s"${root(dir)}_bw", indexName(dir) + "_bw")
+
+  /** The s30 script: all three slices drain with NO maintenance run —
+    * the documented conservative blind window between maintenance
+    * cadences, now a DECLARED hash instead of a doc comment: a copy of
+    * an updated (still-live) doc's superseded text is REJECTED against
+    * the lingering ghost generation. A refactor that eagerly purged
+    * superseded rows at merge time (without the maintenance protocol)
+    * would accept the copies and break this hash — while one that
+    * stopped purging at maintenance breaks s28's. The two hashes pin
+    * the window's both edges. */
+  private[graft] def runIngestBlindWindow(s: SparkSession, dir: String,
+      base: String, idx: String): DataFrame = {
+    wipeAll(s, base, idx)
+    val cfg = mkCfg(base, idx, 1.0, exact = false)
+    stageAndRun(s, base, blindWindowSlices(s, dir), cfg)
+    rollup(s, cfg.corpusPath)
+  }
+
+  def ingestVectorReindex(s: SparkSession, dir: String): DataFrame =
+    runIngestVectorReindex(s, dir, s"${root(dir)}_vr", indexName(dir) + "_vr")
+
+  /** The s29 script — the EMBEDDING-family update-reindex declared:
+    * drain batch 0 (base corpus + vectors; the per-batch leg builds the
+    * LSH ANN index over the stream's embedding column), run maintenance
+    * A (bookmark only), drain batch 1 (updates merge new text AND a new
+    * vector under the same ids — the index now holds BOTH vectors per
+    * updated id), run maintenance B (the vector purge+reindex under
+    * test), then PROBE: for each gate-passing updated doc, an ANN
+    * search with its OLD embedding must MISS (the stale vector was
+    * purged — a lingering ghost answers at cosine 1.0 and breaks the
+    * hash) and one with its NEW embedding must HIT the reindexed
+    * current vector (a lost replacement breaks it the other way).
+    * `withReindex = false` is the spec's negative control: both
+    * generations serve and the old probe HITS. */
+  private[graft] def runIngestVectorReindex(s: SparkSession, dir: String,
+      base: String, idx: String, withReindex: Boolean = true): DataFrame = {
+    wipeAll(s, base, idx)
+    val an = s"${idx}_ann"
+    graft.etl.LshIndex.dropAll(s, an)
+    wipe(s, BatchLog.logDir(s, an).toString)
+    val cfg = mkCfg(base, idx, 1.0, exact = false)
+      .copy(annIndexName = Some(an), annDims = VecDims)
+    val sl = vectorSlices(s, dir)
+    stageAndRun(s, base, sl.take(1), cfg)
+    ContinuousIngest.maintain(s, cfg) // bookmark only (reconcile sweep)
+    stageAndRun(s, base, sl.drop(1), cfg, from = 1)
+    if (withReindex)
+      ContinuousIngest.maintain(s, cfg) // CDC: vector purge + reindex
+    vectorProbeResult(s, dir, an)
+  }
+
+  /** The s29 serving read: ANN-probe the maintained index with each
+    * gate-passing updated doc's OLD and NEW embeddings (fresh probe ids
+    * offset past the corpus id range — the search's self-id filter must
+    * not eat the match) and report per doc whether each probe found the
+    * doc itself at cosine ≥ 0.999. Exact-vector probes make LSH recall
+    * deterministic: an identical vector lands in the probed bucket of
+    * every table, and the negated sibling shares none, so old_hit/
+    * new_hit are purge/reindex facts, not banding luck. */
+  private def vectorProbeResult(s: SparkSession, dir: String,
+      an: String): DataFrame = {
+    val off = PlantedOffset
+    // the oracle's gate replay, mirrored: an update instance enters the
+    // corpus (and the index) iff its scrubbed+normalized text is
+    // non-empty and has >= 2 tokens (the pinned permissive thresholds)
+    val updIds = docsOf(s, dir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" upd"),
+        col("doc_id").cast("string")))
+      .withColumn("norm", lower(trim(regexp_replace(
+        TextOps.scrubPii(col("text")), "\\s+", " "))))
+      .filter(length(col("norm")) > 0 &&
+        size(split(col("norm"), " ")) >= 2)
+      .select(col("doc_id"))
+    val probes = updIds
+      .select((col("doc_id") + off).as("vec_id"),
+        vecExpr(neg = false).as("embedding"))
+      .unionByName(updIds
+        .select((col("doc_id") + 2L * off).as("vec_id"),
+          vecExpr(neg = true).as("embedding")))
+    val hits = graft.etl.LshIndex.search(s, probes, an, topK = 10)
+      .filter(col("cosine_sim") >= 0.999)
+    val oldHits = hits.filter(col("q_id") < lit(2L * off) &&
+        col("neighbor_id") === col("q_id") - lit(off))
+      .select((col("q_id") - off).as("doc_id"), lit(1L).as("old_hit"))
+    val newHits = hits.filter(col("q_id") >= lit(2L * off) &&
+        col("neighbor_id") === col("q_id") - lit(2L * off))
+      .select((col("q_id") - 2L * off).as("doc_id"), lit(1L).as("new_hit"))
+    updIds
+      .join(oldHits, Seq("doc_id"), "left_outer")
+      .join(newHits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("old_hit"), lit(0L)).as("old_hit"),
+        coalesce(col("new_hit"), lit(0L)).as("new_hit"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB fragment: the PII scrub chain over `text` — the shared
@@ -646,5 +802,104 @@ object IngestE2E extends QueryModule {
       ()
     }))
 
-  override val defs: Seq[QueryDef] = Seq(s25, s26, s27, s28)
+  private val s29 = QueryDef(
+    "s29_ingest_vector_reindex",
+    // The oracle replays the one engine-side decision DuckDB can see —
+    // which update instances pass the gates (and therefore merge and
+    // index) — and pins the CONSTANT probe outcome the maintained index
+    // must produce for every one of them: the OLD embedding misses
+    // (old_hit 0: the superseded vector was purged; a stale vector
+    // answers its own probe at cosine 1.0 and flips it), the NEW
+    // embedding hits (new_hit 1: the reidx append restored exactly the
+    // current vector; a lost replacement flips it). The vectors
+    // themselves never enter the oracle — both engines agree on the
+    // probe SET, and the hit pattern is what the protocol guarantees.
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace($scrubSql, '\\s+', ' ', 'g'))) AS norm
+        FROM documents),
+      upd AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g')))
+            AS unorm
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3)
+      SELECT doc_id, CAST(0 AS BIGINT) AS old_hit,
+        CAST(1 AS BIGINT) AS new_hit
+      FROM upd
+      WHERE len(unorm) > 0 AND len(string_split(unorm, ' ')) >= 2
+      ORDER BY doc_id"""),
+    (s, dir) => ingestVectorReindex(s, dir),
+    // benchmark discipline (the s25–s28 convention): the two-batch
+    // ingest + maintenance pipeline is the untimed SETUP; the timed
+    // path is the ANN serving probe of the maintained index.
+    benchBuild = Some((s, dir) =>
+      vectorProbeResult(s, dir, indexName(dir) + "_vrb_ann")),
+    benchSetup = Some((s, dir) => {
+      runIngestVectorReindex(s, dir, s"${root(dir)}_vrb",
+        indexName(dir) + "_vrb")
+      ()
+    }))
+
+  private val s30 = QueryDef(
+    "s30_ingest_blind_window",
+    Some(s"""
+      WITH ${gatesCtes(s"""
+        SELECT doc_id % 3 AS slice, doc_id AS id, norm, n_chars FROM b
+        UNION ALL
+        -- the UPDATES: same id, new text, merged as a keyed upsert
+        SELECT 1, doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g'))),
+          n_chars + 1000
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3
+        UNION ALL
+        -- byte-copies of the updated docs' OLD text under fresh ids —
+        -- NO maintenance ran, so they must be REJECTED against the
+        -- lingering superseded generation (the pinned blind window)
+        SELECT 2, doc_id + $PlantedOffset, norm, n_chars FROM b
+        WHERE doc_id % 3 = 0 AND doc_id % 10 = 3""")},
+      $skeyCtes,
+      acc0 AS (SELECT * FROM comp WHERE slice = 0),
+      -- same-id pairs are EXCLUDED (the engine's indexed-self filter)
+      acc1 AS (
+        SELECT c.* FROM comp c WHERE c.slice = 1 AND (c.skey IS NULL OR
+          NOT EXISTS (SELECT 1 FROM acc0 o
+                      WHERE o.skey = c.skey AND o.id <> c.id))),
+      -- the blind window's probe reference: EVERY accepted instance of
+      -- both earlier slices — superseded generations INCLUDED, because
+      -- nothing purged them (contrast s28's one-generation ref)
+      ref AS (
+        SELECT id, skey FROM acc0
+        UNION ALL
+        SELECT id, skey FROM acc1),
+      acc2 AS (
+        SELECT c.* FROM comp c WHERE c.slice = 2 AND (c.skey IS NULL OR
+          NOT EXISTS (SELECT 1 FROM ref r
+                      WHERE r.skey = c.skey AND r.id <> c.id))),
+      final AS (
+        SELECT id, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY slice DESC) AS rn3
+          FROM (SELECT * FROM acc0 UNION ALL
+                SELECT * FROM acc1 UNION ALL
+                SELECT * FROM acc2)) WHERE rn3 = 1)
+      SELECT DATE '$Epoch' + CAST(id % 7 AS INTEGER) AS doc_date,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(id) AS BIGINT) AS id_sum
+      FROM final
+      GROUP BY 1
+      ORDER BY doc_date"""),
+    (s, dir) => ingestBlindWindow(s, dir),
+    benchBuild = Some((s, dir) =>
+      rollup(s, s"${root(dir)}_bwb/corpus")),
+    benchSetup = Some((s, dir) => {
+      runIngestBlindWindow(s, dir, s"${root(dir)}_bwb",
+        indexName(dir) + "_bwb")
+      ()
+    }))
+
+  override val defs: Seq[QueryDef] = Seq(s25, s26, s27, s28, s29, s30)
 }

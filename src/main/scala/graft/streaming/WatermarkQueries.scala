@@ -1217,7 +1217,12 @@ object WatermarkQueries extends QueryModule {
     * declared hashes differ exactly by TTL expiry. */
   private[graft] val TtlMs = 1L
 
-  private class TtlDistinctUsersProcessor
+  /** Sentinel event type the TTL-retention warmup batch runs under —
+    * no real event carries it, so the warmup's state and its single
+    * emitted row never touch a measured group. */
+  private[graft] val TtlWarmupType = "zzz_warmup"
+
+  private class TtlDistinctUsersProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Long), (String, Long, Long)] {
     import org.apache.spark.sql.{Encoders, streaming => st}
@@ -1226,7 +1231,7 @@ object WatermarkQueries extends QueryModule {
     override def init(outputMode: st.OutputMode, timeMode: st.TimeMode): Unit = {
       seen = getHandle.getMapState[Long, Boolean]("seen",
         Encoders.scalaLong, Encoders.scalaBoolean,
-        st.TTLConfig(java.time.Duration.ofMillis(TtlMs)))
+        st.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
       total = getHandle.getValueState[Long]("total",
         Encoders.scalaLong, st.TTLConfig.NONE)
     }
@@ -1296,7 +1301,7 @@ object WatermarkQueries extends QueryModule {
         .selectExpr("event_type", "CAST(user_id AS LONG) AS user_id")
         .as[(String, Long)]
         .groupByKey(_._1)
-        .transformWithState(new TtlDistinctUsersProcessor,
+        .transformWithState(new TtlDistinctUsersProcessor(TtlMs),
           TimeMode.ProcessingTime(), OutputMode.Append())
         .toDF("event_type", "n_batch_users", "n_cumulative")
       val q = counted.writeStream
@@ -1387,6 +1392,208 @@ object WatermarkQueries extends QueryModule {
       FROM perb
       ORDER BY event_type, n_cumulative"""),
     (s, dir) => streamTtlDistinct(s, dir))
+
+  /** MID-BAND TTL — the RETENTION half [[runTtlDistinct]]'s `TtlMs = 1`
+    * all-expire corner can't pin: an entry must SURVIVE one inter-batch
+    * gap (a next-batch re-arrival is suppressed) and EXPIRE by a later
+    * batch (a re-arrival two batches on re-counts). The TTL sits
+    * between the observed gaps — and the harness ASSERTS the straddle
+    * (gap₁ < TTL − margin, t₃ − t₁ > TTL + margin) from the run's own
+    * progress timestamps rather than assuming the scheduler, the
+    * `runTtlDistinct` discipline. The gaps are CONTROLLED from the
+    * staging side: a sentinel-type WARMUP batch rides the stream's
+    * cold-start cost first (~5 s measured on a first data batch vs
+    * ~1 s warm — without it gap₁ blows the band on every run), batch
+    * 2's file is staged the moment batch 1 commits (small gap, under a
+    * fast trigger), and batch 3's file is HELD until `t₁ + TTL + slack`
+    * has passed (large cumulative gap). The arrival
+    * slices keep batch 3's users DISJOINT from batch 2's, so batch-2
+    * writes (whose expiry vs t₃ the straddle does not determine) are
+    * never probed — every batch-3 outcome is decided solely by the
+    * batch-1 entries the asserted elapsed time proves expired.
+    *
+    * `SPARK_GRAFT_TTL2_MS` tunes the band for slow hosts / scale runs
+    * (the margins scale with it); the ORACLE is TTL-value-independent —
+    * it bakes only the suppressed/re-counted pattern the asserted
+    * straddle makes inevitable. */
+  private[graft] def runTtlRetention(s: SparkSession, base: String,
+      slices: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener, TimeMode}
+    require(slices.size == 3, "the retention protocol is three-batch")
+    wipe(s, base)
+    // band override order: system property (ScaleCurve widens it per
+    // multiplier — batch durations grow with data) > env > default
+    val ttlMs = sys.props.get("graft.ttl2.ms")
+      .orElse(sys.env.get("SPARK_GRAFT_TTL2_MS")).map(_.toLong)
+      .getOrElse(4000L)
+    val gapCapMs = ttlMs - 1000L     // gap₁ must come in under this
+    val holdMs = ttlMs + 1500L       // batch 3 staged this long after t₁
+    val minElapsedMs = ttlMs + 500L  // t₃ − t₁ must exceed this
+    val drainSecs = sys.env.getOrElse("SPARK_GRAFT_TTL_DRAIN_SECS", "600").toLong
+    // A WARMUP batch rides the stream's cold-start cost (state-store
+    // init, source listing, sink setup, codegen — measured ~5 s on the
+    // first data batch vs ~1 s steady-state), so gap₁ is measured
+    // between two WARM batches and the band holds at its steady-state
+    // width. The warmup rows use a sentinel type no event carries, so
+    // their state touches no measured group; the oracle carries their
+    // one emitted row explicitly.
+    val warm = slices(0).limit(1)
+      .withColumn("event_type", lit(TtlWarmupType))
+      .withColumn("user_id", col("user_id") * 0 - 1)
+    stageFile(s, warm, s"$base/stagew", f"$base/in/0000.parquet", 50000L)
+    // slice 0 staged upfront too (it runs as batch 2, already warm);
+    // slices 1 and 2 staged on observed commits (the gap control)
+    stageFile(s, slices(0), s"$base/stage0", f"$base/in/0001.parquet", 100000L)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val qName = s"graft_ttl2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stamps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          stamps.add(java.time.Instant.parse(e.progress.timestamp).toEpochMilli)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    ss.streams.addListener(listener)
+    try {
+      val schema = ss.read.parquet(s"$base/in").schema
+      val counted = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .selectExpr("event_type", "CAST(user_id AS LONG) AS user_id")
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TtlDistinctUsersProcessor(ttlMs),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF("event_type", "n_batch_users", "n_cumulative")
+      val q = counted.writeStream
+        .queryName(qName)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      def awaitBatches(n: Int): Unit = {
+        val deadline = System.nanoTime() + drainSecs * 1000L * 1000 * 1000
+        while (stamps.size < n && q.isActive && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        require(stamps.size >= n,
+          s"TTL-retention harness: batch $n not committed within " +
+            s"$drainSecs s (${stamps.size} committed) — raise " +
+            "SPARK_GRAFT_TTL_DRAIN_SECS for this data size")
+      }
+      try {
+        awaitBatches(2) // warmup + slice 0 committed
+        stageFile(s, slices(1), s"$base/stage1",
+          f"$base/in/0002.parquet", 200000L)
+        awaitBatches(3)
+        val t1 = {
+          val it = stamps.iterator(); it.next(); it.next() // skip warmup
+        }
+        val wakeAt = t1 + holdMs
+        val sleepMs = wakeAt - System.currentTimeMillis()
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        stageFile(s, slices(2), s"$base/stage2",
+          f"$base/in/0003.parquet", 300000L)
+        awaitBatches(4)
+      } finally { q.stop(); q.awaitTermination() }
+      // the straddle the oracle bakes in, asserted with margins that
+      // absorb listener-vs-state-clock skew: batch-1 entries RETAINED
+      // at batch 2 (gap₁ < TTL) and EXPIRED at batch 3 (t₃ − t₁ > TTL);
+      // ts(0) is the warmup batch, outside the measured band
+      val ts = {
+        val it = stamps.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result().sorted
+      }
+      require(ts.size == 4,
+        s"oracle assumes 4 one-file data micro-batches (warmup + 3), " +
+          s"observed ${ts.size}")
+      require(ts(2) - ts(1) < gapCapMs,
+        s"oracle assumes batch-1 entries RETAINED at batch 2 " +
+          s"(gap₁ < ${gapCapMs} ms under the $ttlMs ms TTL); observed " +
+          s"gap₁ = ${ts(2) - ts(1)} ms — host too loaded for the band; " +
+          "raise SPARK_GRAFT_TTL2_MS")
+      require(ts(3) - ts(1) > minElapsedMs,
+        s"oracle assumes batch-1 entries EXPIRED at batch 3 " +
+          s"(t₃ − t₁ > ${minElapsedMs} ms); observed ${ts(3) - ts(1)} ms")
+    } finally ss.streams.removeListener(listener)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("event_type"), col("n_cumulative"), col("n_batch_users"))
+  }
+
+  /** Mid-band TTL declared: user-class slices S1 = {1,2}, S2 = {2,3},
+    * S3 = {1,0} (mod 4) — the %4==2 users re-arriving in batch 2 are
+    * SUPPRESSED (their batch-1 entries survived gap₁ < TTL), the %4==1
+    * users re-arriving in batch 3 RE-COUNT (their entries expired,
+    * t₃ − t₁ > TTL), and batch 3 shares no users with batch 2, so the
+    * undetermined batch-2-entry expiry never decides an output row. */
+  def streamTtlRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.EventOps.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val u = col("user_id") % 4
+    runTtlRetention(s, streamRoot("t2", dir), Seq(
+      ev.filter(u === 1 || u === 2),
+      ev.filter(u === 2 || u === 3),
+      ev.filter(u === 1 || u === 0)))
+  }
+
+  private val evStreamTtl2 = QueryDef(
+    "ev_stream_ttl2",
+    Some(s"""
+      WITH pres AS (
+        SELECT 1 AS sl, event_type, user_id FROM events
+        WHERE user_id % 4 IN (1, 2)
+        UNION ALL
+        SELECT 2, event_type, user_id FROM events
+        WHERE user_id % 4 IN (2, 3)
+        UNION ALL
+        SELECT 3, event_type, user_id FROM events
+        WHERE user_id % 4 IN (1, 0)),
+      perb AS (
+        SELECT DISTINCT sl, event_type, user_id FROM pres),
+      -- one emitted row per (batch, type) WITH ARRIVALS — the engine's
+      -- processor emits even when every arrival was suppressed, so a
+      -- zero-fresh batch must appear as an explicit 0, not a missing row
+      arr AS (SELECT DISTINCT sl, event_type FROM perb),
+      -- the TTL algebra the asserted straddle makes deterministic:
+      -- batch 2 still sees batch 1's entries (suppressed re-arrivals);
+      -- batch 3 no longer does (everyone counts fresh)
+      freshn AS (
+        SELECT sl, event_type, COUNT(*) AS n
+        FROM perb p
+        WHERE p.sl = 1
+           OR p.sl = 3
+           OR (p.sl = 2 AND NOT EXISTS (
+                 SELECT 1 FROM perb q
+                 WHERE q.sl = 1 AND q.event_type = p.event_type
+                   AND q.user_id = p.user_id))
+        GROUP BY 1, 2),
+      fresh AS (
+        SELECT a.sl, a.event_type,
+          CAST(COALESCE(f.n, 0) AS BIGINT) AS n_batch_users
+        FROM arr a LEFT JOIN freshn f
+          ON f.sl = a.sl AND f.event_type = a.event_type)
+      SELECT event_type, n_batch_users, n_cumulative FROM (
+        SELECT event_type, n_batch_users,
+          CAST(SUM(n_batch_users) OVER (
+            PARTITION BY event_type ORDER BY sl) AS BIGINT) AS n_cumulative
+        FROM fresh
+        UNION ALL
+        -- the harness's warmup batch: one sentinel-type row (see
+        -- runTtlRetention — it rides the stream's cold-start cost so
+        -- the asserted gap band is measured between WARM batches)
+        SELECT '$TtlWarmupType', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+      ORDER BY event_type, n_cumulative, n_batch_users"""),
+    (s, dir) => streamTtlRetention(s, dir))
 
   /** CHAINED STATEFUL OPERATORS — `dropDuplicatesWithinWatermark` →
     * watermarked windowed count in ONE streaming query, the production
@@ -1484,5 +1691,5 @@ object WatermarkQueries extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(evWatermark, evStreamDedup,
     evStreamJoin, evStreamOuterJoin, evStreamSessions, evStreamTimeout,
     evStreamState, evStreamGold, evStreamDistinct, evStreamBootstrap,
-    evStreamTtl, evStreamChained)
+    evStreamTtl, evStreamTtl2, evStreamChained)
 }

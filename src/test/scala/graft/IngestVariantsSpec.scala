@@ -93,6 +93,64 @@ class IngestVariantsSpec extends SparkSpec {
         "rejected nothing, so the declared query no longer witnesses the purge")
   }
 
+  test("s29: vector reindex — old embedding misses, new hits; without it both hit") {
+    val res = IngestE2E.ingestVectorReindex(spark, sf0001).collect()
+    assert(res.nonEmpty, "fixture must contain gate-passing update keys")
+    assert(res.forall(r => r.getLong(1) == 0L && r.getLong(2) == 1L),
+      s"declared outcome must be (old MISS, new HIT) per doc: " +
+        res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).mkString(", "))
+    // negative control: skip the vector-reindex maintenance — the stale
+    // vector still serves its own probe (old_hit flips to 1), proving
+    // the declared hash actually witnesses the purge
+    val resN = IngestE2E.runIngestVectorReindex(spark, sf0001,
+      s"${sys.props("java.io.tmpdir")}/graft_stream/ie_${safe(sf0001)}_vrn",
+      "ingest_e2e_" + safe(sf0001).toLowerCase + "_vrn",
+      withReindex = false).collect()
+    assert(resN.nonEmpty && resN.forall(r =>
+      r.getLong(1) == 1L && r.getLong(2) == 1L),
+      "without the vector reindex BOTH generations must serve " +
+        "(old_hit 1, new_hit 1): " +
+        resN.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).mkString(", "))
+  }
+
+  test("s30: the blind window rejects every shingled old-text copy") {
+    val rollup = IngestE2E.ingestBlindWindow(spark, sf0001).collect()
+    assert(rollup.nonEmpty && rollup.map(_.getLong(1)).sum > 0)
+    val table = graft.etl.ManifestTable.read(spark, corpusOf("_bw"))
+      .select($"doc_id", $"text").cache()
+    try {
+      val updatedIds = graft.core.T(spark, sf0001, "documents")
+        .select($"doc_id".cast("long").as("doc_id"))
+        .filter($"doc_id" % 3 === 0 && $"doc_id" % 10 === 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(updatedIds.nonEmpty, "fixture must contain update keys")
+      // the updates themselves merged (the ghost generation is of a
+      // LIVE doc whose current text moved on)
+      val updTexts = table.filter($"doc_id".isin(updatedIds.toSeq: _*))
+        .select($"text").collect().map(_.getString(0))
+      assert(updTexts.nonEmpty && updTexts.forall(_.contains(" upd")),
+        "updated docs must carry the NEW text in the published table")
+      // every copy of the OLD text that HAS shingles is rejected against
+      // the lingering superseded generation (shingle-less copies have
+      // nothing to probe with and pass in every regime — the s27 note)
+      val accepted = table.filter($"doc_id" >= Offset)
+        .select($"doc_id").collect().map(_.getLong(0) - Offset).toSet
+      val shingled = graft.core.T(spark, sf0001, "documents")
+        .select($"doc_id".cast("long").as("doc_id"),
+          size(split(lower(trim(regexp_replace(
+            graft.operators.TextOps.scrubPii($"text"), "\\s+", " "))),
+            " ")).as("n_toks"))
+        .filter($"doc_id" % 3 === 0 && $"doc_id" % 10 === 3 &&
+          $"n_toks" >= 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(shingled.nonEmpty, "fixture must contain shingled update keys")
+      assert(accepted.intersect(shingled).isEmpty,
+        s"shingled old-text copies ${accepted.intersect(shingled)} were " +
+          "accepted — the ghost generation rejected nothing, so the " +
+          "declared blind-window hash no longer witnesses it")
+    } finally table.unpersist()
+  }
+
   test("s27: purge frees the deleted texts' copies; without maintenance the ghosts reject them") {
     val rollup = IngestE2E.ingestDeleteSync(spark, sf0001).collect()
     assert(rollup.nonEmpty && rollup.map(_.getLong(1)).sum > 0)

@@ -1,6 +1,7 @@
 package graft
 
-import graft.etl.{IndexCompaction, IndexDeleteSync, ManifestTable, MinhashIndex}
+import graft.etl.{IndexCompaction, IndexDeleteSync, ManifestTable, MinhashIndex, TextIndex}
+import graft.streaming.ContinuousIngest
 import org.apache.spark.sql.functions._
 
 /** The UPDATE-REINDEX protocol in isolation — the machinery behind
@@ -148,6 +149,101 @@ class UpdateReindexSpec extends SparkSpec {
     assert(MinhashIndex.incrementalPairs(spark,
       docs(Seq(42L), _ => " gentwo").withColumn("doc_id", lit(333L)), idx, 1.0)
       .count() == 1, "the current generation must match")
+  }
+
+  // --- cross-family crash windows: the replay decision is PER FAMILY ---
+  // A crash between the MinHash leg and the TextIndex leg previously
+  // stranded the BM25 index: the shared MinHash-only witness reported
+  // "healthy" once the MinHash re-append committed, so the replay
+  // computed reindex=None and the text index either kept both
+  // generations forever (crash before its compact) or permanently lost
+  // the updated docs (crash between its compact and its append). Each
+  // family now intersects the CDC candidates with a witness from its
+  // OWN per-doc table + batch log.
+
+  private def crossFamilyFixture(): (ContinuousIngest.Config, String) = {
+    val (corpus, idx, _) = freshNames()
+    val txt = s"${idx}_txt"
+    val keys = Seq("doc_id", "doc_date")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = idx,
+      textIndexName = Some(txt))
+    val base = docs(1L to 10L, _ => "")
+    ManifestTable.mergeInto(spark, base, corpus, keys, "doc_date")
+    MinhashIndex.build(spark, base, idx)
+    TextIndex.build(spark, base, txt)
+    IndexDeleteSync.advance(spark, ContinuousIngest.deleteBookmarkPath(cfg),
+      ManifestTable.currentSnapshot(spark, corpus).get.version)
+    // per-batch legs: the update merged and appended to BOTH families,
+    // so both hold two generations under the updated ids
+    val upd = docs(Seq(3L, 7L), i => s" upd$i")
+    ManifestTable.mergeInto(spark, upd, corpus, keys, "doc_date")
+    MinhashIndex.append(spark, upd, idx, "b1")
+    TextIndex.append(spark, upd, txt, "b1")
+    assert(generations(idx, 3L) == 2)
+    assert(doclenGenerations(txt, 3L) == 2)
+    (cfg, txt)
+  }
+
+  private def doclenGenerations(txt: String, id: Long): Long =
+    spark.table(s"${txt}_doclens").filter(col("doc_id") === id).count()
+
+  /** Replays the first maintenance attempt's MinHash leg to completion
+    * (purge + committed reindex append), exactly the state a crash
+    * right before the TextIndex leg leaves behind. Returns the reindex
+    * batch id and the candidate frame the attempt computed. */
+  private def runMinhashLegOnly(cfg: ContinuousIngest.Config)
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val ss = IndexDeleteSync.pendingFull(spark, cfg.corpusPath,
+      ContinuousIngest.deleteBookmarkPath(cfg), cfg.keys).get
+    val reidxId = s"reidx-v${ss.toVersion}"
+    val updIds = ss.reindex.get.select($"doc_id").distinct()
+    MinhashIndex.compact(spark, cfg.indexName,
+      Some(IndexCompaction.Remove(updIds)), protect = Some(reidxId))
+    MinhashIndex.append(spark, ss.reindex.get, cfg.indexName, reidxId)
+    assert(generations(cfg.indexName, 3L) == 1, "MinHash leg committed pre-crash")
+    (reidxId, ss.reindex.get)
+  }
+
+  test("crash after the MinHash leg committed: replay converges the TextIndex leg") {
+    val (cfg, txt) = crossFamilyFixture()
+    runMinhashLegOnly(cfg)
+    assert(doclenGenerations(txt, 3L) == 2,
+      "the text index still holds both generations at the crash point")
+    // REPLAY: the full maintenance pass — the MinHash family's own
+    // witness now reports healthy, but the text family's must not
+    ContinuousIngest.maintain(spark, cfg)
+    assert(generations(cfg.indexName, 3L) == 1)
+    assert(doclenGenerations(txt, 3L) == 1,
+      "replay must purge+reindex the text family independently")
+    // the postings hold exactly ONE generation's rows per (token, doc)
+    assert(spark.table(s"${txt}_postings")
+      .filter($"doc_id" === 3L && $"token" === "d3").count() == 1,
+      "superseded postings purged")
+    assert(TextIndex.search(spark, txt, Seq("upd3"), topK = 5)
+      .filter($"doc_id" === 3L).count() == 1,
+      "the current generation serves")
+    // converged: the bookmark advanced, nothing pending
+    assert(IndexDeleteSync.pendingFull(spark, cfg.corpusPath,
+      ContinuousIngest.deleteBookmarkPath(cfg), cfg.keys).isEmpty)
+  }
+
+  test("crash between the text purge and the text re-append: replay restores the docs") {
+    val (cfg, txt) = crossFamilyFixture()
+    val (reidxId, reindexRows) = runMinhashLegOnly(cfg)
+    // ...and the text leg's COMPACT also ran (purging both generations)
+    // before the crash — the worst window: the docs are GONE from the
+    // text index and the MinHash witness says nothing needs doing
+    TextIndex.compact(spark, txt,
+      Some(IndexCompaction.Remove(reindexRows.select($"doc_id").distinct())),
+      protect = Some(reidxId))
+    assert(doclenGenerations(txt, 3L) == 0,
+      "the text index lost the docs at the crash point")
+    ContinuousIngest.maintain(spark, cfg)
+    assert(doclenGenerations(txt, 3L) == 1,
+      "the per-family witness (zero committed generations) must trigger the re-append")
+    assert(TextIndex.search(spark, txt, Seq("upd3"), topK = 5)
+      .filter($"doc_id" === 3L).count() == 1)
+    assert(generations(cfg.indexName, 3L) == 1, "MinHash family untouched by the replay")
   }
 
   test("stale witness flags a half-done reindex (zero committed generations)") {
