@@ -102,12 +102,10 @@ object ScaleCurve {
     "s27_ingest_delete_sync", // delete+purge+resurrect e2e (pipeline = setup)
     "s28_ingest_update_reindex", // update-reindex e2e (pipeline = setup)
     "ev_stream_ttl",         // processing-time TTL state expiry (TWS, RocksDB)
-    "ev_stream_chained")     // dedup -> windowed agg, two chained stateful ops
-  // round-17 newcomers measured separately before joining curveQueries
-  // (SurfaceCountSpec: a curve-listed query without its recorded
-  // SCALE.md row is an unrecorded claim): ev_stream_ttl2,
-  // s29_ingest_vector_reindex, s30_ingest_blind_window enter the list
-  // in the same commit as their measured rows.
+    "ev_stream_ttl2",        // mid-band TTL: retained one gap, expired past it
+    "ev_stream_chained",     // dedup -> windowed agg, two chained stateful ops
+    "s29_ingest_vector_reindex", // embedding-family reindex: ANN probe (pipeline = setup)
+    "s30_ingest_blind_window")   // no-maintenance ghost rejection (pipeline = setup)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L

@@ -50,6 +50,100 @@ object MinhashIndex {
   def tables(name: String): Tables =
     Tables(s"${name}_banded", s"${name}_shingles", s"${name}_sizes")
 
+  /** OPT-IN side table for the exact cross-batch probe
+    * ([[exactIncrementalPairs]]): the same (doc_id, shingle) rows as
+    * `_shingles`, laid out for the OTHER access pattern — partitioned
+    * by `sh_p = pmod(xxhash64(shingle), ShPParts)` so a probe prunes
+    * its scan to the partitions the batch's shingles actually hash
+    * into, instead of scanning the whole stored shingle table per
+    * batch (the round-16 design's documented completeness price). The
+    * main table keeps its (doc_id, shingle) bucketing — the banded
+    * path's verify join depends on it — and the side table exists only
+    * when the index was built with `exactProbe = true` (persisted in
+    * [[IndexMeta]]; storage-doubling is a regime choice, never a
+    * default). Maintenance: appends write it inside the same
+    * exactly-once batch protocol; compaction re-derives it from the
+    * folded main table (one extra write pass of rows the fold
+    * rewrites anyway) behind a stage-swap, and the probe HEALS the one
+    * crash window left (main folded, side re-derive crashed) by
+    * comparing committed batch-partition sets and re-deriving on
+    * mismatch — a stale side table can never feed the probe ghost
+    * rows. */
+  private[etl] val ShPParts = 64
+  def sideTable(name: String): String = s"${name}_shingles_bysh"
+
+  private def shP(c: Column): Column =
+    pmod(xxhash64(c), lit(ShPParts.toLong))
+
+  private def writeSide(s: SparkSession, rows: DataFrame, name: String,
+      batchId: String, append: Boolean, table: String = ""): Unit = {
+    val t = if (table.nonEmpty) table else sideTable(name)
+    rows.select(col("doc_id"), col("shingle"),
+        shP(col("shingle")).as("sh_p"))
+      .withColumn("batch_id", lit(BatchLog.sanitize(batchId)))
+      .repartition(ShPParts, col("sh_p"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("batch_id", "sh_p")
+      .format("parquet")
+      .saveAsTable(t)
+  }
+
+  private def committedBatchParts(s: SparkSession, table: String,
+      committed: String => Boolean): Set[String] =
+    s.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("/")(0).stripPrefix("batch_id="))
+      .toSet.filter(committed)
+
+  /** Is the side table derived from the SAME committed content as the
+    * main shingle table? Batch-partition parity is the witness: every
+    * maintenance that changes main's partitions (fold, purge, reindex)
+    * rewrites or re-derives the side in the same protocol, so a
+    * mismatch proves a crash between the two — the probe re-derives
+    * before trusting it. */
+  private def sideHealthy(s: SparkSession, name: String): Boolean = {
+    if (!s.catalog.tableExists(sideTable(name))) return false
+    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+    committedBatchParts(s, sideTable(name), committed) ==
+      committedBatchParts(s, tables(name).shingles, committed)
+  }
+
+  /** Rebuild the side table from the main table's committed rows —
+    * the compaction-time derive and the probe-time heal share this one
+    * definition. Drop-and-rewrite, NOT a stage-swap: the side table is
+    * DERIVED state with a probe-side heal, so the only durability
+    * requirement is that every crash window is detectable — a crash
+    * after the drop leaves the table absent, a crash mid-write leaves
+    * no catalog entry (saveAsTable commits last); [[sideHealthy]]
+    * reports false for both and the next probe re-derives. (A rename
+    * swap is NOT usable here: renaming a partitioned managed table
+    * leaves the partitions' location URIs pointing into the retired
+    * stage directory — silent empty reads.) */
+  private[etl] def reDeriveSide(s: SparkSession, name: String): Unit = {
+    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
+    val main = tables(name).shingles
+    val orphans = s.sql(s"SHOW PARTITIONS $main").collect()
+      .map(_.getString(0).stripPrefix("batch_id="))
+      .filterNot(committed).toSeq
+    val live0 = s.table(main)
+    val live = if (orphans.isEmpty) live0
+      else live0.filter(!col("batch_id").isin(orphans: _*))
+    // materialize BEFORE the drop: the derive reads the main table, not
+    // the side table, but a lazy plan captured here must not race the
+    // catalog mutation below
+    val rows = live.select(col("doc_id"), col("shingle"),
+      shP(col("shingle")).as("sh_p"), col("batch_id"))
+    dropTable(s, sideTable(name))
+    rows.repartition(ShPParts, col("sh_p"))
+      .write.partitionBy("batch_id", "sh_p")
+      .format("parquet").saveAsTable(sideTable(name))
+  }
+
+  /** Whether `name` maintains the exact-probe side table (set at build
+    * via `exactProbe = true`, read from [[IndexMeta]] like every other
+    * build-time choice). */
+  def hasExactProbe(s: SparkSession, name: String): Boolean =
+    IndexMeta.read(s, name).getOrElse("exact_probe", "false").toBoolean
+
   /** Batch partition value a full rebuild writes under. */
   val BuildBatchId: String = BatchLog.BuildId
 
@@ -106,9 +200,11 @@ object MinhashIndex {
       hashFn: (Column, Int) => Column = defaultHashFn,
       hashedShingles: Boolean = false,
       hashFnId: String = DefaultHashFnId,
-      buildBatchId: String = BuildBatchId): Tables = {
+      buildBatchId: String = BuildBatchId,
+      exactProbe: Boolean = false): Tables = {
     val t = tables(name)
-    Seq(t.banded, t.shingles, t.sizes).foreach(dropTable(s, _))
+    Seq(t.banded, t.shingles, t.sizes,
+      sideTable(name), sideTable(name) + "__new").foreach(dropTable(s, _))
     val log = BatchLog.logDir(s, name)
     BatchLog.reset(s, log)
     IndexMeta.write(s, name, Map(
@@ -116,7 +212,8 @@ object MinhashIndex {
       "bands" -> bands.toString,
       "n_buckets" -> nBuckets.toString,
       "hash_fn" -> hashFnId,
-      "hashed_shingles" -> hashedShingles.toString))
+      "hashed_shingles" -> hashedShingles.toString,
+      "exact_probe" -> exactProbe.toString))
     val sh0 = DedupOps.shingleRows(corpus)
     val (sh, relSh) = if (hashedShingles) pin(sh0) else (sh0, () => ())
     try {
@@ -133,6 +230,11 @@ object MinhashIndex {
           t.banded, nBuckets, append = false, buildBatchId, "band", "bucket")
       } finally relSig()
     } finally relSh()
+    // side table derives from the STORED main rows — same consistency
+    // invariant as the signature derivation above (the corpus frame may
+    // be non-deterministic under recompute; the stored rows are fact)
+    if (exactProbe)
+      writeSide(s, stored(s, t.shingles), name, buildBatchId, append = false)
     BatchLog.commit(s, log, buildBatchId)
     t
   }
@@ -159,12 +261,14 @@ object MinhashIndex {
     BatchLog.runOnce(s, BatchLog.logDir(s, name), batchId) {
       Seq(t.shingles, t.sizes, t.banded)
         .foreach(dropBatchPartition(s, _, batchId))
+      dropSideBatch(s, name, batchId)
     } {
       val meta = IndexMeta.read(s, name) // one read serves check + params
       IndexMeta.validateIn(meta, name, "hash_fn" -> hashFnId)
       val numPerms = meta("num_perms").toInt
       val bands = meta("bands").toInt
       val nBuckets = meta("n_buckets").toInt
+      val exactProbe = meta.getOrElse("exact_probe", "false").toBoolean
       val hashed = isHashed(s, name) // match the built mode, never mix
       // ONE pinned evaluation of the batch's shingles feeds all three
       // writes (see [[pin]]: checkpoint, not persist — block loss fails
@@ -177,6 +281,11 @@ object MinhashIndex {
       try {
         writeBucketed(if (hashed) hashShingleCol(sh) else sh,
           t.shingles, nBuckets, append = true, batchId, "doc_id", "shingle")
+        // the side write reads the same PINNED evaluation as the main
+        // write, so the two layouts can never diverge row-for-row
+        if (exactProbe)
+          writeSide(s, if (hashed) hashShingleCol(sh) else sh, name,
+            batchId, append = true)
         val (sig, relSig) = pin(
           DedupOps.minhashSigFromShingles(sh, numPerms, hashFn))
         try {
@@ -209,6 +318,12 @@ object MinhashIndex {
       t.sizes -> Seq("doc_id"),
       t.banded -> Seq("band", "bucket")),
       deletes.map("doc_id" -> _), targetRowsPerBucket, protect)
+    // the exact-probe side table re-derives from the folded main rows
+    // (purges and reindex protection land there for free); a crash
+    // before this completes is the window [[sideHealthy]] detects and
+    // the probe heals
+    if (IndexMeta.exists(s, name) && hasExactProbe(s, name))
+      reDeriveSide(s, name)
   }
 
   /** Remove `ids` (single doc-id column) from all three tables — the
@@ -224,6 +339,25 @@ object MinhashIndex {
       batchId: String): Unit =
     s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
       s"(batch_id='${BatchLog.sanitize(batchId)}')")
+
+  /** [[dropBatchPartition]] for the two-level side table: enumerate the
+    * batch's (batch_id, sh_p) leaf partitions and drop each with a full
+    * spec (a partial spec is catalog-dependent; the listing is ≤
+    * [[ShPParts]] lines). */
+  private def dropSideBatch(s: SparkSession, name: String,
+      batchId: String): Unit = {
+    val t = sideTable(name)
+    if (!s.catalog.tableExists(t)) return
+    val safe = BatchLog.sanitize(batchId)
+    s.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+      .filter(_.startsWith(s"batch_id=$safe/"))
+      .foreach { p =>
+        val spec = p.split("/").map { kv =>
+          val Array(k, v) = kv.split("=", 2); s"$k='$v'"
+        }.mkString(", ")
+        s.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($spec)")
+      }
+  }
 
   /** Full-rebuild drop: DROP TABLE clears only THIS session's catalog —
     * with the default in-memory catalog a fresh JVM doesn't know the
@@ -369,9 +503,11 @@ object MinhashIndex {
     * frame), with the identical exact-Jaccard verify math. The batch's
     * (doc, shingle) rows ride a BROADCAST into the stored shingle
     * table, so the corpus side is read in place with no exchange and
-    * only matching rows reach the pairs-sized aggregate; cost is
-    * O(corpus shingle rows scanned + matched rows shuffled) — more
-    * than the banded candidate set, far less than any corpus
+    * only matching rows reach the pairs-sized aggregate; with the
+    * opt-in [[sideTable]] (exactProbe builds) the scan additionally
+    * PRUNES to the sh_p partitions the batch's shingles hash into, so
+    * cost is O(touched-partition shingle rows + matched rows shuffled)
+    * — more than the banded candidate set, far less than any corpus
     * recompute, and the price of banding-independent recall.
     * Production probes stay [[incrementalPairs]]; this is the
     * compliance/oracle-grade rung (`s26_ingest_e2e_fuzzy`).
@@ -398,7 +534,24 @@ object MinhashIndex {
     val shNew = DedupOps.shingleRows(batch)
     val shNewJ = if (isHashed(s, name)) hashShingleCol(shNew) else shNew
     val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = stored(s, t.shingles)
+    // With the opt-in side table the scan PRUNES to the sh_p partitions
+    // the batch's shingles hash into — the batch's distinct sh_p values
+    // are ≤ ShPParts literals by construction (driver-small), so the
+    // filter is a real partition predicate, not a join. A batch whose
+    // shingles cover every partition scans everything, honestly — the
+    // pruning pays off exactly where the exact regime is dearest: small
+    // compliance probes against a huge index. Falls back to the full
+    // main-table scan when the index wasn't built with exactProbe.
+    val storedSh =
+      if (IndexMeta.exists(s, name) && hasExactProbe(s, name)) {
+        if (!sideHealthy(s, name)) reDeriveSide(s, name)
+        val pVals = shNewJ.select(shP(col("shingle")).as("p"))
+          .distinct().collect().map(_.getLong(0)) // ≤ ShPParts values
+        s.table(sideTable(name))
+          .filter(col("sh_p").isin(pVals: _*))
+          .select(col("doc_id"), col("shingle"))
+      } else stored(s, t.shingles)
+    val inter = storedSh
       .select(col("doc_id").as("doc_old"), col("shingle"))
       // distinct: a doc with a superseded generation still pending its
       // reindex holds BOTH generations' shingle rows — shared shingles

@@ -113,9 +113,12 @@ object ContinuousIngest {
       // all-pairs oracle in `dd_prefix_filter_join`) and the cross-batch
       // probe through the shared-shingle exact join
       // ([[MinhashIndex.exactIncrementalPairs]]). Costs more than the
-      // banded path (candidates = every shingle-sharing pair; the whole
-      // stored shingle table is scanned in place) — the price of
-      // completeness; production keeps the banded default.
+      // banded path (candidates = every shingle-sharing pair) — the
+      // price of completeness; production keeps the banded default.
+      // The cold build co-maintains the sh_p-partitioned side table
+      // ([[MinhashIndex.sideTable]]), so the probe's scan PRUNES to the
+      // partitions the batch's shingles hash into instead of reading
+      // the whole stored shingle table per batch.
       exactCandidates: Boolean = false,
       compactEvery: Int = 0,
       retainVersions: Int = 2,
@@ -371,7 +374,11 @@ object ContinuousIngest {
           if (spark.catalog.tableExists(s"${cfg.indexName}_banded"))
             MinhashIndex.append(spark, accept, cfg.indexName, bid)
           else
-            MinhashIndex.build(spark, accept, cfg.indexName, buildBatchId = bid)
+            // exactCandidates opts the cold build into the probe-pruned
+            // side table — appends and probes read the choice from
+            // IndexMeta thereafter
+            MinhashIndex.build(spark, accept, cfg.indexName,
+              buildBatchId = bid, exactProbe = cfg.exactCandidates)
         }
         stamp("minhash indexed")
         // Optional serving artifacts, each exactly-once behind its OWN

@@ -73,10 +73,11 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this is the same pipeline shape: per-batch cost is
   * O(batch) gates plus an index probe that shuffles only the batch
-  * (banded) or only matched shingle rows (exact — the whole stored
-  * shingle table is scanned in place, the price of zero false
-  * negatives), and the merge rewrites only touched date partitions
-  * behind one atomic manifest flip.
+  * (banded) or only matched shingle rows (exact — scanning only the
+  * sh_p side-table partitions the batch's shingles hash into, the
+  * round-17 pruning; zero false negatives either way), and the merge
+  * rewrites only touched date partitions behind one atomic manifest
+  * flip.
   */
 object IngestE2E extends QueryModule {
 
@@ -240,7 +241,8 @@ object IngestE2E extends QueryModule {
   private def wipeAll(s: SparkSession, base: String, idx: String): Unit = {
     wipe(s, base)
     wipe(s, BatchLog.logDir(s, idx).toString)
-    Seq("banded", "shingles", "sizes", "meta", "meta__new")
+    Seq("banded", "shingles", "sizes", "meta", "meta__new",
+        "shingles_bysh", "shingles_bysh__new")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${idx}_$t"))
   }
 
