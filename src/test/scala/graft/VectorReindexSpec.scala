@@ -177,6 +177,86 @@ class VectorReindexSpec extends SparkSpec {
       "the stored chunks are exactly the CURRENT text's chunking")
   }
 
+  test("chunk family: crash between the chunk purge and the re-append replays to convergence") {
+    val (corpus, idx, _) = freshNames()
+    val cn = s"vrx_chc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val keys = Seq("doc_id", "doc_date")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = idx,
+      chunkIndexName = Some(cn))
+    val base = docs(1L to 10L, _ => "", neg = false).drop("embedding")
+    ManifestTable.mergeInto(spark, base, corpus, keys, "doc_date")
+    MinhashIndex.build(spark, base, idx)
+    LshIndex.build(spark,
+      SimilarityOps.chunkIndexFrame(spark, base, cfg.chunkDims), cn,
+      dims = cfg.chunkDims)
+    IndexDeleteSync.advance(spark, ContinuousIngest.deleteBookmarkPath(cfg),
+      ManifestTable.currentSnapshot(spark, corpus).get.version)
+    val upd = docs(Seq(3L), i => s" upd$i", neg = false).drop("embedding")
+    ManifestTable.mergeInto(spark, upd, corpus, keys, "doc_date")
+    MinhashIndex.append(spark, upd, idx, "b1")
+    LshIndex.append(spark,
+      SimilarityOps.chunkIndexFrame(spark, upd, cfg.chunkDims), cn, "b1")
+    val span = SimilarityOps.ChunkIdSpan
+    def gen0Rows(id: Long): Long = spark.table(s"${cn}_vectors")
+      .filter(expr(s"vec_id div $span") === id &&
+        expr(s"vec_id % $span = 0")).count()
+    assert(gen0Rows(3L) == 2)
+    // crash simulation: the chunk purge ran (every stored chunk of the
+    // doc removed, reidx partition protected) but the re-append did not
+    val ss = IndexDeleteSync.pendingFull(spark, corpus,
+      ContinuousIngest.deleteBookmarkPath(cfg), keys).get
+    val reidxId = s"reidx-v${ss.toVersion}"
+    val chunkIds = spark.table(s"${cn}_vectors")
+      .filter(expr(s"vec_id div $span") === 3L).select($"vec_id")
+      .localCheckpoint()
+    LshIndex.compact(spark, cn, Some(IndexCompaction.Remove(chunkIds)),
+      protect = Some(reidxId))
+    assert(gen0Rows(3L) == 0, "the doc's chunks are GONE at the crash point")
+    ContinuousIngest.maintain(spark, cfg)
+    assert(gen0Rows(3L) == 1,
+      "the chunk witness (zero chunk-0 rows) must trigger the re-append")
+    val expected = SimilarityOps
+      .chunkIndexFrame(spark, upd, cfg.chunkDims).count()
+    assert(spark.table(s"${cn}_vectors")
+      .filter(expr(s"vec_id div $span") === 3L).count() == expected,
+      "the restored chunks are exactly the CURRENT text's chunking")
+  }
+
+  test("IVF family: crash between the purge and the re-append replays to convergence") {
+    val (corpus, idx, _) = freshNames()
+    val p = java.nio.file.Files.createTempDirectory("vrx_ivfc").toString + "/ivf"
+    val keys = Seq("doc_id", "doc_date")
+    val cfg = ContinuousIngest.Config(corpusPath = corpus, indexName = idx,
+      ivfIndexPath = Some(p), annDims = IngestE2E.VecDims)
+    val base = docs(1L to 10L, _ => "", neg = false)
+    ManifestTable.mergeInto(spark, base, corpus, keys, "doc_date")
+    MinhashIndex.build(spark, base, idx)
+    IvfIndex.buildIndexDir(spark, vecsOf(base), p, k = 4)
+    IndexDeleteSync.advance(spark, ContinuousIngest.deleteBookmarkPath(cfg),
+      ManifestTable.currentSnapshot(spark, corpus).get.version)
+    val upd = docs(Seq(3L, 7L), i => s" upd$i", neg = true)
+    ManifestTable.mergeInto(spark, upd, corpus, keys, "doc_date")
+    MinhashIndex.append(spark, upd, idx, "b1")
+    IvfIndex.appendIndexDir(spark, vecsOf(upd), p, "b1")
+    def rows(id: Long): Long =
+      spark.read.parquet(p).filter(col("vec_id") === id).count()
+    assert(rows(3L) == 2)
+    // crash simulation: the fold-with-deletes purged BOTH generations,
+    // the re-append never ran
+    IvfIndex.compactIndexDir(spark, p, Some(IndexCompaction.Remove(
+      Seq(3L, 7L).toDF("vec_id"))))
+    assert(rows(3L) == 0, "the vectors are GONE at the crash point")
+    ContinuousIngest.maintain(spark, cfg)
+    assert(rows(3L) == 1,
+      "the IVF witness (zero committed rows) must trigger the re-append")
+    val q = Seq(3L).toDF("doc_id")
+      .select((col("doc_id") + Off).as("vec_id"),
+        IngestE2E.vecExpr(neg = true).as("embedding"))
+    assert(IvfIndex.searchIndexDirAuto(spark, p, q, topK = 5, nprobe = 4)
+      .filter(col("neighbor_id") === 3L && col("cosine_sim") >= 0.999)
+      .count() == 1, "the restored vector is the CURRENT generation's")
+  }
+
   test("IVF family: stale vector purged, current re-appended, witness converges") {
     val (corpus, idx, _) = freshNames()
     val p = java.nio.file.Files.createTempDirectory("vrx_ivf").toString + "/ivf"
