@@ -393,33 +393,47 @@ object IngestE2E extends QueryModule {
     runIngestVectorReindex(s, dir, s"${root(dir)}_vr", indexName(dir) + "_vr")
 
   /** The s29 script — the EMBEDDING-family update-reindex declared:
-    * drain batch 0 (base corpus + vectors; the per-batch leg builds the
-    * LSH ANN index over the stream's embedding column), run maintenance
-    * A (bookmark only), drain batch 1 (updates merge new text AND a new
-    * vector under the same ids — the index now holds BOTH vectors per
-    * updated id), run maintenance B (the vector purge+reindex under
-    * test), then PROBE: for each gate-passing updated doc, an ANN
-    * search with its OLD embedding must MISS (the stale vector was
-    * purged — a lingering ghost answers at cosine 1.0 and breaks the
-    * hash) and one with its NEW embedding must HIT the reindexed
-    * current vector (a lost replacement breaks it the other way).
-    * `withReindex = false` is the spec's negative control: both
-    * generations serve and the old probe HITS. */
+    * drain batch 0 (base corpus + vectors; the per-batch legs build the
+    * LSH ANN index, the IVF lists, and the chunk index), run
+    * maintenance A (bookmark only), drain batch 1 (updates merge new
+    * text AND a new vector under the same ids — every vector family now
+    * holds BOTH generations per updated id), run maintenance B (the
+    * vector purge+reindex under test), then PROBE both doc-level
+    * families: for each gate-passing updated doc, a search with its OLD
+    * embedding must MISS (the stale vector was purged — a lingering
+    * ghost answers at cosine 1.0 and breaks the hash) and one with its
+    * NEW embedding must HIT the reindexed current vector (a lost
+    * replacement breaks it the other way). The chunk family rides the
+    * same pipeline but is pinned in VectorReindexSpec (its probe
+    * outcome is content-dependent — see runIngestVectorReindex's
+    * note). `withReindex = false` is the spec's negative control: both
+    * generations serve and the old probes HIT. */
   private[graft] def runIngestVectorReindex(s: SparkSession, dir: String,
       base: String, idx: String, withReindex: Boolean = true): DataFrame = {
     wipeAll(s, base, idx)
     val an = s"${idx}_ann"
-    graft.etl.LshIndex.dropAll(s, an)
-    wipe(s, BatchLog.logDir(s, an).toString)
+    val cn = s"${idx}_ch"
+    Seq(an, cn).foreach { n =>
+      graft.etl.LshIndex.dropAll(s, n)
+      wipe(s, BatchLog.logDir(s, n).toString)
+    }
+    // all three vector families ride the declared pipeline: the LSH and
+    // IVF doc-level indexes are hash-witnessed by the probe columns
+    // below; the chunk index is exercised end-to-end here but pinned in
+    // VectorReindexSpec instead — its old-vs-new probe outcome is not
+    // constant-expressible (the two generations share their identical
+    // leading chunks, so an old-text chunk probe legitimately hits the
+    // reindexed rows).
     val cfg = mkCfg(base, idx, 1.0, exact = false)
-      .copy(annIndexName = Some(an), annDims = VecDims)
+      .copy(annIndexName = Some(an), annDims = VecDims,
+        ivfIndexPath = Some(s"$base/ivf"), chunkIndexName = Some(cn))
     val sl = vectorSlices(s, dir)
     stageAndRun(s, base, sl.take(1), cfg)
     ContinuousIngest.maintain(s, cfg) // bookmark only (reconcile sweep)
     stageAndRun(s, base, sl.drop(1), cfg, from = 1)
     if (withReindex)
       ContinuousIngest.maintain(s, cfg) // CDC: vector purge + reindex
-    vectorProbeResult(s, dir, an)
+    vectorProbeResult(s, dir, an, s"$base/ivf")
   }
 
   /** The s29 serving read: ANN-probe the maintained index with each
@@ -431,7 +445,7 @@ object IngestE2E extends QueryModule {
     * every table, and the negated sibling shares none, so old_hit/
     * new_hit are purge/reindex facts, not banding luck. */
   private def vectorProbeResult(s: SparkSession, dir: String,
-      an: String): DataFrame = {
+      an: String, ivfPath: String): DataFrame = {
     val off = PlantedOffset
     // the oracle's gate replay, mirrored: an update instance enters the
     // corpus (and the index) iff its scrubbed+normalized text is
@@ -451,20 +465,34 @@ object IngestE2E extends QueryModule {
       .unionByName(updIds
         .select((col("doc_id") + 2L * off).as("vec_id"),
           vecExpr(neg = true).as("embedding")))
-    val hits = graft.etl.LshIndex.search(s, probes, an, topK = 10)
-      .filter(col("cosine_sim") >= 0.999)
-    val oldHits = hits.filter(col("q_id") < lit(2L * off) &&
-        col("neighbor_id") === col("q_id") - lit(off))
-      .select((col("q_id") - off).as("doc_id"), lit(1L).as("old_hit"))
-    val newHits = hits.filter(col("q_id") >= lit(2L * off) &&
-        col("neighbor_id") === col("q_id") - lit(2L * off))
-      .select((col("q_id") - 2L * off).as("doc_id"), lit(1L).as("new_hit"))
+    def hitCols(res: DataFrame, prefix: String): (DataFrame, DataFrame) = {
+      val hits = res.filter(col("cosine_sim") >= 0.999)
+      (hits.filter(col("q_id") < lit(2L * off) &&
+          col("neighbor_id") === col("q_id") - lit(off))
+        .select((col("q_id") - off).as("doc_id"),
+          lit(1L).as(s"${prefix}old_hit")),
+        hits.filter(col("q_id") >= lit(2L * off) &&
+            col("neighbor_id") === col("q_id") - lit(2L * off))
+          .select((col("q_id") - 2L * off).as("doc_id"),
+            lit(1L).as(s"${prefix}new_hit")))
+    }
+    val (oldHits, newHits) =
+      hitCols(graft.etl.LshIndex.search(s, probes, an, topK = 10), "")
+    // the IVF probe covers EVERY cluster (nprobe >= k), so exact-vector
+    // hits are purge/reindex facts there too, not quantizer luck
+    val (ivfOld, ivfNew) = hitCols(graft.operators.IvfIndex
+      .searchIndexDirAuto(s, ivfPath, probes, topK = 10, nprobe = 1 << 20),
+      "ivf_")
     updIds
       .join(oldHits, Seq("doc_id"), "left_outer")
       .join(newHits, Seq("doc_id"), "left_outer")
+      .join(ivfOld, Seq("doc_id"), "left_outer")
+      .join(ivfNew, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("old_hit"), lit(0L)).as("old_hit"),
-        coalesce(col("new_hit"), lit(0L)).as("new_hit"))
+        coalesce(col("new_hit"), lit(0L)).as("new_hit"),
+        coalesce(col("ivf_old_hit"), lit(0L)).as("ivf_old_hit"),
+        coalesce(col("ivf_new_hit"), lit(0L)).as("ivf_new_hit"))
       .orderBy(col("doc_id"))
   }
 
@@ -808,14 +836,17 @@ object IngestE2E extends QueryModule {
     "s29_ingest_vector_reindex",
     // The oracle replays the one engine-side decision DuckDB can see —
     // which update instances pass the gates (and therefore merge and
-    // index) — and pins the CONSTANT probe outcome the maintained index
-    // must produce for every one of them: the OLD embedding misses
-    // (old_hit 0: the superseded vector was purged; a stale vector
-    // answers its own probe at cosine 1.0 and flips it), the NEW
-    // embedding hits (new_hit 1: the reidx append restored exactly the
-    // current vector; a lost replacement flips it). The vectors
-    // themselves never enter the oracle — both engines agree on the
-    // probe SET, and the hit pattern is what the protocol guarantees.
+    // index) — and pins the CONSTANT probe outcome the maintained
+    // indexes must produce for every one of them, for BOTH doc-level
+    // vector families: the OLD embedding misses (old_hit/ivf_old_hit 0:
+    // the superseded vector was purged; a stale vector answers its own
+    // probe at cosine 1.0 and flips it), the NEW embedding hits
+    // (new_hit/ivf_new_hit 1: the reidx append restored exactly the
+    // current vector; a lost replacement flips it — the IVF probe runs
+    // nprobe >= clusters, so its hits are purge facts, not quantizer
+    // luck). The vectors themselves never enter the oracle — both
+    // engines agree on the probe SET, and the hit pattern is what the
+    // protocol guarantees.
     Some(s"""
       WITH b AS (
         SELECT doc_id,
@@ -828,7 +859,9 @@ object IngestE2E extends QueryModule {
             AS unorm
         FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3)
       SELECT doc_id, CAST(0 AS BIGINT) AS old_hit,
-        CAST(1 AS BIGINT) AS new_hit
+        CAST(1 AS BIGINT) AS new_hit,
+        CAST(0 AS BIGINT) AS ivf_old_hit,
+        CAST(1 AS BIGINT) AS ivf_new_hit
       FROM upd
       WHERE len(unorm) > 0 AND len(string_split(unorm, ' ')) >= 2
       ORDER BY doc_id"""),
@@ -837,7 +870,8 @@ object IngestE2E extends QueryModule {
     // ingest + maintenance pipeline is the untimed SETUP; the timed
     // path is the ANN serving probe of the maintained index.
     benchBuild = Some((s, dir) =>
-      vectorProbeResult(s, dir, indexName(dir) + "_vrb_ann")),
+      vectorProbeResult(s, dir, indexName(dir) + "_vrb_ann",
+        s"${root(dir)}_vrb/ivf")),
     benchSetup = Some((s, dir) => {
       runIngestVectorReindex(s, dir, s"${root(dir)}_vrb",
         indexName(dir) + "_vrb")

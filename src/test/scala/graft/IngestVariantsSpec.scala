@@ -96,21 +96,25 @@ class IngestVariantsSpec extends SparkSpec {
   test("s29: vector reindex — old embedding misses, new hits; without it both hit") {
     val res = IngestE2E.ingestVectorReindex(spark, sf0001).collect()
     assert(res.nonEmpty, "fixture must contain gate-passing update keys")
-    assert(res.forall(r => r.getLong(1) == 0L && r.getLong(2) == 1L),
-      s"declared outcome must be (old MISS, new HIT) per doc: " +
-        res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).mkString(", "))
+    assert(res.forall(r => r.getLong(1) == 0L && r.getLong(2) == 1L &&
+        r.getLong(3) == 0L && r.getLong(4) == 1L),
+      s"declared outcome must be (old MISS, new HIT) per doc for BOTH " +
+        "vector families: " + res.map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).mkString(", "))
     // negative control: skip the vector-reindex maintenance — the stale
-    // vector still serves its own probe (old_hit flips to 1), proving
-    // the declared hash actually witnesses the purge
+    // vectors still serve their own probes (both old_hit columns flip
+    // to 1), proving the declared hash actually witnesses the purge
     val resN = IngestE2E.runIngestVectorReindex(spark, sf0001,
       s"${sys.props("java.io.tmpdir")}/graft_stream/ie_${safe(sf0001)}_vrn",
       "ingest_e2e_" + safe(sf0001).toLowerCase + "_vrn",
       withReindex = false).collect()
     assert(resN.nonEmpty && resN.forall(r =>
-      r.getLong(1) == 1L && r.getLong(2) == 1L),
-      "without the vector reindex BOTH generations must serve " +
-        "(old_hit 1, new_hit 1): " +
-        resN.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).mkString(", "))
+      r.getLong(1) == 1L && r.getLong(2) == 1L &&
+        r.getLong(3) == 1L && r.getLong(4) == 1L),
+      "without the vector reindex BOTH generations must serve in both " +
+        "families (old_hit 1, new_hit 1): " +
+        resN.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).mkString(", "))
   }
 
   test("s30: the blind window rejects every shingled old-text copy") {
