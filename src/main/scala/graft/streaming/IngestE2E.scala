@@ -478,10 +478,18 @@ object IngestE2E extends QueryModule {
     }
     val (oldHits, newHits) =
       hitCols(graft.etl.LshIndex.search(s, probes, an, topK = 10), "")
-    // the IVF probe covers EVERY cluster (nprobe >= k), so exact-vector
-    // hits are purge/reindex facts there too, not quantizer luck
+    // IVF at nprobe = 1 is DETERMINISTIC for these probes: the probe
+    // ranks clusters with the identical (cosine desc, cluster_id asc)
+    // ordering [[graft.operators.IvfIndex.assign]] used to place the
+    // vector, over byte-identical operands, so an exact-vector query's
+    // rank-1 cluster IS the stored vector's cluster — the NEW-embedding
+    // hit cannot be lost to cluster routing, and the OLD-embedding miss
+    // holds under any routing (its id's only stored vector is at cosine
+    // −1). Scanning one list keeps the serving probe O(corpus/k) per
+    // query — an earlier all-cluster variant measured 5× growth at 10×
+    // corpus, a brute scan in disguise.
     val (ivfOld, ivfNew) = hitCols(graft.operators.IvfIndex
-      .searchIndexDirAuto(s, ivfPath, probes, topK = 10, nprobe = 1 << 20),
+      .searchIndexDirAuto(s, ivfPath, probes, topK = 10, nprobe = 1),
       "ivf_")
     updIds
       .join(oldHits, Seq("doc_id"), "left_outer")
@@ -842,9 +850,10 @@ object IngestE2E extends QueryModule {
     // the superseded vector was purged; a stale vector answers its own
     // probe at cosine 1.0 and flips it), the NEW embedding hits
     // (new_hit/ivf_new_hit 1: the reidx append restored exactly the
-    // current vector; a lost replacement flips it — the IVF probe runs
-    // nprobe >= clusters, so its hits are purge facts, not quantizer
-    // luck). The vectors themselves never enter the oracle — both
+    // current vector; a lost replacement flips it — the IVF probe's
+    // nprobe = 1 routing provably reaches the assigned cluster for an
+    // exact-vector query, see vectorProbeResult, so its hits are purge
+    // facts, not quantizer luck). The vectors never enter the oracle — both
     // engines agree on the probe SET, and the hit pattern is what the
     // protocol guarantees.
     Some(s"""
