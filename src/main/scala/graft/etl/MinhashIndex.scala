@@ -53,7 +53,7 @@ object MinhashIndex {
   /** OPT-IN side table for the exact cross-batch probe
     * ([[exactIncrementalPairs]]): the same (doc_id, shingle) rows as
     * `_shingles`, laid out for the OTHER access pattern — partitioned
-    * by `sh_p = pmod(xxhash64(shingle), ShPParts)` so a probe prunes
+    * by `sh_p = pmod(xxhash64(shingle), parts)` so a probe prunes
     * its scan to the partitions the batch's shingles actually hash
     * into, instead of scanning the whole stored shingle table per
     * batch (the round-16 design's documented completeness price). The
@@ -64,28 +64,63 @@ object MinhashIndex {
     * default). Maintenance: appends write it inside the same
     * exactly-once batch protocol; compaction re-derives it from the
     * folded main table (one extra write pass of rows the fold
-    * rewrites anyway) behind a stage-swap, and the probe HEALS the one
-    * crash window left (main folded, side re-derive crashed) by
-    * comparing committed batch-partition sets and re-deriving on
-    * mismatch — a stale side table can never feed the probe ghost
-    * rows. */
-  private[etl] val ShPParts = 64
+    * rewrites anyway), and the probe HEALS the one crash window left
+    * (main folded, side re-derive crashed) by comparing committed
+    * batch-partition sets and re-deriving on mismatch. The probe
+    * additionally excludes UNCOMMITTED orphan batch partitions from
+    * its scan (a crash between the side write and the batch-log commit
+    * leaves partial rows until that batch replays), so no crash window
+    * feeds it ghost rows.
+    *
+    * GEOMETRY GROWS WITH THE TABLE (the [[LshIndex.regrow]] pattern):
+    * the partition count starts at [[DefaultShPParts]] and is recorded
+    * in [[IndexMeta]] (`sh_p_parts`) — a fixed constant would cap the
+    * probe's pruning factor at 1/64 of the shingle table forever, a
+    * real per-probe scan cost at 100 TB. [[compact]] measures mean
+    * rows-per-partition after each fold and re-derives the side table
+    * at the next power-of-two width once it outgrows
+    * [[SideRowsPerPartTarget]]; the regrown table lands under a
+    * geometry-suffixed name and the meta pointer flips atomically
+    * ([[IndexMeta.write]] is a stage-then-swap), so a crash on either
+    * side of the flip leaves ONE consistent (table, modulus) pair
+    * serving — probes never mix a new modulus with an old layout. */
+  private[etl] val DefaultShPParts = 64
+
+  /** Mean side-table rows per partition above which [[compact]] widens
+    * the geometry. At the default 64 partitions this triggers around
+    * 256M stored shingle rows — far past any test corpus, so local
+    * runs keep the build geometry; the spec exercises the regrow with
+    * an explicit tiny target. */
+  private[etl] val SideRowsPerPartTarget = 4L * 1000 * 1000
+
   def sideTable(name: String): String = s"${name}_shingles_bysh"
 
-  private def shP(c: Column): Column =
-    pmod(xxhash64(c), lit(ShPParts.toLong))
+  /** The side-table generation serving geometry `parts` — the build
+    * geometry keeps the unsuffixed name (and its specs); regrown
+    * generations carry the width so a pointer flip is a rename-free
+    * swap. */
+  private[etl] def sideTableAt(name: String, parts: Int): String =
+    if (parts == DefaultShPParts) sideTable(name)
+    else s"${sideTable(name)}_p$parts"
+
+  /** The recorded side-table partition count (build default when the
+    * index predates the geometry key). */
+  private[etl] def sideParts(meta: Map[String, String]): Int =
+    meta.getOrElse("sh_p_parts", DefaultShPParts.toString).toInt
+
+  private def shP(c: Column, parts: Int): Column =
+    pmod(xxhash64(c), lit(parts.toLong))
 
   private def writeSide(s: SparkSession, rows: DataFrame, name: String,
-      batchId: String, append: Boolean, table: String = ""): Unit = {
-    val t = if (table.nonEmpty) table else sideTable(name)
+      batchId: String, append: Boolean, parts: Int): Unit = {
     rows.select(col("doc_id"), col("shingle"),
-        shP(col("shingle")).as("sh_p"))
+        shP(col("shingle"), parts).as("sh_p"))
       .withColumn("batch_id", lit(BatchLog.sanitize(batchId)))
-      .repartition(ShPParts, col("sh_p"))
+      .repartition(parts, col("sh_p"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("batch_id", "sh_p")
       .format("parquet")
-      .saveAsTable(t)
+      .saveAsTable(sideTableAt(name, parts))
   }
 
   private def committedBatchParts(s: SparkSession, table: String,
@@ -94,49 +129,89 @@ object MinhashIndex {
       .map(_.getString(0).split("/")(0).stripPrefix("batch_id="))
       .toSet.filter(committed)
 
-  /** Is the side table derived from the SAME committed content as the
-    * main shingle table? Batch-partition parity is the witness: every
-    * maintenance that changes main's partitions (fold, purge, reindex)
-    * rewrites or re-derives the side in the same protocol, so a
-    * mismatch proves a crash between the two — the probe re-derives
-    * before trusting it. */
-  private def sideHealthy(s: SparkSession, name: String): Boolean = {
-    if (!s.catalog.tableExists(sideTable(name))) return false
+  /** Is the side-table generation at `side` derived from the SAME
+    * committed content as the main shingle table? Batch-partition
+    * parity is the witness: every maintenance that changes main's
+    * partitions (fold, purge, reindex) rewrites or re-derives the side
+    * in the same protocol, so a mismatch proves a crash between the
+    * two — the probe re-derives before trusting it. (Geometry
+    * consistency is NOT this check's job: the meta pointer names the
+    * one (table, modulus) pair that serves, and the regrow flip is
+    * atomic — see [[sideTableAt]].) */
+  private def sideHealthy(s: SparkSession, name: String,
+      side: String): Boolean = {
+    if (!s.catalog.tableExists(side)) return false
     val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
-    committedBatchParts(s, sideTable(name), committed) ==
+    committedBatchParts(s, side, committed) ==
       committedBatchParts(s, tables(name).shingles, committed)
+  }
+
+  /** `table`'s rows minus any UNCOMMITTED orphan batch partitions — a
+    * crashed append's partial rows stay invisible to probes until that
+    * batch replays (the same exclusion the fold and the witnesses
+    * apply). The listing is O(partitions) driver-side; the filter is a
+    * partition predicate, pruned before any row is read. */
+  private def committedRows(s: SparkSession, table: String,
+      committed: String => Boolean): DataFrame = {
+    val orphans = s.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("/")(0).stripPrefix("batch_id="))
+      .distinct.filterNot(committed).toSeq
+    val t = s.table(table)
+    if (orphans.isEmpty) t else t.filter(!col("batch_id").isin(orphans: _*))
   }
 
   /** Rebuild the side table from the main table's committed rows —
     * the compaction-time derive and the probe-time heal share this one
-    * definition. Drop-and-rewrite, NOT a stage-swap: the side table is
-    * DERIVED state with a probe-side heal, so the only durability
-    * requirement is that every crash window is detectable — a crash
-    * after the drop leaves the table absent, a crash mid-write leaves
-    * no catalog entry (saveAsTable commits last); [[sideHealthy]]
-    * reports false for both and the next probe re-derives. (A rename
-    * swap is NOT usable here: renaming a partitioned managed table
-    * leaves the partitions' location URIs pointing into the retired
-    * stage directory — silent empty reads.) */
-  private[etl] def reDeriveSide(s: SparkSession, name: String): Unit = {
+    * definition. Same-geometry rebuilds drop-and-rewrite in place, NOT
+    * a stage-swap: the side table is DERIVED state with a probe-side
+    * heal, so the only durability requirement is that every crash
+    * window is detectable — a crash after the drop leaves the table
+    * absent, a crash mid-write leaves no catalog entry (saveAsTable
+    * commits last); [[sideHealthy]] reports false for both and the
+    * next probe re-derives. (A rename swap is NOT usable here:
+    * renaming a partitioned managed table leaves the partitions'
+    * location URIs pointing into the retired stage directory — silent
+    * empty reads.)
+    *
+    * `newParts > 0` REGROWS the geometry instead: the next generation
+    * is written under its width-suffixed name while the old one keeps
+    * serving, the meta pointer flips atomically, and the retired
+    * generation drops. A crash before the flip leaves the old
+    * (table, modulus) pair serving and the partial next generation
+    * swept here on retry; a crash after it leaves the new pair serving
+    * and the retired table as dead weight, also swept here. */
+  private[etl] def reDeriveSide(s: SparkSession, name: String,
+      newParts: Int = 0): Unit = {
+    val cur = sideParts(IndexMeta.read(s, name))
+    val parts = if (newParts > 0) newParts else cur
+    val target = sideTableAt(name, parts)
     val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
-    val main = tables(name).shingles
-    val orphans = s.sql(s"SHOW PARTITIONS $main").collect()
-      .map(_.getString(0).stripPrefix("batch_id="))
-      .filterNot(committed).toSeq
-    val live0 = s.table(main)
-    val live = if (orphans.isEmpty) live0
-      else live0.filter(!col("batch_id").isin(orphans: _*))
     // materialize BEFORE the drop: the derive reads the main table, not
     // the side table, but a lazy plan captured here must not race the
     // catalog mutation below
-    val rows = live.select(col("doc_id"), col("shingle"),
-      shP(col("shingle")).as("sh_p"), col("batch_id"))
-    dropTable(s, sideTable(name))
-    rows.repartition(ShPParts, col("sh_p"))
+    val rows = committedRows(s, tables(name).shingles, committed)
+      .select(col("doc_id"), col("shingle"),
+        shP(col("shingle"), parts).as("sh_p"), col("batch_id"))
+    dropTable(s, target)
+    rows.repartition(parts, col("sh_p"))
       .write.partitionBy("batch_id", "sh_p")
-      .format("parquet").saveAsTable(sideTable(name))
+      .format("parquet").saveAsTable(target)
+    if (parts != cur)
+      IndexMeta.write(s, name,
+        IndexMeta.read(s, name) + ("sh_p_parts" -> parts.toString))
+    // sweep every other generation (the retired one after a flip, or
+    // partials a crashed regrow left behind)
+    sweepSideGenerations(s, name, keep = target)
   }
+
+  /** Drop every side-table generation except `keep` — catalog-listed,
+    * so retired and crash-partial generations both leave. */
+  private def sweepSideGenerations(s: SparkSession, name: String,
+      keep: String): Unit =
+    s.sql(s"SHOW TABLES LIKE '${sideTable(name).toLowerCase}*'").collect()
+      .map(_.getAs[String]("tableName"))
+      .filterNot(_ == keep.toLowerCase)
+      .foreach(dropTable(s, _))
 
   /** Whether `name` maintains the exact-probe side table (set at build
     * via `exactProbe = true`, read from [[IndexMeta]] like every other
@@ -205,6 +280,8 @@ object MinhashIndex {
     val t = tables(name)
     Seq(t.banded, t.shingles, t.sizes,
       sideTable(name), sideTable(name) + "__new").foreach(dropTable(s, _))
+    // regrown generations from a previous incarnation of this name
+    sweepSideGenerations(s, name, keep = "")
     val log = BatchLog.logDir(s, name)
     BatchLog.reset(s, log)
     IndexMeta.write(s, name, Map(
@@ -213,7 +290,8 @@ object MinhashIndex {
       "n_buckets" -> nBuckets.toString,
       "hash_fn" -> hashFnId,
       "hashed_shingles" -> hashedShingles.toString,
-      "exact_probe" -> exactProbe.toString))
+      "exact_probe" -> exactProbe.toString,
+      "sh_p_parts" -> DefaultShPParts.toString))
     val sh0 = DedupOps.shingleRows(corpus)
     val (sh, relSh) = if (hashedShingles) pin(sh0) else (sh0, () => ())
     try {
@@ -234,7 +312,8 @@ object MinhashIndex {
     // invariant as the signature derivation above (the corpus frame may
     // be non-deterministic under recompute; the stored rows are fact)
     if (exactProbe)
-      writeSide(s, stored(s, t.shingles), name, buildBatchId, append = false)
+      writeSide(s, stored(s, t.shingles), name, buildBatchId,
+        append = false, DefaultShPParts)
     BatchLog.commit(s, log, buildBatchId)
     t
   }
@@ -282,10 +361,12 @@ object MinhashIndex {
         writeBucketed(if (hashed) hashShingleCol(sh) else sh,
           t.shingles, nBuckets, append = true, batchId, "doc_id", "shingle")
         // the side write reads the same PINNED evaluation as the main
-        // write, so the two layouts can never diverge row-for-row
+        // write, so the two layouts can never diverge row-for-row; the
+        // geometry comes from the meta pointer, so appends always land
+        // in the generation that serves
         if (exactProbe)
           writeSide(s, if (hashed) hashShingleCol(sh) else sh, name,
-            batchId, append = true)
+            batchId, append = true, sideParts(meta))
         val (sig, relSig) = pin(
           DedupOps.minhashSigFromShingles(sh, numPerms, hashFn))
         try {
@@ -311,7 +392,8 @@ object MinhashIndex {
   def compact(s: SparkSession, name: String,
       deletes: Option[IndexCompaction.DeleteSet] = None,
       targetRowsPerBucket: Long = 0,
-      protect: Option[String] = None): Unit = {
+      protect: Option[String] = None,
+      sideRowsPerPart: Long = SideRowsPerPartTarget): Unit = {
     val t = tables(name)
     IndexCompaction.compactFamily(s, name, Seq(
       t.shingles -> Seq("doc_id", "shingle"),
@@ -321,9 +403,17 @@ object MinhashIndex {
     // the exact-probe side table re-derives from the folded main rows
     // (purges and reindex protection land there for free); a crash
     // before this completes is the window [[sideHealthy]] detects and
-    // the probe heals
-    if (IndexMeta.exists(s, name) && hasExactProbe(s, name))
-      reDeriveSide(s, name)
+    // the probe heals. Geometry check rides the same pass: once mean
+    // rows-per-partition outgrow the target, the re-derive lands at
+    // the next power-of-two width that restores it — the probe's
+    // pruning factor follows the corpus instead of a fixed constant.
+    if (IndexMeta.exists(s, name) && hasExactProbe(s, name)) {
+      val rows = s.table(t.shingles).count() // parquet-metadata count
+      val cur = sideParts(IndexMeta.read(s, name))
+      var want = cur
+      while (rows / want > sideRowsPerPart && want < (1 << 16)) want <<= 1
+      reDeriveSide(s, name, if (want != cur) want else 0)
+    }
   }
 
   /** Remove `ids` (single doc-id column) from all three tables — the
@@ -342,11 +432,12 @@ object MinhashIndex {
 
   /** [[dropBatchPartition]] for the two-level side table: enumerate the
     * batch's (batch_id, sh_p) leaf partitions and drop each with a full
-    * spec (a partial spec is catalog-dependent; the listing is ≤
-    * [[ShPParts]] lines). */
+    * spec (a partial spec is catalog-dependent; the listing is at most
+    * the recorded partition count). Targets the generation the meta
+    * pointer names — the only one appends ever wrote to. */
   private def dropSideBatch(s: SparkSession, name: String,
       batchId: String): Unit = {
-    val t = sideTable(name)
+    val t = sideTableAt(name, sideParts(IndexMeta.read(s, name)))
     if (!s.catalog.tableExists(t)) return
     val safe = BatchLog.sanitize(batchId)
     s.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
@@ -522,47 +613,57 @@ object MinhashIndex {
     * at the broadcast rather than silently shuffling the corpus.
     *
     * Denominators take ONE size per stored doc (max over committed
-    * generations): under the pinned updates-last arrival every doc has
-    * exactly one generation and the max is the identity, but a probe
-    * issued between an update and its reindex maintenance would
-    * otherwise emit duplicate (doc_old, doc_new) pairs with conflicting
-    * jaccard values — the max keeps the pair set well-defined (one row,
-    * the conservative smaller-jaccard denominator) in that window. */
+    * generations), and the intersection counts DISTINCT shared
+    * shingles in the post-join aggregate: under the pinned
+    * updates-last arrival every doc has exactly one generation and
+    * both are identities, but a probe issued between an update and its
+    * reindex maintenance sees BOTH generations' rows — the distinct
+    * count keeps shared shingles from double-counting and the max
+    * keeps the pair set well-defined (one row, the conservative
+    * smaller-jaccard denominator) in that window. Counting distinct
+    * AFTER the broadcast join (instead of deduplicating the stored
+    * side before it) is what keeps the corpus side exchange-free: only
+    * matched rows reach the pairs-sized aggregate. Uncommitted orphan
+    * batch partitions (a crashed append's partial rows) are excluded
+    * from every stored-side scan, exactly as the fold and the
+    * witnesses exclude them. */
   def exactIncrementalPairs(s: SparkSession, batch: DataFrame, name: String,
       threshold: Double): DataFrame = {
     val t = tables(name)
+    val meta = if (IndexMeta.exists(s, name)) IndexMeta.read(s, name)
+      else Map.empty[String, String]
+    val committed = BatchLog.committed(s, BatchLog.logDir(s, name))
     val shNew = DedupOps.shingleRows(batch)
     val shNewJ = if (isHashed(s, name)) hashShingleCol(shNew) else shNew
     val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // With the opt-in side table the scan PRUNES to the sh_p partitions
     // the batch's shingles hash into — the batch's distinct sh_p values
-    // are ≤ ShPParts literals by construction (driver-small), so the
+    // are at most the recorded partition count (driver-small), so the
     // filter is a real partition predicate, not a join. A batch whose
     // shingles cover every partition scans everything, honestly — the
     // pruning pays off exactly where the exact regime is dearest: small
     // compliance probes against a huge index. Falls back to the full
     // main-table scan when the index wasn't built with exactProbe.
     val storedSh =
-      if (IndexMeta.exists(s, name) && hasExactProbe(s, name)) {
-        if (!sideHealthy(s, name)) reDeriveSide(s, name)
-        val pVals = shNewJ.select(shP(col("shingle")).as("p"))
-          .distinct().collect().map(_.getLong(0)) // ≤ ShPParts values
-        s.table(sideTable(name))
+      if (meta.getOrElse("exact_probe", "false").toBoolean) {
+        val parts = sideParts(meta)
+        val side = sideTableAt(name, parts)
+        if (!sideHealthy(s, name, side)) reDeriveSide(s, name)
+        val pVals = shNewJ.select(shP(col("shingle"), parts).as("p"))
+          .distinct().collect().map(_.getLong(0)) // ≤ parts values
+        committedRows(s, side, committed)
           .filter(col("sh_p").isin(pVals: _*))
           .select(col("doc_id"), col("shingle"))
-      } else stored(s, t.shingles)
+      } else committedRows(s, t.shingles, committed)
+        .select(col("doc_id"), col("shingle"))
     val inter = storedSh
       .select(col("doc_id").as("doc_old"), col("shingle"))
-      // distinct: a doc with a superseded generation still pending its
-      // reindex holds BOTH generations' shingle rows — shared shingles
-      // must not double-count the intersection
-      .distinct()
       .join(broadcast(shNewJ.select(col("doc_id").as("doc_new"), col("shingle"))),
         "shingle")
       .groupBy(col("doc_old"), col("doc_new"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(countDistinct(col("shingle")).as("n_inter"))
     inter
-      .join(stored(s, t.sizes)
+      .join(committedRows(s, t.sizes, committed)
         .groupBy(col("doc_id").as("doc_old"))
         .agg(max(col("n_sh")).as("n_old")), "doc_old")
       .join(broadcast(sizesNew

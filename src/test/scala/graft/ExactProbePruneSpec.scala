@@ -96,6 +96,55 @@ class ExactProbePruneSpec extends SparkSpec {
       oneDocProbe(30L, 901L), name, 0.5).count() == 1)
   }
 
+  test("compaction regrows the side-table geometry once rows outgrow the target, and the probe follows the recorded width") {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val name = s"epp_grow_$tag"
+    MinhashIndex.build(spark, docs(1L to 200L), name, exactProbe = true)
+    val before = MinhashIndex
+      .exactIncrementalPairs(spark, oneDocProbe(7L, 900L), name, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSeq
+    assert(before.nonEmpty)
+    // a tiny rows-per-partition target forces the regrow this corpus
+    // would otherwise only hit at hundreds of millions of rows
+    MinhashIndex.compact(spark, name, sideRowsPerPart = 10L)
+    val meta = graft.etl.IndexMeta.read(spark, name)
+    val parts = meta("sh_p_parts").toInt
+    assert(parts > 64, s"geometry must widen past the build default, got $parts")
+    assert((parts & (parts - 1)) == 0, s"power-of-two widths only, got $parts")
+    val grown = s"${name}_shingles_bysh_p$parts"
+    assert(spark.catalog.tableExists(grown),
+      "the regrown generation must serve under its width-suffixed name")
+    assert(!spark.catalog.tableExists(s"${name}_shingles_bysh"),
+      "the retired build-geometry generation must be swept after the flip")
+    // probe rows identical across the regrow; scan follows the NEW width
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val probed = MinhashIndex
+      .exactIncrementalPairs(noAqe, oneDocProbe(7L, 900L), name, 0.5)
+    val after = probed.collect().map(r => (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e9))).toSeq
+    assert(after == before, s"regrow must not change probe rows: $after vs $before")
+    val plan = probed.queryExecution.executedPlan match {
+      case aq: AdaptiveSparkPlanExec => aq.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains(s"bysh_p$parts")) => f
+    }
+    assert(scans.nonEmpty, "the probe must read the regrown generation")
+    val scanned = scans.map(_.selectedPartitions.partitionCount).sum
+    val total = spark.sql(s"SHOW PARTITIONS $grown").count()
+    assert(scanned > 0 && scanned < total,
+      s"pruning must follow the recorded geometry: read $scanned of $total")
+    // appends land in the regrown generation and stay probe-visible
+    MinhashIndex.append(spark, docs(Seq(500L)), name, "g1")
+    assert(MinhashIndex.exactIncrementalPairs(spark,
+      oneDocProbe(500L, 901L), name, 0.5).count() == 1,
+      "post-regrow appends must write the generation the pointer names")
+  }
+
   test("a replayed append purges its partial side partition (exactly-once)") {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val name = s"epp_replay_$tag"
