@@ -105,7 +105,8 @@ object ScaleCurve {
     "ev_stream_ttl2",        // mid-band TTL: retained one gap, expired past it
     "ev_stream_chained",     // dedup -> windowed agg, two chained stateful ops
     "s29_ingest_vector_reindex", // embedding-family reindex: ANN probe (pipeline = setup)
-    "s30_ingest_blind_window")   // no-maintenance ghost rejection (pipeline = setup)
+    "s30_ingest_blind_window",   // no-maintenance ghost rejection (pipeline = setup)
+    "s31_ingest_vector_blind")   // no-maintenance stale-vector serving probe (pipeline = setup)
 
   private def span(df: DataFrame, keyCol: String): Long =
     df.agg(max(col(keyCol).cast("long"))).head.getLong(0) + 1L
@@ -229,9 +230,11 @@ object ScaleCurve {
     mults.foreach { m =>
       // the TTL-retention band widens with the multiplier: its asserted
       // gap₁ tracks batch duration, which grows with data (the oracle is
-      // band-independent — only the straddle pattern is pinned)
+      // band-independent — only the straddle pattern is pinned; the base
+      // matches the runtime default, and the band-doubling retry covers
+      // the mid-multiplier margin)
       sys.props("graft.ttl2.ms") =
-        (4000L * math.max(1L, m.toLong / 3L)).toString
+        (2000L * math.max(1L, m.toLong / 3L)).toString
       val dir =
         if (m == 1) sfDir
         else {

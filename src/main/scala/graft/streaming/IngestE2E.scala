@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   * TABLE STATE is hash-checked against a DuckDB oracle that replays the
   * accept algebra and the keyed-upsert merge in plain SQL.
   *
-  * Six declared regimes (s28 adds the update-reindex: superseded TEXT
+  * Seven declared regimes (s28 adds the update-reindex: superseded TEXT
   * generations purged+reindexed at maintenance; s29 the EMBEDDING
   * sibling: an updated doc's stale VECTOR purged+reindexed, pinned by
   * ANN probes of both generations' embeddings; s30 the blind-window
   * negative: updates then old-text copies with NO maintenance between —
-  * the conservative ghost rejection is the declared hash):
+  * the conservative ghost rejection is the declared hash; s31 the
+  * VECTOR blind window: s29 without its reindex maintenance, the stale
+  * embedding's serving HIT pinned):
   *
   *  - [[s25]] `s25_ingest_e2e` — the EXACT-duplicate regime
   *    (`nearDupThreshold = 1.0`): byte-copies planted under fresh ids
@@ -391,6 +393,20 @@ object IngestE2E extends QueryModule {
 
   def ingestVectorReindex(s: SparkSession, dir: String): DataFrame =
     runIngestVectorReindex(s, dir, s"${root(dir)}_vr", indexName(dir) + "_vr")
+
+  /** The s31 script: s29 WITHOUT maintenance B — the embedding
+    * families' blind window declared, the way s30 declared the text
+    * family's. Updates land new text AND a negated vector under the
+    * same ids in batch 1, and NOTHING runs between that merge and the
+    * serving probe, so BOTH generations serve: the OLD embedding still
+    * HITS (the stale vector is the documented window — an eager
+    * merge-time vector purge would flip it to a miss and break this
+    * hash, while a dropped maintenance purge breaks s29's), and the
+    * NEW embedding hits through the per-batch index append. s29 and
+    * s31 pin the vector window's both edges, the s28/s30 pairing. */
+  def ingestVectorBlind(s: SparkSession, dir: String): DataFrame =
+    runIngestVectorReindex(s, dir, s"${root(dir)}_vb", indexName(dir) + "_vb",
+      withReindex = false)
 
   /** The s29 script — the EMBEDDING-family update-reindex declared:
     * drain batch 0 (base corpus + vectors; the per-batch legs build the
@@ -887,6 +903,46 @@ object IngestE2E extends QueryModule {
       ()
     }))
 
+  private val s31 = QueryDef(
+    "s31_ingest_vector_blind",
+    // s29's oracle with the hit pattern the ABSENT maintenance makes
+    // inevitable: every gate-passing update instance merged and every
+    // vector family appended BOTH generations, nothing purged — so the
+    // OLD embedding's self-probe hits the lingering stale vector
+    // (old_hit/ivf_old_hit 1: the declared blind window; an eager
+    // merge-time purge flips it) and the NEW embedding hits its
+    // batch-1 append (new_hit/ivf_new_hit 1). Constant-expressible for
+    // the same reason as s29: both engines agree on the probe SET (the
+    // gate replay below), and the hit pattern is protocol fact —
+    // sign-separated cosines, never threshold luck.
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace($scrubSql, '\\s+', ' ', 'g'))) AS norm
+        FROM documents),
+      upd AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(
+            norm || ' upd' || CAST(doc_id AS VARCHAR), '\\s+', ' ', 'g')))
+            AS unorm
+        FROM b WHERE doc_id % 3 = 0 AND doc_id % 10 = 3)
+      SELECT doc_id, CAST(1 AS BIGINT) AS old_hit,
+        CAST(1 AS BIGINT) AS new_hit,
+        CAST(1 AS BIGINT) AS ivf_old_hit,
+        CAST(1 AS BIGINT) AS ivf_new_hit
+      FROM upd
+      WHERE len(unorm) > 0 AND len(string_split(unorm, ' ')) >= 2
+      ORDER BY doc_id"""),
+    (s, dir) => ingestVectorBlind(s, dir),
+    benchBuild = Some((s, dir) =>
+      vectorProbeResult(s, dir, indexName(dir) + "_vbb_ann",
+        s"${root(dir)}_vbb/ivf")),
+    benchSetup = Some((s, dir) => {
+      runIngestVectorReindex(s, dir, s"${root(dir)}_vbb",
+        indexName(dir) + "_vbb", withReindex = false)
+      ()
+    }))
+
   private val s30 = QueryDef(
     "s30_ingest_blind_window",
     Some(s"""
@@ -946,5 +1002,5 @@ object IngestE2E extends QueryModule {
       ()
     }))
 
-  override val defs: Seq[QueryDef] = Seq(s25, s26, s27, s28, s29, s30)
+  override val defs: Seq[QueryDef] = Seq(s25, s26, s27, s28, s29, s30, s31)
 }
