@@ -275,17 +275,32 @@ object AggOps extends QueryModule {
 
   /** Beyond-parity: HLL approximate distinct — the sketch the exact A6
     * trades against at 100 TB (no oracle: different sketch impls; the
-    * spec asserts a relative-error bound vs exact). */
+    * spec asserts a relative-error bound vs exact).
+    *
+    * Two-level aggregate instead of `agg(approx_count_distinct,
+    * countDistinct)`: mixing a distinct aggregate with a non-distinct
+    * one makes Spark carry the non-distinct PARTIAL BUFFER through the
+    * per-(group, distinct-key) first aggregate — one ~3 KB HLL register
+    * array (rsd 0.02 ⇒ 2^12 registers) PER DISTINCT ORDERKEY, ~GBs of
+    * buffers churned and shuffled for a 3-row answer (measured 3.6 s at
+    * sf0.1). Deduping (flag, orderkey) first and aggregating the keys
+    * leaves 3 HLL buffers total. Values are IDENTICAL by construction:
+    * HLL register state is a per-register max over hashed inputs, so
+    * inserting each distinct key once yields the same registers as
+    * inserting every duplicate, and `count(key)` over the deduped pairs
+    * IS `countDistinct(key)` (both skip nulls). */
   private val a15 = QueryDef(
     "a15_approx_count_distinct",
     None,
     (s, dir) => {
       import s.implicits._
       T(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_orderkey")
+        .distinct()
         .groupBy($"l_returnflag")
         .agg(
           approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-          countDistinct($"l_orderkey").as("exact_orders"))
+          count($"l_orderkey").as("exact_orders"))
         .orderBy($"l_returnflag")
     })
 

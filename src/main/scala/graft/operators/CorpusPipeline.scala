@@ -22,6 +22,9 @@ import org.apache.spark.sql.types._
   */
 object CorpusPipeline {
 
+  /** Monotonic suffix for per-call observation names (see curate). */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class Thresholds(
       minTokens: Long = 10,
       maxPunctRatio: Double = 0.30,
@@ -106,16 +109,21 @@ object CorpusPipeline {
   /** Full pipeline; returns (curated corpus — PII-scrubbed text — and the
     * attrition report).
     *
-    * Two actions total, not one per stage: decontamination, keeper-of-
-    * fingerprint, quality, and repetition are all per-row FLAGS (two id
-    * joins + one window), so their attrition counts come from ONE
-    * conditional aggregate over a single corpus pass; the surviving
-    * corpus (small after filtering) is persisted before the MinHash
-    * stage, which consumes it three times, and the final count + PII tally
-    * ride one aggregate over the near-dup survivors. The persisted
-    * stage-3 frame is unpersisted before returning — the returned curated
-    * frame stays valid (it recomputes if acted on; the report rows are
-    * already materialized literals). */
+    * ONE pass over the flagged corpus, not two: decontamination,
+    * keeper-of-fingerprint, quality, and repetition are all per-row
+    * FLAGS (two id joins + one window), and their attrition counts ride
+    * an `observe` (CollectMetrics) on the SAME pass that materializes
+    * the persisted stage-3 survivor frame — a separate counting
+    * aggregate re-executed the whole contaminate+repetition+window
+    * subtree (measured ~1.9 s of the query's 6.5 s at sf0.1). The
+    * surviving corpus (small after filtering) is persisted before the
+    * MinHash stage, which consumes it three times, and the final count +
+    * PII tally ride one aggregate over the near-dup survivors; the
+    * observation is read only after that action has forced the
+    * pipeline, so no extra job is ever submitted for the counts. The
+    * persisted stage-3 frame is unpersisted before returning — the
+    * returned curated frame stays valid (it recomputes if acted on; the
+    * report rows are already materialized literals). */
   def curate(s: SparkSession, docs: DataFrame,
       t: Thresholds = Thresholds(),
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): (DataFrame, DataFrame) = {
@@ -150,18 +158,25 @@ object CorpusPipeline {
         col("dup_token_frac") <= t.maxDupTokenFrac &&
           col("top_2gram_frac") <= t.maxTop2gramFrac, lit(false)))
     // sum over ZERO rows is null, not 0 — coalesce so an empty corpus (or
-    // thresholds that drop everything) reports zeros instead of NPE-ing
-    val row = flagged.agg(
-      count(lit(1)).as("s0"),
-      coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
-      coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
-      coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
-        lit(0L)).as("s3"),
-      coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
-        .otherwise(0L)), lit(0L)).as("s4")).head()
-    val (s0, s1, s2, s3, s4) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
-    val d2 = flagged.filter(col("__keeper") && col("__q_ok") && col("__rep_ok"))
+    // thresholds that drop everything) reports zeros instead of NPE-ing.
+    // The counts are OBSERVED on the pass that fills the d2 cache (the
+    // MinHash stage's first action forces it), not re-computed by a
+    // second corpus pass — same expressions, same rows, identical values.
+    // name is unique PER CALL: a curate of a curated frame (the
+    // idempotence property) embeds the first curate's CollectMetrics in
+    // the second's plan, and Spark rejects duplicate metric names with
+    // different results in one plan
+    val obs = new org.apache.spark.sql.Observation(
+      s"curate_attrition_${CorpusPipeline.obsSeq.incrementAndGet()}")
+    val d2 = flagged.observe(obs,
+        count(lit(1)).as("s0"),
+        coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
+        coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
+        coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
+          lit(0L)).as("s3"),
+        coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
+          .otherwise(0L)), lit(0L)).as("s4"))
+      .filter(col("__keeper") && col("__q_ok") && col("__rep_ok"))
       .select(docs.columns.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d3 = nearDupFilter(s, d2, t, hashFn)
@@ -171,6 +186,34 @@ object CorpusPipeline {
         sum(when(TextOps.scrubPii(col("text")) =!= col("text"), 1L).otherwise(0L)),
         lit(0L)).as("n_pii")).head()
     val (s5, nPii) = (finalRow.getLong(0), finalRow.getLong(1))
+    // By here the d3 aggregate has forced d2 (and with it the observed
+    // flagged pass); reading the observation's completed future never
+    // blocks. The fallback aggregate (same expressions, so identical
+    // values) only runs if a Spark version ever stops surfacing
+    // CollectMetrics from under an InMemoryRelation — counts must never
+    // silently zero or hang.
+    // positional reads: the observed row's field order IS the observe()
+    // expression order, and the delivered Row can be schema-less
+    // (GenericRow) on constant-folded plan shapes. An EMPTY row is
+    // possible too — AQE's empty-relation propagation can replace the
+    // whole observed subtree when a downstream stage is runtime-empty,
+    // completing the observation with no fields — so anything short of
+    // all five metrics falls back to the explicit aggregate.
+    val row: org.apache.spark.sql.Row = obs.future.value match {
+      case Some(scala.util.Success(r)) if r.length >= 5 => r
+      case _ => flagged.agg(
+        count(lit(1)).as("s0"),
+        coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
+        coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
+        coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
+          lit(0L)).as("s3"),
+        coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
+          .otherwise(0L)), lit(0L)).as("s4"))
+        .head()
+    }
+    val (s0, s1, s2, s3, s4) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
     d2.unpersist(blocking = false)
     val report = Seq(
       ("input", s0), ("decontamination", s1), ("exact_dedup", s2),
