@@ -590,14 +590,22 @@ object EventOps extends QueryModule {
       .filter($"dst".isNotNull)
       .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
     val tot = pairs.groupBy($"src").agg(sum($"n").as("n_from"))
-    // all three collects are |types|- or |types|²-bounded by construction
+    // both collects are |types|- or |types|²-bounded by construction.
+    // ONE action over the transition pairs, not two: a separate
+    // tot.collect() re-executed the lead()-window corpus pass that
+    // `pairs` costs (the join below already carries n_from on every
+    // row, so the out-degree map folds from the same rows); the
+    // division stays IN SPARK — the identical ($"n" / $"n_from")
+    // expression as before — so the collected p values are
+    // bit-identical to the two-action form.
     val nodes = ev.select($"event_type").distinct()
       .collect().map(_.getString(0)).sorted
-    val nOut = tot.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val prob = pairs.join(tot, "src")
-      .select($"src", $"dst", ($"n" / $"n_from").as("p"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
-      .toMap
+    val probRows = pairs.join(tot, "src")
+      .select($"src", $"dst", ($"n" / $"n_from").as("p"), $"n_from")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val nOut = probRows.map(t => t._1 -> t._4).toMap
+    val prob = probRows.map(t => (t._1, t._2) -> t._3).toMap
     val n = nodes.length
     val dangling = nodes.filter(t => !nOut.contains(t))
     // incoming edges per target, ascending src — the oracle's list order

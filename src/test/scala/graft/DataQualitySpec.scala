@@ -112,18 +112,33 @@ class DataQualitySpec extends SparkSpec {
     assert(p("v") == ((6L, 0L, 6L, "-4.0", "6.0")))
   }
 
-  test("profile compiles into ONE scan despite k exact distincts") {
+  test("profile: two scan legs, distincts on the hash path, no corpus sort") {
+    // The split shape (see DataQuality.profile): the count/distinct leg
+    // must plan as HashAggregate over the Expand — a string-buffered
+    // min/max in the same aggregate would force SortAggregate with a
+    // full sort of the (k+1)-expanded rows — and the min/max leg is a
+    // grouping-free fold, so NO Sort node may appear below the stack
+    // anywhere. Exactly two scans: one per leg, never one per metric.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val scans = try {
+    val (scans, sorts, hashAggs) = try {
       val prof = DataQuality.profile(graft.core.T(spark, sf0001, "orders"),
         Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
       prof.collect()
-      prof.queryExecution.executedPlan.collect {
-        case f: FileSourceScanExec => f
-      }
+      val plan = prof.queryExecution.executedPlan
+      (plan.collect { case f: FileSourceScanExec => f },
+        plan.collect { case s: org.apache.spark.sql.execution.SortExec => s },
+        plan.collect {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        })
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(scans.size == 1,
-      s"expected one scan for three profiled columns, got ${scans.size}")
+    assert(scans.size == 2,
+      s"expected two scan legs (counts+distincts, min/max), got ${scans.size}")
+    // exactly ONE SortExec: the final ORDER BY column_name over the k
+    // stacked rows; a second one means the expanded distinct rows are
+    // being sorted into a SortAggregate again
+    assert(sorts.size == 1,
+      s"expected only the final k-row ORDER BY sort, got ${sorts.size}: $sorts")
+    assert(hashAggs.nonEmpty, "expected the distinct leg on HashAggregate")
   }
 
   test("drift flags a trailing-mean deviation; short history stays null") {
