@@ -22,9 +22,6 @@ import org.apache.spark.sql.types._
   */
 object CorpusPipeline {
 
-  /** Monotonic suffix for per-call observation names (see curate). */
-  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   final case class Thresholds(
       minTokens: Long = 10,
       maxPunctRatio: Double = 0.30,
@@ -111,19 +108,23 @@ object CorpusPipeline {
     *
     * ONE pass over the flagged corpus, not two: decontamination,
     * keeper-of-fingerprint, quality, and repetition are all per-row
-    * FLAGS (two id joins + one window), and their attrition counts ride
-    * an `observe` (CollectMetrics) on the SAME pass that materializes
-    * the persisted stage-3 survivor frame — a separate counting
-    * aggregate re-executed the whole contaminate+repetition+window
-    * subtree (measured ~1.9 s of the query's 6.5 s at sf0.1). The
-    * surviving corpus (small after filtering) is persisted before the
-    * MinHash stage, which consumes it three times, and the final count +
-    * PII tally ride one aggregate over the near-dup survivors; the
-    * observation is read only after that action has forced the
-    * pipeline, so no extra job is ever submitted for the counts. The
-    * persisted stage-3 frame is unpersisted before returning — the
-    * returned curated frame stays valid (it recomputes if acted on; the
-    * report rows are already materialized literals). */
+    * FLAGS (two id joins + one window), computed once into a persisted
+    * narrow frame (doc columns + 4 booleans — the working columns
+    * `__norm`/`__fp`/token counts are projected away before the cache).
+    * The attrition-count aggregate is the action that FILLS that cache,
+    * so the expensive contaminate+repetition+window subtree executes
+    * exactly once; the stage-3 survivor frame and the MinHash stage (which
+    * consumes it three times) then read cached rows. A previous round
+    * tried to ride the counts on an `observe()`/CollectMetrics node
+    * instead; that embedded the Observation in the RETURNED plan (acting
+    * on the curated frame after unpersist re-drove a completed
+    * observation and threw) and the non-blocking metric read lost the
+    * race to the listener, firing the fallback aggregate anyway — the
+    * driver measured it 24% SLOWER. Plain persist-then-aggregate has
+    * neither problem. The final count + PII tally ride one aggregate over
+    * the near-dup survivors. The persisted frame is unpersisted before
+    * returning — the returned curated frame stays valid (it recomputes if
+    * acted on; the report rows are already materialized literals). */
   def curate(s: SparkSession, docs: DataFrame,
       t: Thresholds = Thresholds(),
       hashFn: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))): (DataFrame, DataFrame) = {
@@ -157,28 +158,33 @@ object CorpusPipeline {
       .withColumn("__rep_ok", coalesce(
         col("dup_token_frac") <= t.maxDupTokenFrac &&
           col("top_2gram_frac") <= t.maxTop2gramFrac, lit(false)))
+    // Persist the flags NARROW (doc columns + the 4 booleans; the heavy
+    // working columns — __norm is a whole normalized copy of the text —
+    // are projected away first). One cached copy serves both the
+    // attrition counts and the stage-3 survivor frame below.
+    val flags = flagged
+      .select(docs.columns.map(col) ++ Seq(
+        col("__clean"), col("__keeper"), col("__q_ok"), col("__rep_ok")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sum over ZERO rows is null, not 0 — coalesce so an empty corpus (or
     // thresholds that drop everything) reports zeros instead of NPE-ing.
-    // The counts are OBSERVED on the pass that fills the d2 cache (the
-    // MinHash stage's first action forces it), not re-computed by a
-    // second corpus pass — same expressions, same rows, identical values.
-    // name is unique PER CALL: a curate of a curated frame (the
-    // idempotence property) embeds the first curate's CollectMetrics in
-    // the second's plan, and Spark rejects duplicate metric names with
-    // different results in one plan
-    val obs = new org.apache.spark.sql.Observation(
-      s"curate_attrition_${CorpusPipeline.obsSeq.incrementAndGet()}")
-    val d2 = flagged.observe(obs,
-        count(lit(1)).as("s0"),
-        coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
-        coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
-        coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
-          lit(0L)).as("s3"),
-        coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
-          .otherwise(0L)), lit(0L)).as("s4"))
+    // This aggregate is the action that fills the cache: the expensive
+    // flagged subtree runs here, once; everything after reads cached rows.
+    val row = flags.agg(
+      count(lit(1)).as("s0"),
+      coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
+      coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
+      coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
+        lit(0L)).as("s3"),
+      coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
+        .otherwise(0L)), lit(0L)).as("s4"))
+      .head()
+    val (s0, s1, s2, s3, s4) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    val d2 = flags
       .filter(col("__keeper") && col("__q_ok") && col("__rep_ok"))
       .select(docs.columns.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d3 = nearDupFilter(s, d2, t, hashFn)
     val finalRow = d3.agg(
       count(lit(1)).as("n"),
@@ -186,35 +192,7 @@ object CorpusPipeline {
         sum(when(TextOps.scrubPii(col("text")) =!= col("text"), 1L).otherwise(0L)),
         lit(0L)).as("n_pii")).head()
     val (s5, nPii) = (finalRow.getLong(0), finalRow.getLong(1))
-    // By here the d3 aggregate has forced d2 (and with it the observed
-    // flagged pass); reading the observation's completed future never
-    // blocks. The fallback aggregate (same expressions, so identical
-    // values) only runs if a Spark version ever stops surfacing
-    // CollectMetrics from under an InMemoryRelation — counts must never
-    // silently zero or hang.
-    // positional reads: the observed row's field order IS the observe()
-    // expression order, and the delivered Row can be schema-less
-    // (GenericRow) on constant-folded plan shapes. An EMPTY row is
-    // possible too — AQE's empty-relation propagation can replace the
-    // whole observed subtree when a downstream stage is runtime-empty,
-    // completing the observation with no fields — so anything short of
-    // all five metrics falls back to the explicit aggregate.
-    val row: org.apache.spark.sql.Row = obs.future.value match {
-      case Some(scala.util.Success(r)) if r.length >= 5 => r
-      case _ => flagged.agg(
-        count(lit(1)).as("s0"),
-        coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L)).as("s1"),
-        coalesce(sum(when(col("__keeper"), 1L).otherwise(0L)), lit(0L)).as("s2"),
-        coalesce(sum(when(col("__keeper") && col("__q_ok"), 1L).otherwise(0L)),
-          lit(0L)).as("s3"),
-        coalesce(sum(when(col("__keeper") && col("__q_ok") && col("__rep_ok"), 1L)
-          .otherwise(0L)), lit(0L)).as("s4"))
-        .head()
-    }
-    val (s0, s1, s2, s3, s4) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
-        row.getLong(4))
-    d2.unpersist(blocking = false)
+    flags.unpersist(blocking = false)
     val report = Seq(
       ("input", s0), ("decontamination", s1), ("exact_dedup", s2),
       ("quality_filter", s3), ("repetition_filter", s4), ("near_dup", s5),

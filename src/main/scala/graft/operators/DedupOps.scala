@@ -1350,8 +1350,9 @@ object DedupOps extends QueryModule {
       s"threshold must be in (0,1], got $threshold")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
     val sh = shingleRows(documents, n) // distinct (doc_id, shingle)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // deliberately NOT checkpointed/persisted: both candidate-join sides
     // read this subtree, but its exchanges (the distinct, the df join,
@@ -1359,16 +1360,26 @@ object DedupOps extends QueryModule {
     // plan — a localCheckpoint here measured 13.8 s vs 4.9 s at sf0.1
     // (materialization broke the reuse and paid block writes), the same
     // lesson as dd_ngram_jaccard's round-2 persist.
+    //
+    // n_sh rides the SAME doc_id window exchange as the rank (an inner
+    // join with freq keeps every sh row, so count-over-doc here equals
+    // the old separate per-doc aggregate exactly) — previously it was a
+    // second aggregate over sh plus a doc_id join: one exchange and one
+    // join fewer (guide §2.4). The candidate self-join keys on the
+    // 8-byte xxhash64 of the shingle instead of the shingle string
+    // (§2.3: shuffle keys, not payloads): a hash collision can only ADD
+    // a candidate pair, which the exact array_intersect verify below
+    // rejects — zero-false-negative completeness is untouched.
     val prefix = sh
       .join(freq, "shingle")
       .withColumn("rnk", row_number().over(w))
-      .join(sizes, "doc_id")
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
       .filter(col("rnk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("shingle"), col("n_sh"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"), col("n_sh"))
     val cands = prefix.as("pa")
       .join(prefix.as("pb"),
-        col("pa.shingle") === col("pb.shingle") &&
+        col("pa.sh_h") === col("pb.sh_h") &&
           col("pa.doc_id") < col("pb.doc_id") &&
           lit(threshold) * col("pa.n_sh") <= col("pb.n_sh") &&
           lit(threshold) * col("pb.n_sh") <= col("pa.n_sh"))

@@ -466,6 +466,17 @@ object IngestE2E extends QueryModule {
     // the oracle's gate replay, mirrored: an update instance enters the
     // corpus (and the index) iff its scrubbed+normalized text is
     // non-empty and has >= 2 tokens (the pinned permissive thresholds)
+    // Persisted because the probe DAG consumes these small frames many
+    // times (the LSH search reads the query set twice, the IVF search
+    // three times — once as a driver-side collect for the partition
+    // filter — and the final result joins back): without the pin the
+    // gate replay's scan + PII-scrub regex chain re-executed per
+    // consumer, ~6 evaluations per probe (guide §1.2 "don't compute
+    // things twice"). Both frames are O(updated docs) rows. The result
+    // below is materialized EAGERLY (one row per updated doc) so both
+    // caches can be dropped before returning — a query must not squat
+    // on executor memory after its action (the OperatorSmokeSpec
+    // no-leaked-pins invariant).
     val updIds = docsOf(s, dir)
       .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 3)
       .withColumn("text", concat(col("text"), lit(" upd"),
@@ -475,12 +486,14 @@ object IngestE2E extends QueryModule {
       .filter(length(col("norm")) > 0 &&
         size(split(col("norm"), " ")) >= 2)
       .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = updIds
       .select((col("doc_id") + off).as("vec_id"),
         vecExpr(neg = false).as("embedding"))
       .unionByName(updIds
         .select((col("doc_id") + 2L * off).as("vec_id"),
           vecExpr(neg = true).as("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def hitCols(res: DataFrame, prefix: String): (DataFrame, DataFrame) = {
       val hits = res.filter(col("cosine_sim") >= 0.999)
       (hits.filter(col("q_id") < lit(2L * off) &&
@@ -507,7 +520,7 @@ object IngestE2E extends QueryModule {
     val (ivfOld, ivfNew) = hitCols(graft.operators.IvfIndex
       .searchIndexDirAuto(s, ivfPath, probes, topK = 10, nprobe = 1),
       "ivf_")
-    updIds
+    val result = updIds
       .join(oldHits, Seq("doc_id"), "left_outer")
       .join(newHits, Seq("doc_id"), "left_outer")
       .join(ivfOld, Seq("doc_id"), "left_outer")
@@ -517,6 +530,16 @@ object IngestE2E extends QueryModule {
         coalesce(col("new_hit"), lit(0L)).as("new_hit"),
         coalesce(col("ivf_old_hit"), lit(0L)).as("ivf_old_hit"),
         coalesce(col("ivf_new_hit"), lit(0L)).as("ivf_new_hit"))
+      .orderBy(col("doc_id"))
+    // one row per gate-passing updated doc — driver-small by
+    // construction; materializing here lets the caches drop now
+    val rows = result.collect().toSeq
+    val schema = result.schema
+    updIds.unpersist(blocking = false)
+    probes.unpersist(blocking = false)
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       .orderBy(col("doc_id"))
   }
 
